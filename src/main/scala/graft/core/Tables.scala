@@ -1,0 +1,33 @@
+package graft.core
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Loaders for the driver-generated star schema (TESTDATA.md).
+  *
+  * Mirrors the reference's Parquet ingestion surface
+  * (reference: Utils/dataset.py:210-237) — `spark.read.parquet` hands
+  * Catalyst a columnar scan with pushdown/pruning for free.
+  */
+final case class Tables(spark: SparkSession, dir: String) {
+  private def t(name: String): DataFrame =
+    spark.read.parquet(s"$dir/$name.parquet")
+
+  def region: DataFrame     = t("region")
+  def nation: DataFrame     = t("nation")
+  def customer: DataFrame   = t("customer")
+  def supplier: DataFrame   = t("supplier")
+  def part: DataFrame       = t("part")
+  def orders: DataFrame     = t("orders")
+  def lineitem: DataFrame   = t("lineitem")
+  /** events.parquet carries TIMESTAMP(NANOS) which Spark has no native type
+    * for (PARQUET_TYPE_ILLEGAL): read the raw int64 nanos and convert to a
+    * µs-precision timestamp (truncation, matching Spark's own ns handling).
+    */
+  def events: DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    t("events").withColumn("ts", timestamp_micros(expr("ts div 1000")))
+  }
+  def documents: DataFrame  = t("documents")
+  def embeddings: DataFrame = t("embeddings")
+}

@@ -1,0 +1,202 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.{Q, Qh}
+
+/** Core relational operator surface (SURVEY.md §2.2–2.5): projections,
+  * filters, equi-joins (inner/semi/anti, broadcast for dimensions),
+  * single- and two-level aggregations, global and per-group top-k,
+  * dedup-keep-last, running windows.
+  *
+  * Reference shapes: projections/filters Utils/dataset.py:539-541, 737,
+  * 1423-1445, 1548-1550; joins Utils/dataset.py:412-433, 1916-1919;
+  * aggregations Utils/dataset.py:643-732; top-k Utils/dataset.py:1186-1187;
+  * dedup-keep-last Data_manager/DataReader_utils.py:138-144.
+  *
+  * Scale notes: every query here is a declarative plan — filters and column
+  * pruning reach the parquet scan, dimension joins are broadcast, heavy
+  * aggregations are partial (map-side combine) before the shuffle.
+  */
+object Relational {
+
+  def queries: Seq[Q] = Seq(
+
+    // P1/P2/P3 — projection, rename, cast. Cast via floor() because DuckDB
+    // rounds double→int while Spark truncates.
+    Q("q01_scan_project",
+      t => t.lineitem.select(
+        col("l_orderkey").as("okey"),
+        col("l_linenumber").as("lineno"),
+        floor(col("l_quantity")).cast("int").as("qty_int"),
+        col("l_returnflag").as("flag")),
+      Some("""SELECT l_orderkey AS okey, l_linenumber AS lineno,
+             |CAST(FLOOR(l_quantity) AS INT) AS qty_int,
+             |l_returnflag AS flag FROM lineitem""".stripMargin)),
+
+    // P4/P5/P7/P8 — conjunctive predicates incl. a time-range filter; all
+    // pushed to the parquet scan by Catalyst.
+    Q("q02_filter_conj",
+      t => t.lineitem.filter(
+          col("l_quantity") >= 25 && col("l_returnflag") === "R" &&
+          col("l_shipdate") >= lit("1995-06-01").cast("timestamp") &&
+          col("l_shipdate") <  lit("1997-01-01").cast("timestamp"))
+        .select("l_orderkey", "l_linenumber", "l_quantity", "l_shipdate"),
+      Some("""SELECT l_orderkey, l_linenumber, l_quantity, l_shipdate
+             |FROM lineitem
+             |WHERE l_quantity >= 25 AND l_returnflag = 'R'
+             |AND l_shipdate >= TIMESTAMP '1995-06-01'
+             |AND l_shipdate < TIMESTAMP '1997-01-01'""".stripMargin)),
+
+    // A1/A14 — wide single-pass grouped aggregation (TPC-H Q1 shape).
+    Q("q03_agg_basic",
+      t => t.lineitem.groupBy("l_returnflag", "l_linestatus").agg(
+        Qh.dsum(col("l_quantity")).as("sum_qty"),
+        Qh.dsum(col("l_extendedprice")).as("sum_base_price"),
+        // product computed in exact decimal space — a double product cast
+        // to decimal rounds differently between engines at .005 boundaries
+        sum(col("l_extendedprice").cast("decimal(18,2)") *
+            (lit(java.math.BigDecimal.ONE) -
+             col("l_discount").cast("decimal(18,2)")))
+          .cast("double").as("sum_disc_price"),
+        count(lit(1)).as("count_order"),
+        (Qh.dsum(col("l_quantity")) / count(lit(1))).as("avg_qty")),
+      Some(s"""SELECT l_returnflag, l_linestatus,
+              |${Qh.sqlDsum("l_quantity")} AS sum_qty,
+              |${Qh.sqlDsum("l_extendedprice")} AS sum_base_price,
+              |CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) *
+              |  (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE)
+              |  AS sum_disc_price,
+              |COUNT(*) AS count_order,
+              |${Qh.sqlDsum("l_quantity")}/COUNT(*) AS avg_qty
+              |FROM lineitem GROUP BY l_returnflag, l_linestatus""".stripMargin)),
+
+    // A2 — aggregate of grouped counts (mean/min/max orders per customer).
+    Q("q04_two_level_agg",
+      t => t.orders.groupBy("o_custkey").agg(count(lit(1)).as("cnt"))
+        .agg(min("cnt").as("min_orders"), max("cnt").as("max_orders"),
+             (sum("cnt").cast("double") / count(lit(1))).as("avg_orders"),
+             count(lit(1)).as("n_cust")),
+      Some("""SELECT MIN(cnt) AS min_orders, MAX(cnt) AS max_orders,
+             |CAST(CAST(SUM(cnt) AS BIGINT) AS DOUBLE)/COUNT(*) AS avg_orders,
+             |COUNT(*) AS n_cust
+             |FROM (SELECT o_custkey, COUNT(*) AS cnt FROM orders
+             |      GROUP BY o_custkey) t""".stripMargin)),
+
+    // A4/A5/A7 — global distinct counts.
+    Q("q05_distinct_counts",
+      t => t.lineitem.agg(
+        countDistinct(col("l_partkey")).as("n_parts"),
+        countDistinct(col("l_partkey"), col("l_suppkey")).as("n_part_supp"),
+        count(lit(1)).as("n_rows")),
+      Some("""SELECT
+             |(SELECT COUNT(DISTINCT l_partkey) FROM lineitem) AS n_parts,
+             |(SELECT COUNT(*) FROM
+             |   (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem) d)
+             |   AS n_part_supp,
+             |(SELECT COUNT(*) FROM lineitem) AS n_rows""".stripMargin)),
+
+    // J1/J3 + A1 — fact⋈fact join plus broadcast dimension joins.
+    Q("q06_join_agg",
+      t => t.orders
+        .join(t.customer, col("o_custkey") === col("c_custkey"))
+        .join(broadcast(t.nation), col("c_nationkey") === col("n_nationkey"))
+        .join(broadcast(t.region), col("n_regionkey") === col("r_regionkey"))
+        .groupBy("r_name", "n_name")
+        .agg(Qh.dsum(col("o_totalprice")).as("revenue"),
+             count(lit(1)).as("n_orders")),
+      Some(s"""SELECT r_name, n_name,
+              |${Qh.sqlDsum("o_totalprice")} AS revenue,
+              |COUNT(*) AS n_orders
+              |FROM orders
+              |JOIN customer ON o_custkey = c_custkey
+              |JOIN nation ON c_nationkey = n_nationkey
+              |JOIN region ON n_regionkey = r_regionkey
+              |GROUP BY r_name, n_name""".stripMargin)),
+
+    // J4 — left-semi join (EXISTS).
+    Q("q07_join_semi",
+      t => t.customer.join(t.orders, col("c_custkey") === col("o_custkey"),
+                           "left_semi")
+        .select("c_custkey", "c_name"),
+      Some("""SELECT c_custkey, c_name FROM customer
+             |WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+             |""".stripMargin)),
+
+    // U4/J7 — left-anti join (NOT EXISTS); the engine's "remove seen" /
+    // set-difference primitive.
+    Q("q08_join_anti",
+      t => t.customer.join(t.orders, col("c_custkey") === col("o_custkey"),
+                           "left_anti")
+        .select("c_custkey", "c_mktsegment"),
+      Some("""SELECT c_custkey, c_mktsegment FROM customer
+             |WHERE NOT EXISTS
+             |(SELECT 1 FROM orders WHERE o_custkey = c_custkey)""".stripMargin)),
+
+    // T1 — global top-k of grouped aggregates (TakeOrderedAndProject);
+    // deterministic tie-break on key.
+    Q("q09_topk_global",
+      t => t.orders.groupBy("o_custkey")
+        .agg(Qh.dsum(col("o_totalprice")).as("spend"),
+             count(lit(1)).as("n_orders"))
+        .orderBy(desc("spend"), asc("o_custkey"))
+        .limit(20),
+      Some(s"""SELECT o_custkey, ${Qh.sqlDsum("o_totalprice")} AS spend,
+              |COUNT(*) AS n_orders
+              |FROM orders GROUP BY o_custkey
+              |ORDER BY spend DESC, o_custkey LIMIT 20""".stripMargin)),
+
+    // T3/T4 — per-group top-k via ranking window.
+    Q("q10_topk_pergroup", { t =>
+        val w = Window.partitionBy("p_brand")
+          .orderBy(desc("p_retailprice"), asc("p_partkey"))
+        t.part.withColumn("rn", row_number().over(w))
+          .filter(col("rn") <= 3)
+          .select("p_brand", "p_partkey", "p_retailprice", "rn")
+      },
+      Some("""SELECT p_brand, p_partkey, p_retailprice, rn FROM (
+             |  SELECT p_brand, p_partkey, p_retailprice,
+             |  ROW_NUMBER() OVER (PARTITION BY p_brand
+             |    ORDER BY p_retailprice DESC, p_partkey) AS rn
+             |  FROM part) t WHERE rn <= 3""".stripMargin)),
+
+    // T5 — sort + dedup keep-last (latest event per user/type). Timestamps
+    // truncated to ms on both sides: the raw column is ns-precision, which
+    // Spark reads at µs and DuckDB at ns.
+    Q("q11_dedup_keeplast", { t =>
+        val w = Window.partitionBy("user_id", "event_type")
+          .orderBy(desc("ts_ms"), desc("event_id"))
+        t.events
+          .withColumn("ts_ms", date_trunc("millisecond", col("ts")))
+          .withColumn("rn", row_number().over(w))
+          .filter(col("rn") === 1)
+          .select("user_id", "event_type", "event_id", "value")
+      },
+      Some("""SELECT user_id, event_type, event_id, value FROM (
+             |  SELECT user_id, event_type, event_id, value,
+             |  ROW_NUMBER() OVER (PARTITION BY user_id, event_type
+             |    ORDER BY date_trunc('millisecond', ts) DESC, event_id DESC)
+             |    AS rn
+             |  FROM events) t WHERE rn = 1""".stripMargin)),
+
+    // A11-adjacent — running cumulative sum per key with an explicit ROWS
+    // frame (exact decimal accumulation in deterministic order).
+    Q("q12_window_cumsum", { t =>
+        val w = Window.partitionBy("o_custkey")
+          .orderBy("o_orderdate", "o_orderkey")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        t.orders.withColumn(
+            "run_spend",
+            sum(col("o_totalprice").cast("decimal(18,2)")).over(w)
+              .cast("double"))
+          .select("o_custkey", "o_orderkey", "run_spend")
+      },
+      Some("""SELECT o_custkey, o_orderkey,
+             |CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+             |  OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+             |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             |  AS DOUBLE) AS run_spend
+             |FROM orders""".stripMargin))
+  )
+}

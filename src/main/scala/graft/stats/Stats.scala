@@ -1,0 +1,90 @@
+package graft.stats
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Distribution analytics (SURVEY.md §2.4): Gini concentration,
+  * cumulative-coverage percentiles, histograms, pivot heatmaps,
+  * gap-based sessionization.
+  *
+  * All are expressed as declarative plans: one shuffle for the grouped
+  * count, one (single-partition but tiny — #groups rows, never raw rows)
+  * window for rank-dependent formulas. At 100 TB the grouped count is the
+  * only scan-sized stage; everything after operates on the aggregate.
+  */
+object Stats {
+
+  /** Gini coefficient of the `cnt` distribution per `key` group
+    * (reference: Utils/gini.py:8-28): sum((2i-n-1)·x_i)/(n·Σx) over x
+    * sorted ascending. Exact integer arithmetic until the final division.
+    */
+  def giniOfCounts(df: DataFrame, key: Column): DataFrame = {
+    val counts = df.groupBy(key.as("k")).agg(count(lit(1)).as("cnt"))
+    val w = Window.orderBy(col("cnt"), col("k"))
+    // Σ(2i−n−1)·x == 2·Σi·x − (n+1)·Σx — avoids needing n inside the sum
+    counts.withColumn("i", row_number().over(w))
+      .agg(sum(col("i") * col("cnt")).as("ic"),
+           count(lit(1)).as("n"), sum("cnt").as("tot"))
+      .select(((lit(2) * col("ic") - (col("n") + 1) * col("tot"))
+                 .cast("double") /
+               (col("n") * col("tot")).cast("double")).as("gini"))
+  }
+
+  /** How many top-`key` entities cover each percentage of total mass
+    * (reference: Utils/dataset.py:1201-1260). Returns one row per
+    * threshold with the number of entities whose cumulative count first
+    * reaches it.
+    */
+  def cumulativeCoverage(df: DataFrame, key: Column,
+                         thresholds: Seq[Double]): DataFrame = {
+    val counts = df.groupBy(key.as("k")).agg(count(lit(1)).as("cnt"))
+    val w = Window.orderBy(desc("cnt"), asc("k"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = counts
+      .withColumn("cum", sum("cnt").over(w))
+      .withColumn("tot", sum("cnt").over())
+    val perThreshold = thresholds.map { th =>
+      cum.filter(col("cum") - col("cnt") < lit(th) * col("tot"))
+        .agg(count(lit(1)).as("n_entities"))
+        .select(lit(th).as("threshold"), col("n_entities"))
+    }
+    perThreshold.reduce(_ unionByName _)
+  }
+
+  /** Fixed-width histogram of a numeric column
+    * (reference: Utils/dataset.py:1277-1289). */
+  def histogram(df: DataFrame, value: Column, binWidth: Double): DataFrame =
+    df.groupBy(floor(value / binWidth).cast("long").as("bin"))
+      .agg(count(lit(1)).as("n"))
+
+  /** Pivot heatmap as conditional aggregation
+    * (reference: Utils/dataset.py:1933-1948). Explicit when/sum instead of
+    * `.pivot()` so output column names are fixed, not data-derived. */
+  def conditionalPivot(df: DataFrame, rowKey: Column, pivotCol: Column,
+                       values: Seq[String]): DataFrame =
+    df.groupBy(rowKey.as("k"))
+      .agg(values.map(v =>
+             sum(when(pivotCol === v, 1).otherwise(0)).as(s"n_$v")).head,
+           values.map(v =>
+             sum(when(pivotCol === v, 1).otherwise(0)).as(s"n_$v")).tail: _*)
+
+  /** Gap-based sessionization: a new session starts after `gapMs`
+    * milliseconds of inactivity. Batch twin of the streaming
+    * session-window operator. Exact integer epoch-ms arithmetic; `tie`
+    * must make the per-user ordering total (e.g. an event id). */
+  def sessionize(events: DataFrame, user: Column, ts: Column,
+                 tie: Column, gapMs: Long): DataFrame = {
+    // µs-epoch values (<2^53) are exact in double, so floor-div is exact
+    val ms = floor(unix_micros(ts) / 1000).cast("long")
+    val byUser = Window.partitionBy(user).orderBy(col("ms"), tie)
+    events
+      .withColumn("ms", ms)
+      .withColumn("prev_ms", lag(col("ms"), 1).over(byUser))
+      .withColumn("new_session",
+        (col("prev_ms").isNull ||
+         col("ms") - col("prev_ms") > gapMs).cast("int"))
+      .withColumn("session_id", sum("new_session").over(
+        byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+  }
+}

@@ -1,0 +1,104 @@
+package graft.stats
+
+import org.apache.spark.sql.functions._
+import graft.{Q, Qh}
+
+/** Oracle-checked queries exercising the Stats module (SURVEY.md §2.4
+  * A10–A13 + sessionization).
+  */
+object StatsQueries {
+
+  def queries: Seq[Q] = Seq(
+
+    // A12 — fixed-width histogram of event values.
+    Q("q24_histogram",
+      t => Stats.histogram(t.events, col("value"), 5.0),
+      Some("""SELECT CAST(FLOOR(value / 5.0) AS BIGINT) AS bin, COUNT(*) AS n
+             |FROM events GROUP BY 1""".stripMargin)),
+
+    // A13 — pivot heatmap (nation × order status) as conditional agg.
+    Q("q25_pivot", { t =>
+        val joined = t.orders
+          .join(t.customer, col("o_custkey") === col("c_custkey"))
+          .join(broadcast(t.nation), col("c_nationkey") === col("n_nationkey"))
+        Stats.conditionalPivot(joined, col("n_name"), col("o_orderstatus"),
+                               Seq("O", "F", "P"))
+      },
+      Some("""SELECT n_name AS k,
+             |CAST(SUM(CASE WHEN o_orderstatus='O' THEN 1 ELSE 0 END) AS BIGINT) AS n_O,
+             |CAST(SUM(CASE WHEN o_orderstatus='F' THEN 1 ELSE 0 END) AS BIGINT) AS n_F,
+             |CAST(SUM(CASE WHEN o_orderstatus='P' THEN 1 ELSE 0 END) AS BIGINT) AS n_P
+             |FROM orders
+             |JOIN customer ON o_custkey = c_custkey
+             |JOIN nation ON c_nationkey = n_nationkey
+             |GROUP BY n_name""".stripMargin)),
+
+    // A10 — Gini concentration of orders over customers
+    // (reference: Utils/gini.py:8-28).
+    Q("q26_gini",
+      t => Stats.giniOfCounts(t.orders, col("o_custkey")),
+      Some("""WITH counts AS (
+             |  SELECT o_custkey AS k, COUNT(*) AS cnt FROM orders GROUP BY 1
+             |), ranked AS (
+             |  SELECT cnt, ROW_NUMBER() OVER (ORDER BY cnt, k) AS i
+             |  FROM counts
+             |)
+             |SELECT CAST(2*CAST(SUM(i*cnt) AS BIGINT)
+             |            - (COUNT(*)+1)*CAST(SUM(cnt) AS BIGINT) AS DOUBLE)
+             |     / CAST(COUNT(*) * CAST(SUM(cnt) AS BIGINT) AS DOUBLE)
+             |  AS gini
+             |FROM ranked""".stripMargin)),
+
+    // A11 — top-entity counts covering 25/50/75% of total order mass
+    // (reference: Utils/dataset.py:1201-1260).
+    Q("q27_cum_coverage",
+      t => Stats.cumulativeCoverage(t.orders, col("o_custkey"),
+                                    Seq(0.25, 0.5, 0.75)),
+      Some("""WITH counts AS (
+             |  SELECT o_custkey AS k, COUNT(*) AS cnt FROM orders GROUP BY 1
+             |), cum AS (
+             |  SELECT cnt,
+             |    SUM(cnt) OVER (ORDER BY cnt DESC, k
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+             |    SUM(cnt) OVER () AS tot
+             |  FROM counts
+             |)
+             |SELECT CAST(th AS DOUBLE) AS threshold, (
+             |  SELECT COUNT(*) FROM cum WHERE cum - cnt < th * tot
+             |) AS n_entities
+             |FROM (VALUES (0.25), (0.5), (0.75)) AS tv(th)""".stripMargin)),
+
+    // Gap-based sessionization (30 min) — session counts and sizes per user.
+    Q("q28_sessionize",
+      t => Stats.sessionize(t.events, col("user_id"), col("ts"),
+                            col("event_id"), 30 * 60 * 1000L)
+        .groupBy("user_id")
+        .agg(max("session_id").as("n_sessions"),
+             count(lit(1)).as("n_events")),
+      Some("""WITH e AS (
+             |  SELECT user_id, event_id, epoch_ms(date_trunc('millisecond', ts)) AS ms
+             |  FROM events
+             |), flagged AS (
+             |  SELECT user_id,
+             |    CASE WHEN LAG(ms) OVER w IS NULL
+             |           OR ms - LAG(ms) OVER w > 1800000
+             |         THEN 1 ELSE 0 END AS new_session
+             |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ms, event_id)
+             |)
+             |SELECT user_id,
+             |  CAST(SUM(new_session) AS BIGINT) AS n_sessions,
+             |  COUNT(*) AS n_events
+             |FROM flagged GROUP BY user_id""".stripMargin)),
+
+    // Tumbling 1-hour windowed aggregation — batch twin of the
+    // Structured Streaming pipeline in graft.streaming.
+    Q("q29_time_window",
+      t => t.events
+        .groupBy(date_format(date_trunc("hour", col("ts")), "yyyy-MM-dd HH")
+                   .as("hour"))
+        .agg(count(lit(1)).as("n"), Qh.dsum(col("value")).as("sum_value")),
+      Some(s"""SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H') AS hour,
+              |COUNT(*) AS n, ${Qh.sqlDsum("value")} AS sum_value
+              |FROM events GROUP BY 1""".stripMargin))
+  )
+}
