@@ -14,7 +14,8 @@ object SparkEntry {
     operators.Relational.queries ++
     operators.SetOps.queries ++
     operators.Scalars.queries ++
-    stats.StatsQueries.queries
+    stats.StatsQueries.queries ++
+    recommend.RecsysQueries.queries
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

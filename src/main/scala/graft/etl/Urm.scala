@@ -1,0 +1,101 @@
+package graft.etl
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.core.Tables
+
+/** User-Rating-Matrix construction and split operators
+  * (SURVEY.md §2.8 L1, §2.11 X1–X7).
+  *
+  * The reference materializes scipy CSR matrices
+  * (reference: Utils/dataset.py:327-399); this engine keeps the URM
+  * logical: a `(user, item, value)` triple DataFrame. All downstream
+  * linear algebra is join-aggregation over triples, which partitions by
+  * key and scales horizontally — no driver-side matrix ever materializes
+  * except where the math demands it (EASE's inverse).
+  */
+object Urm {
+
+  /** Implicit-feedback URM from the star schema: user = o_custkey,
+    * item = l_partkey, value = 1 for any purchase
+    * (reference: Utils/dataset.py:327-346 builds all-ones CSR the same
+    * way after dedup). */
+  def fromOrders(t: Tables): DataFrame =
+    t.lineitem
+      .join(t.orders, col("l_orderkey") === col("o_orderkey"))
+      .select(col("o_custkey").as("u"), col("l_partkey").as("i"))
+      .distinct()
+      .withColumn("v", lit(1))
+
+  /** Rating-valued URM (explicit feedback analog): mean quantity per
+    * (user, item) in exact decimal space. */
+  def ratingsFromOrders(t: Tables): DataFrame =
+    t.lineitem
+      .join(t.orders, col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("o_custkey").as("u"), col("l_partkey").as("i"))
+      .agg((sum(col("l_quantity").cast("decimal(18,2)")) / count(lit(1)))
+             .cast("double").as("r"))
+
+  /** Dense-index ID remapping (reference:
+    * Data_manager/IncrementalSparseMatrix.py:95-127 keeps dict mappers) —
+    * distinct ids → contiguous [0, n) indices as a mapping DataFrame;
+    * joins replace dict lookups. */
+  def denseIndex(df: DataFrame, id: Column): DataFrame =
+    df.select(id.as("orig")).distinct()
+      .withColumn("idx", row_number().over(Window.orderBy(col("orig"))) - 1)
+
+  /** X1 — seeded random split after dedup
+    * (reference: Utils/dataset.py:322-325, frac .7/.1/.2 seed 42). */
+  def randomSplit(urm: DataFrame, fracs: Array[Double], seed: Long)
+      : Array[DataFrame] = urm.randomSplit(fracs, seed)
+
+  /** Deterministic modulo split — the oracle-checkable twin of X1: the
+    * split assignment is a pure function of the keys, so DuckDB computes
+    * the identical membership. */
+  def hashSplit(urm: DataFrame, nTrain: Int, nBuckets: Int): DataFrame =
+    urm.withColumn("split",
+      when((col("u") * 31 + col("i")) % nBuckets < nTrain, "train")
+        .otherwise("test"))
+
+  /** X2 — user-wise percentage holdout (reference:
+    * Data_manager/split_functions/split_train_validation.py:17-78). */
+  def userWiseHoldout(urm: DataFrame, trainFrac: Double, seed: Long)
+      : DataFrame = {
+    val w = Window.partitionBy("u").orderBy(rand(seed))
+    urm.withColumn("rn", row_number().over(w))
+      .withColumn("n", count(lit(1)).over(Window.partitionBy("u")))
+      .withColumn("split",
+        when(col("rn") <= round(col("n") * trainFrac), "train")
+          .otherwise("test"))
+      .drop("rn", "n")
+  }
+
+  /** X3 — leave-one-out per user (random, seeded). */
+  def leaveOneOut(urm: DataFrame, seed: Long): DataFrame = {
+    val w = Window.partitionBy("u").orderBy(rand(seed))
+    urm.withColumn("split",
+        when(row_number().over(w) === 1, "test").otherwise("train"))
+  }
+
+  /** X6 — timestamp split: latest interaction per user → test, second
+    * latest → validation (reference:
+    * split_functions/split_data_on_timestamp.py:16-92). */
+  def timestampSplit(interactions: DataFrame, user: Column, ts: Column)
+      : DataFrame = {
+    val w = Window.partitionBy(user).orderBy(ts.desc)
+    interactions.withColumn("split",
+      when(row_number().over(w) === 1, "test")
+        .when(row_number().over(w) === 2, "validation")
+        .otherwise("train"))
+  }
+
+  /** U5 — disjointness audit over split triples (reference:
+    * Utils/assertions_on_data_for_experiments.py:28-54): count of
+    * (u, i) cells present in more than one split. Zero ⇔ disjoint. */
+  def overlapCells(splits: DataFrame): DataFrame =
+    splits.select("u", "i", "split").distinct()
+      .groupBy("u", "i").agg(count(lit(1)).as("n_splits"))
+      .filter(col("n_splits") > 1)
+      .agg(count(lit(1)).as("n_overlapping"))
+}

@@ -1,0 +1,106 @@
+package graft.eval
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Ranked-recommendation evaluation (SURVEY.md §2.10; reference:
+  * Base/Evaluation/Evaluator.py + metrics.py).
+  *
+  * The reference's metric objects expose add / merge / get — exactly
+  * Spark's partial-aggregation contract — so every metric here is a
+  * grouped aggregation over a per-user (rank, hit) DataFrame: map-side
+  * partials then one reduce, the same shape the reference hand-rolls
+  * with dask delayed merges (Evaluator.py:607-679).
+  *
+  * Float policy: per-user terms are exact rationals or small
+  * transcendental sums; global results are rounded to 6 decimals, which
+  * absorbs both summation-order drift and last-ulp libm differences
+  * when compared against an external oracle.
+  */
+object Evaluation {
+
+  /** Join recommendations (u, item, rank) with relevance (u, item) →
+    * per-user hit table carrying every rank, a hit flag, and the user's
+    * relevant-item count. Users with no relevant items are dropped
+    * (the reference prunes them, Evaluator.py:184-211). */
+  def hitTable(recs: DataFrame, relevant: DataFrame): DataFrame = {
+    val rel = relevant.select(col("u"), col("i").as("item"))
+      .withColumn("hit", lit(1))
+    val relCounts = relevant.groupBy("u").agg(count(lit(1)).as("n_rel"))
+    recs.join(rel, Seq("u", "item"), "left")
+      .withColumn("hit", coalesce(col("hit"), lit(0)))
+      .join(relCounts, Seq("u"), "inner")
+  }
+
+  /** Accuracy metrics at one cutoff, averaged over evaluated users:
+    * precision, recall, MAP, MRR, NDCG (binary relevance), hit rate
+    * (reference: metrics.py:39-211, Evaluator.py:241-259). */
+  def accuracyMetrics(hits: DataFrame, cutoff: Int): DataFrame = {
+    val atK = hits.filter(col("rank") <= cutoff)
+    val wu = Window.partitionBy("u").orderBy("rank")
+    val perUser = atK
+      .withColumn("cum_hits", sum("hit").over(
+        wu.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy("u")
+      .agg(
+        sum("hit").as("n_hits"),
+        first("n_rel").as("n_rel"),
+        // Σ_{hit at rank r} precision@r — numerator of average precision
+        sum(when(col("hit") === 1,
+                 col("cum_hits").cast("double") / col("rank"))
+              .otherwise(0.0)).as("ap_num"),
+        min(when(col("hit") === 1, col("rank"))).as("first_hit"),
+        // binary-relevance DCG: Σ hit / log2(rank + 1)
+        sum(when(col("hit") === 1, lit(1.0) / log2(col("rank") + 1))
+              .otherwise(0.0)).as("dcg"))
+      .withColumn("idcg", expr(
+        s"""aggregate(sequence(1, int(least(n_rel, $cutoff))),
+           |cast(0.0 as double), (acc, r) -> acc + 1.0/log2(r + 1))"""
+          .stripMargin))
+      .withColumn("prec", col("n_hits").cast("double") / cutoff)
+      .withColumn("rec", col("n_hits").cast("double") / col("n_rel"))
+      .withColumn("ap", col("ap_num") / least(col("n_rel"), lit(cutoff)))
+      .withColumn("rr", coalesce(lit(1.0) / col("first_hit"), lit(0.0)))
+      .withColumn("ndcg", col("dcg") / col("idcg"))
+      .withColumn("is_hit", (col("n_hits") > 0).cast("int"))
+    perUser.agg(
+      round(sum("prec") / count(lit(1)), 6).as("precision"),
+      round(sum("rec") / count(lit(1)), 6).as("recall"),
+      round(sum("ap") / count(lit(1)), 6).as("map"),
+      round(sum("rr") / count(lit(1)), 6).as("mrr"),
+      round(sum("ndcg") / count(lit(1)), 6).as("ndcg"),
+      round(sum("is_hit").cast("double") / count(lit(1)), 6).as("hit_rate"),
+      count(lit(1)).as("n_users"))
+  }
+
+  /** Catalog coverage: share of items ever recommended
+    * (reference: metrics.py:310-323). */
+  def itemCoverage(recs: DataFrame, nItems: Long): DataFrame =
+    recs.agg(round(countDistinct(col("item")).cast("double") / nItems, 6)
+               .as("coverage_item"))
+
+  /** Novelty: mean self-information −log2(pop/nnz) of recommended items
+    * w.r.t. training popularity (reference: metrics.py:538-586). */
+  def novelty(recs: DataFrame, itemPop: DataFrame, nnz: Long): DataFrame =
+    recs.join(itemPop, recs("item") === itemPop("i"))
+      .agg(round(sum(-log2(col("pop").cast("double") / nnz)) /
+                   count(lit(1)), 6).as("novelty"))
+
+  /** Shannon entropy of the recommendation distribution over items
+    * (reference: metrics.py:485-530): −Σ p·log2(p). */
+  def shannonEntropy(recs: DataFrame): DataFrame =
+    recs.groupBy("item").agg(count(lit(1)).as("cnt"))
+      .withColumn("tot", sum("cnt").over())
+      .agg(round(-sum((col("cnt").cast("double") / col("tot")) *
+                      log2(col("cnt").cast("double") / col("tot"))), 6)
+             .as("shannon_entropy"))
+
+  /** Herfindahl diversity 1 − Σp² (reference: metrics.py:447-479). */
+  def herfindahl(recs: DataFrame): DataFrame =
+    recs.groupBy("item").agg(count(lit(1)).as("cnt"))
+      .withColumn("tot", sum("cnt").over())
+      .agg(round(lit(1.0) -
+                 sum(pow(col("cnt").cast("double") / col("tot"), 2)), 6)
+             .as("herfindahl"))
+}

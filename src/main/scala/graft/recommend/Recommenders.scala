@@ -1,0 +1,145 @@
+package graft.recommend
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Non-personalized + graph recommenders and the shared scoring/
+  * recommendation query (SURVEY.md §2.8 L6–L10, L16–L17; §2.9 R1–R3).
+  *
+  * All scorers produce `(u, item, score)` triples and all similarity
+  * models are `(i, j, w)` triples, so scoring is one join-aggregate
+  * (the SpMM of reference Base/BaseSimilarityMatrixRecommender.py:77-96)
+  * and ranking is one per-user window — both shuffle-partitioned by
+  * user, which is the scalable axis at 100 TB.
+  */
+object Recommenders {
+
+  /** L8 — TopPop: item popularity counts
+    * (reference: Base/NonPersonalizedRecommender.py:27-47). */
+  def topPop(urm: DataFrame): DataFrame =
+    urm.groupBy("i").agg(count(lit(1)).as("pop"))
+
+  /** L9 — GlobalEffects: global mean + shrunk item and user biases
+    * (reference: Base/NonPersonalizedRecommender.py:75-136).
+    *
+    * Σ(r−μ) is expanded to Σr − n·μ so only raw-rating sums accumulate
+    * (order-independent when ratings are integer-valued).
+    * Returns (u, i, r, mu, item_bias, user_bias).
+    */
+  def globalEffects(ratings: DataFrame, lambdaItem: Double,
+                    lambdaUser: Double): DataFrame = {
+    val glob = ratings.agg((sum("r") / count(lit(1))).as("mu"))
+    val withMu = ratings.crossJoin(broadcast(glob))
+    val itemBias = withMu.groupBy("i")
+      .agg(((sum("r") - count(lit(1)) * first("mu")) /
+            (count(lit(1)) + lambdaItem)).as("item_bias"),
+           first("mu").as("mu"))
+    val withItem = withMu.drop("mu")
+      .join(broadcast(itemBias), "i")
+    val userBias = withItem.groupBy("u")
+      .agg(((sum("r") - count(lit(1)) * first("mu") - sum("item_bias")) /
+            (count(lit(1)) + lambdaUser)).as("user_bias"))
+    withItem.join(broadcast(userBias), "u")
+      .select("u", "i", "r", "mu", "item_bias", "user_bias")
+  }
+
+  /** L10 — seeded random scorer
+    * (reference: Base/NonPersonalizedRecommender.py:155-180). */
+  def randomScores(users: DataFrame, items: DataFrame, seed: Long)
+      : DataFrame =
+    users.crossJoin(items).withColumn("score", rand(seed))
+
+  /** L16 — P3alpha random-walk similarity
+    * (reference: GraphBased/P3alphaRecommender.py:33-141):
+    * W[i,j] = Σ_u (1/deg_i)ᵅ · (1/deg_u)ᵅ over co-interacting users,
+    * i.e. the 2-hop item→user→item transition probability product.
+    * The (1/deg_i)ᵅ factor is constant per pair and factored out of the
+    * user sum, which accumulates in exact decimal when alpha == 1.
+    */
+  def p3alpha(urm: DataFrame, alpha: Double): DataFrame = {
+    val userDeg = urm.groupBy("u").agg(count(lit(1)).as("nu"))
+    val itemDeg = urm.groupBy("i").agg(count(lit(1)).as("ni"))
+    val a = urm.select(col("u"), col("i").as("i1"))
+    val b = urm.select(col("u"), col("i").as("i2"))
+    val pairsByUser = a.join(b, "u").filter(col("i1") =!= col("i2"))
+      .join(broadcast(userDeg), "u")
+    val summed =
+      if (alpha == 1.0)
+        pairsByUser.groupBy(col("i1").as("i"), col("i2").as("j"))
+          .agg(sum((lit(1.0) / col("nu")).cast("decimal(28,15)"))
+                 .cast("double").as("usum"))
+      else
+        pairsByUser.groupBy(col("i1").as("i"), col("i2").as("j"))
+          .agg(sum(pow(lit(1.0) / col("nu"), alpha)).as("usum"))
+    summed
+      .join(broadcast(itemDeg), "i")
+      .select(col("i"), col("j"),
+              (pow(lit(1.0) / col("ni"), alpha) * col("usum")).as("w"))
+  }
+
+  /** L17 — RP3beta: P3alpha divided by item-popularity penalty deg_jᵝ
+    * (reference: GraphBased/RP3betaRecommender.py:32-153). */
+  def rp3beta(urm: DataFrame, alpha: Double, beta: Double): DataFrame = {
+    val itemDegJ = urm.groupBy(col("i").as("j"))
+      .agg(count(lit(1)).as("nj"))
+    p3alpha(urm, alpha)
+      .join(broadcast(itemDegJ), "j")
+      .select(col("i"), col("j"), (col("w") / pow(col("nj"), beta)).as("w"))
+  }
+
+  /** L6 — sparse·sparse scoring: scores = URM[u] · W
+    * (reference: Base/BaseSimilarityMatrixRecommender.py:77-96). The
+    * similarity weights accumulate in exact decimal for cross-engine
+    * determinism. Returns (u, item, score). */
+  def scoreBySimilarity(urm: DataFrame, sim: DataFrame): DataFrame =
+    urm.select(col("u"), col("i"))
+      .join(sim.select(col("i"), col("j"), col("w")), "i")
+      .groupBy(col("u"), col("j").as("item"))
+      .agg(sum(col("w").cast("decimal(28,12)")).cast("double").as("score"))
+
+  /** R1 — the recommendation query: score, remove seen (anti-join — the
+    * engine's replacement for the reference's -inf masking,
+    * Base/BaseRecommender.py:104-121), rank per user, keep top-k with a
+    * deterministic tie order (score desc, item asc). */
+  def recommend(scores: DataFrame, seen: DataFrame, k: Int): DataFrame = {
+    val unseen = scores.join(
+      seen.select(col("u"), col("i").as("item")), Seq("u", "item"),
+      "left_anti")
+    val w = Window.partitionBy("u").orderBy(desc("score"), asc("item"))
+    unseen.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+  }
+
+  /** R1 for non-personalized (global) scorers, scale-safe: a user can
+    * displace at most their own seen count from the global top list, so
+    * ranking the top `k + max_u(seen_u)` candidates per user is exactly
+    * equivalent to the dense users×items cross join — M candidate rows
+    * per user instead of |items|. At 100 TB this is the difference
+    * between a broadcast of a few hundred rows and a quadratic shuffle.
+    * Returns (u, item, rank). */
+  def recommendGlobal(globalScores: DataFrame, seen: DataFrame,
+                      k: Int): DataFrame = {
+    val maxSeen = seen.groupBy("u").agg(count(lit(1)).as("n"))
+      .agg(max("n")).head().getLong(0)
+    val m = k + maxSeen.toInt
+    val candidates = globalScores
+      .orderBy(desc("score"), asc("item")).limit(m)
+    val users = seen.select("u").distinct()
+    val dense = users.join(broadcast(candidates))
+    val unseen = dense.join(
+      seen.select(col("u"), col("i").as("item")), Seq("u", "item"),
+      "left_anti")
+    val w = Window.partitionBy("u").orderBy(desc("score"), asc("item"))
+    unseen.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("u", "item", "rank")
+  }
+
+  /** R2 — restrict scoring to a candidate set (negative-item ranking,
+    * reference: Base/Evaluation/Evaluator.py:780-826). */
+  def restrictToCandidates(scores: DataFrame, candidates: DataFrame)
+      : DataFrame =
+    scores.join(candidates.select(col("u"), col("item")),
+                Seq("u", "item"), "left_semi")
+}

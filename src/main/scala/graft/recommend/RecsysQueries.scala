@@ -1,0 +1,405 @@
+package graft.recommend
+
+import org.apache.spark.sql.functions._
+import graft.{Q, Qh}
+import graft.core.Tables
+import graft.etl.Urm
+import graft.similarity.{Similarity, Weighting}
+import graft.eval.Evaluation
+
+/** Oracle-checked queries for the URM / similarity / recommender /
+  * evaluation surface (SURVEY.md §2.8–2.11). The star schema stands in
+  * for the interaction log: user = o_custkey, item = l_partkey.
+  */
+object RecsysQueries {
+
+  /** Shared oracle CTE: the implicit URM. */
+  private val urmCte =
+    """WITH urm AS (
+      |  SELECT DISTINCT o_custkey AS u, l_partkey AS i
+      |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      |)""".stripMargin
+
+  def queries: Seq[Q] = Seq(
+
+    // L1 — URM construction: dedup to binary triples
+    // (reference: Utils/dataset.py:327-359).
+    Q("q30_urm_build",
+      t => Urm.fromOrders(t),
+      Some(urmCte + "\nSELECT u, i, 1 AS v FROM urm")),
+
+    // X1 twin — deterministic modulo split; membership is a pure key
+    // function so the oracle computes identical splits.
+    Q("q31_hash_split",
+      t => Urm.hashSplit(Urm.fromOrders(t), 8, 10)
+        .groupBy("split").agg(count(lit(1)).as("n")),
+      Some(urmCte + """
+        |SELECT CASE WHEN (u*31 + i) % 10 < 8 THEN 'train' ELSE 'test' END
+        |  AS split, COUNT(*) AS n
+        |FROM urm GROUP BY 1""".stripMargin)),
+
+    // L2 kernel — pairwise co-occurrence dot products (AᵀA off-diagonal),
+    // upper triangle, support ≥ 3.
+    Q("q32_cooccurrence",
+      t => Similarity.pairDots(Urm.fromOrders(t))
+        .filter(col("i") < col("j") && col("dot") >= 3),
+      Some(urmCte + """
+        |SELECT a.i AS i, b.i AS j, COUNT(*) AS dot
+        |FROM urm a JOIN urm b ON a.u = b.u AND a.i < b.i
+        |GROUP BY 1, 2 HAVING COUNT(*) >= 3""".stripMargin)),
+
+    // L2 + L28/T4 — cosine similarity with column-wise top-10 pruning.
+    // Binary dots/norms are integers, so the weights are bit-identical
+    // IEEE arithmetic in both engines and the ranking is deterministic.
+    Q("q33_cosine_topk",
+      t => Similarity.topK(
+          Similarity.itemSimilarity(Urm.fromOrders(t), Similarity.Cosine), 10)
+        .select(col("i"), col("j"), round(col("w"), 6).as("w"), col("rank")),
+      Some(urmCte + """,
+        |dots AS (
+        |  SELECT a.i AS i, b.i AS j, COUNT(*) AS dot
+        |  FROM urm a JOIN urm b ON a.u = b.u AND a.i <> b.i
+        |  GROUP BY 1, 2
+        |), norms AS (SELECT i, COUNT(*) AS n FROM urm GROUP BY 1),
+        |sim AS (
+        |  SELECT d.i, d.j,
+        |    CAST(d.dot AS DOUBLE) / (sqrt(ni.n) * sqrt(nj.n)) AS w
+        |  FROM dots d
+        |  JOIN norms ni ON d.i = ni.i
+        |  JOIN norms nj ON d.j = nj.i
+        |)
+        |SELECT i, j, round(w, 6) AS w, rank FROM (
+        |  SELECT i, j, w,
+        |    ROW_NUMBER() OVER (PARTITION BY i ORDER BY w DESC, j) AS rank
+        |  FROM sim) s
+        |WHERE rank <= 10""".stripMargin)),
+
+    // L2 variant — Jaccard/Tanimoto similarity, top-10
+    // (reference: Compute_Similarity_Python.py:193-208 binary variants).
+    Q("q34_jaccard_topk",
+      t => Similarity.topK(
+          Similarity.itemSimilarity(Urm.fromOrders(t), Similarity.Jaccard), 10)
+        .select(col("i"), col("j"), round(col("w"), 6).as("w"), col("rank")),
+      Some(urmCte + """,
+        |dots AS (
+        |  SELECT a.i AS i, b.i AS j, COUNT(*) AS dot
+        |  FROM urm a JOIN urm b ON a.u = b.u AND a.i <> b.i
+        |  GROUP BY 1, 2
+        |), norms AS (SELECT i, COUNT(*) AS n FROM urm GROUP BY 1),
+        |sim AS (
+        |  SELECT d.i, d.j,
+        |    CAST(d.dot AS DOUBLE) / (ni.n + nj.n - d.dot) AS w
+        |  FROM dots d
+        |  JOIN norms ni ON d.i = ni.i
+        |  JOIN norms nj ON d.j = nj.i
+        |)
+        |SELECT i, j, round(w, 6) AS w, rank FROM (
+        |  SELECT i, j, w,
+        |    ROW_NUMBER() OVER (PARTITION BY i ORDER BY w DESC, j) AS rank
+        |  FROM sim) s
+        |WHERE rank <= 10""".stripMargin)),
+
+    // L4 — TF-IDF weighting of the URM
+    // (reference: Base/IR_feature_weighting.py:55-78).
+    Q("q35_tfidf",
+      t => Weighting.tfidf(Urm.fromOrders(t).withColumn("v", lit(1)))
+        .select(col("u"), col("i"), round(col("w"), 6).as("w")),
+      Some(urmCte + """,
+        |df AS (SELECT i, COUNT(*) AS df FROM urm GROUP BY 1),
+        |nu AS (SELECT COUNT(DISTINCT u) AS n_users FROM urm)
+        |SELECT u, urm.i AS i,
+        |  round(sqrt(1.0) * ln(CAST(n_users AS DOUBLE) / (df + 1)), 6) AS w
+        |FROM urm JOIN df ON urm.i = df.i CROSS JOIN nu""".stripMargin)),
+
+    // L5 — Okapi BM25 weighting (K1=1.2, B=0.75)
+    // (reference: Base/IR_feature_weighting.py:13-50).
+    Q("q36_bm25",
+      t => Weighting.bm25(Urm.fromOrders(t).withColumn("v", lit(1)))
+        .select(col("u"), col("i"), round(col("w"), 6).as("w")),
+      Some(urmCte + """,
+        |df AS (SELECT i, COUNT(*) AS df FROM urm GROUP BY 1),
+        |len AS (SELECT u, COUNT(*) AS len FROM urm GROUP BY 1),
+        |g AS (SELECT COUNT(DISTINCT u) AS n_users, COUNT(*) AS nnz FROM urm)
+        |SELECT urm.u AS u, urm.i AS i, round(
+        |  ln((CAST(n_users AS DOUBLE) - df + 0.5) / (df + 0.5))
+        |  * 1.0 * (1.2 + 1)
+        |  / (1.0 + 1.2 * (1 - 0.75 + 0.75 * len
+        |                  / (CAST(nnz AS DOUBLE) / n_users))), 6) AS w
+        |FROM urm JOIN df ON urm.i = df.i JOIN len ON urm.u = len.u
+        |CROSS JOIN g""".stripMargin)),
+
+    // L8 — TopPop: the 20 most popular items
+    // (reference: Base/NonPersonalizedRecommender.py:27-47).
+    Q("q37_toppop",
+      t => Recommenders.topPop(Urm.fromOrders(t))
+        .orderBy(desc("pop"), asc("i")).limit(20),
+      Some(urmCte + """
+        |SELECT i, COUNT(*) AS pop FROM urm GROUP BY 1
+        |ORDER BY pop DESC, i LIMIT 20""".stripMargin)),
+
+    // L9 — GlobalEffects: shrunk item biases over mean quantities
+    // (reference: Base/NonPersonalizedRecommender.py:75-136), λ_item=25.
+    Q("q38_global_effects",
+      t => Recommenders.globalEffects(Urm.ratingsFromOrders(t), 25.0, 10.0)
+        .select(col("i"), round(col("item_bias"), 6).as("item_bias"))
+        .distinct(),
+      Some("""WITH rt AS (
+        |  SELECT o_custkey AS u, l_partkey AS i,
+        |    SUM(l_quantity) / COUNT(*) AS r
+        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |  GROUP BY 1, 2
+        |), g AS (SELECT SUM(r) / COUNT(*) AS mu FROM rt)
+        |SELECT i, round((SUM(r) - COUNT(*) * ANY_VALUE(mu))
+        |                / (COUNT(*) + 25.0), 6) AS item_bias
+        |FROM rt CROSS JOIN g GROUP BY i""".stripMargin)),
+
+    // L6 — item-KNN scoring: URM[u]·W over the top-10 cosine model,
+    // users < 100 (reference: BaseSimilarityMatrixRecommender.py:77-96).
+    Q("q39_itemknn_scores", { t =>
+        val urm = Urm.fromOrders(t)
+        val sim = Similarity.topK(
+          Similarity.itemSimilarity(urm, Similarity.Cosine), 10)
+          .select(col("i"), col("j"), col("w"))
+        Recommenders.scoreBySimilarity(urm.filter(col("u") < 100), sim)
+          .select(col("u"), col("item"), round(col("score"), 6).as("score"))
+      },
+      Some(urmCte + """,
+        |dots AS (
+        |  SELECT a.i AS i, b.i AS j, COUNT(*) AS dot
+        |  FROM urm a JOIN urm b ON a.u = b.u AND a.i <> b.i
+        |  GROUP BY 1, 2
+        |), norms AS (SELECT i, COUNT(*) AS n FROM urm GROUP BY 1),
+        |sim AS (
+        |  SELECT i, j, w FROM (
+        |    SELECT d.i, d.j,
+        |      CAST(d.dot AS DOUBLE) / (sqrt(ni.n) * sqrt(nj.n)) AS w,
+        |      ROW_NUMBER() OVER (PARTITION BY d.i
+        |        ORDER BY CAST(d.dot AS DOUBLE) / (sqrt(ni.n) * sqrt(nj.n))
+        |          DESC, d.j) AS rank
+        |    FROM dots d
+        |    JOIN norms ni ON d.i = ni.i
+        |    JOIN norms nj ON d.j = nj.i) s
+        |  WHERE rank <= 10
+        |)
+        |SELECT urm.u AS u, sim.j AS item,
+        |  round(CAST(SUM(CAST(sim.w AS DECIMAL(28,12))) AS DOUBLE), 6)
+        |    AS score
+        |FROM urm JOIN sim ON urm.i = sim.i
+        |WHERE urm.u < 100
+        |GROUP BY 1, 2""".stripMargin)),
+
+    // L16 — P3alpha 2-hop random-walk similarity (α=1), top-10
+    // (reference: GraphBased/P3alphaRecommender.py:33-141).
+    Q("q41_p3alpha",
+      t => Similarity.topK(
+          Recommenders.p3alpha(Urm.fromOrders(t), 1.0), 10)
+        .select(col("i"), col("j"), round(col("w"), 9).as("w"), col("rank")),
+      Some(urmCte + """,
+        |udeg AS (SELECT u, COUNT(*) AS nu FROM urm GROUP BY 1),
+        |ideg AS (SELECT i, COUNT(*) AS ni FROM urm GROUP BY 1),
+        |pairs AS (
+        |  SELECT a.i AS i, b.i AS j,
+        |    CAST(SUM(CAST(1.0 / nu AS DECIMAL(28,15))) AS DOUBLE) AS usum
+        |  FROM urm a
+        |  JOIN urm b ON a.u = b.u AND a.i <> b.i
+        |  JOIN udeg ON a.u = udeg.u
+        |  GROUP BY 1, 2
+        |), sim AS (
+        |  SELECT p.i, p.j, (1.0 / ni) * usum AS w
+        |  FROM pairs p JOIN ideg ON p.i = ideg.i
+        |)
+        |SELECT i, j, round(w, 9) AS w, rank FROM (
+        |  SELECT i, j, w,
+        |    ROW_NUMBER() OVER (PARTITION BY i ORDER BY w DESC, j) AS rank
+        |  FROM sim) s
+        |WHERE rank <= 10""".stripMargin)),
+
+    // L17 — RP3beta: P3alpha with popularity penalty deg_j (β=1), top-10
+    // (reference: GraphBased/RP3betaRecommender.py:32-153).
+    Q("q42_rp3beta",
+      t => Similarity.topK(
+          Recommenders.rp3beta(Urm.fromOrders(t), 1.0, 1.0), 10)
+        .select(col("i"), col("j"), round(col("w"), 9).as("w"), col("rank")),
+      Some(urmCte + """,
+        |udeg AS (SELECT u, COUNT(*) AS nu FROM urm GROUP BY 1),
+        |ideg AS (SELECT i, COUNT(*) AS ni FROM urm GROUP BY 1),
+        |pairs AS (
+        |  SELECT a.i AS i, b.i AS j,
+        |    CAST(SUM(CAST(1.0 / nu AS DECIMAL(28,15))) AS DOUBLE) AS usum
+        |  FROM urm a
+        |  JOIN urm b ON a.u = b.u AND a.i <> b.i
+        |  JOIN udeg ON a.u = udeg.u
+        |  GROUP BY 1, 2
+        |), sim AS (
+        |  SELECT p.i, p.j,
+        |    ((1.0 / idi.ni) * usum) / idj.ni AS w
+        |  FROM pairs p
+        |  JOIN ideg idi ON p.i = idi.i
+        |  JOIN ideg idj ON p.j = idj.i
+        |)
+        |SELECT i, j, round(w, 9) AS w, rank FROM (
+        |  SELECT i, j, w,
+        |    ROW_NUMBER() OVER (PARTITION BY i ORDER BY w DESC, j) AS rank
+        |  FROM sim) s
+        |WHERE rank <= 10""".stripMargin)),
+
+    // R1 — the full recommendation query: TopPop scores on the train
+    // split, seen items removed by anti-join (the engine's -inf masking,
+    // reference Base/BaseRecommender.py:104-213), per-user top-5.
+    Q("q43_recommend_toppop", { t =>
+        val split = Urm.hashSplit(Urm.fromOrders(t), 8, 10)
+        val train = split.filter(col("split") === "train").select("u", "i")
+        val pop = Recommenders.topPop(train)
+          .select(col("i").as("item"), col("pop").cast("double").as("score"))
+        Recommenders.recommendGlobal(pop, train, 5)
+      },
+      Some(urmCte + """,
+        |train AS (SELECT u, i FROM urm WHERE (u*31 + i) % 10 < 8),
+        |pop AS (SELECT i, COUNT(*) AS pop FROM train GROUP BY 1),
+        |users AS (SELECT DISTINCT u FROM train),
+        |scores AS (
+        |  SELECT users.u AS u, pop.i AS item,
+        |    CAST(pop AS DOUBLE) AS score
+        |  FROM users CROSS JOIN pop
+        |), unseen AS (
+        |  SELECT s.u, s.item, s.score FROM scores s
+        |  WHERE NOT EXISTS (SELECT 1 FROM train t2
+        |                    WHERE t2.u = s.u AND t2.i = s.item)
+        |)
+        |SELECT u, item, rank FROM (
+        |  SELECT u, item,
+        |    ROW_NUMBER() OVER (PARTITION BY u
+        |      ORDER BY score DESC, item) AS rank
+        |  FROM unseen) r
+        |WHERE rank <= 5""".stripMargin)),
+
+    // §2.10 — ranked-evaluation metrics of TopPop@10 against the held-out
+    // test split: precision/recall/MAP/MRR/NDCG/hit-rate
+    // (reference: Base/Evaluation/Evaluator.py:223-344, metrics.py).
+    Q("q44_eval_accuracy", { t =>
+        val split = Urm.hashSplit(Urm.fromOrders(t), 8, 10)
+        val train = split.filter(col("split") === "train").select("u", "i")
+        val test = split.filter(col("split") === "test").select("u", "i")
+        val pop = Recommenders.topPop(train)
+          .select(col("i").as("item"), col("pop").cast("double").as("score"))
+        val recs = Recommenders.recommendGlobal(pop, train, 10)
+        Evaluation.accuracyMetrics(Evaluation.hitTable(recs, test), 10)
+      },
+      Some(urmCte + """,
+        |train AS (SELECT u, i FROM urm WHERE (u*31 + i) % 10 < 8),
+        |test AS (SELECT u, i FROM urm WHERE (u*31 + i) % 10 >= 8),
+        |pop AS (SELECT i, COUNT(*) AS pop FROM train GROUP BY 1),
+        |users AS (SELECT DISTINCT u FROM train),
+        |scores AS (
+        |  SELECT users.u AS u, pop.i AS item, CAST(pop AS DOUBLE) AS score
+        |  FROM users CROSS JOIN pop
+        |), recs AS (
+        |  SELECT u, item, rank FROM (
+        |    SELECT s.u, s.item,
+        |      ROW_NUMBER() OVER (PARTITION BY s.u
+        |        ORDER BY s.score DESC, s.item) AS rank
+        |    FROM scores s
+        |    WHERE NOT EXISTS (SELECT 1 FROM train t2
+        |                      WHERE t2.u = s.u AND t2.i = s.item)) r
+        |  WHERE rank <= 10
+        |), relc AS (SELECT u, COUNT(*) AS n_rel FROM test GROUP BY 1),
+        |hits AS (
+        |  SELECT recs.u, recs.rank,
+        |    CASE WHEN test.i IS NOT NULL THEN 1 ELSE 0 END AS hit,
+        |    relc.n_rel
+        |  FROM recs
+        |  JOIN relc ON recs.u = relc.u
+        |  LEFT JOIN test ON recs.u = test.u AND recs.item = test.i
+        |), cum AS (
+        |  SELECT u, rank, hit, n_rel,
+        |    SUM(hit) OVER (PARTITION BY u ORDER BY rank
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_hits
+        |  FROM hits
+        |), per_user AS (
+        |  SELECT u,
+        |    CAST(SUM(hit) AS BIGINT) AS n_hits,
+        |    ANY_VALUE(n_rel) AS n_rel,
+        |    SUM(CASE WHEN hit = 1
+        |        THEN CAST(cum_hits AS DOUBLE) / rank ELSE 0.0 END) AS ap_num,
+        |    MIN(CASE WHEN hit = 1 THEN rank END) AS first_hit,
+        |    SUM(CASE WHEN hit = 1
+        |        THEN 1.0 / log2(rank + 1) ELSE 0.0 END) AS dcg
+        |  FROM cum GROUP BY u
+        |), idcg_tab AS (
+        |  SELECT m, SUM(1.0 / log2(x + 1)) AS idcg
+        |  FROM generate_series(1, 10) ms(m), generate_series(1, 10) g(x)
+        |  WHERE x <= m GROUP BY m
+        |), scored AS (
+        |  SELECT u,
+        |    CAST(n_hits AS DOUBLE) / 10 AS prec,
+        |    CAST(n_hits AS DOUBLE) / n_rel AS rec,
+        |    ap_num / LEAST(n_rel, 10) AS ap,
+        |    COALESCE(1.0 / first_hit, 0.0) AS rr,
+        |    dcg / idcg AS ndcg,
+        |    CASE WHEN n_hits > 0 THEN 1 ELSE 0 END AS is_hit
+        |  FROM per_user JOIN idcg_tab ON idcg_tab.m = LEAST(n_rel, 10)
+        |)
+        |SELECT
+        |  round(SUM(prec) / COUNT(*), 6) AS precision,
+        |  round(SUM(rec) / COUNT(*), 6) AS recall,
+        |  round(SUM(ap) / COUNT(*), 6) AS map,
+        |  round(SUM(rr) / COUNT(*), 6) AS mrr,
+        |  round(SUM(ndcg) / COUNT(*), 6) AS ndcg,
+        |  round(CAST(SUM(is_hit) AS DOUBLE) / COUNT(*), 6) AS hit_rate,
+        |  COUNT(*) AS n_users
+        |FROM scored""".stripMargin)),
+
+    // §2.10 beyond-accuracy — coverage, novelty, entropy, Herfindahl of
+    // the recommendation distribution (reference: metrics.py:310-636).
+    Q("q45_eval_beyond_accuracy", { t =>
+        val urm = Urm.fromOrders(t)
+        val split = Urm.hashSplit(urm, 8, 10)
+        val train = split.filter(col("split") === "train").select("u", "i")
+        val pop = Recommenders.topPop(train)
+        val popScores = pop
+          .select(col("i").as("item"), col("pop").cast("double").as("score"))
+        val recs = Recommenders.recommendGlobal(popScores, train, 10)
+        val nItems = urm.select("i").distinct().count()
+        val nnz = train.count()
+        Evaluation.itemCoverage(recs, nItems)
+          .crossJoin(Evaluation.novelty(recs, pop, nnz))
+          .crossJoin(Evaluation.shannonEntropy(recs))
+          .crossJoin(Evaluation.herfindahl(recs))
+      },
+      Some(urmCte + """,
+        |train AS (SELECT u, i FROM urm WHERE (u*31 + i) % 10 < 8),
+        |pop AS (SELECT i, COUNT(*) AS pop FROM train GROUP BY 1),
+        |users AS (SELECT DISTINCT u FROM train),
+        |scores AS (
+        |  SELECT users.u AS u, pop.i AS item, CAST(pop AS DOUBLE) AS score
+        |  FROM users CROSS JOIN pop
+        |), recs AS (
+        |  SELECT u, item, rank FROM (
+        |    SELECT s.u, s.item,
+        |      ROW_NUMBER() OVER (PARTITION BY s.u
+        |        ORDER BY s.score DESC, s.item) AS rank
+        |    FROM scores s
+        |    WHERE NOT EXISTS (SELECT 1 FROM train t2
+        |                      WHERE t2.u = s.u AND t2.i = s.item)) r
+        |  WHERE rank <= 10
+        |), reccnt AS (
+        |  SELECT item, COUNT(*) AS cnt FROM recs GROUP BY 1
+        |)
+        |SELECT
+        |  (SELECT round(CAST(COUNT(DISTINCT item) AS DOUBLE)
+        |                / (SELECT COUNT(DISTINCT i) FROM urm), 6)
+        |   FROM recs) AS coverage_item,
+        |  (SELECT round(SUM(-log2(CAST(pop AS DOUBLE)
+        |                          / (SELECT COUNT(*) FROM train)))
+        |                / COUNT(*), 6)
+        |   FROM recs JOIN pop ON recs.item = pop.i) AS novelty,
+        |  (SELECT round(-SUM((CAST(cnt AS DOUBLE)
+        |                      / (SELECT SUM(cnt) FROM reccnt))
+        |                     * log2(CAST(cnt AS DOUBLE)
+        |                            / (SELECT SUM(cnt) FROM reccnt))), 6)
+        |   FROM reccnt) AS shannon_entropy,
+        |  (SELECT round(1.0 - SUM(pow(CAST(cnt AS DOUBLE)
+        |                              / (SELECT SUM(cnt) FROM reccnt), 2)), 6)
+        |   FROM reccnt) AS herfindahl""".stripMargin))
+  )
+}
