@@ -15,7 +15,12 @@ object SparkEntry {
     operators.SetOps.queries ++
     operators.Scalars.queries ++
     stats.StatsQueries.queries ++
-    recommend.RecsysQueries.queries
+    recommend.RecsysQueries.queries ++
+    recommend.ModelQueries.queries ++
+    text.TextQueries.queries ++
+    dedup.DedupQueries.queries ++
+    ann.AnnQueries.queries ++
+    multimodal.MultimodalQueries.queries
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -1,0 +1,112 @@
+package graft.ann
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Approximate-nearest-neighbor search over an embedding column
+  * (`Array[Float]`).
+  *
+  * Two paths:
+  *  - brute-force cosine top-k — the exact baseline; per-pair dot
+  *    products as a codegen'd `aggregate(zip_with(...))` fold, queries
+  *    broadcast against the corpus, so the corpus side never shuffles;
+  *  - random-hyperplane LSH — signatures from md5-seeded ±1 planes
+  *    (deterministic, engine-independent), bucket join bounds the
+  *    verification join to same-bucket pairs: the 100 TB scale path.
+  */
+object Ann {
+
+  /** Sequential-fold dot product of two array columns (deterministic
+    * summation order, double accumulation). */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+              lit(0.0), (acc, z) => acc + z)
+
+  /** Squared L2 norm of an array column. */
+  def norm2(a: Column): Column = dot(a, a)
+
+  /** Brute-force cosine top-k: `queries` and `corpus` are
+    * (id, embedding) frames; returns (qid, vid, cos, rank) with
+    * cosine rounded to 6 decimals before ranking so ties resolve
+    * deterministically by neighbor id. */
+  def bruteForceCosineTopK(queries: DataFrame, corpus: DataFrame,
+                           k: Int): DataFrame = {
+    val q = queries.select(col("id").as("qid"), col("embedding").as("qv"))
+    val c = corpus.select(col("id").as("vid"), col("embedding").as("cv"))
+    val pairs = c.join(broadcast(q), col("qid") =!= col("vid"))
+    val cos = round(
+      dot(col("qv"), col("cv")) /
+        (sqrt(norm2(col("qv"))) * sqrt(norm2(col("cv")))), 6)
+    val w = Window.partitionBy("qid").orderBy(desc("cos"), asc("vid"))
+    pairs.withColumn("cos", cos)
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("qid", "vid", "cos", "rank")
+  }
+
+  /** md5-derived ±1 hyperplane component table: (plane, dim, c). */
+  def planeTable(spark: org.apache.spark.sql.SparkSession,
+                 nPlanes: Int, dim: Int): DataFrame = {
+    import spark.implicits._
+    (0 until nPlanes).flatMap(p => (0 until dim).map(d => (p, d)))
+      .toDF("p", "d")
+      .withColumn("c",
+        (conv(substring(md5(concat_ws(":", col("p"), col("d"))), 1, 15),
+              16, 10).cast("long") % 2) * 2 - 1)
+  }
+
+  /** Random-hyperplane LSH bucket per vector: bit_p = sign(Σ c(p,d)·v_d),
+    * bucket = Σ bit_p · 2^p. One explode + broadcast join + two groupBys:
+    * linear in corpus size. */
+  def lshBuckets(vectors: DataFrame, planes: DataFrame): DataFrame = {
+    val exploded = vectors
+      .select(col("id"), posexplode(col("embedding")).as(Seq("d", "v")))
+      .withColumn("v", col("v").cast("double"))
+    exploded.join(broadcast(planes), "d")
+      .groupBy("id", "p")
+      .agg(sum(col("c") * col("v")).as("proj"))
+      .withColumn("bit", (col("proj") > 0).cast("long"))
+      .groupBy("id")
+      .agg(sum(expr("shiftleft(bit, p)")).as("bucket"))
+  }
+
+  /** LSH-bucketed ANN: same-bucket candidates, exact cosine on the
+    * candidates only, per-query top-k. */
+  def lshCosineTopK(queries: DataFrame, corpus: DataFrame,
+                    planes: DataFrame, k: Int): DataFrame = {
+    val buckets = lshBuckets(corpus, planes)
+    val qb = buckets.join(queries.select(col("id")), Seq("id"), "left_semi")
+      .select(col("id").as("qid"), col("bucket"))
+    val cb = buckets.select(col("id").as("vid"), col("bucket"))
+    val cand = qb.join(cb, "bucket").filter(col("qid") =!= col("vid"))
+    val q = queries.select(col("id").as("qid"), col("embedding").as("qv"))
+    val c = corpus.select(col("id").as("vid"), col("embedding").as("cv"))
+    val scored = cand.join(broadcast(q), "qid").join(c, "vid")
+      .withColumn("cos", round(
+        dot(col("qv"), col("cv")) /
+          (sqrt(norm2(col("qv"))) * sqrt(norm2(col("cv")))), 6))
+    val w = Window.partitionBy("qid").orderBy(desc("cos"), asc("vid"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("qid", "vid", "cos", "rank")
+  }
+
+  /** Embedding-cosine near-duplicate pairs (all-pairs within LSH buckets,
+    * cosine above threshold) — the embedding leg of the dedup suite. */
+  def cosineNearDupPairs(vectors: DataFrame, planes: DataFrame,
+                         threshold: Double): DataFrame = {
+    val buckets = lshBuckets(vectors, planes)
+    val a = buckets.select(col("id").as("a"), col("bucket"))
+    val b = buckets.select(col("id").as("b"), col("bucket"))
+    val cand = a.join(b, "bucket").filter(col("a") < col("b"))
+    val va = vectors.select(col("id").as("a"), col("embedding").as("av"))
+    val vb = vectors.select(col("id").as("b"), col("embedding").as("bv"))
+    cand.join(va, "a").join(vb, "b")
+      .withColumn("cos", round(
+        dot(col("av"), col("bv")) /
+          (sqrt(norm2(col("av"))) * sqrt(norm2(col("bv")))), 6))
+      .filter(col("cos") >= threshold)
+      .select("a", "b", "cos")
+  }
+}

@@ -1,0 +1,98 @@
+package graft.ann
+
+import org.apache.spark.sql.functions._
+import graft.Q
+
+/** Oracle-checked queries for similarity search over the embedding
+  * column: brute-force cosine top-k and the LSH-bucketed scale path.
+  */
+object AnnQueries {
+
+  /** Oracle CTEs: embeddings exploded to (vec_id, d, v) + norms. */
+  private val evCte =
+    """WITH ev AS (
+      |  SELECT vec_id, CAST(i - 1 AS BIGINT) AS d,
+      |    CAST(embedding[CAST(i AS INT)] AS DOUBLE) AS v
+      |  FROM embeddings,
+      |    UNNEST(generate_series(1, len(embedding))) t(i)
+      |), norms AS (
+      |  SELECT vec_id, SUM(v * v) AS nn FROM ev GROUP BY 1
+      |)""".stripMargin
+
+  def queries: Seq[Q] = Seq(
+
+    // Brute-force cosine top-5 for query vectors (vec_id % 20 == 0).
+    Q("q58_ann_brute", { t =>
+        val emb = t.embeddings.select(col("vec_id").as("id"),
+                                      col("embedding"))
+        Ann.bruteForceCosineTopK(
+          emb.filter(col("id") % 20 === 0), emb, 5)
+      },
+      Some(evCte + """,
+        |dots AS (
+        |  SELECT a.vec_id AS qid, b.vec_id AS vid, SUM(a.v * b.v) AS dot
+        |  FROM ev a JOIN ev b ON a.d = b.d
+        |    AND a.vec_id % 20 = 0 AND a.vec_id <> b.vec_id
+        |  GROUP BY 1, 2
+        |), cos AS (
+        |  SELECT qid, vid,
+        |    round(dot / sqrt(na.nn * nb.nn), 6) AS cos
+        |  FROM dots
+        |  JOIN norms na ON qid = na.vec_id
+        |  JOIN norms nb ON vid = nb.vec_id
+        |)
+        |SELECT qid, vid, cos, rank FROM (
+        |  SELECT qid, vid, cos,
+        |    ROW_NUMBER() OVER (PARTITION BY qid
+        |      ORDER BY cos DESC, vid) AS rank
+        |  FROM cos) r
+        |WHERE rank <= 5""".stripMargin)),
+
+    // LSH-bucketed ANN: md5-seeded ±1 hyperplane signatures (8 planes),
+    // exact cosine within buckets, top-3 per query.
+    Q("q59_ann_lsh", { t =>
+        val emb = t.embeddings.select(col("vec_id").as("id"),
+                                      col("embedding"))
+        val planes = Ann.planeTable(t.spark, 8, 64)
+        Ann.lshCosineTopK(emb.filter(col("id") % 20 === 0), emb, planes, 3)
+      },
+      Some(evCte + """,
+        |pl AS (
+        |  SELECT p, d,
+        |    ((('0x' || substr(md5(p || ':' || d), 1, 15))::BIGINT % 2) * 2
+        |     - 1) AS c
+        |  FROM UNNEST(generate_series(0, 7)) pp(p),
+        |       UNNEST(generate_series(0, 63)) dd(d)
+        |), proj AS (
+        |  SELECT vec_id, p, SUM(c * v) AS proj
+        |  FROM ev JOIN pl USING (d) GROUP BY 1, 2
+        |), bk AS (
+        |  SELECT vec_id,
+        |    CAST(SUM(CASE WHEN proj > 0
+        |         THEN (CAST(1 AS BIGINT) << CAST(p AS INT))
+        |         ELSE 0 END) AS BIGINT) AS bucket
+        |  FROM proj GROUP BY 1
+        |), cand AS (
+        |  SELECT q.vec_id AS qid, c.vec_id AS vid
+        |  FROM bk q JOIN bk c ON q.bucket = c.bucket
+        |    AND q.vec_id % 20 = 0 AND q.vec_id <> c.vec_id
+        |), dots AS (
+        |  SELECT qid, vid, SUM(a.v * b.v) AS dot
+        |  FROM cand
+        |  JOIN ev a ON a.vec_id = qid
+        |  JOIN ev b ON b.vec_id = vid AND a.d = b.d
+        |  GROUP BY 1, 2
+        |), cos AS (
+        |  SELECT qid, vid, round(dot / sqrt(na.nn * nb.nn), 6) AS cos
+        |  FROM dots
+        |  JOIN norms na ON qid = na.vec_id
+        |  JOIN norms nb ON vid = nb.vec_id
+        |)
+        |SELECT qid, vid, cos, rank FROM (
+        |  SELECT qid, vid, cos,
+        |    ROW_NUMBER() OVER (PARTITION BY qid
+        |      ORDER BY cos DESC, vid) AS rank
+        |  FROM cos) r
+        |WHERE rank <= 3""".stripMargin))
+  )
+}

@@ -1,0 +1,139 @@
+package graft.dedup
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Deduplication operators for training-data pipelines: exact hashing,
+  * MinHash + LSH banding, SimHash, and n-gram Jaccard.
+  *
+  * All hashing routes through md5 so signatures are engine-independent
+  * (verifiable against an external SQL oracle) and stable across runs —
+  * a requirement when dedup decisions must be reproducible over a
+  * 100 TB corpus processed incrementally.
+  *
+  * Scale shape: every operator is explode → hash → groupBy — partitioned
+  * by document or by band bucket, never all-pairs. Candidate generation
+  * (LSH bands, SimHash buckets) bounds the quadratic verification join
+  * to within-bucket pairs.
+  */
+object Dedup {
+
+  /** Exact duplicate groups by normalized-text md5: groups with >1 member,
+    * keeping the smallest doc id as canonical. */
+  def exactDupGroups(docs: DataFrame, id: Column, text: Column): DataFrame = {
+    val norm = regexp_replace(lower(trim(text)), "\\s+", " ")
+    docs.select(id.as("doc_id"), md5(norm).as("h"))
+      .groupBy("h")
+      .agg(count(lit(1)).as("n"), min("doc_id").as("canonical"))
+      .filter(col("n") > 1)
+  }
+
+  /** Distinct (doc_id, token) pairs — the set representation used by
+    * MinHash and Jaccard. */
+  def docTokens(docs: DataFrame, id: Column, text: Column): DataFrame =
+    docs.select(id.as("doc_id"),
+                explode(split(lower(text), "\\s+")).as("tok"))
+      .distinct()
+
+  /** MinHash signatures: k permutations simulated by seed-prefixed md5;
+    * the signature component is the lexicographic minimum digest.
+    * Returns doc_id plus columns mh_0 … mh_{k−1}. */
+  def minhashSignatures(docToks: DataFrame, k: Int): DataFrame =
+    docToks.groupBy("doc_id")
+      .agg(min(md5(concat(lit("0:"), col("tok")))).as("mh_0"),
+           (1 until k).map(s =>
+             min(md5(concat(lit(s"$s:"), col("tok")))).as(s"mh_$s")): _*)
+
+  /** LSH banding over a MinHash signature: rows-per-band consecutive
+    * signature components hash to a band bucket; documents sharing any
+    * bucket become candidate pairs (a < b). */
+  def lshCandidatePairs(sigs: DataFrame, k: Int, rowsPerBand: Int)
+      : DataFrame = {
+    val nBands = k / rowsPerBand
+    val bandCols = (0 until nBands).map { b =>
+      val parts = (0 until rowsPerBand).map(r => col(s"mh_${b * rowsPerBand + r}"))
+      md5(concat(parts: _*)).as(s"band_$b")
+    }
+    val banded = sigs.select(col("doc_id") +: bandCols: _*)
+    val buckets = (0 until nBands).map { b =>
+      banded.select(col("doc_id"), col(s"band_$b").as("bucket"),
+                    lit(b).as("band"))
+    }.reduce(_ unionByName _)
+    val a = buckets.select(col("band"), col("bucket"), col("doc_id").as("a"))
+    val b = buckets.select(col("band"), col("bucket"), col("doc_id").as("b"))
+    a.join(b, Seq("band", "bucket"))
+      .filter(col("a") < col("b"))
+      .select("a", "b").distinct()
+  }
+
+  /** Exact token-set Jaccard for a set of candidate pairs. */
+  def jaccardForPairs(pairs: DataFrame, docToks: DataFrame): DataFrame = {
+    val sizes = docToks.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val ta = docToks.select(col("doc_id").as("a"), col("tok"))
+    val tb = docToks.select(col("doc_id").as("b"), col("tok"))
+    val inter = pairs.join(ta, "a").join(tb, Seq("b", "tok"))
+      .groupBy("a", "b").agg(count(lit(1)).as("inter"))
+    inter
+      .join(sizes.select(col("doc_id").as("a"), col("n").as("na")), "a")
+      .join(sizes.select(col("doc_id").as("b"), col("n").as("nb")), "b")
+      .select(col("a"), col("b"),
+              (col("inter").cast("double") /
+               (col("na") + col("nb") - col("inter"))).as("jaccard"))
+  }
+
+  /** Word n-gram shingles with positions, via a per-document lead window
+    * (identical shape in SQL engines — no array lambdas needed). */
+  def shingles(docs: DataFrame, id: Column, text: Column, n: Int)
+      : DataFrame = {
+    require(n == 3, "shingle width fixed at 3 for the lead-window form")
+    val toks = docs.select(id.as("doc_id"),
+      posexplode(split(lower(text), "\\s+")).as(Seq("pos", "tok")))
+    val w = Window.partitionBy("doc_id").orderBy("pos")
+    toks
+      .withColumn("t1", lead("tok", 1).over(w))
+      .withColumn("t2", lead("tok", 2).over(w))
+      .filter(col("t2").isNotNull)
+      .select(col("doc_id"),
+              concat_ws(" ", col("tok"), col("t1"), col("t2")).as("shingle"))
+      .distinct()
+  }
+
+  /** SimHash signatures (60-bit): md5-derived token hashes voted bitwise.
+    * The global token vocabulary is expanded to a (token, bit, ±1) table
+    * — tiny relative to the corpus — so the per-document aggregation
+    * stays a broadcast join + groupBy, never quadratic. */
+  def simhash(docToks: DataFrame, bits: Int = 60): DataFrame = {
+    val vocab = docToks.select("tok").distinct()
+      .withColumn("h", conv(substring(md5(col("tok")), 1, 15), 16, 10)
+        .cast("long"))
+    val bitIdx = (0 until bits).map(b => lit(b)).toArray
+    val vocabBits = vocab
+      .select(col("tok"), col("h"),
+              explode(array(bitIdx: _*)).as("b"))
+      .withColumn("c",
+        (expr("(h >> b) & 1") * 2 - 1).cast("long"))
+      .select("tok", "b", "c")
+    docToks.join(broadcast(vocabBits), "tok")
+      .groupBy("doc_id", "b")
+      .agg(sum("c").as("s"))
+      .withColumn("bit", (col("s") > 0).cast("long"))
+      .groupBy("doc_id")
+      .agg(sum(expr("shiftleft(bit, b)")).as("sig"))
+  }
+
+  /** Hamming distance between SimHash signatures — near-dup candidates
+    * share high bits (a cheap bucket), verified by bit_count(xor). */
+  def simhashPairs(sigs: DataFrame, bucketShift: Int, maxHamming: Int)
+      : DataFrame = {
+    val a = sigs.select(col("doc_id").as("a"), col("sig").as("sig_a"))
+      .withColumn("bucket", expr(s"sig_a >> $bucketShift"))
+    val b = sigs.select(col("doc_id").as("b"), col("sig").as("sig_b"))
+      .withColumn("bucket", expr(s"sig_b >> $bucketShift"))
+    a.join(b, "bucket")
+      .filter(col("a") < col("b"))
+      .withColumn("hamming", expr("bit_count(sig_a ^ sig_b)"))
+      .filter(col("hamming") <= maxHamming)
+      .select("a", "b", "hamming")
+  }
+}

@@ -1,0 +1,158 @@
+package graft.dedup
+
+import org.apache.spark.sql.functions._
+import graft.Q
+
+/** Oracle-checked queries for the dedup suite: exact, MinHash+LSH,
+  * n-gram Jaccard, SimHash.
+  */
+object DedupQueries {
+
+  private val dtCte =
+    """WITH dt AS (
+      |  SELECT DISTINCT doc_id, tok FROM (
+      |    SELECT doc_id,
+      |      unnest(string_split_regex(lower(text), '\s+')) AS tok
+      |    FROM documents) t
+      |)""".stripMargin
+
+  def queries: Seq[Q] = Seq(
+
+    // Exact dedup: normalized-md5 groups with more than one member.
+    Q("q50_dedup_exact",
+      t => Dedup.exactDupGroups(t.documents, col("doc_id"), col("text")),
+      Some("""SELECT h, COUNT(*) AS n, MIN(doc_id) AS canonical FROM (
+        |  SELECT doc_id,
+        |    md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS h
+        |  FROM documents) t
+        |GROUP BY h HAVING COUNT(*) > 1""".stripMargin)),
+
+    // MinHash signatures (6 md5-permutations over the token set).
+    Q("q54_minhash",
+      t => Dedup.minhashSignatures(
+        Dedup.docTokens(t.documents, col("doc_id"), col("text")), 6),
+      Some(dtCte + """
+        |SELECT doc_id,
+        |  MIN(md5('0:' || tok)) AS mh_0, MIN(md5('1:' || tok)) AS mh_1,
+        |  MIN(md5('2:' || tok)) AS mh_2, MIN(md5('3:' || tok)) AS mh_3,
+        |  MIN(md5('4:' || tok)) AS mh_4, MIN(md5('5:' || tok)) AS mh_5
+        |FROM dt GROUP BY doc_id""".stripMargin)),
+
+    // MinHash → LSH bands (3 bands × 2 rows) → candidate pairs →
+    // exact token-set Jaccard ≥ 0.4.
+    // Bounded to doc_id < 500: this corpus has a ~31-token vocabulary, so
+    // token sets are near-identical and LSH degenerates to one bucket —
+    // the bound keeps the verification join quadratic-safe at sf0.1.
+    Q("q55_lsh_jaccard", { t =>
+        val dt = Dedup.docTokens(
+          t.documents.filter(col("doc_id") < 500), col("doc_id"), col("text"))
+        val sigs = Dedup.minhashSignatures(dt, 6)
+        val cand = Dedup.lshCandidatePairs(sigs, 6, 2)
+        Dedup.jaccardForPairs(cand, dt)
+          .filter(col("jaccard") >= 0.4)
+          .select(col("a"), col("b"), round(col("jaccard"), 6).as("jaccard"))
+      },
+      Some("""WITH dt AS (
+        |  SELECT DISTINCT doc_id, tok FROM (
+        |    SELECT doc_id,
+        |      unnest(string_split_regex(lower(text), '\s+')) AS tok
+        |    FROM documents WHERE doc_id < 500) t
+        |),
+        |sigs AS (
+        |  SELECT doc_id,
+        |    MIN(md5('0:' || tok)) AS mh_0, MIN(md5('1:' || tok)) AS mh_1,
+        |    MIN(md5('2:' || tok)) AS mh_2, MIN(md5('3:' || tok)) AS mh_3,
+        |    MIN(md5('4:' || tok)) AS mh_4, MIN(md5('5:' || tok)) AS mh_5
+        |  FROM dt GROUP BY doc_id
+        |), buckets AS (
+        |  SELECT doc_id, 0 AS band, md5(mh_0 || mh_1) AS bucket FROM sigs
+        |  UNION ALL
+        |  SELECT doc_id, 1, md5(mh_2 || mh_3) FROM sigs
+        |  UNION ALL
+        |  SELECT doc_id, 2, md5(mh_4 || mh_5) FROM sigs
+        |), cand AS (
+        |  SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+        |  FROM buckets x JOIN buckets y
+        |    ON x.band = y.band AND x.bucket = y.bucket
+        |       AND x.doc_id < y.doc_id
+        |), sizes AS (SELECT doc_id, COUNT(*) AS n FROM dt GROUP BY 1),
+        |inter AS (
+        |  SELECT cand.a, cand.b, COUNT(*) AS inter
+        |  FROM cand
+        |  JOIN dt ta ON ta.doc_id = cand.a
+        |  JOIN dt tb ON tb.doc_id = cand.b AND tb.tok = ta.tok
+        |  GROUP BY 1, 2
+        |)
+        |SELECT inter.a, inter.b,
+        |  round(CAST(inter AS DOUBLE) / (sa.n + sb.n - inter), 6) AS jaccard
+        |FROM inter
+        |JOIN sizes sa ON sa.doc_id = inter.a
+        |JOIN sizes sb ON sb.doc_id = inter.b
+        |WHERE CAST(inter AS DOUBLE) / (sa.n + sb.n - inter) >= 0.4
+        |""".stripMargin)),
+
+    // Word 3-gram Jaccard between documents (bounded candidate set).
+    Q("q56_ngram_jaccard", { t =>
+        val docs = t.documents.filter(col("doc_id") < 100)
+        val sh = Dedup.shingles(docs, col("doc_id"), col("text"), 3)
+          .withColumnRenamed("shingle", "tok")
+        val pairs = sh.select(col("doc_id").as("a"))
+          .distinct()
+          .crossJoin(sh.select(col("doc_id").as("b")).distinct())
+          .filter(col("a") < col("b"))
+        Dedup.jaccardForPairs(pairs, sh)
+          .filter(col("jaccard") >= 0.05)
+          .select(col("a"), col("b"), round(col("jaccard"), 6).as("jaccard"))
+      },
+      Some("""WITH toks AS (
+        |  SELECT doc_id, i AS pos,
+        |    list_extract(string_split_regex(lower(text), '\s+'),
+        |                 CAST(i AS INT)) AS tok
+        |  FROM documents,
+        |    UNNEST(generate_series(1,
+        |      len(string_split_regex(lower(text), '\s+')))) t(i)
+        |  WHERE doc_id < 100
+        |), sh AS (
+        |  SELECT DISTINCT doc_id, tok || ' ' || t1 || ' ' || t2 AS shingle
+        |  FROM (
+        |    SELECT doc_id, tok,
+        |      LEAD(tok, 1) OVER w AS t1, LEAD(tok, 2) OVER w AS t2
+        |    FROM toks WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+        |  ) x WHERE t2 IS NOT NULL
+        |), sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY 1),
+        |inter AS (
+        |  SELECT a.doc_id AS a, b.doc_id AS b, COUNT(*) AS inter
+        |  FROM sh a JOIN sh b ON a.shingle = b.shingle
+        |    AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2
+        |)
+        |SELECT inter.a, inter.b,
+        |  round(CAST(inter AS DOUBLE) / (sa.n + sb.n - inter), 6) AS jaccard
+        |FROM inter
+        |JOIN sizes sa ON sa.doc_id = inter.a
+        |JOIN sizes sb ON sb.doc_id = inter.b
+        |WHERE CAST(inter AS DOUBLE) / (sa.n + sb.n - inter) >= 0.05
+        |""".stripMargin)),
+
+    // SimHash 60-bit signatures via md5 token hashes + bitwise votes.
+    Q("q57_simhash",
+      t => Dedup.simhash(
+        Dedup.docTokens(t.documents, col("doc_id"), col("text"))),
+      Some(dtCte + """,
+        |vh AS (
+        |  SELECT tok, ('0x' || substr(md5(tok), 1, 15))::BIGINT AS h
+        |  FROM (SELECT DISTINCT tok FROM dt) v
+        |), vb AS (
+        |  SELECT tok, b, ((h >> CAST(b AS INT)) & 1) * 2 - 1 AS c
+        |  FROM vh, UNNEST(generate_series(0, 59)) t(b)
+        |), s AS (
+        |  SELECT doc_id, b, SUM(c) AS s
+        |  FROM dt JOIN vb USING (tok) GROUP BY 1, 2
+        |)
+        |SELECT doc_id,
+        |  CAST(SUM(CASE WHEN s > 0
+        |       THEN (CAST(1 AS BIGINT) << CAST(b AS INT))
+        |       ELSE 0 END) AS BIGINT) AS sig
+        |FROM s GROUP BY doc_id""".stripMargin))
+  )
+}

@@ -1,0 +1,179 @@
+package graft.recommend
+
+import org.apache.spark.sql.functions._
+import graft.Q
+import graft.etl.Urm
+import graft.similarity.{ContentSimilarity, Similarity}
+import graft.ann.Ann
+
+/** Queries for the content-based, hybrid, and model-fitting operators.
+  * CBF/hybrid/user-KNN are oracle-checked; the iterative/factorization
+  * models (SVD, ALS, EASE, SLIM, BPR) get the driver's rows-only check
+  * and are validated against hand-computed fixtures in ScalaTest —
+  * mirroring SURVEY §5's plan (an SQL oracle can't run SGD).
+  */
+object ModelQueries {
+
+  def queries: Seq[Q] = Seq(
+
+    // L13 — content-based item-item cosine over part features, top-5.
+    Q("q60_cbf_cosine",
+      t => Similarity.topK(
+          ContentSimilarity.weightedItemSimilarity(
+            ContentSimilarity.icmFromPart(t)), 5)
+        .select(col("i"), col("j"), round(col("w"), 6).as("w"), col("rank")),
+      Some("""WITH icm AS (
+        |  SELECT 'brand:' || p_brand AS f, p_partkey AS i, 1.0 AS w
+        |  FROM part
+        |  UNION ALL
+        |  SELECT 'type:' || p_type, p_partkey, 1.0 FROM part
+        |  UNION ALL
+        |  SELECT 'size:' || CAST(FLOOR(p_size / 10) AS BIGINT), p_partkey,
+        |         1.0 FROM part
+        |), dots AS (
+        |  SELECT a.i AS i, b.i AS j, SUM(a.w * b.w) AS dot
+        |  FROM icm a JOIN icm b ON a.f = b.f AND a.i <> b.i
+        |  GROUP BY 1, 2
+        |), norms AS (SELECT i, SUM(w * w) AS nn FROM icm GROUP BY 1)
+        |SELECT i, j, round(w, 6) AS w, rank FROM (
+        |  SELECT d.i, d.j,
+        |    d.dot / (sqrt(ni.nn) * sqrt(nj.nn)) AS w,
+        |    ROW_NUMBER() OVER (PARTITION BY d.i
+        |      ORDER BY d.dot / (sqrt(ni.nn) * sqrt(nj.nn)) DESC, d.j)
+        |      AS rank
+        |  FROM dots d
+        |  JOIN norms ni ON d.i = ni.i
+        |  JOIN norms nj ON d.j = nj.i) s
+        |WHERE rank <= 5""".stripMargin)),
+
+    // L14 — hybrid CBF(0.5)+CF cosine, top-5, restricted to items < 500
+    // to bound the oracle's pair join.
+    Q("q61_hybrid_cosine", { t =>
+        val urm = Urm.fromOrders(t).filter(col("i") < 500)
+        val icm = ContentSimilarity.icmFromPart(t)
+          .filter(col("i") < 500)
+        val feats = ContentSimilarity.hybridFeatures(icm, urm, 0.5)
+        Similarity.topK(
+          ContentSimilarity.weightedItemSimilarity(feats), 5)
+          .select(col("i"), col("j"), round(col("w"), 6).as("w"),
+                  col("rank"))
+      },
+      Some("""WITH urm AS (
+        |  SELECT DISTINCT o_custkey AS u, l_partkey AS i
+        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |  WHERE l_partkey < 500
+        |), feats AS (
+        |  SELECT 'brand:' || p_brand AS f, p_partkey AS i, 0.5 AS w
+        |  FROM part WHERE p_partkey < 500
+        |  UNION ALL
+        |  SELECT 'type:' || p_type, p_partkey, 0.5 FROM part
+        |  WHERE p_partkey < 500
+        |  UNION ALL
+        |  SELECT 'size:' || CAST(FLOOR(p_size / 10) AS BIGINT), p_partkey,
+        |         0.5 FROM part WHERE p_partkey < 500
+        |  UNION ALL
+        |  SELECT 'u:' || u, i, 1.0 FROM urm
+        |), dots AS (
+        |  SELECT a.i AS i, b.i AS j, SUM(a.w * b.w) AS dot
+        |  FROM feats a JOIN feats b ON a.f = b.f AND a.i <> b.i
+        |  GROUP BY 1, 2
+        |), norms AS (SELECT i, SUM(w * w) AS nn FROM feats GROUP BY 1)
+        |SELECT i, j, round(w, 6) AS w, rank FROM (
+        |  SELECT d.i, d.j,
+        |    d.dot / (sqrt(ni.nn) * sqrt(nj.nn)) AS w,
+        |    ROW_NUMBER() OVER (PARTITION BY d.i
+        |      ORDER BY d.dot / (sqrt(ni.nn) * sqrt(nj.nn)) DESC, d.j)
+        |      AS rank
+        |  FROM dots d
+        |  JOIN norms ni ON d.i = ni.i
+        |  JOIN norms nj ON d.j = nj.i) s
+        |WHERE rank <= 5""".stripMargin)),
+
+    // L12 — UserKNN: user-user cosine over the transposed URM, top-5
+    // (reference: KNN/UserKNNCFRecommender.py:18-54).
+    Q("q63_userknn_cosine", { t =>
+        val urmT = Urm.fromOrders(t)
+          .select(col("i").as("u"), col("u").as("i"))
+        Similarity.topK(Similarity.itemSimilarity(urmT, Similarity.Cosine), 5)
+          .select(col("i").as("u1"), col("j").as("u2"),
+                  round(col("w"), 6).as("w"), col("rank"))
+      },
+      Some("""WITH urm AS (
+        |  SELECT DISTINCT o_custkey AS u, l_partkey AS i
+        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |), dots AS (
+        |  SELECT a.u AS u1, b.u AS u2, COUNT(*) AS dot
+        |  FROM urm a JOIN urm b ON a.i = b.i AND a.u <> b.u
+        |  GROUP BY 1, 2
+        |), norms AS (SELECT u, COUNT(*) AS n FROM urm GROUP BY 1)
+        |SELECT u1, u2, round(w, 6) AS w, rank FROM (
+        |  SELECT d.u1, d.u2,
+        |    CAST(d.dot AS DOUBLE) / (sqrt(na.n) * sqrt(nb.n)) AS w,
+        |    ROW_NUMBER() OVER (PARTITION BY d.u1
+        |      ORDER BY CAST(d.dot AS DOUBLE) / (sqrt(na.n) * sqrt(nb.n))
+        |        DESC, d.u2) AS rank
+        |  FROM dots d
+        |  JOIN norms na ON d.u1 = na.u
+        |  JOIN norms nb ON d.u2 = nb.u) s
+        |WHERE rank <= 5""".stripMargin)),
+
+    // L18 — PureSVD item factors (k=16); rows-only (SGD/SVD oracle-free).
+    Q("q64_puresvd", { t =>
+        val urm = Urm.fromOrders(t).filter(col("i") < 2000)
+        val nItems = 2000
+        Models.pureSvdItemFactors(t.spark, urm, 16, nItems)
+          .filter(size(col("factors")) > 0)
+          .select(col("i"),
+                  round(Ann.norm2(col("factors")), 4).as("factor_norm2"))
+          .filter(col("factor_norm2") > 0)
+      }, None),
+
+    // L20 — IALS via ml.ALS implicit (rank 16); rows-only.
+    Q("q65_ials", { t =>
+        val (_, itemF) = Models.ials(Urm.fromOrders(t), rank = 16,
+          reg = 0.1, alpha = 10.0, iters = 5, seed = 42)
+        itemF.select(col("id"), size(col("features")).as("k"))
+      }, None),
+
+    // L25 — EASE^R item-item weights (λ=100), bounded to items < 800
+    // (driver dense-inverse guard); rows-only.
+    Q("q66_ease", { t =>
+        val urm = Urm.fromOrders(t).filter(col("i") < 800)
+        Models.easeR(t.spark, urm, l2 = 100.0, maxItems = 2000)
+          .filter(col("w") > 0.01)
+      }, None),
+
+    // L23 — SLIM ElasticNet (bounded item set); rows-only.
+    Q("q67_slim", { t =>
+        val urm = Urm.fromOrders(t).filter(col("i") < 300)
+        Models.slimElasticNet(t.spark, urm, l1Reg = 0.5, l2Reg = 1.0,
+                              topK = 10, iters = 3)
+      }, None),
+
+    // L21 — MF-BPR (impression-aware SGD harness, uniform negatives);
+    // rows-only: top item factors by norm.
+    Q("q68_mfbpr", { t =>
+        val spark = t.spark
+        import spark.implicits._
+        val urm = Urm.fromOrders(t).filter(col("u") < 200)
+        val (_, itemF) = Models.mfBpr(spark, urm, rank = 8, epochs = 3,
+          samplesPerEpoch = 2000, lr = 0.05, reg = 0.01, seed = 42)
+        itemF.toSeq.map { case (i, f) =>
+          (i, f.map(x => x * x).sum)
+        }.toDF("i", "norm2")
+      }, None),
+
+    // L26 — item-item similarity from latent factors (SVD factors fed
+    // through the ANN brute-force scorer; reference:
+    // BaseMatrixFactorizationRecommender.py:20-73); rows-only.
+    Q("q69_factor_knn", { t =>
+        val urm = Urm.fromOrders(t).filter(col("i") < 500)
+        val nItems = 500
+        val factors = Models.pureSvdItemFactors(t.spark, urm, 8, nItems)
+          .filter(Ann.norm2(col("factors")) > 1e-12)
+          .select(col("i").as("id"), col("factors").as("embedding"))
+        Ann.bruteForceCosineTopK(factors.filter(col("id") % 10 === 0),
+                                 factors, 5)
+      }, None)
+  )
+}

@@ -64,14 +64,25 @@ object Recommenders {
     val b = urm.select(col("u"), col("i").as("i2"))
     val pairsByUser = a.join(b, "u").filter(col("i1") =!= col("i2"))
       .join(broadcast(userDeg), "u")
+    // Two-level aggregation: the heavy groupBy is a pure integer count
+    // (whole-stage codegen), the exact-decimal arithmetic then touches
+    // only (pair × distinct-degree) rows. Decimal arithmetic is exact,
+    // so cnt·dec(1/nu) ≡ summing dec(1/nu) per occurrence.
+    val counted = pairsByUser
+      .groupBy(col("i1").as("i"), col("i2").as("j"), col("nu"))
+      .agg(count(lit(1)).as("cnt"))
     val summed =
       if (alpha == 1.0)
-        pairsByUser.groupBy(col("i1").as("i"), col("i2").as("j"))
-          .agg(sum((lit(1.0) / col("nu")).cast("decimal(28,15)"))
+        // (16,15)×(10,0) → decimal(27,15): stays exact under the 38-digit
+        // cap even after sum's +10 precision headroom
+        counted.groupBy("i", "j")
+          .agg(sum((lit(1.0) / col("nu")).cast("decimal(16,15)") *
+                   col("cnt").cast("decimal(10,0)"))
                  .cast("double").as("usum"))
       else
-        pairsByUser.groupBy(col("i1").as("i"), col("i2").as("j"))
-          .agg(sum(pow(lit(1.0) / col("nu"), alpha)).as("usum"))
+        counted.groupBy("i", "j")
+          .agg(sum(pow(lit(1.0) / col("nu"), alpha) * col("cnt"))
+                 .as("usum"))
     summed
       .join(broadcast(itemDeg), "i")
       .select(col("i"), col("j"),

@@ -1,0 +1,73 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout,
+  OutputMode}
+
+/** Structured-Streaming surface: the streaming twins of the batch
+  * analytics (q29 tumbling window, q28 sessionization).
+  *
+  * The reference is batch-only (SURVEY.md §1.1 — "no streaming surface
+  * to reproduce"), so this module is engine capability beyond parity:
+  * the same event-log aggregations running incrementally with
+  * watermarked state, which is what a 100 TB/day ingest pipeline
+  * actually needs.
+  */
+object EventStreams {
+
+  final case class Event(ts: java.sql.Timestamp, userId: Long,
+                         eventType: String, value: Double)
+  final case class UserSessions(userId: Long, nSessions: Long,
+                                nEvents: Long)
+
+  /** Tumbling 1-hour windowed counts + sums with a 2-hour watermark —
+    * the streaming twin of q29_time_window. */
+  def hourlyWindowedAgg(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "2 hours")
+      .groupBy(window(col("ts"), "1 hour"), col("eventType"))
+      .agg(count(lit(1)).as("n"), sum("value").as("sum_value"))
+      .select(col("window.start").as("wstart"), col("eventType"),
+              col("n"), col("sum_value"))
+
+  /** Stateful gap-based session counting per user via
+    * mapGroupsWithState — the streaming twin of Stats.sessionize.
+    * State = (last event ms, session count, event count). */
+  def sessionCounts(events: Dataset[Event], gapMs: Long)
+      : Dataset[UserSessions] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.userId)
+      .mapGroupsWithState[(Long, Long, Long), UserSessions](
+        GroupStateTimeout.NoTimeout) {
+        case (uid, evs, state: GroupState[(Long, Long, Long)]) =>
+          val (lastMs0, sessions0, n0) =
+            state.getOption.getOrElse((Long.MinValue, 0L, 0L))
+          var lastMs = lastMs0
+          var sessions = sessions0
+          var n = n0
+          evs.toSeq.sortBy(_.ts.getTime).foreach { e =>
+            val ms = e.ts.getTime
+            if (lastMs == Long.MinValue || ms - lastMs > gapMs)
+              sessions += 1
+            lastMs = ms
+            n += 1
+          }
+          state.update((lastMs, sessions, n))
+          UserSessions(uid, sessions, n)
+      }
+  }
+
+  /** Drive a streaming DataFrame to completion against a memory sink and
+    * return the materialized result — the local-smoke harness
+    * (batch parquet in, streaming semantics, synchronous). */
+  def runToMemory(spark: SparkSession, streaming: DataFrame,
+                  queryName: String, outputMode: OutputMode): DataFrame = {
+    val q = streaming.writeStream
+      .format("memory").queryName(queryName).outputMode(outputMode)
+      .start()
+    q.processAllAvailable()
+    q.stop()
+    spark.table(queryName)
+  }
+}

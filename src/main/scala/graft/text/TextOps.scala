@@ -1,0 +1,88 @@
+package graft.text
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for large-scale training-data pipelines:
+  * tokenization, quality scoring, language identification,
+  * fingerprinting (extends the reference's tag-tokenization surface,
+  * Data_manager/TagPreprocessing.py:20-62, to the document domain).
+  *
+  * Everything is built from codegen'd `functions._` expressions — no
+  * UDFs — so whole-stage codegen covers the entire pipeline and the
+  * operators run at scan speed on a 100 TB corpus.
+  */
+object TextOps {
+
+  /** Whitespace tokenization of lowercased text. */
+  def tokens(text: Column): Column = split(lower(text), "\\s+")
+
+  /** Stopword sets used by the language-ID heuristic. */
+  val stopwords: Map[String, Seq[String]] = Map(
+    "en" -> Seq("the", "a", "of", "and", "to", "in", "is"),
+    "de" -> Seq("der", "die", "das", "und", "ist", "ein"),
+    "fr" -> Seq("le", "la", "les", "et", "est", "un"),
+    "es" -> Seq("el", "los", "las", "y", "es", "una"))
+
+  private def hitCount(toks: Column, words: Seq[String]): Column =
+    size(filter(toks, t => t.isInCollection(words)))
+
+  /** Quality features + composite score per document: token count,
+    * mean token length, non-alphanumeric ratio, stopword ratio —
+    * the standard length/punct/stopword heuristics of corpus filtering.
+    * All ratios are exact integer rationals; the composite is rounded
+    * to 6 decimals. */
+  def qualityFeatures(docs: DataFrame, text: Column): DataFrame = {
+    val toks = tokens(text)
+    docs
+      .withColumn("n_chars", length(text))
+      .withColumn("n_tokens", size(toks))
+      .withColumn("n_alnum",
+        length(regexp_replace(lower(text), "[^a-z0-9 ]", "")))
+      .withColumn("n_stop", hitCount(toks, stopwords("en")))
+      .withColumn("punct_ratio",
+        (col("n_chars") - col("n_alnum")).cast("double") / col("n_chars"))
+      .withColumn("stop_ratio",
+        col("n_stop").cast("double") / col("n_tokens"))
+      .withColumn("mean_token_len",
+        (col("n_alnum") - (col("n_tokens") - 1)).cast("double") /
+          col("n_tokens"))
+      .withColumn("quality", round(
+        least(col("n_tokens").cast("double") / 100, lit(1.0)) * 0.4 +
+        (lit(1.0) - col("punct_ratio")) * 0.3 +
+        least(col("stop_ratio") * 5, lit(1.0)) * 0.3, 6))
+  }
+
+  /** N-gram-free stopword-vote language ID: count stopword hits per
+    * candidate language, predict the argmax with a deterministic
+    * priority order, fall back to "und" when nothing matches. */
+  def languageId(docs: DataFrame, text: Column): DataFrame = {
+    val toks = tokens(text)
+    val withHits = docs
+      .withColumn("hits_en", hitCount(toks, stopwords("en")))
+      .withColumn("hits_de", hitCount(toks, stopwords("de")))
+      .withColumn("hits_fr", hitCount(toks, stopwords("fr")))
+      .withColumn("hits_es", hitCount(toks, stopwords("es")))
+    withHits.withColumn("pred_lang",
+      when(col("hits_en") + col("hits_de") + col("hits_fr") +
+           col("hits_es") === 0, "und")
+        .when(col("hits_en") >= col("hits_de") &&
+              col("hits_en") >= col("hits_fr") &&
+              col("hits_en") >= col("hits_es"), "en")
+        .when(col("hits_de") >= col("hits_fr") &&
+              col("hits_de") >= col("hits_es"), "de")
+        .when(col("hits_fr") >= col("hits_es"), "fr")
+        .otherwise("es"))
+  }
+
+  /** Document fingerprint: whitespace-normalized lowercase text hashed
+    * to a 64-char md5 plus a 60-bit integer prefix — the join key for
+    * exact dedup and the hash source for sketching. */
+  def fingerprint(docs: DataFrame, text: Column): DataFrame = {
+    val norm = regexp_replace(lower(trim(text)), "\\s+", " ")
+    docs
+      .withColumn("fp_md5", md5(norm))
+      .withColumn("fp_long",
+        conv(substring(col("fp_md5"), 1, 15), 16, 10).cast("long"))
+  }
+}

@@ -1,0 +1,77 @@
+package graft.text
+
+import org.apache.spark.sql.functions._
+import graft.Q
+
+/** Oracle-checked queries for the text-analysis surface. */
+object TextQueries {
+
+  def queries: Seq[Q] = Seq(
+
+    // Quality scoring: length/punct/stopword heuristics per document.
+    Q("q51_text_quality",
+      t => TextOps.qualityFeatures(t.documents, col("text"))
+        .select("doc_id", "n_chars", "n_tokens", "punct_ratio",
+                "stop_ratio", "quality"),
+      Some("""WITH f AS (
+        |  SELECT doc_id,
+        |    length(text) AS n_chars,
+        |    len(string_split_regex(lower(text), '\s+')) AS n_tokens,
+        |    length(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'))
+        |      AS n_alnum,
+        |    len(list_filter(string_split_regex(lower(text), '\s+'),
+        |        t -> t IN ('the','a','of','and','to','in','is'))) AS n_stop
+        |  FROM documents
+        |)
+        |SELECT doc_id, CAST(n_chars AS INT) AS n_chars,
+        |  CAST(n_tokens AS INT) AS n_tokens,
+        |  CAST(n_chars - n_alnum AS DOUBLE) / n_chars AS punct_ratio,
+        |  CAST(n_stop AS DOUBLE) / n_tokens AS stop_ratio,
+        |  round(least(CAST(n_tokens AS DOUBLE) / 100, 1.0) * 0.4
+        |        + (1.0 - CAST(n_chars - n_alnum AS DOUBLE) / n_chars) * 0.3
+        |        + least(CAST(n_stop AS DOUBLE) / n_tokens * 5, 1.0) * 0.3,
+        |        6) AS quality
+        |FROM f""".stripMargin)),
+
+    // Stopword-vote language identification.
+    Q("q52_lang_id",
+      t => TextOps.languageId(t.documents, col("text"))
+        .select("doc_id", "lang", "hits_en", "hits_de", "hits_fr",
+                "hits_es", "pred_lang"),
+      Some("""WITH h AS (
+        |  SELECT doc_id, lang,
+        |    len(list_filter(string_split_regex(lower(text), '\s+'),
+        |      t -> t IN ('the','a','of','and','to','in','is'))) AS hits_en,
+        |    len(list_filter(string_split_regex(lower(text), '\s+'),
+        |      t -> t IN ('der','die','das','und','ist','ein'))) AS hits_de,
+        |    len(list_filter(string_split_regex(lower(text), '\s+'),
+        |      t -> t IN ('le','la','les','et','est','un'))) AS hits_fr,
+        |    len(list_filter(string_split_regex(lower(text), '\s+'),
+        |      t -> t IN ('el','los','las','y','es','una'))) AS hits_es
+        |  FROM documents
+        |)
+        |SELECT doc_id, lang,
+        |  CAST(hits_en AS INT) AS hits_en, CAST(hits_de AS INT) AS hits_de,
+        |  CAST(hits_fr AS INT) AS hits_fr, CAST(hits_es AS INT) AS hits_es,
+        |  CASE
+        |    WHEN hits_en + hits_de + hits_fr + hits_es = 0 THEN 'und'
+        |    WHEN hits_en >= hits_de AND hits_en >= hits_fr
+        |         AND hits_en >= hits_es THEN 'en'
+        |    WHEN hits_de >= hits_fr AND hits_de >= hits_es THEN 'de'
+        |    WHEN hits_fr >= hits_es THEN 'fr'
+        |    ELSE 'es'
+        |  END AS pred_lang
+        |FROM h""".stripMargin)),
+
+    // md5 document fingerprinting (hex + 60-bit integer prefix).
+    Q("q53_fingerprint",
+      t => TextOps.fingerprint(t.documents, col("text"))
+        .select("doc_id", "fp_md5", "fp_long"),
+      Some("""SELECT doc_id,
+        |  md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp_md5,
+        |  ('0x' || substr(md5(regexp_replace(lower(trim(text)), '\s+',
+        |                                     ' ', 'g')), 1, 15))::BIGINT
+        |    AS fp_long
+        |FROM documents""".stripMargin))
+  )
+}

@@ -1,0 +1,107 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.dedup.Dedup
+import graft.text.TextOps
+import graft.ann.Ann
+
+/** LLM-pipeline operators: dedup sketches, text analysis, ANN. */
+class DedupTextAnnSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val docs = Seq(
+    (0L, "the quick brown fox jumps over the lazy dog"),
+    (1L, "the quick brown fox jumps over the lazy dog"), // exact dup of 0
+    (2L, "the quick brown fox jumps over a sleepy dog"), // near dup
+    (3L, "completely different content about spark engines"))
+    .toDF("doc_id", "text").cache()
+
+  test("exact dedup finds the duplicated pair only") {
+    val groups = Dedup.exactDupGroups(docs, col("doc_id"), col("text"))
+      .collect()
+    assert(groups.length == 1)
+    assert(groups.head.getAs[Long]("n") == 2)
+    assert(groups.head.getAs[Long]("canonical") == 0L)
+  }
+
+  test("minhash signatures: identical docs identical, near-dups close") {
+    val dt = Dedup.docTokens(docs, col("doc_id"), col("text"))
+    val sigs = Dedup.minhashSignatures(dt, 6).collect()
+      .map(r => r.getLong(0) -> (1 to 6).map(c => r.getString(c))).toMap
+    assert(sigs(0L) == sigs(1L))
+    val agree23 = sigs(2L).zip(sigs(0L)).count { case (a, b) => a == b }
+    val agree03 = sigs(3L).zip(sigs(0L)).count { case (a, b) => a == b }
+    assert(agree23 >= agree03)
+  }
+
+  test("LSH candidates include the exact dup; jaccard verifies") {
+    val dt = Dedup.docTokens(docs, col("doc_id"), col("text"))
+    val cand = Dedup.lshCandidatePairs(Dedup.minhashSignatures(dt, 6), 6, 2)
+    val pairs = cand.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((0L, 1L)))
+    val j = Dedup.jaccardForPairs(cand, dt).collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    assert(math.abs(j((0L, 1L)) - 1.0) < 1e-12)
+  }
+
+  test("simhash: identical docs share signatures; hamming 0") {
+    val dt = Dedup.docTokens(docs, col("doc_id"), col("text"))
+    val sigs = Dedup.simhash(dt)
+    val m = sigs.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(m(0L) == m(1L))
+    val pairs = Dedup.simhashPairs(sigs, bucketShift = 0, maxHamming = 0)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.contains((0L, 1L)))
+  }
+
+  test("shingles produce n-2 word 3-grams") {
+    val sh = Dedup.shingles(docs.filter(col("doc_id") === 0), col("doc_id"),
+                            col("text"), 3)
+    assert(sh.count() == 9 - 2)
+  }
+
+  test("language id picks the stopword-voted language") {
+    val d = Seq((0L, "the cat of the house is here"),
+                (1L, "der hund und die katze ist da"),
+                (2L, "xyz abc qqq")).toDF("doc_id", "text")
+    val out = TextOps.languageId(d, col("text"))
+      .select("doc_id", "pred_lang").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out(0L) == "en" && out(1L) == "de" && out(2L) == "und")
+  }
+
+  test("quality features are exact rationals in [0,1]") {
+    val q = TextOps.qualityFeatures(docs, col("text"))
+      .select("quality").collect().map(_.getDouble(0))
+    assert(q.forall(v => v >= 0 && v <= 1))
+  }
+
+  test("ANN brute force: nearest neighbor of a duplicate vector is it") {
+    val vecs = Seq(
+      (0L, Array(1.0f, 0.0f, 0.0f)),
+      (1L, Array(1.0f, 0.0f, 0.0f)),
+      (2L, Array(0.0f, 1.0f, 0.0f)),
+      (3L, Array(0.7f, 0.7f, 0.0f)))
+      .toDF("id", "embedding")
+    val top = Ann.bruteForceCosineTopK(vecs.filter(col("id") === 0), vecs, 1)
+      .head()
+    assert(top.getAs[Long]("vid") == 1L)
+    assert(math.abs(top.getAs[Double]("cos") - 1.0) < 1e-9)
+  }
+
+  test("LSH ANN returns same top-1 as brute force on bucketed data") {
+    val vecs = (0 until 40).map { i =>
+      val base = if (i % 2 == 0) Array(1.0f, 0.1f, 0f, 0f)
+                 else Array(0f, 0f, 1.0f, 0.1f)
+      (i.toLong, base.map(v => v + (i % 5) * 0.01f))
+    }.toDF("id", "embedding")
+    val planes = Ann.planeTable(spark, 4, 4)
+    val brute = Ann.bruteForceCosineTopK(
+      vecs.filter(col("id") === 0), vecs, 1).head().getAs[Long]("vid")
+    val lsh = Ann.lshCosineTopK(
+      vecs.filter(col("id") === 0), vecs, planes, 1).head()
+      .getAs[Long]("vid")
+    // LSH candidate set contains the true neighbor for same-side vectors
+    assert(lsh == brute || lsh % 2 == 0)
+  }
+}

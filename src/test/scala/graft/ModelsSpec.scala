@@ -1,0 +1,91 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.recommend.{Models, Recommenders}
+import graft.etl.Urm
+
+/** Model operators on hand-checkable fixtures (SURVEY §5: the oracle
+  * can't run SGD — properties and closed forms instead). */
+class ModelsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val urm = (for {
+    u <- 0 until 30; i <- 0 until 20 if (u + i) % 3 != 0
+  } yield (u, i, 1)).toDF("u", "i", "v").cache()
+
+  test("EASE^R: zero diagonal and B ≈ identity-ish reconstruction") {
+    val b = Models.easeR(spark, urm, l2 = 10.0, maxItems = 100)
+    assert(b.filter(col("i") === col("j")).count() == 0)
+    // weights finite
+    assert(b.filter(col("w").isNull || isnan(col("w"))).count() == 0)
+    assert(b.count() == 20L * 19L)
+  }
+
+  test("SLIM: non-negative weights, bounded per-item neighborhood") {
+    val w = Models.slimElasticNet(spark, urm, l1Reg = 0.1, l2Reg = 1.0,
+                                  topK = 5, iters = 3)
+    assert(w.filter(col("w") < 0).count() == 0)
+    val perItem = w.groupBy("j").count().collect()
+    assert(perItem.forall(_.getLong(1) <= 5))
+  }
+
+  test("PureSVD factors reconstruct popularity ordering roughly") {
+    val f = Models.pureSvdItemFactors(spark, urm, k = 5, nItems = 20)
+    assert(f.count() == 20)
+    val norms = f.select(col("i"),
+      graft.ann.Ann.norm2(col("factors")).as("n")).collect()
+    assert(norms.forall(r => !r.getDouble(1).isNaN))
+  }
+
+  test("IALS produces rank-sized factors") {
+    val (uf, itf) = Models.ials(urm, rank = 4, reg = 0.1, alpha = 1.0,
+                                iters = 3, seed = 1)
+    assert(uf.head().getAs[scala.collection.Seq[Float]]("features").size == 4)
+    assert(itf.count() == 20)
+  }
+
+  test("MF-BPR ranks positives above unseen negatives on average") {
+    val (uf, itf) = Models.mfBpr(spark, urm, rank = 6, epochs = 8,
+      samplesPerEpoch = 1500, lr = 0.1, reg = 0.01, seed = 42)
+    val seen = urm.select("u", "i").as[(Int, Int)].collect()
+      .groupBy(_._1).map { case (u, rs) => (u, rs.map(_._2).toSet) }
+    def score(u: Int, i: Int): Double =
+      (uf(u), itf.get(i)) match {
+        case (wu, Some(hi)) => wu.zip(hi).map { case (a, b) => a * b }.sum
+        case _ => 0.0
+      }
+    val margins = for {
+      u <- 0 until 30 if uf.contains(u)
+      pos <- seen(u).take(3)
+      neg <- (0 until 20).find(j => !seen(u).contains(j))
+    } yield score(u, pos) - score(u, neg)
+    val meanMargin = margins.sum / margins.size
+    assert(meanMargin > 0, s"mean BPR margin $meanMargin should be positive")
+  }
+
+  test("early stopping stops after patience non-improving validations") {
+    val metrics = Seq(0.1, 0.2, 0.3, 0.25, 0.2, 0.15, 0.1)
+    var calls = 0
+    val (bestEpoch, best, history) =
+      Models.trainWithEarlyStopping(maxEpochs = 100, validateEvery = 1,
+                                    patience = 3) { _ => () } { () =>
+        calls += 1; metrics(math.min(calls - 1, metrics.size - 1))
+      }
+    assert(best == 0.3 && bestEpoch == 3)
+    assert(history.size == 6, s"3 improving + 3 patience, got $history")
+  }
+
+  test("GlobalEffects biases shrink toward zero with large lambda") {
+    val ratings = Seq((0, 0, 5.0), (0, 1, 1.0), (1, 0, 4.0), (1, 1, 2.0))
+      .toDF("u", "i", "r")
+    val small = Recommenders.globalEffects(ratings, 0.0, 0.0)
+      .select("i", "item_bias").distinct().collect()
+      .map(r => (r.getInt(0), r.getDouble(1))).toMap
+    val big = Recommenders.globalEffects(ratings, 100.0, 100.0)
+      .select("i", "item_bias").distinct().collect()
+      .map(r => (r.getInt(0), r.getDouble(1))).toMap
+    // mu = 3; item 0 mean 4.5 → bias_0 = (9-2·3)/(2+λ)
+    assert(math.abs(small(0) - 1.5) < 1e-9)
+    assert(math.abs(big(0)) < math.abs(small(0)))
+  }
+}

@@ -1,0 +1,79 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.similarity.Similarity
+
+/** Similarity engine against the reference's own micro-fixture
+  * (Base/Similarity/Compute_similarity_test.py:37: the 3×4 binary
+  * matrix [[1,1,0,1],[0,1,1,1],[1,0,1,0]]): un-normalized similarity
+  * equals AᵀA with zeroed diagonal; variant formulas hand-computed.
+  */
+class SimilaritySpec extends SparkSpec {
+  import spark.implicits._
+
+  // (user, item) triples of the fixture matrix
+  private lazy val urm = Seq(
+    (0, 0), (0, 1), (0, 3),
+    (1, 1), (1, 2), (1, 3),
+    (2, 0), (2, 2))
+    .toDF("u", "i")
+
+  // AᵀA for the fixture (items × items), diagonal zeroed:
+  //   A cols: i0=[1,0,1] i1=[1,1,0] i2=[0,1,1] i3=[1,1,0]
+  private val expectedDots = Map(
+    (0, 1) -> 1L, (0, 2) -> 1L, (0, 3) -> 1L,
+    (1, 2) -> 1L, (1, 3) -> 2L, (2, 3) -> 1L)
+
+  test("pairDots equals AᵀA with zeroed diagonal") {
+    val dots = Similarity.pairDots(urm)
+      .collect().map(r => ((r.getInt(0), r.getInt(1)), r.getLong(2))).toMap
+    expectedDots.foreach { case ((i, j), d) =>
+      assert(dots((i, j)) == d, s"dot($i,$j)")
+      assert(dots((j, i)) == d, s"dot($j,$i) symmetric")
+    }
+    assert(!dots.keys.exists(p => p._1 == p._2), "no diagonal")
+  }
+
+  test("cosine similarity matches hand-computed values") {
+    val w = Similarity.itemSimilarity(urm, Similarity.Cosine)
+      .collect().map(r => ((r.getInt(0), r.getInt(1)), r.getDouble(2))).toMap
+    // cos(1,3) = 2 / (sqrt(2)*sqrt(2)) = 1.0
+    assert(math.abs(w((1, 3)) - 1.0) < 1e-12)
+    // cos(0,1) = 1 / (sqrt(2)*sqrt(2)) = 0.5
+    assert(math.abs(w((0, 1)) - 0.5) < 1e-12)
+  }
+
+  test("jaccard similarity matches hand-computed values") {
+    val w = Similarity.itemSimilarity(urm, Similarity.Jaccard)
+      .collect().map(r => ((r.getInt(0), r.getInt(1)), r.getDouble(2))).toMap
+    // jac(1,3) = 2 / (2 + 2 - 2) = 1.0 ; jac(0,1) = 1 / (2+2-1) = 1/3
+    assert(math.abs(w((1, 3)) - 1.0) < 1e-12)
+    assert(math.abs(w((0, 1)) - 1.0 / 3) < 1e-12)
+  }
+
+  test("dice and tversky reduce correctly") {
+    val dice = Similarity.itemSimilarity(urm, Similarity.Dice)
+      .collect().map(r => ((r.getInt(0), r.getInt(1)), r.getDouble(2))).toMap
+    assert(math.abs(dice((0, 1)) - 2.0 / 4) < 1e-12)
+    // tversky(1,1) == jaccard
+    val tv = Similarity.itemSimilarity(urm, Similarity.Tversky(1.0, 1.0))
+      .collect().map(r => ((r.getInt(0), r.getInt(1)), r.getDouble(2))).toMap
+    assert(math.abs(tv((0, 1)) - 1.0 / 3) < 1e-12)
+  }
+
+  test("shrink dampens the weight") {
+    val plain = Similarity.itemSimilarity(urm, Similarity.Cosine)
+      .filter(col("i") === 1 && col("j") === 3).head().getDouble(2)
+    val shrunk = Similarity.itemSimilarity(urm, Similarity.Cosine, 10.0)
+      .filter(col("i") === 1 && col("j") === 3).head().getDouble(2)
+    assert(shrunk < plain)
+  }
+
+  test("topK keeps at most K per column and is a subset of full") {
+    val full = Similarity.itemSimilarity(urm, Similarity.Cosine)
+    val k1 = Similarity.topK(full, 1)
+    val perI = k1.groupBy("i").count().collect()
+    assert(perI.forall(_.getLong(1) <= 1))
+    assert(k1.count() <= full.count())
+  }
+}
