@@ -14,6 +14,7 @@ object SparkEntry {
     operators.Relational.queries ++
     operators.SetOps.queries ++
     operators.Scalars.queries ++
+    operators.ExtraQueries.queries ++
     stats.StatsQueries.queries ++
     recommend.RecsysQueries.queries ++
     recommend.ModelQueries.queries ++

@@ -90,6 +90,22 @@ object Urm {
         .otherwise("train"))
   }
 
+  /** X7 — negative item sampling: n unobserved items per user, seeded
+    * (reference: split_functions/split_train_validation.py:141-260).
+    * Candidates are bounded by the item list (broadcast); rejection is
+    * the anti-join, selection a per-user rand window. */
+  def negativeSample(urm: DataFrame, items: DataFrame, nPerUser: Int,
+                     seed: Long): DataFrame = {
+    val users = urm.select("u").distinct()
+    val candidates = users.join(
+      org.apache.spark.sql.functions.broadcast(items.select("i")))
+    val unseen = candidates.join(urm.select("u", "i"), Seq("u", "i"),
+                                 "left_anti")
+    val w = Window.partitionBy("u").orderBy(rand(seed))
+    unseen.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= nPerUser).drop("rn")
+  }
+
   /** U5 — disjointness audit over split triples (reference:
     * Utils/assertions_on_data_for_experiments.py:28-54): count of
     * (u, i) cells present in more than one split. Zero ⇔ disjoint. */

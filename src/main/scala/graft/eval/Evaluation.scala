@@ -42,6 +42,7 @@ object Evaluation {
     val perUser = atK
       .withColumn("cum_hits", sum("hit").over(
         wu.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("tot_hits", sum("hit").over(Window.partitionBy("u")))
       .groupBy("u")
       .agg(
         sum("hit").as("n_hits"),
@@ -53,24 +54,54 @@ object Evaluation {
         min(when(col("hit") === 1, col("rank"))).as("first_hit"),
         // binary-relevance DCG: Σ hit / log2(rank + 1)
         sum(when(col("hit") === 1, lit(1.0) / log2(col("rank") + 1))
-              .otherwise(0.0)).as("dcg"))
+              .otherwise(0.0)).as("dcg"),
+        // ARHR numerator: Σ hit / rank (reference: metrics.py:124-135)
+        sum(when(col("hit") === 1, lit(1.0) / col("rank"))
+              .otherwise(0.0)).as("arhr_num"),
+        // ROC-AUC numerator: for each hit at rank r, count of non-hits
+        // ranked after it = (cutoff − r) − (hits after r)
+        sum(when(col("hit") === 1,
+                 (lit(cutoff) - col("rank")) -
+                 (col("tot_hits") - col("cum_hits"))).otherwise(0))
+          .as("auc_num"))
       .withColumn("idcg", expr(
         s"""aggregate(sequence(1, int(least(n_rel, $cutoff))),
            |cast(0.0 as double), (acc, r) -> acc + 1.0/log2(r + 1))"""
           .stripMargin))
       .withColumn("prec", col("n_hits").cast("double") / cutoff)
       .withColumn("rec", col("n_hits").cast("double") / col("n_rel"))
+      .withColumn("prec_rec_min_den",
+        col("n_hits").cast("double") / least(col("n_rel"), lit(cutoff)))
       .withColumn("ap", col("ap_num") / least(col("n_rel"), lit(cutoff)))
       .withColumn("rr", coalesce(lit(1.0) / col("first_hit"), lit(0.0)))
       .withColumn("ndcg", col("dcg") / col("idcg"))
+      // ROC-AUC: fraction of (hit, non-hit) rank pairs ordered correctly
+      // within the cutoff (reference: metrics.py:104-120); 0 when the
+      // list is all hits or all misses.
+      .withColumn("auc",
+        when(col("n_hits") === 0 || col("n_hits") === cutoff, 0.0)
+          .otherwise(col("auc_num").cast("double") /
+                     (col("n_hits") * (lit(cutoff) - col("n_hits")))))
       .withColumn("is_hit", (col("n_hits") > 0).cast("int"))
     perUser.agg(
       round(sum("prec") / count(lit(1)), 6).as("precision"),
       round(sum("rec") / count(lit(1)), 6).as("recall"),
+      round(sum("prec_rec_min_den") / count(lit(1)), 6)
+        .as("precision_recall_min_den"),
       round(sum("ap") / count(lit(1)), 6).as("map"),
       round(sum("rr") / count(lit(1)), 6).as("mrr"),
+      round(sum("arhr_num") / count(lit(1)), 6).as("arhr"),
       round(sum("ndcg") / count(lit(1)), 6).as("ndcg"),
+      round(sum("auc") / count(lit(1)), 6).as("roc_auc"),
       round(sum("is_hit").cast("double") / count(lit(1)), 6).as("hit_rate"),
+      // F1 of the aggregate precision/recall (reference:
+      // Evaluator.py:253-259)
+      round(when(sum("prec") + sum("rec") > 0,
+                 lit(2.0) * (sum("prec") / count(lit(1))) *
+                   (sum("rec") / count(lit(1))) /
+                   (sum("prec") / count(lit(1)) +
+                    sum("rec") / count(lit(1))))
+              .otherwise(0.0), 6).as("f1"),
       count(lit(1)).as("n_users"))
   }
 
@@ -95,6 +126,44 @@ object Evaluation {
       .agg(round(-sum((col("cnt").cast("double") / col("tot")) *
                       log2(col("cnt").cast("double") / col("tot"))), 6)
              .as("shannon_entropy"))
+
+  /** Normalized average popularity of recommended items
+    * (reference: metrics.py:592-636): mean(pop_rec) / max(pop). */
+  def averagePopularity(recs: DataFrame, itemPop: DataFrame): DataFrame = {
+    val maxPop = itemPop.agg(max("pop")).head().getLong(0)
+    recs.join(itemPop, recs("item") === itemPop("i"))
+      .agg(round((sum("pop") / count(lit(1))) / maxPop, 6)
+             .as("avg_popularity"))
+  }
+
+  /** Mean inter-list diversity from recommendation counts (closed form,
+    * reference: metrics.py:702-810): 1 − E[|Lᵢ∩Lⱼ|]/cutoff over user
+    * pairs, with E[|Lᵢ∩Lⱼ|] = Σ_item c(c−1) / (n·(n−1)). */
+  def meanInterListDiversity(recs: DataFrame, cutoff: Int): DataFrame = {
+    val nUsers = recs.select("u").distinct().count()
+    recs.groupBy("item").agg(count(lit(1)).as("c"))
+      .agg(round(lit(1.0) -
+                 (sum(col("c") * (col("c") - 1)).cast("double") /
+                  (nUsers.toDouble * (nUsers - 1) * cutoff)), 6)
+             .as("mean_inter_list_diversity"))
+  }
+
+  /** Intra-list diversity against an item-similarity matrix
+    * (reference: metrics.py:642-696): mean over users of the average
+    * pairwise (1 − sim) inside the recommended list. */
+  def intraListDiversity(recs: DataFrame, sim: DataFrame): DataFrame = {
+    val a = recs.select(col("u"), col("item").as("ia"))
+    val b = recs.select(col("u"), col("item").as("ib"))
+    val pairs = a.join(b, "u").filter(col("ia") < col("ib"))
+    val withSim = pairs.join(
+        sim.select(col("i").as("ia"), col("j").as("ib"),
+                   col("w").as("sim_w")),
+        Seq("ia", "ib"), "left")
+      .withColumn("sim_w", coalesce(col("sim_w"), lit(0.0)))
+    withSim.groupBy("u")
+      .agg((sum(lit(1.0) - col("sim_w")) / count(lit(1))).as("ild"))
+      .agg(round(sum("ild") / count(lit(1)), 6).as("intra_list_diversity"))
+  }
 
   /** Herfindahl diversity 1 − Σp² (reference: metrics.py:447-479). */
   def herfindahl(recs: DataFrame): DataFrame =

@@ -1,0 +1,127 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import graft.Q
+import graft.etl.Urm
+import graft.similarity.Similarity
+import graft.recommend.{Models, Recommenders}
+import graft.eval.Evaluation
+
+/** Coverage queries for the remaining SURVEY §2 operators: euclidean
+  * similarity (L3), cold-entity detection (L31), negative sampling
+  * (X7), explicit-feedback MF (L22 via ALS), popularity/inter-list
+  * diversity metrics.
+  */
+object ExtraQueries {
+
+  private val urmCte =
+    """WITH urm AS (
+      |  SELECT DISTINCT o_custkey AS u, l_partkey AS i
+      |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      |)""".stripMargin
+
+  def queries: Seq[Q] = Seq(
+
+    // L3 — euclidean similarity, linear transform 1/(d+ε), top-5
+    // (reference: Base/Similarity/Compute_Similarity_Euclidean.py).
+    Q("q62_euclidean_topk",
+      t => Similarity.topK(
+          Similarity.itemSimilarity(Urm.fromOrders(t),
+                                    Similarity.Euclidean("lin")), 5)
+        .select(col("i"), col("j"), round(col("w"), 6).as("w"), col("rank")),
+      Some(urmCte + """,
+        |dots AS (
+        |  SELECT a.i AS i, b.i AS j, COUNT(*) AS dot
+        |  FROM urm a JOIN urm b ON a.u = b.u AND a.i <> b.i
+        |  GROUP BY 1, 2
+        |), norms AS (SELECT i, COUNT(*) AS n FROM urm GROUP BY 1),
+        |sim AS (
+        |  SELECT d.i, d.j,
+        |    1.0 / (sqrt(CAST(ni.n + nj.n - 2 * d.dot AS DOUBLE))
+        |           + 0.0 + 1e-9) AS w
+        |  FROM dots d
+        |  JOIN norms ni ON d.i = ni.i
+        |  JOIN norms nj ON d.j = nj.i
+        |)
+        |SELECT i, j, round(w, 6) AS w, rank FROM (
+        |  SELECT i, j, w,
+        |    ROW_NUMBER() OVER (PARTITION BY i ORDER BY w DESC, j) AS rank
+        |  FROM sim) s
+        |WHERE rank <= 5""".stripMargin)),
+
+    // L31 — cold-entity detection: items never sold, via anti-join
+    // (reference: Base/BaseRecommender.py:41-51 cold masks).
+    Q("q71_cold_items",
+      t => t.part.join(t.lineitem,
+          col("p_partkey") === col("l_partkey"), "left_anti")
+        .select("p_partkey", "p_brand"),
+      Some("""SELECT p_partkey, p_brand FROM part
+        |WHERE NOT EXISTS (SELECT 1 FROM lineitem
+        |                  WHERE l_partkey = p_partkey)""".stripMargin)),
+
+    // X7 — negative sampling (seeded rand; membership is engine RNG, so
+    // the check is rows-only; per-user counts asserted in ScalaTest).
+    Q("q72_negative_sampling", { t =>
+        val urm = Urm.fromOrders(t)
+        val items = urm.select("i").distinct().limit(500)
+        Urm.negativeSample(urm, items, nPerUser = 5, seed = 42)
+      }, None),
+
+    // L10 — seeded Random recommender scores (rows-only; rand(seed)
+    // streams differ per engine by design, SURVEY §4).
+    Q("q73_random_scores", { t =>
+        val urm = Urm.fromOrders(t)
+        Recommenders.randomScores(
+          urm.select("u").distinct().limit(50),
+          urm.select("i").distinct().limit(100), seed = 42)
+      }, None),
+
+    // L22 — FunkSVD-analog: explicit-feedback ALS over mean quantities
+    // (reference approximates via ml.ALS per SURVEY §7.3); rows-only.
+    Q("q74_funk_als", { t =>
+        val ratings = Urm.ratingsFromOrders(t)
+          .select(col("u"), col("i"), col("r").as("v"))
+        val (_, itemF) = Models.ials(ratings, rank = 8, reg = 0.1,
+          alpha = 1.0, iters = 3, seed = 7)
+        itemF.select(col("id"), size(col("features")).as("k"))
+      }, None),
+
+    // Beyond-accuracy: normalized average popularity + closed-form mean
+    // inter-list diversity of the TopPop recommendations
+    // (reference: metrics.py:592-636, 702-810).
+    Q("q75_avgpop_mil", { t =>
+        val split = Urm.hashSplit(Urm.fromOrders(t), 8, 10)
+        val train = split.filter(col("split") === "train").select("u", "i")
+        val pop = Recommenders.topPop(train)
+        val popScores = pop.select(col("i").as("item"),
+                                   col("pop").cast("double").as("score"))
+        val recs = Recommenders.recommendGlobal(popScores, train, 10)
+        Evaluation.averagePopularity(recs, pop)
+          .crossJoin(Evaluation.meanInterListDiversity(recs, 10))
+      },
+      Some(urmCte + """,
+        |train AS (SELECT u, i FROM urm WHERE (u*31 + i) % 10 < 8),
+        |pop AS (SELECT i, COUNT(*) AS pop FROM train GROUP BY 1),
+        |users AS (SELECT DISTINCT u FROM train),
+        |recs AS (
+        |  SELECT u, item, rank FROM (
+        |    SELECT s.u, s.item,
+        |      ROW_NUMBER() OVER (PARTITION BY s.u
+        |        ORDER BY s.score DESC, s.item) AS rank
+        |    FROM (SELECT users.u AS u, pop.i AS item,
+        |                 CAST(pop AS DOUBLE) AS score
+        |          FROM users CROSS JOIN pop) s
+        |    WHERE NOT EXISTS (SELECT 1 FROM train t2
+        |                      WHERE t2.u = s.u AND t2.i = s.item)) r
+        |  WHERE rank <= 10
+        |), reccnt AS (SELECT item, COUNT(*) AS c FROM recs GROUP BY 1)
+        |SELECT
+        |  (SELECT round((CAST(SUM(pop) AS DOUBLE) / COUNT(*))
+        |                / (SELECT MAX(pop) FROM pop), 6)
+        |   FROM recs JOIN pop ON recs.item = pop.i) AS avg_popularity,
+        |  (SELECT round(1.0 - (CAST(SUM(c * (c - 1)) AS DOUBLE)
+        |    / ((SELECT CAST(COUNT(DISTINCT u) AS DOUBLE) FROM recs)
+        |       * ((SELECT COUNT(DISTINCT u) FROM recs) - 1) * 10)), 6)
+        |   FROM reccnt) AS mean_inter_list_diversity""".stripMargin))
+  )
+}

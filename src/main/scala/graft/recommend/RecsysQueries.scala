@@ -313,7 +313,8 @@ object RecsysQueries {
         |), cum AS (
         |  SELECT u, rank, hit, n_rel,
         |    SUM(hit) OVER (PARTITION BY u ORDER BY rank
-        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_hits
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_hits,
+        |    SUM(hit) OVER (PARTITION BY u) AS tot_hits
         |  FROM hits
         |), per_user AS (
         |  SELECT u,
@@ -323,7 +324,11 @@ object RecsysQueries {
         |        THEN CAST(cum_hits AS DOUBLE) / rank ELSE 0.0 END) AS ap_num,
         |    MIN(CASE WHEN hit = 1 THEN rank END) AS first_hit,
         |    SUM(CASE WHEN hit = 1
-        |        THEN 1.0 / log2(rank + 1) ELSE 0.0 END) AS dcg
+        |        THEN 1.0 / log2(rank + 1) ELSE 0.0 END) AS dcg,
+        |    SUM(CASE WHEN hit = 1 THEN 1.0 / rank ELSE 0.0 END) AS arhr_num,
+        |    CAST(SUM(CASE WHEN hit = 1
+        |        THEN (10 - rank) - (tot_hits - cum_hits)
+        |        ELSE 0 END) AS BIGINT) AS auc_num
         |  FROM cum GROUP BY u
         |), idcg_tab AS (
         |  SELECT m, SUM(1.0 / log2(x + 1)) AS idcg
@@ -333,19 +338,32 @@ object RecsysQueries {
         |  SELECT u,
         |    CAST(n_hits AS DOUBLE) / 10 AS prec,
         |    CAST(n_hits AS DOUBLE) / n_rel AS rec,
+        |    CAST(n_hits AS DOUBLE) / LEAST(n_rel, 10) AS prec_min_den,
         |    ap_num / LEAST(n_rel, 10) AS ap,
         |    COALESCE(1.0 / first_hit, 0.0) AS rr,
+        |    arhr_num,
         |    dcg / idcg AS ndcg,
+        |    CASE WHEN n_hits = 0 OR n_hits = 10 THEN 0.0
+        |         ELSE CAST(auc_num AS DOUBLE) / (n_hits * (10 - n_hits))
+        |    END AS auc,
         |    CASE WHEN n_hits > 0 THEN 1 ELSE 0 END AS is_hit
         |  FROM per_user JOIN idcg_tab ON idcg_tab.m = LEAST(n_rel, 10)
         |)
         |SELECT
         |  round(SUM(prec) / COUNT(*), 6) AS precision,
         |  round(SUM(rec) / COUNT(*), 6) AS recall,
+        |  round(SUM(prec_min_den) / COUNT(*), 6)
+        |    AS precision_recall_min_den,
         |  round(SUM(ap) / COUNT(*), 6) AS map,
         |  round(SUM(rr) / COUNT(*), 6) AS mrr,
+        |  round(SUM(arhr_num) / COUNT(*), 6) AS arhr,
         |  round(SUM(ndcg) / COUNT(*), 6) AS ndcg,
+        |  round(SUM(auc) / COUNT(*), 6) AS roc_auc,
         |  round(CAST(SUM(is_hit) AS DOUBLE) / COUNT(*), 6) AS hit_rate,
+        |  round(CASE WHEN SUM(prec) + SUM(rec) > 0
+        |        THEN 2.0 * (SUM(prec) / COUNT(*)) * (SUM(rec) / COUNT(*))
+        |             / (SUM(prec) / COUNT(*) + SUM(rec) / COUNT(*))
+        |        ELSE 0.0 END, 6) AS f1,
         |  COUNT(*) AS n_users
         |FROM scored""".stripMargin)),
 

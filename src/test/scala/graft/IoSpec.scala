@@ -1,0 +1,77 @@
+package graft
+
+import java.nio.file.Files
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.sources.TableIO
+import graft.etl.Urm
+
+/** Sources/sinks (SURVEY §2.1) and sampling operators. */
+class IoSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def tmp(name: String): String =
+    Files.createTempDirectory(name).toString
+
+  test("CSV interactions with dedup-keep-last") {
+    val dir = tmp("csv")
+    val f = s"$dir/inter.csv"
+    Files.writeString(java.nio.file.Paths.get(f),
+      "u::i::r::ts\n1::10::3.0::100\n1::10::5.0::200\n2::11::4.0::50\n")
+    val schema = StructType(Seq(
+      StructField("u", IntegerType), StructField("i", IntegerType),
+      StructField("r", DoubleType), StructField("ts", LongType)))
+    val df = TableIO.csvInteractions(spark, f, schema, "::",
+      header = true, dedupKeepLast = true)
+    val rows = df.collect().map(r => ((r.getInt(0), r.getInt(1)),
+                                      r.getDouble(2))).toMap
+    assert(rows.size == 2)
+    assert(rows((1, 10)) == 5.0, "keep-last must win")
+  }
+
+  test("metadata json roundtrip") {
+    val dir = tmp("meta")
+    val meta = Map("num_users" -> 42L, "num_items" -> 99L)
+    TableIO.writeMetadata(s"$dir/metadata.json", meta)
+    assert(TableIO.readMetadata(spark, s"$dir/metadata.json") == meta)
+  }
+
+  test("model save/load roundtrip with manifest") {
+    val dir = tmp("model")
+    val w = Seq((1, 2, 0.5), (2, 1, 0.25)).toDF("i", "j", "w")
+    TableIO.saveModel(s"$dir/m1", Map("W_sparse" -> w),
+                      Map("topK" -> "10", "shrink" -> "0"))
+    val (frames, params) = TableIO.loadModel(spark, s"$dir/m1")
+    assert(params("topK") == "10")
+    assert(frames("W_sparse").count() == 2)
+  }
+
+  test("loadOrRebuild builds once then reads the cache") {
+    val dir = tmp("cache")
+    var builds = 0
+    def build = { builds += 1; Seq((1, 2)).toDF("a", "b") }
+    val d1 = TableIO.loadOrRebuild(spark, s"$dir/t")(build)
+    val d2 = TableIO.loadOrRebuild(spark, s"$dir/t")(build)
+    assert(builds == 1 && d1.count() == 1 && d2.count() == 1)
+  }
+
+  test("statistics accumulation merges bundles") {
+    val dir = tmp("stats")
+    val p = s"$dir/statistics.json"
+    TableIO.accumulateStatistics(p, "basic", Map("n" -> 5.0))
+    TableIO.accumulateStatistics(p, "complex", Map("gini" -> 0.25))
+    val s = Files.readString(java.nio.file.Paths.get(p))
+    assert(s.contains("\"basic\"") && s.contains("\"complex\"") &&
+           s.contains("0.25"))
+  }
+
+  test("negative sampling: n per user, disjoint from seen") {
+    val urm = (for { u <- 0 until 10; i <- 0 until 6 } yield (u, i))
+      .toDF("u", "i")
+    val items = (0 until 30).map(Tuple1(_)).toDF("i")
+    val neg = Urm.negativeSample(urm, items, nPerUser = 4, seed = 1)
+    val perUser = neg.groupBy("u").count().collect()
+    assert(perUser.forall(_.getLong(1) == 4))
+    assert(neg.join(urm, Seq("u", "i"), "left_semi").count() == 0)
+  }
+}

@@ -51,6 +51,34 @@ class MetricsSpec extends SparkSpec {
     assert(m.getAs[Double]("hit_rate") == 0.0)
   }
 
+  test("arhr / roc_auc / f1 on ranked_list_1") {
+    val m = metricsFor(Seq(1, 2, 3, 4, 5), Seq(2, 4))
+    assert(math.abs(m.getAs[Double]("arhr") - 0.75) < 1e-9)
+    // hits at ranks 2,4: correctly-ordered pairs = 2 + 1 of 2·3 → 0.5
+    assert(math.abs(m.getAs[Double]("roc_auc") - 0.5) < 1e-9)
+    assert(math.abs(m.getAs[Double]("f1") - 2 * 0.4 * 1.0 / 1.4) < 1e-6)
+    assert(math.abs(m.getAs[Double]("precision_recall_min_den") - 1.0)
+           < 1e-9)
+  }
+
+  test("average popularity, inter/intra-list diversity") {
+    val recs = Seq((1, 10, 1), (1, 11, 2), (2, 10, 1), (2, 12, 2))
+      .toDF("u", "item", "rank")
+    val pop = Seq((10, 8L), (11, 4L), (12, 4L)).toDF("i", "pop")
+    val ap = Evaluation.averagePopularity(recs, pop).head().getDouble(0)
+    // mean pop = (8+4+8+4)/4 = 6; / max 8 = 0.75
+    assert(math.abs(ap - 0.75) < 1e-9)
+    // counts: item10→2, others 1 → Σc(c−1)=2; users=2, cutoff=2 →
+    // 1 − 2/(2·1·2) = 0.5
+    val mil = Evaluation.meanInterListDiversity(recs, 2)
+      .head().getDouble(0)
+    assert(math.abs(mil - 0.5) < 1e-9)
+    val sim = Seq((10, 11, 0.5), (10, 12, 0.0)).toDF("i", "j", "w")
+    val ild = Evaluation.intraListDiversity(recs, sim).head().getDouble(0)
+    // user1 pair (10,11): 1−0.5 = 0.5 ; user2 pair (10,12): 1−0 = 1
+    assert(math.abs(ild - 0.75) < 1e-9)
+  }
+
   test("beyond-accuracy: entropy and herfindahl of uniform recs") {
     val recs = (1 to 4).flatMap(u => Seq((u, 100 + u % 2, 1)))
       .toDF("u", "item", "rank")
