@@ -17,9 +17,17 @@ import org.apache.spark.sql.expressions.Window
   */
 object Ann {
 
-  /** Sequential-fold dot product of two array columns (deterministic
-    * summation order, double accumulation). */
+  /** Sequential-order double-accumulated dot product of two array
+    * columns, via the codegen'd native expression
+    * (graft.functions.DotProduct — registered by core.Tables /
+    * SparkSpec). Bit-identical to [[dotHof]]. */
   def dot(a: Column, b: Column): Column =
+    graft.functions.VectorFunctions.dot_product(a, b)
+
+  /** Higher-order-function reference implementation of [[dot]]
+    * (aggregate over zip_with) — same summation order, kept as the
+    * cross-check for the native expression. */
+  def dotHof(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
               lit(0.0), (acc, z) => acc + z)
 

@@ -10,6 +10,9 @@ import org.apache.spark.sql.functions._
   * Catalyst a columnar scan with pushdown/pruning for free.
   */
 final case class Tables(spark: SparkSession, dir: String) {
+  // engine-native SQL functions ride along with the table catalog
+  graft.functions.VectorFunctions.register(spark)
+
   private def t(name: String): DataFrame =
     spark.read.parquet(s"$dir/$name.parquet")
 

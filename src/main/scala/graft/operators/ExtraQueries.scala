@@ -62,7 +62,7 @@ object ExtraQueries {
     // X7 — negative sampling (seeded rand; membership is engine RNG, so
     // the check is rows-only; per-user counts asserted in ScalaTest).
     Q("q72_negative_sampling", { t =>
-        val urm = Urm.fromOrders(t)
+        val urm = Urm.fromOrders(t).filter(col("u") < 2000)
         val items = urm.select("i").distinct().limit(500)
         Urm.negativeSample(urm, items, nPerUser = 5, seed = 42)
       }, None),

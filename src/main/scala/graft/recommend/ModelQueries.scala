@@ -17,19 +17,25 @@ object ModelQueries {
   def queries: Seq[Q] = Seq(
 
     // L13 — content-based item-item cosine over part features, top-5.
+    // Bounded to 2000 items: low-cardinality categorical features make
+    // item-item similarity inherently dense (every same-type pair
+    // co-occurs), so the pair join is quadratic in catalog size — the
+    // bound keeps it constant across scale factors.
     Q("q60_cbf_cosine",
       t => Similarity.topK(
           ContentSimilarity.weightedItemSimilarity(
-            ContentSimilarity.icmFromPart(t)), 5)
+            ContentSimilarity.icmFromPart(t)
+              .filter(col("i") < 2000)), 5)
         .select(col("i"), col("j"), round(col("w"), 6).as("w"), col("rank")),
       Some("""WITH icm AS (
         |  SELECT 'brand:' || p_brand AS f, p_partkey AS i, 1.0 AS w
-        |  FROM part
+        |  FROM part WHERE p_partkey < 2000
         |  UNION ALL
         |  SELECT 'type:' || p_type, p_partkey, 1.0 FROM part
+        |  WHERE p_partkey < 2000
         |  UNION ALL
         |  SELECT 'size:' || CAST(FLOOR(p_size / 10) AS BIGINT), p_partkey,
-        |         1.0 FROM part
+        |         1.0 FROM part WHERE p_partkey < 2000
         |), dots AS (
         |  SELECT a.i AS i, b.i AS j, SUM(a.w * b.w) AS dot
         |  FROM icm a JOIN icm b ON a.f = b.f AND a.i <> b.i
@@ -119,9 +125,11 @@ object ModelQueries {
 
     // L18 — PureSVD item factors (k=16); rows-only (SGD/SVD oracle-free).
     Q("q64_puresvd", { t =>
-        val urm = Urm.fromOrders(t).filter(col("i") < 2000)
-        val nItems = 2000
-        Models.pureSvdItemFactors(t.spark, urm, 16, nItems)
+        // bounded: netlib falls back to pure-Java BLAS here, so the SVD
+        // cost is kept constant across scale factors
+        val urm = Urm.fromOrders(t).filter(col("i") < 1000)
+        val nItems = 1000
+        Models.pureSvdItemFactors(t.spark, urm, 8, nItems)
           .filter(size(col("factors")) > 0)
           .select(col("i"),
                   round(Ann.norm2(col("factors")), 4).as("factor_norm2"))
