@@ -1,0 +1,102 @@
+package graft
+
+import java.nio.file.Files
+import org.apache.spark.sql.functions._
+import graft.core.Tables
+import graft.etl.{Impressions, Pipeline, Urm}
+import graft.recommend.Recommenders
+import graft.eval.Evaluation
+import graft.tuning.Search
+
+/** End-to-end lifecycle tests mirroring the reference's entry points
+  * (SURVEY §3): split generation, impression-ETL on a ContentWise-shaped
+  * fixture (FIXTURES.md §1), the seeded smoke
+  * (parquet → split → TopPop → evaluate), and hyperparameter search.
+  */
+class PipelineSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("split pipeline: generate, persist, partition-pruned reload") {
+    val inter = (for { u <- 0 until 40; i <- 0 until 25
+                       if (u * 13 + i) % 3 != 0 } yield (u, i))
+      .toDF("u", "i")
+    val res = Pipeline.generateSplits(inter, seed = 42)
+    val dir = Files.createTempDirectory("pipe").toString
+    Pipeline.save(res, dir)
+    val tr = Pipeline.loadSplit(spark, dir, "train")
+    assert(tr.count() == res.train.count())
+    assert(res.metadata("num_users") == 40)
+    val frac = res.train.count().toDouble /
+      res.metadata("num_interactions")
+    assert(math.abs(frac - 0.7) < 0.06)
+  }
+
+  test("impression ETL: explode lists, map series, join users (X9)") {
+    // ContentWise-shaped fixture (FIXTURES.md §1): items belong to
+    // series; impression lists carry series ids.
+    val interactions = Seq(
+      // user, item, series, recommendation_id
+      (1, 100, 10, 7), (1, 101, 11, -1), (2, 102, 12, 8), (3, 103, 10, 7))
+      .toDF("user_id", "item_id", "series_id", "recommendation_id")
+    val impressions = Seq(
+      (7, 0, 2, Seq(10, 11)), (8, 1, 1, Seq(12)))
+      .toDF("recommendation_id", "row_position",
+            "recommendation_list_length", "recommended_series_list")
+    val itemSeries = Seq((100, 10), (103, 10), (101, 11), (102, 12))
+      .toDF("item_id", "series_id")
+
+    val urm = Impressions.urmFromDirectLink(
+      interactions, impressions, itemSeries)
+    val triples = urm.select("u", "i").collect()
+      .map(r => (r.getInt(0), r.getInt(1))).toSet
+    // users 1 and 3 saw recommendation 7 = series {10, 11} = items
+    // {100, 103, 101}; user 2 saw rec 8 = series 12 = item 102
+    assert(triples == Set(
+      (1, 100), (1, 103), (1, 101), (3, 100), (3, 103), (3, 101),
+      (2, 102)))
+
+    assert(Impressions.auditListLength(impressions).count() == 0)
+    assert(Impressions.auditInteractedSeriesInList(
+      interactions, impressions).count() == 0)
+  }
+
+  test("seeded smoke at sf0.001: scan → split → TopPop → evaluate@10") {
+    val t = Tables(spark, "/root/testdata/sf0.001")
+    val urm = Urm.fromOrders(t)
+    val res = Pipeline.generateSplits(urm.select("u", "i"), seed = 42)
+    val pop = Recommenders.topPop(res.train)
+      .select(col("i").as("item"), col("pop").cast("double").as("score"))
+    val recs = Recommenders.recommendGlobal(pop, res.train, 10)
+    val m = Evaluation.accuracyMetrics(
+      Evaluation.hitTable(recs, res.test.select("u", "i")), 10).head()
+    assert(m.getAs[Long]("n_users") > 0)
+    val map = m.getAs[Double]("map")
+    assert(map >= 0 && map <= 1)
+    assert(m.getAs[Double]("precision") > 0,
+           "TopPop must beat zero precision on a dense basket dataset")
+  }
+
+  test("grid search finds the best ItemKNN config deterministically") {
+    val t = Tables(spark, "/root/testdata/sf0.001")
+    val split = Urm.hashSplit(Urm.fromOrders(t), 8, 10)
+    val train = split.filter(col("split") === "train").select("u", "i")
+      .cache()
+    val valid = split.filter(col("split") === "test").select("u", "i")
+      .cache()
+    val grid = for { k <- Seq(5, 20); s <- Seq(0.0, 50.0) }
+      yield Map("topK" -> k.toDouble, "shrink" -> s)
+    val result = Search.grid(grid) { p =>
+      Search.evaluateItemKnn(train, valid, p("topK").toInt, p("shrink"),
+                             cutoff = 5)
+    }
+    assert(result.history.size == 4)
+    assert(result.history.forall(t => t.metric >= 0 && t.metric <= 1))
+    assert(result.best.metric == result.history.map(_.metric).max)
+    // deterministic: re-running yields identical history
+    val again = Search.grid(grid) { p =>
+      Search.evaluateItemKnn(train, valid, p("topK").toInt, p("shrink"),
+                             cutoff = 5)
+    }
+    assert(again.history.map(_.metric) == result.history.map(_.metric))
+  }
+}

@@ -1,0 +1,69 @@
+package graft
+
+import java.nio.file.Files
+import org.apache.spark.sql.functions._
+import graft.core.Tables
+import graft.etl.Pipeline
+
+/** Physical-plan audits: the properties that make the queries scale —
+  * predicate pushdown into the parquet scan, column pruning, broadcast
+  * dimension joins, partition pruning — asserted on the actual executed
+  * plans (the ".explain and iterate" loop, pinned as tests).
+  */
+class PlanSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val t = Tables(spark, "/root/testdata/sf0.001")
+
+  test("filter pushes down to the parquet scan; columns prune") {
+    val q = t.lineitem.filter(col("l_quantity") >= 25)
+      .select("l_orderkey", "l_quantity")
+    val plan = q.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters:") &&
+           plan.contains("GreaterThanOrEqual(l_quantity,25"),
+           s"filter must reach the scan:\n$plan")
+    assert(plan.contains("ReadSchema") &&
+           !plan.contains("l_extendedprice"),
+           "projection must prune unread columns")
+  }
+
+  test("timestamp range filter reaches the scan (q02 shape)") {
+    val q = t.lineitem
+      .filter(col("l_shipdate") >= lit("1995-06-01").cast("timestamp"))
+      .select("l_orderkey")
+    val plan = q.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters:") &&
+           plan.contains("GreaterThanOrEqual(l_shipdate"),
+           s"timestamp filter must reach the scan:\n$plan")
+  }
+
+  test("dimension joins broadcast (q06 shape)") {
+    val q = t.orders
+      .join(t.customer, col("o_custkey") === col("c_custkey"))
+      .join(broadcast(t.nation), col("c_nationkey") === col("n_nationkey"))
+      .groupBy("n_name").agg(count(lit(1)))
+    val plan = q.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"),
+           s"nation join must broadcast:\n$plan")
+  }
+
+  test("split-partitioned URM reload prunes partitions") {
+    val inter = (for { u <- 0 until 20; i <- 0 until 10 } yield (u, i))
+      .toDF("u", "i")
+    val dir = Files.createTempDirectory("prune").toString
+    Pipeline.save(Pipeline.generateSplits(inter, 42), dir)
+    val q = Pipeline.loadSplit(spark, dir, "train")
+    val plan = q.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") && plan.contains("split"),
+           s"split filter must prune partitions:\n$plan")
+  }
+
+  test("grouped aggregation is partial before the shuffle (map-side combine)") {
+    val q = t.lineitem.groupBy("l_returnflag").agg(sum("l_quantity"))
+    val plan = q.queryExecution.executedPlan.toString
+    // two HashAggregate stages around the exchange = partial + final
+    assert("HashAggregate".r.findAllIn(plan).size >= 2 &&
+           plan.contains("Exchange"),
+           s"expected partial aggregation around the shuffle:\n$plan")
+  }
+}
