@@ -86,6 +86,16 @@ object ExtraQueries {
         itemF.select(col("id"), size(col("features")).as("k"))
       }, None),
 
+    // A6 — set-per-group aggregation (reference:
+    // Utils/dataset.py:985 groupby().unique()): sorted distinct arrays.
+    Q("q76_collect_set",
+      t => t.lineitem.groupBy("l_suppkey")
+        .agg(sort_array(collect_set(col("l_partkey"))).as("parts"),
+             countDistinct(col("l_partkey")).as("n_parts")),
+      Some("""SELECT l_suppkey, list_sort(list(DISTINCT l_partkey)) AS parts,
+        |COUNT(DISTINCT l_partkey) AS n_parts
+        |FROM lineitem GROUP BY 1""".stripMargin)),
+
     // Beyond-accuracy: normalized average popularity + closed-form mean
     // inter-list diversity of the TopPop recommendations
     // (reference: metrics.py:592-636, 702-810).

@@ -137,22 +137,28 @@ object Models {
     result.toDF("i", "j", "w")
   }
 
-  /** L21 — MF-BPR with impression-aware negative sampling, the paper's
-    * novel operator (reference: MatrixFactorizationImpressions_Cython
-    * _Epoch.pyx:636-742 BPR epoch, 1010-1084 sampler).
+  /** L21/X8 — MF-BPR with impression-aware negative sampling, the
+    * paper's novel operator (reference: MatrixFactorizationImpressions_
+    * Cython_Epoch.pyx:636-742 BPR epoch, 1010-1084 sampler).
     *
-    * Spark-first split: triple sampling (u, i⁺, j⁻) is a distributed
-    * query per epoch — positives from the URM, negatives uniform over
-    * unseen items via seeded rand + anti-join («outside»-impressions
-    * mode degenerates to this when impressions cover the catalog); the
-    * SGD update runs on the driver over the collected epoch sample
-    * (small: `samplesPerEpoch` rows), mirroring the reference's
-    * in-process Cython kernel. Returns (userFactors, itemFactors)
-    * keyed by id. */
+    * Sampling modes mirror the reference exactly
+    * (impression_sampling_mode ∈ none | inside | outside):
+    *  - none: negatives uniform over unseen items;
+    *  - inside: negatives drawn from the user's shown-but-unclicked
+    *    impressions (fall back to uniform when the user has none);
+    *  - outside: uniform over items neither seen nor shown.
+    *
+    * Spark-first split: triple sampling (u, i⁺) is a distributed seeded
+    * query per epoch; the SGD update runs on the driver over the
+    * collected epoch sample, mirroring the reference's in-process
+    * Cython kernel. Returns (userFactors, itemFactors) keyed by id. */
   def mfBpr(spark: SparkSession, urm: DataFrame, rank: Int,
             epochs: Int, samplesPerEpoch: Int, lr: Double, reg: Double,
-            seed: Long): (Map[Int, Array[Double]], Map[Int, Array[Double]]) = {
+            seed: Long, impressions: Option[DataFrame] = None,
+            samplingMode: String = "none")
+      : (Map[Int, Array[Double]], Map[Int, Array[Double]]) = {
     import spark.implicits._
+    require(Seq("none", "inside", "outside").contains(samplingMode))
     val items = urm.select(col("i").cast("int")).distinct()
       .as[Int].collect().sorted
     val rng = new scala.util.Random(seed)
@@ -163,14 +169,40 @@ object Models {
     val seen = urm.select(col("u").cast("int"), col("i").cast("int"))
       .as[(Int, Int)].collect()
       .groupBy(_._1).map { case (u, rs) => (u, rs.map(_._2).toSet) }
+    val shown: Map[Int, Array[Int]] = impressions match {
+      case Some(imp) => imp
+        .select(col("u").cast("int"), col("i").cast("int"))
+        .as[(Int, Int)].collect()
+        .groupBy(_._1).map { case (u, rs) => (u, rs.map(_._2).distinct) }
+      case None => Map.empty
+    }
+    def drawNegative(u: Int, s: Set[Int]): Int = samplingMode match {
+      case "inside" =>
+        val cand = shown.getOrElse(u, Array.empty).filterNot(s.contains)
+        if (cand.nonEmpty) cand(rng.nextInt(cand.length))
+        else drawUniform(s)
+      case "outside" =>
+        val sh = shown.getOrElse(u, Array.empty).toSet
+        var j = items(rng.nextInt(items.length))
+        var guard = 0
+        while ((s.contains(j) || sh.contains(j)) && guard < 1000) {
+          j = items(rng.nextInt(items.length)); guard += 1
+        }
+        j
+      case _ => drawUniform(s)
+    }
+    def drawUniform(s: Set[Int]): Int = {
+      var j = items(rng.nextInt(items.length))
+      while (s.contains(j)) j = items(rng.nextInt(items.length))
+      j
+    }
     (0 until epochs).foreach { ep =>
       val sample = urm.select(col("u").cast("int"), col("i").cast("int"))
         .orderBy(rand(seed + ep)).limit(samplesPerEpoch)
         .as[(Int, Int)].collect()
       sample.foreach { case (u, ipos) =>
         val s = seen(u)
-        var jneg = items(rng.nextInt(items.length))
-        while (s.contains(jneg)) jneg = items(rng.nextInt(items.length))
+        val jneg = drawNegative(u, s)
         val wu = fac(uf, u); val hi = fac(itf, ipos); val hj = fac(itf, jneg)
         var xuij = 0.0
         var f = 0

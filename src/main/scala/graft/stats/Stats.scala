@@ -69,6 +69,23 @@ object Stats {
            values.map(v =>
              sum(when(pivotCol === v, 1).otherwise(0)).as(s"n_$v")).tail: _*)
 
+  /** The reference's statistics-document scalars for a URM
+    * (reference: Utils/dataset.py:601-1047 basic statistics): entity
+    * counts, density, and interaction-concentration gini — one bundle
+    * ready for TableIO.accumulateStatistics. */
+  def basicStatistics(urm: DataFrame): Map[String, Double] = {
+    val nU = urm.select("u").distinct().count()
+    val nI = urm.select("i").distinct().count()
+    val nnz = urm.count()
+    val giniItems = giniOfCounts(urm, col("i")).head().getDouble(0)
+    Map(
+      "num_users" -> nU.toDouble,
+      "num_items" -> nI.toDouble,
+      "num_interactions" -> nnz.toDouble,
+      "density" -> nnz.toDouble / (nU.toDouble * nI),
+      "gini_item_popularity" -> giniItems)
+  }
+
   /** Gap-based sessionization: a new session starts after `gapMs`
     * milliseconds of inactivity. Batch twin of the streaming
     * session-window operator. Exact integer epoch-ms arithmetic; `tie`

@@ -75,6 +75,21 @@ object TextOps {
         .otherwise("es"))
   }
 
+  /** F9 — light suffix-stripping stemmer over a token array (the
+    * reference applies Porter stemming to Movielens tags,
+    * Data_manager/TagPreprocessing.py:20-62; this is the builtin-
+    * expression form — regex suffix rules, no UDF, so it stays inside
+    * codegen). */
+  def stemLight(toks: Column): Column =
+    transform(toks, t =>
+      when(length(t) > 5 && t.rlike("(ing|edly)$"),
+           regexp_replace(t, "(ing|edly)$", ""))
+        .when(length(t) > 4 && t.rlike("(ed|es|ly)$"),
+              regexp_replace(t, "(ed|es|ly)$", ""))
+        .when(length(t) > 3 && t.rlike("s$") && !t.rlike("(ss|us)$"),
+              regexp_replace(t, "s$", ""))
+        .otherwise(t))
+
   /** Document fingerprint: whitespace-normalized lowercase text hashed
     * to a 64-char md5 plus a 60-bit integer prefix — the join key for
     * exact dedup and the hash source for sketching. */

@@ -70,6 +70,23 @@ class DedupTextAnnSpec extends SparkSpec {
     assert(out(0L) == "en" && out(1L) == "de" && out(2L) == "und")
   }
 
+  test("light stemmer strips common suffixes inside codegen") {
+    val d = Seq(Tuple1("running jumped boxes quickly cats pass"))
+      .toDF("text")
+    val out = d.select(TextOps.stemLight(
+      org.apache.spark.sql.functions.split(col("text"), " ")).as("t"))
+      .head().getSeq[String](0)
+    assert(out == Seq("runn", "jump", "box", "quick", "cat", "pass"))
+  }
+
+  test("statistics document bundles the reference's basic scalars") {
+    val urm = Seq((0, 0), (0, 1), (1, 0)).toDF("u", "i")
+    val s = graft.stats.Stats.basicStatistics(urm)
+    assert(s("num_users") == 2.0 && s("num_items") == 2.0)
+    assert(math.abs(s("density") - 0.75) < 1e-12)
+    assert(s("gini_item_popularity") >= 0)
+  }
+
   test("quality features are exact rationals in [0,1]") {
     val q = TextOps.qualityFeatures(docs, col("text"))
       .select("quality").collect().map(_.getDouble(0))
