@@ -129,8 +129,12 @@ object Recommenders {
     * per user instead of |items|. At 100 TB this is the difference
     * between a broadcast of a few hundred rows and a quadratic shuffle.
     * Returns (u, item, rank). */
-  def recommendGlobal(globalScores: DataFrame, seen: DataFrame,
+  def recommendGlobal(globalScores: DataFrame, seen0: DataFrame,
                       k: Int): DataFrame = {
+    // `seen` feeds the bound computation, the user list, and the
+    // anti-join — persist once instead of recomputing the subtree
+    val seen = seen0.persist(
+      org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val maxSeen = seen.groupBy("u").agg(count(lit(1)).as("n"))
       .agg(max("n")).head().getLong(0)
     val m = k + maxSeen.toInt

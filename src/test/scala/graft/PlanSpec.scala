@@ -58,6 +58,23 @@ class PlanSpec extends SparkSpec {
            s"split filter must prune partitions:\n$plan")
   }
 
+  test("salted aggregation and join match their unsalted twins") {
+    val skewed = (Seq.fill(500)(1) ++ (2 to 50)).toDF("k")
+      .repartition(8)
+    val direct = skewed.groupBy("k").count()
+      .collect().map(r => (r.getInt(0), r.getLong(1))).toMap
+    val salted = graft.operators.Skew
+      .saltedCount(skewed, col("k"), salts = 8)
+      .collect().map(r => (r.getInt(0), r.getLong(1))).toMap
+    assert(salted == direct)
+
+    val dim = (1 to 50).map(k => (k, s"name$k")).toDF("k", "name")
+    val plainJoin = skewed.join(dim, "k").count()
+    val saltedJoin = graft.operators.Skew
+      .saltedJoin(skewed, dim, "k", salts = 8).count()
+    assert(saltedJoin == plainJoin)
+  }
+
   test("grouped aggregation is partial before the shuffle (map-side combine)") {
     val q = t.lineitem.groupBy("l_returnflag").agg(sum("l_quantity"))
     val plan = q.queryExecution.executedPlan.toString
