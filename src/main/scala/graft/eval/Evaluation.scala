@@ -105,6 +105,15 @@ object Evaluation {
       count(lit(1)).as("n_users"))
   }
 
+  /** Cutoff-list evaluation (reference: run_hyperparameter_tuning.py:
+    * 42-58 — validation [10], test [5,10,20]): one hit table ranked to
+    * max cutoff, metrics per cutoff stacked with a cutoff column. */
+  def accuracyMetricsAtCutoffs(hits: DataFrame, cutoffs: Seq[Int])
+      : DataFrame =
+    cutoffs.map(c => accuracyMetrics(hits, c)
+        .select(lit(c).as("cutoff"), col("*")))
+      .reduce(_ unionByName _)
+
   /** Catalog coverage: share of items ever recommended
     * (reference: metrics.py:310-323). */
   def itemCoverage(recs: DataFrame, nItems: Long): DataFrame =

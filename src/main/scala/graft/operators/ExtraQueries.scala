@@ -20,6 +20,45 @@ object ExtraQueries {
       |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
       |)""".stripMargin
 
+  /** Per-cutoff evaluation SQL block over the shared `cum` CTE (ranked
+    * TopPop recs vs held-out split, rank ≤ 20). The AUC numerator uses
+    * the aggregate identity Σ_{hit}((c−r)−(tot−cum)) =
+    * Σ_{hit}(c−r+cum) − n_hits². */
+  private def evalAtCutoffSql(c: Int): String =
+    s"""SELECT $c AS cutoff,
+       |  round(SUM(prec) / COUNT(*), 6) AS precision,
+       |  round(SUM(rec) / COUNT(*), 6) AS recall,
+       |  round(SUM(ap) / COUNT(*), 6) AS map,
+       |  round(SUM(ndcg) / COUNT(*), 6) AS ndcg,
+       |  round(SUM(auc) / COUNT(*), 6) AS roc_auc,
+       |  COUNT(*) AS n_users
+       |FROM (
+       |  SELECT u,
+       |    CAST(n_hits AS DOUBLE) / $c AS prec,
+       |    CAST(n_hits AS DOUBLE) / n_rel AS rec,
+       |    ap_num / LEAST(n_rel, $c) AS ap,
+       |    dcg / (SELECT SUM(1.0 / log2(x + 1))
+       |           FROM idcg_base WHERE x <= m) AS ndcg,
+       |    CASE WHEN n_hits = 0 OR n_hits = $c THEN 0.0
+       |         ELSE CAST(auc_num AS DOUBLE) / (n_hits * ($c - n_hits))
+       |    END AS auc
+       |  FROM (
+       |    SELECT u,
+       |      CAST(SUM(hit) AS BIGINT) AS n_hits,
+       |      ANY_VALUE(n_rel) AS n_rel,
+       |      LEAST(ANY_VALUE(n_rel), $c) AS m,
+       |      SUM(CASE WHEN hit = 1
+       |          THEN CAST(cum_hits AS DOUBLE) / rank ELSE 0.0 END)
+       |        AS ap_num,
+       |      SUM(CASE WHEN hit = 1
+       |          THEN 1.0 / log2(rank + 1) ELSE 0.0 END) AS dcg,
+       |      CAST(SUM(CASE WHEN hit = 1
+       |          THEN ($c - rank) + cum_hits ELSE 0 END)
+       |          - SUM(hit) * SUM(hit) AS BIGINT) AS auc_num
+       |    FROM cum WHERE rank <= $c GROUP BY u
+       |  ) pu
+       |) sc""".stripMargin
+
   def queries: Seq[Q] = Seq(
 
     // L3 — euclidean similarity, linear transform 1/(d+ε), top-5
@@ -85,6 +124,54 @@ object ExtraQueries {
           alpha = 1.0, iters = 3, seed = 7)
         itemF.select(col("id"), size(col("features")).as("k"))
       }, None),
+
+    // §2.10 cutoff-list evaluation (reference: test cutoffs [5,10,20],
+    // run_hyperparameter_tuning.py:42-58): one top-20 ranking, metrics
+    // stacked per cutoff.
+    Q("q77_eval_cutoffs", { t =>
+        val split = Urm.hashSplit(Urm.fromOrders(t), 8, 10)
+        val train = split.filter(col("split") === "train").select("u", "i")
+        val test = split.filter(col("split") === "test").select("u", "i")
+        val pop = Recommenders.topPop(train)
+          .select(col("i").as("item"), col("pop").cast("double").as("score"))
+        val recs = Recommenders.recommendGlobal(pop, train, 20)
+        Evaluation.accuracyMetricsAtCutoffs(
+            Evaluation.hitTable(recs, test), Seq(5, 10, 20))
+          .select("cutoff", "precision", "recall", "map", "ndcg",
+                  "roc_auc", "n_users")
+      },
+      Some(urmCte + """,
+        |train AS (SELECT u, i FROM urm WHERE (u*31 + i) % 10 < 8),
+        |test AS (SELECT u, i FROM urm WHERE (u*31 + i) % 10 >= 8),
+        |pop AS (SELECT i, COUNT(*) AS pop FROM train GROUP BY 1),
+        |users AS (SELECT DISTINCT u FROM train),
+        |recs AS (
+        |  SELECT u, item, rank FROM (
+        |    SELECT s.u, s.item,
+        |      ROW_NUMBER() OVER (PARTITION BY s.u
+        |        ORDER BY s.score DESC, s.item) AS rank
+        |    FROM (SELECT users.u AS u, pop.i AS item,
+        |                 CAST(pop AS DOUBLE) AS score
+        |          FROM users CROSS JOIN pop) s
+        |    WHERE NOT EXISTS (SELECT 1 FROM train t2
+        |                      WHERE t2.u = s.u AND t2.i = s.item)) r
+        |  WHERE rank <= 20
+        |), relc AS (SELECT u, COUNT(*) AS n_rel FROM test GROUP BY 1),
+        |hits AS (
+        |  SELECT recs.u, recs.rank,
+        |    CASE WHEN test.i IS NOT NULL THEN 1 ELSE 0 END AS hit,
+        |    relc.n_rel
+        |  FROM recs
+        |  JOIN relc ON recs.u = relc.u
+        |  LEFT JOIN test ON recs.u = test.u AND recs.item = test.i
+        |), cum AS (
+        |  SELECT u, rank, hit, n_rel,
+        |    SUM(hit) OVER (PARTITION BY u ORDER BY rank
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_hits
+        |  FROM hits
+        |), idcg_base AS (SELECT x FROM generate_series(1, 20) g(x))
+        |""".stripMargin +
+        Seq(5, 10, 20).map(evalAtCutoffSql).mkString("\nUNION ALL\n"))),
 
     // A6 — set-per-group aggregation (reference:
     // Utils/dataset.py:985 groupby().unique()): sorted distinct arrays.

@@ -21,6 +21,25 @@ object EventStreams {
   final case class UserSessions(userId: Long, nSessions: Long,
                                 nEvents: Long)
 
+  /** File-source streaming scan of the events table: the driver-
+    * generated parquet carries TIMESTAMP(NANOS), so ts is read as raw
+    * int64 nanos (explicit schema + legacy conf) and converted to a
+    * µs timestamp — same convention as the batch reader
+    * (core.Tables.events). */
+  def readEventStream(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.types._
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val schema = StructType(Seq(
+      StructField("event_id", LongType), StructField("ts", LongType),
+      StructField("user_id", LongType), StructField("event_type", StringType),
+      StructField("value", DoubleType), StructField("props", StringType)))
+    spark.readStream.schema(schema)
+      .option("pathGlobFilter", "events.parquet")
+      .parquet(dir)
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      .withColumnRenamed("event_type", "eventType")
+  }
+
   /** Tumbling 1-hour windowed counts + sums with a 2-hour watermark —
     * the streaming twin of q29_time_window. */
   def hourlyWindowedAgg(events: DataFrame): DataFrame =

@@ -51,6 +51,41 @@ class StreamingMultimodalSpec extends SparkSpec {
     assert(m(2L).nSessions == 1 && m(2L).nEvents == 1)
   }
 
+  test("file-source stream over sf0.001 events matches the batch counts") {
+    val streamed = EventStreams.runToMemory(
+      spark,
+      EventStreams.hourlyWindowedAgg(
+        EventStreams.readEventStream(spark, "/root/testdata/sf0.001")),
+      "file_win", OutputMode.Complete())
+    val streamTotal = streamed.agg(sum("n")).head().getLong(0)
+    val batchTotal = graft.core.Tables(spark, "/root/testdata/sf0.001")
+      .events.count()
+    assert(streamTotal == batchTotal,
+           s"stream=$streamTotal batch=$batchTotal")
+    assert(streamed.select("eventType").distinct().count() >= 3)
+  }
+
+  test("bounded-heap TopK aggregator matches the ranking window") {
+    import org.apache.spark.sql.expressions.Window
+    val scores = (for { u <- 0 until 20; i <- 0 until 30 }
+      yield (u, i.toLong, ((u * 31 + i * 17) % 97).toDouble))
+      .toDF("u", "item", "score")
+    val w = Window.partitionBy("u")
+      .orderBy(desc("score"), asc("item"))
+    val windowed = scores.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 5)
+      .select("u", "item").collect()
+      .map(r => (r.getInt(0), r.getLong(1))).toSet
+    val agg = new graft.functions.TopKAggregator(5).toColumn
+    val heaped = scores.as[(Int, Long, Double)]
+      .groupByKey(_._1)
+      .mapValues(r => (r._2, r._3))
+      .agg(agg.name("topk"))
+      .flatMap { case (u, top) => top.map(t => (u, t._1)) }
+      .collect().toSet
+    assert(heaped == windowed)
+  }
+
   test("multimodal stub pipeline: binary payload → batched features") {
     val docs = Seq((7L, "hello world"), (8L, "spark engine"))
       .toDF("doc_id", "text")
