@@ -1,0 +1,14 @@
+package graft
+import org.apache.spark.sql.SparkSession
+object ExplainQ {
+  def main(args: Array[String]): Unit = {
+    val spark = SparkSession.builder().master("local[8]")
+      .config("spark.sql.shuffle.partitions", "8")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val t = core.Tables(spark, "/root/testdata/sf0.01")
+    val q = SparkEntry.allQueries.find(_.name == args(0)).get
+    q.run(t).explain("formatted")
+    spark.stop()
+  }
+}

@@ -57,7 +57,11 @@ object Recommenders {
     * The (1/deg_i)ᵅ factor is constant per pair and factored out of the
     * user sum, which accumulates in exact decimal when alpha == 1.
     */
-  def p3alpha(urm: DataFrame, alpha: Double): DataFrame = {
+  def p3alpha(urm0: DataFrame, alpha: Double): DataFrame = {
+    // four consumers of the URM subtree (two join sides, two degree
+    // aggregations) — persist once
+    val urm = urm0.persist(
+      org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val userDeg = urm.groupBy("u").agg(count(lit(1)).as("nu"))
     val itemDeg = urm.groupBy("i").agg(count(lit(1)).as("ni"))
     val a = urm.select(col("u"), col("i").as("i1"))

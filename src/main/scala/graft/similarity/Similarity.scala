@@ -37,7 +37,13 @@ object Similarity {
     * both orientations (i,j) and (j,i) emitted, diagonal excluded —
     * mirrors the reference's zeroed self-similarity
     * (Compute_similarity_test.py:37-56). */
-  def pairDots(urm: DataFrame): DataFrame = {
+  def pairDots(urm0: DataFrame): DataFrame = {
+    // the URM subtree feeds both self-join sides (and the caller's norm
+    // aggregation): persist once — the physical plan shows no exchange
+    // reuse across the aliased sides otherwise (idempotent if the
+    // caller already persisted the same frame)
+    val urm = urm0.persist(
+      org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val a = urm.select(col("u"), col("i").as("i1"))
     val b = urm.select(col("u"), col("i").as("i2"))
     a.join(b, "u")
@@ -51,8 +57,10 @@ object Similarity {
     urm.groupBy(col("i")).agg(count(lit(1)).as("n"))
 
   /** Full similarity matrix as (i, j, w) triples for a binary URM. */
-  def itemSimilarity(urm: DataFrame, measure: Measure,
+  def itemSimilarity(urm0: DataFrame, measure: Measure,
                      shrink: Double = 0.0): DataFrame = {
+    val urm = urm0.persist(
+      org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val dots = pairDots(urm)
     val norms = itemNorms(urm)
     val ni = norms.select(col("i").as("i"), col("n").as("ni"))
