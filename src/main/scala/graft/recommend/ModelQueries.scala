@@ -171,6 +171,20 @@ object ModelQueries {
         }.toDF("i", "norm2")
       }, None),
 
+    // L21 scale path — distributed MF-BPR (partitioned Hogwild SGD with
+    // parameter averaging; triples sampled as a distributed query);
+    // rows-only.
+    Q("q80_mfbpr_distributed", { t =>
+        val spark = t.spark
+        import spark.implicits._
+        val urm = Urm.fromOrders(t).filter(col("u") < 300)
+        val (_, itf) = Models.mfBprDistributed(spark, urm, rank = 8,
+          epochs = 2, samplesPerEpoch = 2000, lr = 0.05, reg = 0.01,
+          seed = 42)
+        itf.toSeq.map { case (i, f) => (i, f.map(x => x * x).sum) }
+          .toDF("i", "norm2")
+      }, None),
+
     // L26 — item-item similarity from latent factors (SVD factors fed
     // through the ANN brute-force scorer; reference:
     // BaseMatrixFactorizationRecommender.py:20-73); rows-only.

@@ -221,6 +221,97 @@ object Models {
     (uf.toMap, itf.toMap)
   }
 
+  /** L21 at scale — distributed MF-BPR: per-partition Hogwild SGD with
+    * parameter averaging. Each epoch:
+    *  1. a distributed seeded query samples (u, i⁺, j⁻) triples —
+    *     positives from the URM, negatives by rand-pick + anti-join
+    *     rejection (no driver-side sampling);
+    *  2. every partition runs local BPR SGD over its triples against a
+    *     broadcast snapshot of the factors;
+    *  3. updated factor vectors are averaged per id across partitions
+    *     (parameter averaging — the standard distributed-SGD
+    *     compromise; exact sequential semantics are impossible to
+    *     distribute, SURVEY §7.4).
+    * The driver only holds the factor matrices (rank · (|U|+|I|)), not
+    * the URM — the data-sized structures stay distributed. */
+  def mfBprDistributed(spark: SparkSession, urm: DataFrame, rank: Int,
+                       epochs: Int, samplesPerEpoch: Int, lr: Double,
+                       reg: Double, seed: Long)
+      : (Map[Int, Array[Double]], Map[Int, Array[Double]]) = {
+    import spark.implicits._
+    val triplesBase = urm.select(col("u").cast("int").as("u"),
+                                 col("i").cast("int").as("i"))
+    val items = triplesBase.select("i").distinct().as[Int].collect().sorted
+    val nItems = items.length
+    val initRng = new scala.util.Random(seed)
+    var uf = triplesBase.select("u").distinct().as[Int].collect()
+      .map(u => u -> Array.fill(rank)((initRng.nextDouble() - 0.5) * 0.1))
+      .toMap
+    var itf = items
+      .map(i => i -> Array.fill(rank)((initRng.nextDouble() - 0.5) * 0.1))
+      .toMap
+    val itemsBc = spark.sparkContext.broadcast(items)
+    (0 until epochs).foreach { ep =>
+      // 1. distributed triple sampling: positive sample + candidate
+      //    negative, rejected against the URM by anti-join
+      val sample = triplesBase
+        .orderBy(rand(seed + ep)).limit(samplesPerEpoch)
+        .withColumn("jneg",
+          element_at(typedLit(items),
+                     (floor(rand(seed + 7 * ep) * nItems) + 1)
+                       .cast("int")))
+      val valid = sample.join(
+        triplesBase.select(col("u"), col("i").as("jneg")),
+        Seq("u", "jneg"), "left_anti")
+      val ufBc = spark.sparkContext.broadcast(uf)
+      val itfBc = spark.sparkContext.broadcast(itf)
+      // 2. per-partition local SGD over broadcast factor snapshots
+      val updated = valid.select("u", "i", "jneg")
+        .as[(Int, Int, Int)].rdd
+        .mapPartitions { part =>
+          val lu = scala.collection.mutable.Map[Int, Array[Double]]()
+          val li = scala.collection.mutable.Map[Int, Array[Double]]()
+          def cu(id: Int) = lu.getOrElseUpdate(id, ufBc.value(id).clone())
+          def ci(id: Int) = li.getOrElseUpdate(id, itfBc.value(id).clone())
+          part.foreach { case (u, ipos, jneg) =>
+            val wu = cu(u); val hi = ci(ipos); val hj = ci(jneg)
+            var x = 0.0
+            var f = 0
+            while (f < rank) { x += wu(f) * (hi(f) - hj(f)); f += 1 }
+            val sig = 1.0 / (1.0 + math.exp(x))
+            f = 0
+            while (f < rank) {
+              val du = sig * (hi(f) - hj(f)) - reg * wu(f)
+              val di = sig * wu(f) - reg * hi(f)
+              val dj = -sig * wu(f) - reg * hj(f)
+              wu(f) += lr * du; hi(f) += lr * di; hj(f) += lr * dj
+              f += 1
+            }
+          }
+          lu.iterator.map { case (id, v) => (("u", id), v) } ++
+            li.iterator.map { case (id, v) => (("i", id), v) }
+        }
+      // 3. parameter averaging per id across partitions
+      val averaged = updated
+        .mapValues(v => (v, 1))
+        .reduceByKey((x: (Array[Double], Int), y: (Array[Double], Int)) => {
+          val s = x._1.clone()
+          var f = 0
+          while (f < rank) { s(f) += y._1(f); f += 1 }
+          (s, x._2 + y._2)
+        })
+        .mapValues(sn => sn._1.map(_ / sn._2))
+        .collect()
+      averaged.foreach {
+        case (("u", id), v) => uf = uf.updated(id, v)
+        case (("i", id), v) => itf = itf.updated(id, v)
+        case _ => ()
+      }
+      ufBc.destroy(); itfBc.destroy()
+    }
+    (uf, itf)
+  }
+
   /** L27 — incremental training with early stopping (reference:
     * Base/Incremental_Training_Early_Stopping.py:91-262): run
     * `trainEpoch` up to `maxEpochs`, validate every `validateEvery`,

@@ -63,6 +63,22 @@ class ModelsSpec extends SparkSpec {
     assert(meanMargin > 0, s"mean BPR margin $meanMargin should be positive")
   }
 
+  test("distributed MF-BPR (partitioned SGD + averaging) learns margins") {
+    val (uf, itf) = Models.mfBprDistributed(spark, urm, rank = 6,
+      epochs = 10, samplesPerEpoch = 2000, lr = 0.1, reg = 0.01, seed = 42)
+    val seen = urm.select("u", "i").as[(Int, Int)].collect()
+      .groupBy(_._1).map { case (u, rs) => (u, rs.map(_._2).toSet) }
+    def score(u: Int, i: Int): Double =
+      uf(u).zip(itf(i)).map { case (a, b) => a * b }.sum
+    val margins = for {
+      u <- 0 until 30
+      pos <- seen(u).take(3)
+      neg <- (0 until 20).find(j => !seen(u).contains(j))
+    } yield score(u, pos) - score(u, neg)
+    assert(margins.sum / margins.size > 0,
+           "positives must outscore negatives after distributed training")
+  }
+
   test("MF-BPR impression sampling modes draw from the right pools") {
     // user 0 sees items 0..4; impressions show items 5..9
     val mini = (0 until 5).map(i => (0, i, 1)).toDF("u", "i", "v")
