@@ -173,6 +173,106 @@ object ExtraQueries {
         |""".stripMargin +
         Seq(5, 10, 20).map(evalAtCutoffSql).mkString("\nUNION ALL\n"))),
 
+    // R2 — candidate-set restriction of scoring (negative-item ranking,
+    // reference: Base/Evaluation/Evaluator.py:780-826): the candidate
+    // set here is predicate-defined so the oracle states it as WHERE.
+    Q("q78_candidate_restriction", { t =>
+        val urm = Urm.fromOrders(t)
+        val sim = Similarity.topK(
+          Similarity.itemSimilarity(urm, Similarity.Cosine), 10)
+          .select(col("i"), col("j"), col("w"))
+        val scores = Recommenders.scoreBySimilarity(
+          urm.filter(col("u") < 100), sim)
+        val candidates = scores.select("u", "item")
+          .filter((col("u") + col("item")) % 3 === 0)
+        Recommenders.restrictToCandidates(scores, candidates)
+          .select(col("u"), col("item"), round(col("score"), 6).as("score"))
+      },
+      Some(urmCte + """,
+        |dots AS (
+        |  SELECT a.i AS i, b.i AS j, COUNT(*) AS dot
+        |  FROM urm a JOIN urm b ON a.u = b.u AND a.i <> b.i
+        |  GROUP BY 1, 2
+        |), norms AS (SELECT i, COUNT(*) AS n FROM urm GROUP BY 1),
+        |sim AS (
+        |  SELECT i, j, w FROM (
+        |    SELECT d.i, d.j,
+        |      CAST(d.dot AS DOUBLE) / (sqrt(ni.n) * sqrt(nj.n)) AS w,
+        |      ROW_NUMBER() OVER (PARTITION BY d.i
+        |        ORDER BY CAST(d.dot AS DOUBLE) / (sqrt(ni.n) * sqrt(nj.n))
+        |          DESC, d.j) AS rank
+        |    FROM dots d
+        |    JOIN norms ni ON d.i = ni.i
+        |    JOIN norms nj ON d.j = nj.i) s
+        |  WHERE rank <= 10
+        |)
+        |SELECT u, item, score FROM (
+        |  SELECT urm.u AS u, sim.j AS item,
+        |    round(CAST(SUM(CAST(sim.w AS DECIMAL(28,12))) AS DOUBLE), 6)
+        |      AS score
+        |  FROM urm JOIN sim ON urm.i = sim.i
+        |  WHERE urm.u < 100
+        |  GROUP BY 1, 2) sc
+        |WHERE (u + item) % 3 = 0""".stripMargin)),
+
+    // §2.10 — intra-list diversity of TopPop@10 lists against the
+    // cosine similarity matrix (reference: metrics.py:642-696).
+    Q("q79_intra_list_diversity", { t =>
+        val urm = Urm.fromOrders(t)
+        val split = Urm.hashSplit(urm, 8, 10)
+        val train = split.filter(col("split") === "train").select("u", "i")
+        val pop = Recommenders.topPop(train)
+          .select(col("i").as("item"), col("pop").cast("double").as("score"))
+        val recs = Recommenders.recommendGlobal(pop, train, 10)
+        val sim = Similarity.topK(
+          Similarity.itemSimilarity(urm, Similarity.Cosine), 10)
+          .select(col("i"), col("j"), col("w"))
+        Evaluation.intraListDiversity(recs, sim)
+      },
+      Some(urmCte + """,
+        |train AS (SELECT u, i FROM urm WHERE (u*31 + i) % 10 < 8),
+        |pop AS (SELECT i, COUNT(*) AS pop FROM train GROUP BY 1),
+        |users AS (SELECT DISTINCT u FROM train),
+        |recs AS (
+        |  SELECT u, item FROM (
+        |    SELECT s.u, s.item,
+        |      ROW_NUMBER() OVER (PARTITION BY s.u
+        |        ORDER BY s.score DESC, s.item) AS rank
+        |    FROM (SELECT users.u AS u, pop.i AS item,
+        |                 CAST(pop AS DOUBLE) AS score
+        |          FROM users CROSS JOIN pop) s
+        |    WHERE NOT EXISTS (SELECT 1 FROM train t2
+        |                      WHERE t2.u = s.u AND t2.i = s.item)) r
+        |  WHERE rank <= 10
+        |), dots AS (
+        |  SELECT a.i AS i, b.i AS j, COUNT(*) AS dot
+        |  FROM urm a JOIN urm b ON a.u = b.u AND a.i <> b.i
+        |  GROUP BY 1, 2
+        |), norms AS (SELECT i, COUNT(*) AS n FROM urm GROUP BY 1),
+        |sim AS (
+        |  SELECT i, j, w FROM (
+        |    SELECT d.i, d.j,
+        |      CAST(d.dot AS DOUBLE) / (sqrt(ni.n) * sqrt(nj.n)) AS w,
+        |      ROW_NUMBER() OVER (PARTITION BY d.i
+        |        ORDER BY CAST(d.dot AS DOUBLE) / (sqrt(ni.n) * sqrt(nj.n))
+        |          DESC, d.j) AS rank
+        |    FROM dots d
+        |    JOIN norms ni ON d.i = ni.i
+        |    JOIN norms nj ON d.j = nj.i) s
+        |  WHERE rank <= 10
+        |), pairs AS (
+        |  SELECT a.u, a.item AS ia, b.item AS ib
+        |  FROM recs a JOIN recs b ON a.u = b.u AND a.item < b.item
+        |), per_user AS (
+        |  SELECT pairs.u,
+        |    SUM(1.0 - COALESCE(sim.w, 0.0)) / COUNT(*) AS ild
+        |  FROM pairs
+        |  LEFT JOIN sim ON sim.i = pairs.ia AND sim.j = pairs.ib
+        |  GROUP BY pairs.u
+        |)
+        |SELECT round(SUM(ild) / COUNT(*), 6) AS intra_list_diversity
+        |FROM per_user""".stripMargin)),
+
     // A6 — set-per-group aggregation (reference:
     // Utils/dataset.py:985 groupby().unique()): sorted distinct arrays.
     Q("q76_collect_set",
