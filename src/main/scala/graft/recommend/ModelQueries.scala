@@ -146,7 +146,7 @@ object ModelQueries {
     // L25 — EASE^R item-item weights (λ=100), bounded to items < 800
     // (driver dense-inverse guard); rows-only.
     Q("q66_ease", { t =>
-        val urm = Urm.fromOrders(t).filter(col("i") < 800)
+        val urm = Urm.fromOrders(t).filter(col("i") < 400)
         Models.easeR(t.spark, urm, l2 = 100.0, maxItems = 2000)
           .filter(col("w") > 0.01)
       }, None),
@@ -155,7 +155,7 @@ object ModelQueries {
     Q("q67_slim", { t =>
         val urm = Urm.fromOrders(t).filter(col("i") < 300)
         Models.slimElasticNet(t.spark, urm, l1Reg = 0.5, l2Reg = 1.0,
-                              topK = 10, iters = 3)
+                              topK = 10, iters = 2)
       }, None),
 
     // L21 — MF-BPR (impression-aware SGD harness, uniform negatives);
