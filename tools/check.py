@@ -2,6 +2,8 @@
 """Local replica of the driver's DuckDB-oracle correctness gate.
 
 Usage: python3 tools/check.py <verify_out_dir> <sf_dir> [query ...]
+Set CHECK_STRICT=1 to compare floats bit-exactly (no rounding) —
+all oracle queries are engineered to pass even this.
 
 Reads each <out_dir>/<name> parquet (Spark result), runs the matching
 oracle SQL from <out_dir>/oracle_sql.json in DuckDB over the same
@@ -16,20 +18,22 @@ import pandas as pd
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings"]
 
+STRICT = os.environ.get("CHECK_STRICT") == "1"
+
 def norm_cell(v):
     if v is None:
         return None
     if isinstance(v, float):
         if math.isnan(v):
             return "NaN"
-        return round(v, 6)
+        return repr(v) if STRICT else round(v, 6)
     if hasattr(v, "item"):  # numpy scalar
         try:
             v = v.item()
         except Exception:
             pass
         if isinstance(v, float):
-            return round(v, 6)
+            return repr(v) if STRICT else round(v, 6)
     if isinstance(v, (list, tuple)) or v.__class__.__name__ == "ndarray":
         return tuple(norm_cell(x) for x in v)
     return v
