@@ -28,7 +28,15 @@ object Bench {
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val line =
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    println(line)
+    // stdout tail capture can truncate the line (round-1 BENCH had
+    // parsed=null); persist it to a known file as the durable copy
+    val outFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT",
+                                    "bench_out.json")
+    java.nio.file.Files.write(java.nio.file.Paths.get(outFile),
+      (line + "\n").getBytes("UTF-8"))
     spark.stop()
   }
 }

@@ -71,6 +71,69 @@ object Urm {
       .drop("rn", "n")
   }
 
+  /** X4 — global random holdout: one seeded Bernoulli draw per
+    * interaction, no per-user stratification (reference:
+    * split_functions/split_train_validation.py:267-291
+    * split_train_validation_percentage_random_holdout). */
+  def globalRandomHoldout(urm: DataFrame, trainFrac: Double, seed: Long)
+      : DataFrame =
+    urm.withColumn("split",
+      when(rand(seed) <= trainFrac, "train").otherwise("validation"))
+
+  /** X5 — cold-start user-wise split (reference:
+    * split_functions/split_train_validation.py:295-378
+    * split_train_validation_cold_start_user_wise): users with more than
+    * `coldItems` interactions are randomly partitioned — a
+    * `fullTrainFrac` share keeps their whole profile in train, the rest
+    * become COLD users retaining only `coldItems` random interactions
+    * in train with everything else held out to validation. Users at or
+    * below the threshold stay entirely in train (the reference's
+    * users_no_enough_items branch). */
+  def coldUserSplit(urm: DataFrame, fullTrainFrac: Double, coldItems: Int,
+                    seed: Long): DataFrame = {
+    // one seeded draw per user decides full-train membership — the
+    // distributed analog of the reference's shuffled-prefix pick
+    val userDraw = urm.select("u").distinct()
+      .withColumn("u_draw", rand(seed))
+    val perUser = Window.partitionBy("u")
+    val wItems = perUser.orderBy(rand(seed + 1), col("i"))
+    urm.join(userDraw, "u")
+      .withColumn("n", count(lit(1)).over(perUser))
+      .withColumn("is_cold",
+        col("n") > coldItems && col("u_draw") >= fullTrainFrac)
+      .withColumn("rn", row_number().over(wItems))
+      .withColumn("split",
+        when(!col("is_cold") || col("rn") <= coldItems, "train")
+          .otherwise("validation"))
+      .drop("n", "u_draw", "is_cold", "rn")
+  }
+
+  /** X5 deterministic twin — the oracle-checkable cold-user split: the
+    * per-user draw and the per-user item order are pure md5 key
+    * functions, so an external engine computes identical membership
+    * (the same hash-routing used by the dedup sketches). Semantics
+    * match [[coldUserSplit]] exactly. */
+  def coldUserSplitHash(urm: DataFrame, fullTrainFrac: Double,
+                        coldItems: Int): DataFrame = {
+    val uDraw =
+      (conv(substring(md5(col("u").cast("string")), 1, 15), 16, 10)
+         .cast("long") % 1000L).cast("double") / 1000.0
+    val itemKey = md5(concat_ws(",", col("u").cast("string"),
+                                col("i").cast("string")))
+    val perUser = Window.partitionBy("u")
+    val wItems = perUser.orderBy(itemKey, col("i"))
+    urm
+      .withColumn("n", count(lit(1)).over(perUser))
+      .withColumn("u_draw", uDraw)
+      .withColumn("is_cold",
+        col("n") > coldItems && col("u_draw") >= fullTrainFrac)
+      .withColumn("rn", row_number().over(wItems))
+      .withColumn("split",
+        when(!col("is_cold") || col("rn") <= coldItems, "train")
+          .otherwise("validation"))
+      .drop("n", "u_draw", "is_cold", "rn")
+  }
+
   /** X3 — leave-one-out per user (random, seeded). */
   def leaveOneOut(urm: DataFrame, seed: Long): DataFrame = {
     val w = Window.partitionBy("u").orderBy(rand(seed))

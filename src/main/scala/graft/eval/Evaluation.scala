@@ -120,6 +120,12 @@ object Evaluation {
     recs.agg(round(countDistinct(col("item")).cast("double") / nItems, 6)
                .as("coverage_item"))
 
+  /** COVERAGE_USER: share of users who received at least one
+    * recommendation (reference: metrics.py:348-370 Coverage_User). */
+  def userCoverage(recs: DataFrame, nUsers: Long): DataFrame =
+    recs.agg(round(countDistinct(col("u")).cast("double") / nUsers, 6)
+               .as("coverage_user"))
+
   /** Novelty: mean self-information −log2(pop/nnz) of recommended items
     * w.r.t. training popularity (reference: metrics.py:538-586). */
   def novelty(recs: DataFrame, itemPop: DataFrame, nnz: Long): DataFrame =

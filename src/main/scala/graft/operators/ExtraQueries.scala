@@ -84,7 +84,7 @@ object ExtraQueries {
         |)
         |SELECT i, j, round(w, 6) AS w, rank FROM (
         |  SELECT i, j, w,
-        |    ROW_NUMBER() OVER (PARTITION BY i ORDER BY w DESC, j) AS rank
+        |    ROW_NUMBER() OVER (PARTITION BY j ORDER BY w DESC, i) AS rank
         |  FROM sim) s
         |WHERE rank <= 5""".stripMargin)),
 
@@ -198,9 +198,9 @@ object ExtraQueries {
         |  SELECT i, j, w FROM (
         |    SELECT d.i, d.j,
         |      CAST(d.dot AS DOUBLE) / (sqrt(ni.n) * sqrt(nj.n)) AS w,
-        |      ROW_NUMBER() OVER (PARTITION BY d.i
+        |      ROW_NUMBER() OVER (PARTITION BY d.j
         |        ORDER BY CAST(d.dot AS DOUBLE) / (sqrt(ni.n) * sqrt(nj.n))
-        |          DESC, d.j) AS rank
+        |          DESC, d.i) AS rank
         |    FROM dots d
         |    JOIN norms ni ON d.i = ni.i
         |    JOIN norms nj ON d.j = nj.i) s
@@ -253,9 +253,9 @@ object ExtraQueries {
         |  SELECT i, j, w FROM (
         |    SELECT d.i, d.j,
         |      CAST(d.dot AS DOUBLE) / (sqrt(ni.n) * sqrt(nj.n)) AS w,
-        |      ROW_NUMBER() OVER (PARTITION BY d.i
+        |      ROW_NUMBER() OVER (PARTITION BY d.j
         |        ORDER BY CAST(d.dot AS DOUBLE) / (sqrt(ni.n) * sqrt(nj.n))
-        |          DESC, d.j) AS rank
+        |          DESC, d.i) AS rank
         |    FROM dots d
         |    JOIN norms ni ON d.i = ni.i
         |    JOIN norms nj ON d.j = nj.i) s
@@ -274,12 +274,16 @@ object ExtraQueries {
         |FROM per_user""".stripMargin)),
 
     // A6 — set-per-group aggregation (reference:
-    // Utils/dataset.py:985 groupby().unique()): sorted distinct arrays.
+    // Utils/dataset.py:985 groupby().unique()): sorted distinct arrays,
+    // serialized to a comma-joined string so the result cells are
+    // hashable scalars for the cross-engine comparator.
     Q("q76_collect_set",
       t => t.lineitem.groupBy("l_suppkey")
-        .agg(sort_array(collect_set(col("l_partkey"))).as("parts"),
+        .agg(concat_ws(",", sort_array(collect_set(col("l_partkey"))))
+               .as("parts"),
              countDistinct(col("l_partkey")).as("n_parts")),
-      Some("""SELECT l_suppkey, list_sort(list(DISTINCT l_partkey)) AS parts,
+      Some("""SELECT l_suppkey,
+        |array_to_string(list_sort(list(DISTINCT l_partkey)), ',') AS parts,
         |COUNT(DISTINCT l_partkey) AS n_parts
         |FROM lineitem GROUP BY 1""".stripMargin)),
 

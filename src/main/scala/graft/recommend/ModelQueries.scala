@@ -44,8 +44,8 @@ object ModelQueries {
         |SELECT i, j, round(w, 6) AS w, rank FROM (
         |  SELECT d.i, d.j,
         |    d.dot / (sqrt(ni.nn) * sqrt(nj.nn)) AS w,
-        |    ROW_NUMBER() OVER (PARTITION BY d.i
-        |      ORDER BY d.dot / (sqrt(ni.nn) * sqrt(nj.nn)) DESC, d.j)
+        |    ROW_NUMBER() OVER (PARTITION BY d.j
+        |      ORDER BY d.dot / (sqrt(ni.nn) * sqrt(nj.nn)) DESC, d.i)
         |      AS rank
         |  FROM dots d
         |  JOIN norms ni ON d.i = ni.i
@@ -87,8 +87,8 @@ object ModelQueries {
         |SELECT i, j, round(w, 6) AS w, rank FROM (
         |  SELECT d.i, d.j,
         |    d.dot / (sqrt(ni.nn) * sqrt(nj.nn)) AS w,
-        |    ROW_NUMBER() OVER (PARTITION BY d.i
-        |      ORDER BY d.dot / (sqrt(ni.nn) * sqrt(nj.nn)) DESC, d.j)
+        |    ROW_NUMBER() OVER (PARTITION BY d.j
+        |      ORDER BY d.dot / (sqrt(ni.nn) * sqrt(nj.nn)) DESC, d.i)
         |      AS rank
         |  FROM dots d
         |  JOIN norms ni ON d.i = ni.i
@@ -115,9 +115,9 @@ object ModelQueries {
         |SELECT u1, u2, round(w, 6) AS w, rank FROM (
         |  SELECT d.u1, d.u2,
         |    CAST(d.dot AS DOUBLE) / (sqrt(na.n) * sqrt(nb.n)) AS w,
-        |    ROW_NUMBER() OVER (PARTITION BY d.u1
+        |    ROW_NUMBER() OVER (PARTITION BY d.u2
         |      ORDER BY CAST(d.dot AS DOUBLE) / (sqrt(na.n) * sqrt(nb.n))
-        |        DESC, d.u2) AS rank
+        |        DESC, d.u1) AS rank
         |  FROM dots d
         |  JOIN norms na ON d.u1 = na.u
         |  JOIN norms nb ON d.u2 = nb.u) s
@@ -183,6 +183,42 @@ object ModelQueries {
           seed = 42)
         itf.toSeq.map { case (i, f) => (i, f.map(x => x * x).sum) }
           .toDF("i", "norm2")
+      }, None),
+
+    // L22 — true FunkSVD SGD with biases and negative-interactions
+    // quota (reference: MatrixFactorizationImpressions_Cython_Epoch
+    // .pyx:330-448); rows-only: item factor norms. q74 remains the
+    // ml.ALS cross-check of the same explicit-feedback objective.
+    Q("q82_funksvd", { t =>
+        val spark = t.spark
+        import spark.implicits._
+        val ratings = Urm.ratingsFromOrders(t).filter(col("u") < 200)
+          .select(col("u"), col("i"), col("r").as("v"))
+        val m = Models.funkSvdSgd(spark, ratings, rank = 8, epochs = 3,
+          samplesPerEpoch = 2000, lr = 0.002, reg = 0.01, biasReg = 0.01,
+          negativeQuota = 0.2, seed = 42)
+        m.itemFactors.toSeq.map { case (i, f) =>
+          (i, f.map(x => x * x).sum)
+        }.toDF("i", "norm2")
+      }, None),
+
+    // L24 — SLIM BPR item-item weights (reference:
+    // SLIM_BPR/Cython/SLIM_BPR_Cython_Epoch.pyx:212-310); rows-only.
+    Q("q83_slim_bpr", { t =>
+        val urm = Urm.fromOrders(t)
+          .filter(col("i") < 300 && col("u") < 500)
+        Models.slimBpr(t.spark, urm, epochs = 2, samplesPerEpoch = 2000,
+          lr = 0.05, liReg = 0.01, ljReg = 0.01, topK = 10, seed = 42)
+      }, None),
+
+    // L19 — NMF via distributed multiplicative updates (reference:
+    // MatrixFactorization/NMFRecommender.py:36-73); rows-only.
+    Q("q84_nmf", { t =>
+        val urm = Urm.fromOrders(t).filter(col("u") < 500)
+        val (_, itemF) = Models.nmf(t.spark, urm, rank = 8, iters = 3,
+                                    seed = 42)
+        itemF.select(col("i"),
+                     round(Ann.norm2(col("factors")), 4).as("norm2"))
       }, None),
 
     // L26 — item-item similarity from latent factors (SVD factors fed

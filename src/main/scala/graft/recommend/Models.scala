@@ -2,10 +2,8 @@ package graft.recommend
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.mllib.linalg.{Vectors => OldVectors}
-import org.apache.spark.mllib.linalg.distributed.RowMatrix
 import org.apache.spark.ml.recommendation.ALS
-import breeze.linalg.{inv, DenseMatrix => BDM}
+import breeze.linalg.{eigSym, inv, DenseMatrix => BDM}
 
 /** Factorization / regression model operators (SURVEY.md §2.8 L18–L25).
   *
@@ -14,31 +12,50 @@ import breeze.linalg.{inv, DenseMatrix => BDM}
   * same objective as the reference's IALSRecommender.py:19-22); EASE^R →
   * distributed Gram aggregation + driver Breeze inverse (the one place
   * the math demands a local dense solve, guarded by a size check);
-  * SLIM ElasticNet → embarrassingly parallel per-item coordinate descent
-  * over a broadcast URM (mapPartitions, reference
-  * SLIM_ElasticNet/SLIMElasticNetRecommender.py:41-150).
+  * SLIM ElasticNet → covariance-form coordinate descent over the
+  * distributed item×item Gram, embarrassingly parallel per target item
+  * (reference SLIM_ElasticNet/SLIMElasticNetRecommender.py:41-150) —
+  * the URM itself never leaves the cluster.
   */
 object Models {
 
   /** L18 — PureSVD (reference: MatrixFactorization/PureSVDRecommender.py:
     * 33-45): truncated SVD of the user×item matrix; item factors are
-    * (Σ·Vᵀ)ᵀ rows. Returns (i, factors ARRAY<double>). Item ids must be
-    * dense indices (use etl.Urm.denseIndex first). */
+    * (Σ·Vᵀ)ᵀ = V·Σ rows. Returns (i, factors ARRAY<double>). Item ids
+    * must be dense indices (use etl.Urm.denseIndex first).
+    *
+    * Scale path: AᵀA = V·Σ²·Vᵀ, so the right singular vectors come from
+    * the ITEM×ITEM Gram — computed distributedly as one pair-dot
+    * aggregation over the (user-scaled) URM, then eigendecomposed
+    * locally. The driver never touches user-sized data; the dense
+    * materialization is item², the same bounded dimension the reference
+    * itself assumes when it densifies V (PureSVDRecommender.py:40-44).
+    * This replaces the round-1 RowMatrix/ARPACK path whose per-iteration
+    * distributed matvecs dominated the bench. */
   def pureSvdItemFactors(spark: SparkSession, urm: DataFrame, k: Int,
                          nItems: Int): DataFrame = {
-    val rows = urm.select(col("u").cast("int"), col("i").cast("int"),
-                          col("v").cast("double"))
-      .rdd.map(r => (r.getInt(0), (r.getInt(1), r.getDouble(2))))
-      .groupByKey()
-      .map { case (_, cols) =>
-        OldVectors.sparse(nItems, cols.toSeq.sortBy(_._1))
-      }
-    val svd = new RowMatrix(rows).computeSVD(k, computeU = false)
-    val v = svd.V // nItems × k
-    val s = svd.s
+    val binary = urm.select(col("u").cast("int").as("u"),
+                            col("i").cast("int").as("i"),
+                            col("v").cast("double").as("v"))
+    // Gram for general values: G[i,j] = Σ_u v_ui·v_uj (pairDots covers
+    // the binary case; weighted URMs accumulate the product directly)
+    val a = binary.select(col("u"), col("i").as("i1"), col("v").as("v1"))
+    val b = binary.select(col("u"), col("i").as("i2"), col("v").as("v2"))
+    val gram = a.join(b, "u")
+      .groupBy(col("i1"), col("i2"))
+      .agg(sum(col("v1") * col("v2")).as("g"))
+      .collect()
+    val gMat = BDM.zeros[Double](nItems, nItems)
+    gram.foreach { r =>
+      gMat(r.getInt(0), r.getInt(1)) = r.getDouble(2)
+    }
+    val es = eigSym(gMat) // eigenvalues ascending
+    val order = (0 until nItems).sortBy(f => -es.eigenvalues(f)).take(k)
+    val sigmas = order.map(f => math.sqrt(math.max(es.eigenvalues(f), 0.0)))
     import spark.implicits._
     (0 until nItems).map { i =>
-      (i, (0 until s.size).map(f => v(i, f) * s(f)).toArray)
+      (i, order.indices.map(f =>
+        es.eigenvectors(i, order(f)) * sigmas(f)).toArray)
     }.toDF("i", "factors")
   }
 
@@ -90,42 +107,66 @@ object Models {
     triples.toDF("i", "j", "w")
   }
 
-  /** L23 — SLIM ElasticNet: one positive-only coordinate-descent
-    * regression per item against the broadcast URM
+  /** L23 — SLIM ElasticNet in covariance form
     * (reference: SLIM_ElasticNet/SLIMElasticNetRecommender.py:41-150).
-    * Items partition across the cluster; each task solves its own
-    * columns — the same parallelism the reference gets from
-    * multiprocessing, expressed as mapPartitions. Returns (i, j, w)
-    * with the top-K positive coefficients per target item. */
+    *
+    * Coordinate descent needs only inner products: ρ_j = xⱼᵀy −
+    * Σ_{k≠j} w_k·xⱼᵀx_k — every term is an entry of the ITEM×ITEM Gram
+    * AᵀA. The Gram is aggregated distributedly from the user-scaled URM
+    * (one co-occurrence groupBy, the same kernel as the similarity
+    * engine), and only that item²-bounded sparse structure is collected
+    * and broadcast — never the URM itself. Targets then partition
+    * across the cluster and each task runs its own CD sweeps over Gram
+    * entries: O(active²) lookups per sweep instead of the round-1
+    * per-step set intersections over user lists.
+    *
+    * The candidate set per target is its co-occurrence neighborhood:
+    * with w ≥ 0 and all Gram entries ≥ 0, a coordinate with xⱼᵀy = 0
+    * has ρ_j ≤ 0 and can never activate, so skipping it is exact.
+    * Returns (i, j, w) with the top-K positive coefficients per target
+    * item (column j = target, matching similarityMatrixTopK). */
   def slimElasticNet(spark: SparkSession, urm: DataFrame, l1Reg: Double,
                      l2Reg: Double, topK: Int, iters: Int): DataFrame = {
     import spark.implicits._
-    val triples = urm.select(col("u").cast("int"), col("i").cast("int"))
-      .as[(Int, Int)].collect()
-    val byItem = triples.groupBy(_._2).map { case (i, rs) =>
-      (i, rs.map(_._1).toSet)
-    }
-    val bc = spark.sparkContext.broadcast(byItem)
-    val items = byItem.keys.toSeq.sorted
-    val result = spark.sparkContext.parallelize(items, 32)
+    import graft.similarity.Similarity
+    val binary = urm.select(col("u").cast("int").as("u"),
+                            col("i").cast("int").as("i"))
+    // item²-bounded sparse Gram: off-diagonal co-occurrence counts plus
+    // diagonal norms — the only driver-side materialization
+    val offDiag = Similarity.pairDots(binary)
+      .as[(Int, Int, Long)].collect()
+    val diag = Similarity.itemNorms(binary)
+      .as[(Int, Long)].collect()
+    val gram: Map[Int, Map[Int, Double]] = offDiag
+      .groupBy(_._1)
+      .map { case (i, rs) =>
+        (i, rs.map { case (_, j, d) => (j, d.toDouble) }.toMap)
+      }
+    val norms: Map[Int, Double] = diag.map { case (i, n) =>
+      (i, n.toDouble)
+    }.toMap
+    val gramBc = spark.sparkContext.broadcast(gram)
+    val normsBc = spark.sparkContext.broadcast(norms)
+    val items = norms.keys.toSeq.sorted
+    val result = spark.sparkContext
+      .parallelize(items, math.min(items.size, 64))
       .flatMap { target =>
-        val cols = bc.value
-        val y = cols(target)
-        // coordinate descent on w_j ≥ 0, j ≠ target:
-        // minimize ½‖y − Σ w_j x_j‖² + λ1‖w‖1 + ½λ2‖w‖²
-        val others = cols.keys.filter(_ != target).toArray.sorted
+        val g = gramBc.value
+        val n = normsBc.value
+        // xⱼᵀy for the target column; candidates are its neighbors
+        val yCol = g.getOrElse(target, Map.empty)
+        val others = yCol.keys.toArray.sorted
         val w = scala.collection.mutable.Map[Int, Double]()
         var it = 0
         while (it < iters) {
           others.foreach { j =>
-            val xj = cols(j)
-            val xjy = (xj & y).size.toDouble
-            // residual correlation excluding j
+            val gj = g.getOrElse(j, Map.empty)
+            // residual correlation excluding j, over Gram entries
             val cross = w.iterator.filter(_._1 != j).map { case (k, wk) =>
-              wk * (xj & cols(k)).size
+              wk * gj.getOrElse(k, 0.0)
             }.sum
-            val rho = xjy - cross
-            val denom = xj.size + l2Reg
+            val rho = yCol(j) - cross
+            val denom = n(j) + l2Reg
             val wj = math.max(0.0, (rho - l1Reg) / denom)
             if (wj > 0) w(j) = wj else w.remove(j)
           }
@@ -176,33 +217,44 @@ object Models {
         .groupBy(_._1).map { case (u, rs) => (u, rs.map(_._2).distinct) }
       case None => Map.empty
     }
-    def drawNegative(u: Int, s: Set[Int]): Int = samplingMode match {
+    // negatives must come from outside `blocked`; rejection sampling
+    // with a bounded guard, then an exact fallback over the explicit
+    // complement — None when the user has interacted with every item
+    // (the round-1 unbounded loop hung there, and the expired 'outside'
+    // guard silently trained a seen item as a negative)
+    def drawBlocked(blocked: Set[Int]): Option[Int] = {
+      var guard = 0
+      while (guard < 100) {
+        val j = items(rng.nextInt(items.length))
+        if (!blocked.contains(j)) return Some(j)
+        guard += 1
+      }
+      val cand = items.filterNot(blocked.contains)
+      if (cand.isEmpty) None else Some(cand(rng.nextInt(cand.length)))
+    }
+    def drawNegative(u: Int, s: Set[Int]): Option[Int] = samplingMode match {
       case "inside" =>
         val cand = shown.getOrElse(u, Array.empty).filterNot(s.contains)
-        if (cand.nonEmpty) cand(rng.nextInt(cand.length))
-        else drawUniform(s)
+        if (cand.nonEmpty) Some(cand(rng.nextInt(cand.length)))
+        else drawBlocked(s)
       case "outside" =>
-        val sh = shown.getOrElse(u, Array.empty).toSet
-        var j = items(rng.nextInt(items.length))
-        var guard = 0
-        while ((s.contains(j) || sh.contains(j)) && guard < 1000) {
-          j = items(rng.nextInt(items.length)); guard += 1
-        }
-        j
-      case _ => drawUniform(s)
+        drawBlocked(s ++ shown.getOrElse(u, Array.empty))
+      case _ => drawBlocked(s)
     }
-    def drawUniform(s: Set[Int]): Int = {
-      var j = items(rng.nextInt(items.length))
-      while (s.contains(j)) j = items(rng.nextInt(items.length))
-      j
-    }
+    // linear epoch sampling: sample(fraction) is a scan-local Bernoulli
+    // draw — the round-1 orderBy(rand).limit was a full URM sort per
+    // epoch, O(N log N) shuffle × `epochs` (the reference caps at 1,500
+    // epochs, run_parameter_search.py:239)
+    val total = seen.valuesIterator.map(_.size.toLong).sum
     (0 until epochs).foreach { ep =>
+      val frac = math.min(1.0, 1.25 * samplesPerEpoch / math.max(1L, total))
       val sample = urm.select(col("u").cast("int"), col("i").cast("int"))
-        .orderBy(rand(seed + ep)).limit(samplesPerEpoch)
+        .sample(withReplacement = false, frac, seed + ep)
         .as[(Int, Int)].collect()
+        .take(samplesPerEpoch)
       sample.foreach { case (u, ipos) =>
         val s = seen(u)
-        val jneg = drawNegative(u, s)
+        drawNegative(u, s).foreach { jneg =>
         val wu = fac(uf, u); val hi = fac(itf, ipos); val hj = fac(itf, jneg)
         var xuij = 0.0
         var f = 0
@@ -215,6 +267,7 @@ object Models {
           val dj = -sig * wu(f) - reg * hj(f)
           wu(f) += lr * du; hi(f) += lr * di; hj(f) += lr * dj
           f += 1
+        }
         }
       }
     }
@@ -251,14 +304,21 @@ object Models {
       .map(i => i -> Array.fill(rank)((initRng.nextDouble() - 0.5) * 0.1))
       .toMap
     val itemsBc = spark.sparkContext.broadcast(items)
+    val total = triplesBase.count()
     (0 until epochs).foreach { ep =>
-      // 1. distributed triple sampling: positive sample + candidate
-      //    negative, rejected against the URM by anti-join
+      // 1. distributed triple sampling: a linear Bernoulli sample()
+      //    (no per-epoch global sort), oversampled 25% to absorb the
+      //    anti-join rejections so the effective epoch size doesn't
+      //    shrink with URM density; positive-draw and negative-pick
+      //    seeds live in disjoint ranges so the two rand streams never
+      //    coincide (round 1 collided at ep=0: seed+ep == seed+7·ep)
+      val frac =
+        math.min(1.0, 1.25 * samplesPerEpoch / math.max(1L, total))
       val sample = triplesBase
-        .orderBy(rand(seed + ep)).limit(samplesPerEpoch)
+        .sample(withReplacement = false, frac, seed + ep)
         .withColumn("jneg",
           element_at(typedLit(items),
-                     (floor(rand(seed + 7 * ep) * nItems) + 1)
+                     (floor(rand(seed + 1000003 + ep) * nItems) + 1)
                        .cast("int")))
       val valid = sample.join(
         triplesBase.select(col("u"), col("i").as("jneg")),
@@ -310,6 +370,242 @@ object Models {
       ufBc.destroy(); itfBc.destroy()
     }
     (uf, itf)
+  }
+
+  /** L22 result: factor matrices, bias terms, and the per-epoch train
+    * MSE trace (the reference prints cumulative_loss per epoch). */
+  final case class FunkSvdModel(
+      userFactors: Map[Int, Array[Double]],
+      itemFactors: Map[Int, Array[Double]],
+      globalBias: Double,
+      userBias: Map[Int, Double],
+      itemBias: Map[Int, Double],
+      mseHistory: Seq[Double])
+
+  /** L22 — FunkSVD SGD with biases and negative-interactions quota
+    * (reference: MatrixFactorizationImpressions_Cython_Epoch.pyx:330-448
+    * FUNK_SVD epoch, 945-1002 MSE sampler):
+    *  - users drawn uniformly among those with 0 < |profile| < |items|;
+    *  - each draw is a NEGATIVE (unseen item, rating 0) with probability
+    *    `negativeQuota`, else a uniform positive interaction — the
+    *    quota models unclicked impressions as weak negatives;
+    *  - prediction = μ + b_u + b_i + w_u·h_i; MSE gradient step on all
+    *    five parameter groups (pyx:370-400).
+    * The in-process kernel mirrors the reference's Cython (sequential
+    * SGD is not distributable without changing semantics); the
+    * data-scale path for factorization remains ials/mfBprDistributed. */
+  def funkSvdSgd(spark: SparkSession, urm: DataFrame, rank: Int,
+                 epochs: Int, samplesPerEpoch: Int, lr: Double,
+                 reg: Double, biasReg: Double, negativeQuota: Double,
+                 seed: Long): FunkSvdModel = {
+    import spark.implicits._
+    require(negativeQuota >= 0.0 && negativeQuota < 1.0)
+    val items = urm.select(col("i").cast("int")).distinct()
+      .as[Int].collect().sorted
+    val ratings = urm.select(col("u").cast("int"), col("i").cast("int"),
+                             col("v").cast("double"))
+      .as[(Int, Int, Double)].collect()
+      .groupBy(_._1).map { case (u, rs) =>
+        (u, rs.map(r => (r._2, r._3)).toMap)
+      }
+    // eligible users: at least one positive and at least one negative
+    val users = ratings.collect {
+      case (u, prof) if prof.nonEmpty && prof.size < items.length => u
+    }.toArray.sorted
+    require(users.nonEmpty, "no trainable users")
+    val rng = new scala.util.Random(seed)
+    val uf = scala.collection.mutable.Map[Int, Array[Double]]()
+    val itf = scala.collection.mutable.Map[Int, Array[Double]]()
+    def fac(m: scala.collection.mutable.Map[Int, Array[Double]], id: Int) =
+      m.getOrElseUpdate(id, Array.fill(rank)((rng.nextDouble() - 0.5) * 0.1))
+    var mu = 0.0
+    val bu = scala.collection.mutable.Map[Int, Double]().withDefaultValue(0.0)
+    val bi = scala.collection.mutable.Map[Int, Double]().withDefaultValue(0.0)
+    val mseHistory = scala.collection.mutable.ArrayBuffer[Double]()
+    (0 until epochs).foreach { _ =>
+      var loss = 0.0
+      var s = 0
+      while (s < samplesPerEpoch) {
+        val u = users(rng.nextInt(users.length))
+        val prof = ratings(u)
+        // negative draw with probability negativeQuota (the reference's
+        // MSE_negative_interactions_quota; its rand() comparison at
+        // pyx:968 reads inverted — the documented intent, a share of
+        // rating-0 unseen samples, is what's implemented here)
+        val (item, rating) =
+          if (negativeQuota > 0 && rng.nextDouble() < negativeQuota) {
+            var j = items(rng.nextInt(items.length))
+            while (prof.contains(j)) j = items(rng.nextInt(items.length))
+            (j, 0.0)
+          } else {
+            val keys = prof.keysIterator.toIndexedSeq
+            val i = keys(rng.nextInt(keys.size))
+            (i, prof(i))
+          }
+        val wu = fac(uf, u); val hi = fac(itf, item)
+        var pred = mu + bu(u) + bi(item)
+        var f = 0
+        while (f < rank) { pred += wu(f) * hi(f); f += 1 }
+        val err = rating - pred
+        loss += err * err
+        mu += lr * (err - biasReg * mu)
+        bu(u) += lr * (err - biasReg * bu(u))
+        bi(item) += lr * (err - biasReg * bi(item))
+        f = 0
+        while (f < rank) {
+          val hOld = hi(f); val wOld = wu(f)
+          hi(f) += lr * (err * wOld - reg * hOld)
+          wu(f) += lr * (err * hOld - reg * wOld)
+          f += 1
+        }
+        s += 1
+      }
+      mseHistory += loss / samplesPerEpoch
+    }
+    FunkSvdModel(uf.toMap, itf.toMap, mu, bu.toMap, bi.toMap,
+                 mseHistory.toSeq)
+  }
+
+  /** L24 — SLIM BPR: item-item weight matrix trained with the BPR
+    * objective (reference: SLIM_BPR/Cython/SLIM_BPR_Cython_Epoch.pyx:
+    * 212-310): for each (u, i⁺, j⁻) triple,
+    * x_uij = Σ_{l∈profile(u)} (S[i,l] − S[j,l]), gradient σ(−x_uij),
+    * then S[i,l] += lr·(g − λᵢ·S[i,l]) and S[j,l] −= lr·(g − λⱼ·S[j,l])
+    * for profile items l (diagonal pinned to zero). Returns (i, j, w)
+    * triples in the engine's scoring convention (j = scored target,
+    * i = profile neighbor), top-K per column j.
+    * In-process kernel mirroring the reference's Cython (same
+    * justification as funkSvdSgd); S is item²-bounded. */
+  def slimBpr(spark: SparkSession, urm: DataFrame, epochs: Int,
+              samplesPerEpoch: Int, lr: Double, liReg: Double,
+              ljReg: Double, topK: Int, seed: Long): DataFrame = {
+    import spark.implicits._
+    val items = urm.select(col("i").cast("int")).distinct()
+      .as[Int].collect().sorted
+    val seen = urm.select(col("u").cast("int"), col("i").cast("int"))
+      .as[(Int, Int)].collect()
+      .groupBy(_._1).map { case (u, rs) => (u, rs.map(_._2).toArray) }
+    val users = seen.collect {
+      case (u, prof) if prof.nonEmpty && prof.length < items.length => u
+    }.toArray.sorted
+    require(users.nonEmpty, "no trainable users")
+    val rng = new scala.util.Random(seed)
+    val seenSets = seen.map { case (u, p) => (u, p.toSet) }
+    // S[target][neighbor], rows created lazily — item²-bounded
+    val sMat = scala.collection.mutable.Map[Int,
+      scala.collection.mutable.Map[Int, Double]]()
+    def sRow(t: Int) = sMat.getOrElseUpdate(t,
+      scala.collection.mutable.Map[Int, Double]().withDefaultValue(0.0))
+    (0 until epochs).foreach { _ =>
+      var s = 0
+      while (s < samplesPerEpoch) {
+        val u = users(rng.nextInt(users.length))
+        val prof = seen(u)
+        val ipos = prof(rng.nextInt(prof.length))
+        val blocked = seenSets(u)
+        var jneg = items(rng.nextInt(items.length))
+        while (blocked.contains(jneg)) jneg = items(rng.nextInt(items.length))
+        val si = sRow(ipos); val sj = sRow(jneg)
+        var x = 0.0
+        prof.foreach { l => x += si(l) - sj(l) }
+        val g = 1.0 / (1.0 + math.exp(x))
+        prof.foreach { l =>
+          if (l != ipos) si(l) += lr * (g - liReg * si(l))
+          if (l != jneg) sj(l) -= lr * (g - ljReg * sj(l))
+        }
+        s += 1
+      }
+    }
+    val triples = sMat.iterator.flatMap { case (t, row) =>
+      row.iterator.collect { case (l, w) if w != 0.0 => (l, t, w) }
+    }.toSeq
+    import graft.similarity.Similarity
+    Similarity.topK(triples.toDF("i", "j", "w"), topK)
+      .select("i", "j", "w")
+  }
+
+  /** L19 — NMF via distributed multiplicative updates (reference:
+    * MatrixFactorization/NMFRecommender.py:36-73 delegates to sklearn;
+    * the MU rule is Lee-Seung 2001):
+    *   W ← W ∘ (V·Hᵀ) / (W·HᵀH),  H ← H ∘ (VᵀW) / (H·WᵀW).
+    * Spark shape: V stays a distributed triple set; V·Hᵀ and VᵀW are
+    * join-aggregations partitioned by user/item; HᵀH and WᵀW are k×k
+    * partial-aggregated Grams — nothing user-scaled ever reaches one
+    * node, so the update is 100 TB-shaped (H is broadcast per epoch,
+    * k·|items| — the bounded catalog axis). Factors init deterministic
+    * positive (hash-seeded), so results don't depend on partition
+    * layout. Returns (userFactors, itemFactors) as (id, factors). */
+  def nmf(spark: SparkSession, urm: DataFrame, rank: Int, iters: Int,
+          seed: Long): (DataFrame, DataFrame) = {
+    import spark.implicits._
+    val eps = 1e-9
+    val triples = urm.select(col("u").cast("int"), col("i").cast("int"),
+                             col("v").cast("double"))
+      .as[(Int, Int, Double)].rdd
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    def initVec(id: Int, salt: Int): Array[Double] =
+      Array.tabulate(rank) { f =>
+        val h = scala.util.hashing.MurmurHash3
+          .productHash((id, f, salt, seed))
+        0.1 + ((h & 0x7fffffff) % 1000) / 1000.0
+      }
+    var w = triples.map(_._1).distinct().map(u => (u, initVec(u, 1)))
+    var h = triples.map(_._2).distinct().map(i => (i, initVec(i, 2)))
+    def gram(m: org.apache.spark.rdd.RDD[(Int, Array[Double])])
+        : Array[Array[Double]] =
+      m.aggregate(Array.fill(rank, rank)(0.0))(
+        (acc, kv) => {
+          val v = kv._2
+          var a = 0
+          while (a < rank) {
+            var b = 0
+            while (b < rank) { acc(a)(b) += v(a) * v(b); b += 1 }
+            a += 1
+          }
+          acc
+        },
+        (x, y) => {
+          var a = 0
+          while (a < rank) {
+            var b = 0
+            while (b < rank) { x(a)(b) += y(a)(b); b += 1 }
+            a += 1
+          }
+          x
+        })
+    def muUpdate(cur: Array[Double], num: Array[Double],
+                 g: Array[Array[Double]]): Array[Double] =
+      Array.tabulate(rank) { f =>
+        var denom = 0.0
+        var a = 0
+        while (a < rank) { denom += cur(a) * g(a)(f); a += 1 }
+        cur(f) * num(f) / math.max(denom, eps)
+      }
+    (0 until iters).foreach { _ =>
+      // W step: numerator V·Hᵀ aggregates per user with H broadcast
+      val hMap = spark.sparkContext.broadcast(h.collectAsMap())
+      val hGram = gram(h)
+      val numW = triples.map { case (u, i, v) =>
+        (u, hMap.value(i).map(_ * v))
+      }.reduceByKey((x, y) => Array.tabulate(rank)(f => x(f) + y(f)))
+      val wNew = w.join(numW)
+        .mapValues { case (cur, num) => muUpdate(cur, num, hGram) }
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val wGram = gram(wNew) // action — materializes wNew
+      // H step: numerator VᵀW joins the distributed updated W —
+      // user-scaled data never collects
+      val numH = triples.map { case (u, i, v) => (u, (i, v)) }
+        .join(wNew)
+        .map { case (_, ((i, v), wf)) => (i, wf.map(_ * v)) }
+        .reduceByKey((x, y) => Array.tabulate(rank)(f => x(f) + y(f)))
+      val hNew = h.join(numH)
+        .mapValues { case (cur, num) => muUpdate(cur, num, wGram) }
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      hNew.count() // materialize before the old h/broadcast go away
+      w.unpersist(false); h.unpersist(false)
+      w = wNew; h = hNew
+    }
+    (w.toDF("u", "factors"), h.toDF("i", "factors"))
   }
 
   /** L27 — incremental training with early stopping (reference:

@@ -38,6 +38,33 @@ object RecsysQueries {
         |  AS split, COUNT(*) AS n
         |FROM urm GROUP BY 1""".stripMargin)),
 
+    // X5 — cold-start user-wise split, deterministic md5-routed twin
+    // (reference: split_train_validation.py:295-378): 40% of
+    // enough-item users keep full profiles in train; cold users keep 2
+    // interactions, rest held out.
+    Q("q81_cold_user_split",
+      t => Urm.coldUserSplitHash(Urm.fromOrders(t).select("u", "i"),
+                                 fullTrainFrac = 0.4, coldItems = 2)
+        .groupBy("split")
+        .agg(count(lit(1)).as("n"),
+             countDistinct(col("u")).as("n_users")),
+      Some(urmCte + """,
+        |base AS (
+        |  SELECT u, i,
+        |    COUNT(*) OVER (PARTITION BY u) AS n,
+        |    (('0x' || substr(md5(CAST(u AS VARCHAR)), 1, 15))::BIGINT
+        |       % 1000) / 1000.0 AS u_draw,
+        |    ROW_NUMBER() OVER (PARTITION BY u
+        |      ORDER BY md5(CAST(u AS VARCHAR) || ',' ||
+        |                   CAST(i AS VARCHAR)), i) AS rn
+        |  FROM urm
+        |)
+        |SELECT split, COUNT(*) AS n, COUNT(DISTINCT u) AS n_users FROM (
+        |  SELECT u, CASE WHEN NOT (n > 2 AND u_draw >= 0.4) OR rn <= 2
+        |                 THEN 'train' ELSE 'validation' END AS split
+        |  FROM base) s
+        |GROUP BY 1""".stripMargin)),
+
     // L2 kernel — pairwise co-occurrence dot products (AᵀA off-diagonal),
     // upper triangle, support ≥ 3.
     Q("q32_cooccurrence",
@@ -70,7 +97,7 @@ object RecsysQueries {
         |)
         |SELECT i, j, round(w, 6) AS w, rank FROM (
         |  SELECT i, j, w,
-        |    ROW_NUMBER() OVER (PARTITION BY i ORDER BY w DESC, j) AS rank
+        |    ROW_NUMBER() OVER (PARTITION BY j ORDER BY w DESC, i) AS rank
         |  FROM sim) s
         |WHERE rank <= 10""".stripMargin)),
 
@@ -95,7 +122,7 @@ object RecsysQueries {
         |)
         |SELECT i, j, round(w, 6) AS w, rank FROM (
         |  SELECT i, j, w,
-        |    ROW_NUMBER() OVER (PARTITION BY i ORDER BY w DESC, j) AS rank
+        |    ROW_NUMBER() OVER (PARTITION BY j ORDER BY w DESC, i) AS rank
         |  FROM sim) s
         |WHERE rank <= 10""".stripMargin)),
 
@@ -173,9 +200,9 @@ object RecsysQueries {
         |  SELECT i, j, w FROM (
         |    SELECT d.i, d.j,
         |      CAST(d.dot AS DOUBLE) / (sqrt(ni.n) * sqrt(nj.n)) AS w,
-        |      ROW_NUMBER() OVER (PARTITION BY d.i
+        |      ROW_NUMBER() OVER (PARTITION BY d.j
         |        ORDER BY CAST(d.dot AS DOUBLE) / (sqrt(ni.n) * sqrt(nj.n))
-        |          DESC, d.j) AS rank
+        |          DESC, d.i) AS rank
         |    FROM dots d
         |    JOIN norms ni ON d.i = ni.i
         |    JOIN norms nj ON d.j = nj.i) s
@@ -210,7 +237,7 @@ object RecsysQueries {
         |)
         |SELECT i, j, round(w, 9) AS w, rank FROM (
         |  SELECT i, j, w,
-        |    ROW_NUMBER() OVER (PARTITION BY i ORDER BY w DESC, j) AS rank
+        |    ROW_NUMBER() OVER (PARTITION BY j ORDER BY w DESC, i) AS rank
         |  FROM sim) s
         |WHERE rank <= 10""".stripMargin)),
 
@@ -239,7 +266,7 @@ object RecsysQueries {
         |)
         |SELECT i, j, round(w, 9) AS w, rank FROM (
         |  SELECT i, j, w,
-        |    ROW_NUMBER() OVER (PARTITION BY i ORDER BY w DESC, j) AS rank
+        |    ROW_NUMBER() OVER (PARTITION BY j ORDER BY w DESC, i) AS rank
         |  FROM sim) s
         |WHERE rank <= 10""".stripMargin)),
 
@@ -378,8 +405,10 @@ object RecsysQueries {
           .select(col("i").as("item"), col("pop").cast("double").as("score"))
         val recs = Recommenders.recommendGlobal(popScores, train, 10)
         val nItems = urm.select("i").distinct().count()
+        val nUsers = urm.select("u").distinct().count()
         val nnz = train.count()
         Evaluation.itemCoverage(recs, nItems)
+          .crossJoin(Evaluation.userCoverage(recs, nUsers))
           .crossJoin(Evaluation.novelty(recs, pop, nnz))
           .crossJoin(Evaluation.shannonEntropy(recs))
           .crossJoin(Evaluation.herfindahl(recs))
@@ -407,6 +436,9 @@ object RecsysQueries {
         |  (SELECT round(CAST(COUNT(DISTINCT item) AS DOUBLE)
         |                / (SELECT COUNT(DISTINCT i) FROM urm), 6)
         |   FROM recs) AS coverage_item,
+        |  (SELECT round(CAST(COUNT(DISTINCT u) AS DOUBLE)
+        |                / (SELECT COUNT(DISTINCT u) FROM urm), 6)
+        |   FROM recs) AS coverage_user,
         |  (SELECT round(SUM(-log2(CAST(pop AS DOUBLE)
         |                          / (SELECT COUNT(*) FROM train)))
         |                / COUNT(*), 6)

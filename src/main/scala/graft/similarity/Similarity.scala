@@ -22,8 +22,10 @@ object Similarity {
 
   sealed trait Measure
   case object Cosine extends Measure
-  /** Asymmetric cosine: dot / (nᵢᵃ · nⱼ^(1−a))
-    * (reference: Compute_Similarity_Python.py:318-325). */
+  /** Asymmetric cosine: dot / (nⱼᵃ · nᵢ^(1−a)) — the alpha exponent
+    * attaches to the COLUMN item j (the scored axis), matching the
+    * reference's `sumOfSquared_to_alpha[columnIndex]`
+    * (Compute_Similarity_Python.py:316-321). */
   final case class AsymmetricCosine(alpha: Double) extends Measure
   case object Jaccard extends Measure
   case object Dice extends Measure
@@ -56,12 +58,51 @@ object Similarity {
   def itemNorms(urm: DataFrame): DataFrame =
     urm.groupBy(col("i")).agg(count(lit(1)).as("n"))
 
-  /** Full similarity matrix as (i, j, w) triples for a binary URM. */
-  def itemSimilarity(urm0: DataFrame, measure: Measure,
-                     shrink: Double = 0.0): DataFrame = {
+  /** [[pairDots]] with a salted two-phase aggregation: hot (i, j) pairs
+    * (two blockbuster items co-occurring across millions of users) are
+    * spread over `salts` reducers before the merge — the aggregation
+    * analog of AQE's skew-join split, which only rebalances joins.
+    * Result identical to [[pairDots]]. */
+  def pairDotsSalted(urm0: DataFrame, salts: Int): DataFrame = {
     val urm = urm0.persist(
       org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val dots = pairDots(urm)
+    val a = urm.select(col("u"), col("i").as("i1"))
+    val b = urm.select(col("u"), col("i").as("i2"))
+    a.join(b, "u")
+      .filter(col("i1") =!= col("i2"))
+      .withColumn("_salt",
+        pmod(spark_partition_id() + monotonically_increasing_id(),
+             lit(salts)))
+      .groupBy(col("i1").as("i"), col("i2").as("j"), col("_salt"))
+      .agg(count(lit(1)).as("partial"))
+      .groupBy(col("i"), col("j"))
+      .agg(sum("partial").as("dot"))
+  }
+
+  /** Heavy-hitter guard: true when any user's profile exceeds
+    * `threshold` interactions — the profiles whose n² pair fan-out
+    * skews the similarity self-join (SURVEY §7.4). One cheap count
+    * aggregation; callers use it to route to the salted engine. */
+  def hasHeavyUsers(urm: DataFrame, threshold: Long): Boolean =
+    !urm.groupBy("u").agg(count(lit(1)).as("n"))
+      .filter(col("n") > threshold).isEmpty
+
+  /** Full similarity matrix as (i, j, w) triples for a binary URM.
+    *
+    * `saltWhenHeavy`: profile-size threshold above which the pair
+    * aggregation routes through [[pairDotsSalted]] (0 disables the
+    * probe). Heavy profiles fan out n² pair rows, concentrating hot
+    * (i, j) keys; the salted two-phase aggregation spreads those
+    * reducers while AQE's skew split rebalances the join side. */
+  def itemSimilarity(urm0: DataFrame, measure: Measure,
+                     shrink: Double = 0.0,
+                     saltWhenHeavy: Long = 0L): DataFrame = {
+    val urm = urm0.persist(
+      org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val dots =
+      if (saltWhenHeavy > 0 && hasHeavyUsers(urm, saltWhenHeavy))
+        pairDotsSalted(urm, salts = 16)
+      else pairDots(urm)
     val norms = itemNorms(urm)
     val ni = norms.select(col("i").as("i"), col("n").as("ni"))
     val nj = norms.select(col("i").as("j"), col("n").as("nj"))
@@ -71,14 +112,17 @@ object Similarity {
       case Cosine =>
         d / (sqrt(col("ni")) * sqrt(col("nj")) + lit(shrink))
       case AsymmetricCosine(a) =>
-        d / (pow(col("ni"), a) * pow(col("nj"), 1.0 - a) + lit(shrink))
+        d / (pow(col("nj"), a) * pow(col("ni"), 1.0 - a) + lit(shrink))
       case Jaccard =>
         d / (col("ni") + col("nj") - col("dot") + lit(shrink))
       case Dice =>
         d * 2 / (col("ni") + col("nj") + lit(shrink))
       case Tversky(a, b) =>
-        d / (d + (col("ni") - col("dot")) * a +
-             (col("nj") - col("dot")) * b + lit(shrink))
+        // alpha weighs the column item j's complement, beta the row's
+        // (reference: Compute_Similarity_Python.py:330-335,
+        //  sumOfSquared[columnIndex] carries tversky_alpha)
+        d / (d + (col("nj") - col("dot")) * a +
+             (col("ni") - col("dot")) * b + lit(shrink))
       case Euclidean(transform) =>
         val sq = col("ni") + col("nj") - lit(2) * col("dot")
         val dist = sqrt(sq.cast("double"))
@@ -93,9 +137,13 @@ object Similarity {
 
   /** L28/T4 — column-wise top-K sparsification
     * (reference: Base/Recommender_utils.py:55-122): keep the K strongest
-    * neighbors per column, deterministic tie-break on neighbor id. */
+    * neighbor rows i per COLUMN j — j is the scored-item axis in
+    * scoreBySimilarity, so each scored item retains its K strongest
+    * incoming weights, exactly the reference's per-column argpartition
+    * (Compute_Similarity_Python.py:352-365). Deterministic tie-break on
+    * neighbor id. */
   def topK(sim: DataFrame, k: Int): DataFrame = {
-    val w = Window.partitionBy("i").orderBy(desc("w"), asc("j"))
+    val w = Window.partitionBy("j").orderBy(desc("w"), asc("i"))
     sim.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
   }

@@ -102,6 +102,58 @@ class ModelsSpec extends SparkSpec {
            "outside-mode negatives must avoid impression items")
   }
 
+  test("FunkSVD SGD: train MSE decreases; biases move toward the mean") {
+    val m = Models.funkSvdSgd(spark, urm, rank = 6, epochs = 6,
+      samplesPerEpoch = 1500, lr = 0.05, reg = 0.01, biasReg = 0.01,
+      negativeQuota = 0.3, seed = 42)
+    assert(m.mseHistory.size == 6)
+    assert(m.mseHistory.last < m.mseHistory.head,
+           s"MSE should decrease: ${m.mseHistory}")
+    // all-ones positives with 30% zero-negatives → global bias between
+    assert(m.globalBias > 0.0 && m.globalBias < 1.0)
+    assert(m.userFactors.nonEmpty && m.itemFactors.nonEmpty)
+  }
+
+  test("SLIM BPR: positive margin, bounded per-column neighborhood") {
+    val s = Models.slimBpr(spark, urm, epochs = 6, samplesPerEpoch = 1500,
+      lr = 0.05, liReg = 0.001, ljReg = 0.001, topK = 8, seed = 42)
+      .collect().map(r => ((r.getInt(0), r.getInt(1)), r.getDouble(2)))
+    val sMap = s.toMap
+    val perCol = s.groupBy(_._1._2)
+    assert(perCol.forall(_._2.length <= 8), "topK per column")
+    // score(u, t) = Σ_{l∈profile(u)} S[t,l]: positives should outscore
+    // unseen items on average after training
+    val seen = urm.select("u", "i").as[(Int, Int)].collect()
+      .groupBy(_._1).map { case (u, rs) => (u, rs.map(_._2).toSet) }
+    def score(u: Int, t: Int): Double =
+      seen(u).iterator.map(l => sMap.getOrElse((l, t), 0.0)).sum
+    val margins = for {
+      u <- 0 until 30
+      pos <- seen(u).take(2)
+      neg <- (0 until 20).find(j => !seen(u).contains(j))
+    } yield score(u, pos) - score(u, neg)
+    assert(margins.sum / margins.size > 0,
+           "positives must outscore negatives after SLIM BPR training")
+  }
+
+  test("NMF: nonnegative factors and decreasing reconstruction error") {
+    def sse(iters: Int): Double = {
+      val (w, h) = Models.nmf(spark, urm, rank = 4, iters = iters,
+                              seed = 42)
+      val wm = w.as[(Int, Array[Double])].collect().toMap
+      val hm = h.as[(Int, Array[Double])].collect().toMap
+      assert(wm.values.forall(_.forall(_ >= 0.0)), "W nonnegative")
+      assert(hm.values.forall(_.forall(_ >= 0.0)), "H nonnegative")
+      urm.select("u", "i", "v").as[(Int, Int, Int)].collect().map {
+        case (u, i, v) =>
+          val p = wm(u).zip(hm(i)).map { case (a, b) => a * b }.sum
+          (v - p) * (v - p)
+      }.sum
+    }
+    val e1 = sse(1); val e5 = sse(5)
+    assert(e5 < e1, s"NMF SSE should decrease: $e1 -> $e5")
+  }
+
   test("early stopping stops after patience non-improving validations") {
     val metrics = Seq(0.1, 0.2, 0.3, 0.25, 0.2, 0.15, 0.1)
     var calls = 0

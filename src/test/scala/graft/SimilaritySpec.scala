@@ -69,11 +69,33 @@ class SimilaritySpec extends SparkSpec {
     assert(shrunk < plain)
   }
 
-  test("topK keeps at most K per column and is a subset of full") {
+  test("topK keeps at most K per column j and is a subset of full") {
     val full = Similarity.itemSimilarity(urm, Similarity.Cosine)
     val k1 = Similarity.topK(full, 1)
-    val perI = k1.groupBy("i").count().collect()
-    assert(perI.forall(_.getLong(1) <= 1))
+    val perJ = k1.groupBy("j").count().collect()
+    assert(perJ.forall(_.getLong(1) <= 1))
     assert(k1.count() <= full.count())
+  }
+
+  test("asymmetric measures attach alpha to the column item j") {
+    // item 0 has norm² 4, item 1 has norm² 1, dot(0,1) = 1 — with
+    // alpha=1 the asymmetric-cosine denominator is nj alone, so the
+    // matrix is NOT symmetric and the orientation is observable
+    // (reference: Compute_Similarity_Python.py:316-321).
+    val skewed = Seq((0, 0), (1, 0), (2, 0), (3, 0), (0, 1))
+      .toDF("u", "i")
+    val w = Similarity
+      .itemSimilarity(skewed, Similarity.AsymmetricCosine(1.0))
+      .collect().map(r => ((r.getInt(0), r.getInt(1)), r.getDouble(2))).toMap
+    assert(math.abs(w((0, 1)) - 1.0) < 1e-12, "w(i=0, j=1) = dot/n1 = 1")
+    assert(math.abs(w((1, 0)) - 0.25) < 1e-12, "w(i=1, j=0) = dot/n0 = 1/4")
+    // Tversky: alpha weighs (nj - dot), beta weighs (ni - dot)
+    // (reference: Compute_Similarity_Python.py:330-335): with
+    // alpha=1, beta=0 → w(i,j) = dot / nj
+    val tv = Similarity
+      .itemSimilarity(skewed, Similarity.Tversky(1.0, 0.0))
+      .collect().map(r => ((r.getInt(0), r.getInt(1)), r.getDouble(2))).toMap
+    assert(math.abs(tv((0, 1)) - 1.0) < 1e-12)
+    assert(math.abs(tv((1, 0)) - 0.25) < 1e-12)
   }
 }

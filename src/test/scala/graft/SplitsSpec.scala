@@ -65,6 +65,51 @@ class SplitsSpec extends SparkSpec {
     assert(m((2, 10)) == "test" && m((2, 13)) == "validation")
   }
 
+  test("global random holdout: ~frac in train, total, disjoint labels") {
+    val s = Urm.globalRandomHoldout(urm, 0.8, seed = 42)
+    val n = urm.count().toDouble
+    val tr = s.filter(col("split") === "train").count()
+    assert(math.abs(tr / n - 0.8) < 0.05)
+    assert(s.count() == n.toLong)
+  }
+
+  test("cold-user split: full-train users keep whole profile, cold " +
+       "users keep exactly coldItems in train") {
+    val s = Urm.coldUserSplit(urm, fullTrainFrac = 0.5, coldItems = 3,
+                              seed = 42).cache()
+    assert(s.count() == urm.count(), "split is total")
+    val perUser = s.groupBy("u")
+      .agg(sum(when(col("split") === "train", 1).otherwise(0)).as("tr"),
+           count(lit(1)).as("n"))
+      .collect()
+    // every user is either fully in train or a cold user with exactly
+    // coldItems train rows (profiles here all exceed coldItems)
+    perUser.foreach { r =>
+      val (tr, n) = (r.getLong(1), r.getLong(2))
+      assert(tr == n || tr == 3, s"user ${r.get(0)}: $tr of $n in train")
+    }
+    val nCold = perUser.count(r => r.getLong(1) != r.getLong(2))
+    assert(nCold > 5 && nCold < 45, s"~half the users cold, got $nCold")
+    // small-profile users never go cold
+    val tiny = Seq((100, 0), (100, 1), (101, 5)).toDF("u", "i")
+    val st = Urm.coldUserSplit(tiny, fullTrainFrac = 0.0, coldItems = 2,
+                               seed = 1)
+    assert(st.filter(col("split") =!= "train").count() == 0)
+  }
+
+  test("cold-user hash twin is deterministic and matches semantics") {
+    val s1 = Urm.coldUserSplitHash(urm, 0.4, coldItems = 2)
+    val s2 = Urm.coldUserSplitHash(urm, 0.4, coldItems = 2)
+    assert(s1.exceptAll(s2).isEmpty)
+    val perUser = s1.groupBy("u")
+      .agg(sum(when(col("split") === "train", 1).otherwise(0)).as("tr"),
+           count(lit(1)).as("n")).collect()
+    perUser.foreach { r =>
+      val (tr, n) = (r.getLong(1), r.getLong(2))
+      assert(tr == n || tr == 2)
+    }
+  }
+
   test("overlapCells flags constructed overlap and passes disjoint") {
     val disjoint = Seq((1, 1, "train"), (1, 2, "test"))
       .toDF("u", "i", "split")
