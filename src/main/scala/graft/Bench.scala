@@ -20,6 +20,16 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val tables = core.Tables(spark, sfDir)
+    // Untimed warmup: one pair-aggregation over the URM JITs the join/
+    // shuffle/codegen hot paths and warms the parquet page cache, so
+    // the first timed heavy query measures steady-state execution
+    // rather than JVM compilation (standard JVM benchmarking practice;
+    // round 1's first similarity query read 3× its steady-state time).
+    try {
+      graft.similarity.Similarity
+        .pairDots(graft.etl.Urm.fromOrders(tables))
+        .filter(org.apache.spark.sql.functions.col("dot") >= 3).count()
+    } catch { case _: Throwable => () }
     val results = SparkEntry.allQueries.map { q =>
       val t0 = System.nanoTime()
       try { q.run(tables).count() } catch { case _: Throwable => -1L }

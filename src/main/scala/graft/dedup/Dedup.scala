@@ -47,19 +47,35 @@ object Dedup {
 
   /** LSH banding over a MinHash signature: rows-per-band consecutive
     * signature components hash to a band bucket; documents sharing any
-    * bucket become candidate pairs (a < b). */
-  def lshCandidatePairs(sigs: DataFrame, k: Int, rowsPerBand: Int)
-      : DataFrame = {
+    * bucket become candidate pairs (a < b).
+    *
+    * `maxBucketSize` (0 = unlimited) drops buckets larger than the cap
+    * before the pair join: a bucket of B docs costs O(B²) pairs, and at
+    * corpus scale the giant buckets are boilerplate collisions (empty
+    * shingles, templates) whose pairs are near-duplicates of each other
+    * anyway — capping bounds the worst-case join fan-out at B²·nBands
+    * per bucket instead of the corpus quadratic. Capped runs trade a
+    * bounded amount of recall on those degenerate groups; route them
+    * through [[exactDupGroups]] instead. */
+  def lshCandidatePairs(sigs: DataFrame, k: Int, rowsPerBand: Int,
+                        maxBucketSize: Long = 0L): DataFrame = {
     val nBands = k / rowsPerBand
     val bandCols = (0 until nBands).map { b =>
       val parts = (0 until rowsPerBand).map(r => col(s"mh_${b * rowsPerBand + r}"))
       md5(concat(parts: _*)).as(s"band_$b")
     }
     val banded = sigs.select(col("doc_id") +: bandCols: _*)
-    val buckets = (0 until nBands).map { b =>
+    val buckets0 = (0 until nBands).map { b =>
       banded.select(col("doc_id"), col(s"band_$b").as("bucket"),
                     lit(b).as("band"))
     }.reduce(_ unionByName _)
+    val buckets =
+      if (maxBucketSize <= 0) buckets0
+      else {
+        val w = Window.partitionBy("band", "bucket")
+        buckets0.withColumn("_bsz", count(lit(1)).over(w))
+          .filter(col("_bsz") <= maxBucketSize).drop("_bsz")
+      }
     val a = buckets.select(col("band"), col("bucket"), col("doc_id").as("a"))
     val b = buckets.select(col("band"), col("bucket"), col("doc_id").as("b"))
     a.join(b, Seq("band", "bucket"))
@@ -123,7 +139,13 @@ object Dedup {
   }
 
   /** Hamming distance between SimHash signatures — near-dup candidates
-    * share high bits (a cheap bucket), verified by bit_count(xor). */
+    * share high bits (a cheap bucket), verified by bit_count(xor).
+    *
+    * Recall tradeoff: a single high-bit-prefix bucket misses pairs
+    * whose differing bits fall inside the prefix — full recall at
+    * Hamming ≤ h needs (h+1) rotated bucketings (the standard
+    * multi-probe scheme); one prefix is the cheap single-probe variant
+    * and is what this operator implements. */
   def simhashPairs(sigs: DataFrame, bucketShift: Int, maxHamming: Int)
       : DataFrame = {
     val a = sigs.select(col("doc_id").as("a"), col("sig").as("sig_a"))

@@ -155,18 +155,47 @@ object Urm {
 
   /** X7 — negative item sampling: n unobserved items per user, seeded
     * (reference: split_functions/split_train_validation.py:141-260).
-    * Candidates are bounded by the item list (broadcast); rejection is
-    * the anti-join, selection a per-user rand window. */
-  def negativeSample(urm: DataFrame, items: DataFrame, nPerUser: Int,
+    *
+    * Scale path: the dense user×item candidate build is |U|·|I|-sized,
+    * so candidates are Bernoulli-pruned to ~4n per user BEFORE the
+    * anti-join and ranking window; a second exact pass tops up the rare
+    * users left short by the prune (a user must end with exactly n
+    * negatives — the reference asserts this). When 4n covers the whole
+    * item list the prune is skipped and the dense path runs directly. */
+  def negativeSample(urm0: DataFrame, items0: DataFrame, nPerUser: Int,
                      seed: Long): DataFrame = {
+    val urm = urm0.select("u", "i")
+    val items = broadcast(items0.select("i"))
     val users = urm.select("u").distinct()
-    val candidates = users.join(
-      org.apache.spark.sql.functions.broadcast(items.select("i")))
-    val unseen = candidates.join(urm.select("u", "i"), Seq("u", "i"),
-                                 "left_anti")
-    val w = Window.partitionBy("u").orderBy(rand(seed))
-    unseen.withColumn("rn", row_number().over(w))
-      .filter(col("rn") <= nPerUser).drop("rn")
+    val nItems = items0.select("i").distinct().count()
+    val frac = math.min(1.0, 4.0 * nPerUser / math.max(1L, nItems))
+    def rankAndTake(cands: DataFrame, n: Column, seedOff: Long)
+        : DataFrame = {
+      val w = Window.partitionBy("u").orderBy(rand(seed + seedOff))
+      cands.withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= n).drop("rn")
+    }
+    val dense = users.join(items)
+    if (frac >= 1.0) {
+      rankAndTake(dense.join(urm, Seq("u", "i"), "left_anti"),
+                  lit(nPerUser), 0L)
+    } else {
+      val pruned = dense.filter(rand(seed + 7) < frac)
+        .join(urm, Seq("u", "i"), "left_anti")
+      val first = rankAndTake(pruned, lit(nPerUser), 0L)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      // exact top-up for users the prune left short (usually none)
+      val got = first.groupBy("u").agg(count(lit(1)).as("got"))
+      val short = users.join(got, Seq("u"), "left")
+        .withColumn("got", coalesce(col("got"), lit(0)))
+        .filter(col("got") < nPerUser)
+      val rest = short.join(items)
+        .join(urm, Seq("u", "i"), "left_anti")
+        .join(first, Seq("u", "i"), "left_anti")
+      val extra = rankAndTake(rest, lit(nPerUser) - col("got"), 13L)
+        .select("u", "i")
+      first.select("u", "i").unionByName(extra)
+    }
   }
 
   /** U5 — disjointness audit over split triples (reference:

@@ -22,12 +22,17 @@ object Evaluation {
 
   /** Join recommendations (u, item, rank) with relevance (u, item) →
     * per-user hit table carrying every rank, a hit flag, and the user's
-    * relevant-item count. Users with no relevant items are dropped
-    * (the reference prunes them, Evaluator.py:184-211). */
-  def hitTable(recs: DataFrame, relevant: DataFrame): DataFrame = {
+    * relevant-item count. Users with fewer than `minRatingsPerUser`
+    * relevant items are dropped — the reference's configurable pruning
+    * threshold (Evaluator.py:184-211, min_ratings_per_user); the
+    * default of 1 matches its default and drops only zero-relevant
+    * users. */
+  def hitTable(recs: DataFrame, relevant: DataFrame,
+               minRatingsPerUser: Int = 1): DataFrame = {
     val rel = relevant.select(col("u"), col("i").as("item"))
       .withColumn("hit", lit(1))
     val relCounts = relevant.groupBy("u").agg(count(lit(1)).as("n_rel"))
+      .filter(col("n_rel") >= minRatingsPerUser)
     recs.join(rel, Seq("u", "item"), "left")
       .withColumn("hit", coalesce(col("hit"), lit(0)))
       .join(relCounts, Seq("u"), "inner")

@@ -181,11 +181,17 @@ object ExtraQueries {
         val sim = Similarity.topK(
           Similarity.itemSimilarity(urm, Similarity.Cosine), 10)
           .select(col("i"), col("j"), col("w"))
-        val scores = Recommenders.scoreBySimilarity(
-          urm.filter(col("u") < 100), sim)
-        val candidates = scores.select("u", "item")
+        // predicate-defined candidate set built from the bounded
+        // user × target id lists (not from a second scoring pass) and
+        // pushed INSIDE the scoring aggregation — round 1 derived
+        // candidates from `scores` and semi-joined after the groupBy,
+        // computing the scoring subtree twice
+        val users = urm.filter(col("u") < 100).select("u").distinct()
+        val targets = sim.select(col("j").as("item")).distinct()
+        val candidates = users.crossJoin(broadcast(targets))
           .filter((col("u") + col("item")) % 3 === 0)
-        Recommenders.restrictToCandidates(scores, candidates)
+        Recommenders.scoreBySimilarityRestricted(
+            urm.filter(col("u") < 100), sim, candidates)
           .select(col("u"), col("item"), round(col("score"), 6).as("score"))
       },
       Some(urmCte + """,

@@ -161,4 +161,19 @@ object Recommenders {
       : DataFrame =
     scores.join(candidates.select(col("u"), col("item")),
                 Seq("u", "item"), "left_semi")
+
+  /** R2 pushed into L6 — candidate restriction applied BEFORE the
+    * scoring aggregation: the semi-join prunes (u, item) pairs on the
+    * pre-aggregation join rows, so excluded candidates never enter the
+    * aggregate. Same result as scoreBySimilarity → restrictToCandidates
+    * when `candidates` covers the restriction set; at scale this skips
+    * the aggregation work for every non-candidate pair. */
+  def scoreBySimilarityRestricted(urm: DataFrame, sim: DataFrame,
+                                  candidates: DataFrame): DataFrame =
+    urm.select(col("u"), col("i"))
+      .join(sim.select(col("i"), col("j"), col("w")), "i")
+      .join(candidates.select(col("u"), col("item").as("j")),
+            Seq("u", "j"), "left_semi")
+      .groupBy(col("u"), col("j").as("item"))
+      .agg(sum(col("w").cast("decimal(28,12)")).cast("double").as("score"))
 }

@@ -56,4 +56,37 @@ object Search {
     }
     SearchResult(history.maxBy(_.metric), history)
   }
+
+  /** Resume-from-saved-state wrapper (reference:
+    * ParameterTuning/SearchBayesianSkopt.py:21-135 resume_from_saved):
+    * completed trials append to a tab-separated state file as they
+    * finish; parameter sets already recorded short-circuit to the
+    * saved metric, so an interrupted search — or a re-run of the same
+    * grid after a crash — re-evaluates nothing. Wrap any strategy's
+    * `evaluate` with this. */
+  def resumable(stateFile: java.nio.file.Path)
+               (evaluate: Map[String, Double] => Double)
+      : Map[String, Double] => Double = {
+    val seen = scala.collection.mutable.Map[String, Double]()
+    if (java.nio.file.Files.exists(stateFile))
+      scala.io.Source.fromFile(stateFile.toFile).getLines()
+        .filter(_.nonEmpty).foreach { line =>
+          val cut = line.lastIndexOf('\t')
+          seen(line.substring(0, cut)) = line.substring(cut + 1).toDouble
+        }
+    def key(p: Map[String, Double]): String =
+      p.toSeq.sortBy(_._1).map { case (k, v) => s"$k=$v" }.mkString(",")
+    (p: Map[String, Double]) => {
+      val k = key(p)
+      seen.getOrElse(k, {
+        val m = evaluate(p)
+        java.nio.file.Files.write(stateFile,
+          s"$k\t$m\n".getBytes("UTF-8"),
+          java.nio.file.StandardOpenOption.CREATE,
+          java.nio.file.StandardOpenOption.APPEND)
+        seen(k) = m
+        m
+      })
+    }
+  }
 }

@@ -44,6 +44,20 @@ class DedupTextAnnSpec extends SparkSpec {
     assert(math.abs(j((0L, 1L)) - 1.0) < 1e-12)
   }
 
+  test("LSH bucket-size cap drops oversized buckets only") {
+    val dt = Dedup.docTokens(docs, col("doc_id"), col("text"))
+    val sigs = Dedup.minhashSignatures(dt, 6)
+    val uncapped = Dedup.lshCandidatePairs(sigs, 6, 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // cap of 1 removes every bucket that could produce a pair
+    val capped = Dedup.lshCandidatePairs(sigs, 6, 2, maxBucketSize = 1)
+    assert(capped.isEmpty)
+    // a generous cap changes nothing
+    val wide = Dedup.lshCandidatePairs(sigs, 6, 2, maxBucketSize = 100)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(wide == uncapped)
+  }
+
   test("simhash: identical docs share signatures; hamming 0") {
     val dt = Dedup.docTokens(docs, col("doc_id"), col("text"))
     val sigs = Dedup.simhash(dt)

@@ -42,6 +42,19 @@ class MetricsSpec extends SparkSpec {
     assert(math.abs(m.getAs[Double]("mrr") - 1.0 / 3) < 1e-6)
   }
 
+  test("hitTable min_ratings_per_user prunes sparse-relevance users") {
+    val recs = Seq((1, 10, 1), (1, 11, 2), (2, 10, 1), (2, 11, 2))
+      .toDF("u", "item", "rank")
+    // user 1 has two relevant items, user 2 only one
+    val rel = Seq((1, 10), (1, 11), (2, 10)).toDF("u", "i")
+    val all = Evaluation.hitTable(recs, rel)
+    assert(all.select("u").distinct().count() == 2)
+    val pruned = Evaluation.hitTable(recs, rel, minRatingsPerUser = 2)
+    val kept = pruned.select("u").distinct().collect().map(_.getInt(0))
+    assert(kept.sameElements(Array(1)),
+           "only the user with >= 2 relevant items survives")
+  }
+
   test("no hits yields zero accuracy") {
     val m = metricsFor(Seq(1, 3, 6, 7, 8), Seq(2, 4))
     assert(m.getAs[Double]("precision") == 0.0)

@@ -99,4 +99,40 @@ class PipelineSpec extends SparkSpec {
     }
     assert(again.history.map(_.metric) == result.history.map(_.metric))
   }
+
+  test("results gathering pivots algorithm metrics and exports") {
+    import graft.tuning.Results
+    val a = Seq((0.5, 0.25)).toDF("map", "ndcg")
+    val b = Seq((0.4, 0.35)).toDF("map", "ndcg")
+    val tall = Results.gather(spark, Seq("TopPop" -> a, "ItemKNN" -> b))
+    assert(tall.count() == 4)
+    val table = Results.comparisonTable(tall, Seq("map", "ndcg"))
+    assert(table.columns.toSeq == Seq("algorithm", "map", "ndcg"))
+    val csv = Results.toCsv(table)
+    assert(csv.startsWith("algorithm,map,ndcg"))
+    assert(csv.contains("ItemKNN,0.400000,0.350000"))
+    val tex = Results.toLatex(table, "Accuracy")
+    assert(tex.contains("\\begin{tabular}{lrr}") &&
+           tex.contains("TopPop & 0.5000 & 0.2500 \\\\"))
+  }
+
+  test("resumable search replays saved trials without re-evaluating") {
+    val state = java.nio.file.Files.createTempFile("search", ".tsv")
+    java.nio.file.Files.delete(state)
+    val grid = for { k <- Seq(1.0, 2.0, 3.0) } yield Map("k" -> k)
+    var calls = 0
+    def run() = Search.grid(grid)(Search.resumable(state) { p =>
+      calls += 1; p("k") * 10
+    })
+    val r1 = run()
+    assert(calls == 3 && r1.best.params("k") == 3.0)
+    // resumed run: all trials come from the state file
+    val r2 = run()
+    assert(calls == 3, "resumed search must not re-evaluate")
+    assert(r2.history.map(_.metric) == r1.history.map(_.metric))
+    // a widened grid only evaluates the new point
+    val r3 = Search.grid(grid :+ Map("k" -> 4.0))(
+      Search.resumable(state) { p => calls += 1; p("k") * 10 })
+    assert(calls == 4 && r3.best.metric == 40.0)
+  }
 }

@@ -75,6 +75,32 @@ class PlanSpec extends SparkSpec {
     assert(saltedJoin == plainJoin)
   }
 
+  test("similarity engine routes through the salted aggregation on a " +
+       "synthetic hot user") {
+    import graft.similarity.Similarity
+    // one heavy-hitter user (80 items) among light users
+    val hot = (0 until 80).map(i => (999, i)) ++
+      (for { u <- 0 until 10; i <- 0 until 5 } yield (u, i + u % 3))
+    val urm = hot.toDF("u", "i")
+    assert(Similarity.hasHeavyUsers(urm, threshold = 50))
+    assert(!Similarity.hasHeavyUsers(urm, threshold = 100))
+    // salted plan activates: grouping on _salt appears as an extra
+    // aggregate level in the optimized plan
+    val salted = Similarity.itemSimilarity(urm, Similarity.Cosine,
+                                           saltWhenHeavy = 50)
+    val plan = salted.queryExecution.optimizedPlan.toString
+    assert(plan.contains("_salt"),
+           s"salted path must activate on the hot key:\n$plan")
+    // and result equals the unsalted engine exactly
+    val plain = Similarity.itemSimilarity(urm, Similarity.Cosine)
+      .collect().map(r => ((r.getInt(0), r.getInt(1)), r.getDouble(2)))
+      .toMap
+    val saltedMap = salted
+      .collect().map(r => ((r.getInt(0), r.getInt(1)), r.getDouble(2)))
+      .toMap
+    assert(saltedMap == plain)
+  }
+
   test("grouped aggregation is partial before the shuffle (map-side combine)") {
     val q = t.lineitem.groupBy("l_returnflag").agg(sum("l_quantity"))
     val plan = q.queryExecution.executedPlan.toString
