@@ -185,6 +185,30 @@ object Evaluation {
       .agg(round(sum("ild") / count(lit(1)), 6).as("intra_list_diversity"))
   }
 
+  /** DIVERSITY_GINI (reference: metrics.py:401-442 Gini_Diversity): the
+    * Gini index of the per-item recommendation-count distribution with
+    * INVERTED range, so high values mean higher diversity:
+    *   2·Σᵢ ((n+1−i)/(n+1)) · cᵢ/Σc   over counts sorted ascending,
+    * computed over the FULL item universe (zero-count items included —
+    * the reference's counter spans all n_items). Rewritten to exact
+    * integer arithmetic until one final division:
+    * Σ(n+1−i)·cᵢ = (n+1)·Σc − Σ i·cᵢ. The ranking window runs on
+    * #items rows (the aggregate, never raw recommendations). */
+  def diversityGini(recs: DataFrame, items: DataFrame): DataFrame = {
+    val counts = items.select(col("i").as("item")).distinct()
+      .join(recs.groupBy("item").agg(count(lit(1)).as("c")),
+            Seq("item"), "left")
+      .withColumn("c", coalesce(col("c"), lit(0L)))
+    val w = Window.orderBy(col("c"), col("item"))
+    counts.withColumn("r", row_number().over(w))
+      .agg(sum(col("r") * col("c")).as("rc"),
+           count(lit(1)).as("n"), sum("c").as("tot"))
+      .select(round(
+        lit(2.0) * ((col("n") + 1) * col("tot") - col("rc")).cast("double") /
+          ((col("n") + 1) * col("tot")).cast("double"), 6)
+        .as("diversity_gini"))
+  }
+
   /** Herfindahl diversity 1 − Σp² (reference: metrics.py:447-479). */
   def herfindahl(recs: DataFrame): DataFrame =
     recs.groupBy("item").agg(count(lit(1)).as("cnt"))

@@ -115,13 +115,15 @@ object ExtraQueries {
           urm.select("i").distinct().limit(100), seed = 42)
       }, None),
 
-    // L22 — FunkSVD-analog: explicit-feedback ALS over mean quantities
-    // (reference approximates via ml.ALS per SURVEY §7.3); rows-only.
+    // L22 — FunkSVD-analog: EXPLICIT-feedback ALS over mean quantities —
+    // ratings are regression labels for the same squared-error objective
+    // FunkSVD descends (ml.ALS with implicitPrefs=false per SURVEY §7.3;
+    // round 2 ran implicit ALS here, a different objective); rows-only.
     Q("q74_funk_als", { t =>
         val ratings = Urm.ratingsFromOrders(t)
           .select(col("u"), col("i"), col("r").as("v"))
-        val (_, itemF) = Models.ials(ratings, rank = 8, reg = 0.1,
-          alpha = 1.0, iters = 3, seed = 7)
+        val (_, itemF) = Models.alsExplicit(ratings, rank = 8, reg = 0.1,
+          iters = 3, seed = 7)
         itemF.select(col("id"), size(col("features")).as("k"))
       }, None),
 
@@ -292,6 +294,49 @@ object ExtraQueries {
         |array_to_string(list_sort(list(DISTINCT l_partkey)), ',') AS parts,
         |COUNT(DISTINCT l_partkey) AS n_parts
         |FROM lineitem GROUP BY 1""".stripMargin)),
+
+    // §2.10 DIVERSITY_GINI over recommendation lists (reference:
+    // metrics.py:401-442 Gini_Diversity): inverted-range gini of the
+    // per-item recommendation counts of TopPop@10, over the full item
+    // universe with zero-count items included.
+    Q("q86_diversity_gini", { t =>
+        val urm = Urm.fromOrders(t)
+        val split = Urm.hashSplit(urm, 8, 10)
+        val train = split.filter(col("split") === "train").select("u", "i")
+        val pop = Recommenders.topPop(train)
+          .select(col("i").as("item"), col("pop").cast("double").as("score"))
+        val recs = Recommenders.recommendGlobal(pop, train, 10)
+        Evaluation.diversityGini(recs, urm.select("i").distinct())
+      },
+      Some(urmCte + """,
+        |train AS (SELECT u, i FROM urm WHERE (u*31 + i) % 10 < 8),
+        |pop AS (SELECT i, COUNT(*) AS pop FROM train GROUP BY 1),
+        |users AS (SELECT DISTINCT u FROM train),
+        |recs AS (
+        |  SELECT u, item FROM (
+        |    SELECT s.u, s.item,
+        |      ROW_NUMBER() OVER (PARTITION BY s.u
+        |        ORDER BY s.score DESC, s.item) AS rank
+        |    FROM (SELECT users.u AS u, pop.i AS item,
+        |                 CAST(pop AS DOUBLE) AS score
+        |          FROM users CROSS JOIN pop) s
+        |    WHERE NOT EXISTS (SELECT 1 FROM train t2
+        |                      WHERE t2.u = s.u AND t2.i = s.item)) r
+        |  WHERE rank <= 10
+        |), allitems AS (SELECT DISTINCT i AS item FROM urm),
+        |cnt AS (
+        |  SELECT a.item, COALESCE(rc.c, 0) AS c
+        |  FROM allitems a
+        |  LEFT JOIN (SELECT item, COUNT(*) AS c FROM recs GROUP BY 1) rc
+        |    ON a.item = rc.item
+        |), ranked AS (
+        |  SELECT c, ROW_NUMBER() OVER (ORDER BY c, item) AS r FROM cnt
+        |)
+        |SELECT round(
+        |  2.0 * CAST((COUNT(*) + 1) * SUM(c) - SUM(r * c) AS DOUBLE)
+        |      / CAST((COUNT(*) + 1) * SUM(c) AS DOUBLE), 6)
+        |  AS diversity_gini
+        |FROM ranked""".stripMargin)),
 
     // Beyond-accuracy: normalized average popularity + closed-form mean
     // inter-list diversity of the TopPop recommendations

@@ -158,14 +158,18 @@ object ModelQueries {
                               topK = 10, iters = 2)
       }, None),
 
-    // L21 — MF-BPR (impression-aware SGD harness, uniform negatives);
-    // rows-only: top item factors by norm.
+    // L21 — MF-BPR routed through the DISTRIBUTED path (partitioned
+    // Hogwild SGD, parameter averaging) so the default bench exercises
+    // the scale plan; the in-process impression-aware harness
+    // (Models.mfBpr, the reference's Cython mirror with inside/outside
+    // sampling modes) remains covered by ModelsSpec fixtures.
     Q("q68_mfbpr", { t =>
         val spark = t.spark
         import spark.implicits._
         val urm = Urm.fromOrders(t).filter(col("u") < 200)
-        val (_, itemF) = Models.mfBpr(spark, urm, rank = 8, epochs = 3,
-          samplesPerEpoch = 2000, lr = 0.05, reg = 0.01, seed = 42)
+        val (_, itemF) = Models.mfBprDistributed(spark, urm, rank = 8,
+          epochs = 3, samplesPerEpoch = 2000, lr = 0.05, reg = 0.01,
+          seed = 42)
         itemF.toSeq.map { case (i, f) =>
           (i, f.map(x => x * x).sum)
         }.toDF("i", "norm2")
@@ -200,6 +204,24 @@ object ModelQueries {
         m.itemFactors.toSeq.map { case (i, f) =>
           (i, f.map(x => x * x).sum)
         }.toDF("i", "norm2")
+      }, None),
+
+    // L22 (AsySVD half) — asymmetric SVD: only item-indexed matrices
+    // train; user factors estimated as profile·Y/√n (reference:
+    // MatrixFactorizationImpressions_Cython_Epoch.pyx:449-630,
+    // MatrixFactorizationImpressions_Cython.py:305-326); rows-only:
+    // estimated user-factor norms.
+    Q("q85_asysvd", { t =>
+        val spark = t.spark
+        import spark.implicits._
+        val ratings = Urm.ratingsFromOrders(t).filter(col("u") < 150)
+          .select(col("u"), col("i"), col("r").as("v"))
+        val m = Models.asySvdSgd(spark, ratings, rank = 8, epochs = 3,
+          samplesPerEpoch = 1500, lr = 0.002, reg = 0.01, biasReg = 0.01,
+          negativeQuota = 0.2, seed = 42)
+        m.userFactors.toSeq.map { case (u, f) =>
+          (u, f.map(x => x * x).sum)
+        }.toDF("u", "norm2")
       }, None),
 
     // L24 — SLIM BPR item-item weights (reference:

@@ -33,7 +33,12 @@ object Models {
     * This replaces the round-1 RowMatrix/ARPACK path whose per-iteration
     * distributed matvecs dominated the bench. */
   def pureSvdItemFactors(spark: SparkSession, urm: DataFrame, k: Int,
-                         nItems: Int): DataFrame = {
+                         nItems: Int, maxItems: Int = 2000): DataFrame = {
+    // same driver dense-materialization guard as easeR: the eigensolve
+    // needs the full item² Gram on the driver, which is fine for bounded
+    // catalogs and an OOM at nItems=100k — fail loudly instead
+    require(nItems <= maxItems,
+      s"PureSVD dense eigensolve guarded at $maxItems items; got $nItems")
     val binary = urm.select(col("u").cast("int").as("u"),
                             col("i").cast("int").as("i"),
                             col("v").cast("double").as("v"))
@@ -69,6 +74,25 @@ object Models {
       .setUserCol("u").setItemCol("i").setRatingCol("v")
       .setImplicitPrefs(true).setRank(rank).setRegParam(reg)
       .setAlpha(alpha).setMaxIter(iters).setSeed(seed)
+    val model = als.fit(urm.select(col("u").cast("int").as("u"),
+                                   col("i").cast("int").as("i"),
+                                   col("v").cast("float").as("v")))
+    (model.userFactors, model.itemFactors)
+  }
+
+  /** L22 cross-check — explicit-feedback ALS: minimizes Σ(r_ui − w_u·h_i)²
+    * + reg·(…) over the OBSERVED ratings only, the same squared-error
+    * objective FunkSVD descends (reference: MatrixFactorizationImpressions_
+    * Cython_Epoch.pyx:330-448), solved by alternating least squares
+    * instead of SGD. Distinct from [[ials]]: no implicit-preference
+    * transform, ratings enter as regression labels, not confidence
+    * weights. This is the factorization scale path for explicit feedback. */
+  def alsExplicit(urm: DataFrame, rank: Int, reg: Double, iters: Int,
+                  seed: Long): (DataFrame, DataFrame) = {
+    val als = new ALS()
+      .setUserCol("u").setItemCol("i").setRatingCol("v")
+      .setImplicitPrefs(false).setRank(rank).setRegParam(reg)
+      .setMaxIter(iters).setSeed(seed)
     val model = als.fit(urm.select(col("u").cast("int").as("u"),
                                    col("i").cast("int").as("i"),
                                    col("v").cast("float").as("v")))
@@ -464,6 +488,143 @@ object Models {
     }
     FunkSvdModel(uf.toMap, itf.toMap, mu, bu.toMap, bi.toMap,
                  mseHistory.toSeq)
+  }
+
+  /** L22 (AsySVD half) result: Y (the item-indexed "user factor" matrix
+    * the reference trains in place of per-user factors), the item
+    * factors H, biases, the per-epoch train MSE trace, and the
+    * profile-estimated user factors W = URM·Y / √|profile|. */
+  final case class AsySvdModel(
+      itemFactorsY: Map[Int, Array[Double]],
+      itemFactors: Map[Int, Array[Double]],
+      globalBias: Double,
+      userBias: Map[Int, Double],
+      itemBias: Map[Int, Double],
+      userFactors: Map[Int, Array[Double]],
+      mseHistory: Seq[Double])
+
+  /** L22 — AsySVD (asymmetric SVD): no per-user free parameters — a
+    * user's factor vector is derived from the items in their profile,
+    * w_u = (Σ_{l∈profile(u)} Y_l) / √|profile(u)|, and only the two
+    * item-indexed matrices Y and H train
+    * (reference: MatrixFactorizationImpressions_Cython_Epoch.pyx:449-630
+    * ASY_SVD epoch; user-factor estimation
+    * MatrixFactorizationImpressions_Cython.py:305-326).
+    * Per MSE sample (same sampler as FunkSVD — uniform eligible user,
+    * negativeQuota share of rating-0 unseen items):
+    *   pred = μ + b_u + b_i + w_u·H_i,  err = rating − pred;
+    *   biases step like FunkSVD; Y_l += lr·(err·H_i − reg·Y_l) for every
+    *   profile item l (the reference omits the 1/√n factor from the
+    *   gradient — mirrored here); H_i += lr·(err·w_u − reg·H_i) with the
+    *   pre-update w_u.
+    * In-process kernel mirroring the reference's Cython (sequential SGD,
+    * same justification as funkSvdSgd); both trained matrices are
+    * item²-bounded and the final user-factor estimation is a single
+    * profile-sum — the distributable step. */
+  def asySvdSgd(spark: SparkSession, urm: DataFrame, rank: Int,
+                epochs: Int, samplesPerEpoch: Int, lr: Double,
+                reg: Double, biasReg: Double, negativeQuota: Double,
+                seed: Long): AsySvdModel = {
+    import spark.implicits._
+    require(negativeQuota >= 0.0 && negativeQuota < 1.0)
+    val items = urm.select(col("i").cast("int")).distinct()
+      .as[Int].collect().sorted
+    val ratings = urm.select(col("u").cast("int"), col("i").cast("int"),
+                             col("v").cast("double"))
+      .as[(Int, Int, Double)].collect()
+      .groupBy(_._1).map { case (u, rs) =>
+        (u, rs.map(r => (r._2, r._3)).toMap)
+      }
+    val profiles = ratings.map { case (u, prof) =>
+      (u, prof.keys.toArray.sorted)
+    }
+    val users = ratings.collect {
+      case (u, prof) if prof.nonEmpty && prof.size < items.length => u
+    }.toArray.sorted
+    require(users.nonEmpty, "no trainable users")
+    val rng = new scala.util.Random(seed)
+    val yf = scala.collection.mutable.Map[Int, Array[Double]]()
+    val hf = scala.collection.mutable.Map[Int, Array[Double]]()
+    def fac(m: scala.collection.mutable.Map[Int, Array[Double]], id: Int) =
+      m.getOrElseUpdate(id, Array.fill(rank)((rng.nextDouble() - 0.5) * 0.1))
+    var mu = 0.0
+    val bu = scala.collection.mutable.Map[Int, Double]().withDefaultValue(0.0)
+    val bi = scala.collection.mutable.Map[Int, Double]().withDefaultValue(0.0)
+    val mseHistory = scala.collection.mutable.ArrayBuffer[Double]()
+    (0 until epochs).foreach { _ =>
+      var loss = 0.0
+      var s = 0
+      while (s < samplesPerEpoch) {
+        val u = users(rng.nextInt(users.length))
+        val prof = ratings(u)
+        val profItems = profiles(u)
+        val (item, rating) =
+          if (negativeQuota > 0 && rng.nextDouble() < negativeQuota) {
+            var j = items(rng.nextInt(items.length))
+            while (prof.contains(j)) j = items(rng.nextInt(items.length))
+            (j, 0.0)
+          } else {
+            val i = profItems(rng.nextInt(profItems.length))
+            (i, prof(i))
+          }
+        // w_u accumulated from profile-item Y factors, scaled 1/√n
+        val denom = math.sqrt(profItems.length.toDouble)
+        val acc = new Array[Double](rank)
+        profItems.foreach { l =>
+          val yl = fac(yf, l)
+          var f = 0
+          while (f < rank) { acc(f) += yl(f); f += 1 }
+        }
+        var f = 0
+        while (f < rank) { acc(f) /= denom; f += 1 }
+        val hi = fac(hf, item)
+        var pred = mu + bu(u) + bi(item)
+        f = 0
+        while (f < rank) { pred += acc(f) * hi(f); f += 1 }
+        val err = rating - pred
+        loss += err * err
+        mu += lr * (err - biasReg * mu)
+        bu(u) += lr * (err - biasReg * bu(u))
+        bi(item) += lr * (err - biasReg * bi(item))
+        // Y update over profile items against the PRE-update H_i
+        profItems.foreach { l =>
+          val yl = yf(l)
+          var g = 0
+          while (g < rank) {
+            yl(g) += lr * (err * hi(g) - reg * yl(g))
+            g += 1
+          }
+        }
+        // H update with the pre-update accumulated w_u
+        f = 0
+        while (f < rank) {
+          hi(f) += lr * (err * acc(f) - reg * hi(f))
+          f += 1
+        }
+        s += 1
+      }
+      mseHistory += loss / samplesPerEpoch
+    }
+    // user-factor estimation: W = URM·Y / √|profile| (reference
+    // _estimate_user_factors) — in this in-process mirror a profile sum;
+    // at scale the identical estimate is one join-aggregation
+    val userFactors = profiles.map { case (u, profItems) =>
+      val acc = new Array[Double](rank)
+      profItems.foreach { l =>
+        yf.get(l).foreach { yl =>
+          var f = 0
+          while (f < rank) { acc(f) += yl(f); f += 1 }
+        }
+      }
+      val denom = math.sqrt(profItems.length.toDouble)
+      if (denom > 0) {
+        var f = 0
+        while (f < rank) { acc(f) /= denom; f += 1 }
+      }
+      (u, acc)
+    }
+    AsySvdModel(yf.toMap, hf.toMap, mu, bu.toMap, bi.toMap,
+                userFactors, mseHistory.toSeq)
   }
 
   /** L24 — SLIM BPR: item-item weight matrix trained with the BPR

@@ -114,6 +114,63 @@ class ModelsSpec extends SparkSpec {
     assert(m.userFactors.nonEmpty && m.itemFactors.nonEmpty)
   }
 
+  test("PureSVD dense-eigensolve guard fires above maxItems") {
+    val e = intercept[IllegalArgumentException] {
+      Models.pureSvdItemFactors(spark, urm, k = 5, nItems = 5000,
+                                maxItems = 2000)
+    }
+    assert(e.getMessage.contains("guarded"))
+  }
+
+  test("explicit ALS beats the global-mean baseline on train RMSE") {
+    // explicit ratings with real structure: r = 1 + (u+i) % 5
+    val ratings = (for {
+      u <- 0 until 30; i <- 0 until 20 if (u + i) % 3 != 0
+    } yield (u, i, 1.0 + (u + i) % 5)).toDF("u", "i", "v").cache()
+    val (uf, itf) = Models.alsExplicit(ratings, rank = 8, reg = 0.05,
+                                       iters = 10, seed = 1)
+    val ufm = uf.collect().map(r => (r.getInt(0),
+      r.getAs[scala.collection.Seq[Float]](1).toArray)).toMap
+    val itfm = itf.collect().map(r => (r.getInt(0),
+      r.getAs[scala.collection.Seq[Float]](1).toArray)).toMap
+    val obs = ratings.as[(Int, Int, Double)].collect()
+    val mean = obs.map(_._3).sum / obs.length
+    val (sseAls, sseMean) = obs.foldLeft((0.0, 0.0)) {
+      case ((a, m), (u, i, v)) =>
+        val p = ufm(u).zip(itfm(i)).map { case (x, y) => x * y }.sum
+        (a + (v - p) * (v - p), m + (v - mean) * (v - mean))
+    }
+    assert(sseAls < sseMean,
+      s"explicit-ALS train SSE $sseAls must beat global-mean $sseMean")
+  }
+
+  test("AsySVD: MSE decreases; user factors = profile·Y/√n") {
+    val ratings = (for {
+      u <- 0 until 30; i <- 0 until 20 if (u + i) % 3 != 0
+    } yield (u, i, 1.0 + (u + i) % 5)).toDF("u", "i", "v")
+    val m = Models.asySvdSgd(spark, ratings, rank = 6, epochs = 6,
+      samplesPerEpoch = 1500, lr = 0.01, reg = 0.01, biasReg = 0.01,
+      negativeQuota = 0.2, seed = 42)
+    assert(m.mseHistory.size == 6)
+    assert(m.mseHistory.last < m.mseHistory.head,
+           s"MSE should decrease: ${m.mseHistory}")
+    // user-factor estimation is exactly the profile sum over Y, scaled
+    val prof = ratings.select("u", "i").as[(Int, Int)].collect()
+      .groupBy(_._1).map { case (u, rs) => (u, rs.map(_._2).sorted) }
+    prof.foreach { case (u, items) =>
+      val expect = Array.fill(6)(0.0)
+      items.foreach { l =>
+        m.itemFactorsY.get(l).foreach { yl =>
+          (0 until 6).foreach(f => expect(f) += yl(f))
+        }
+      }
+      val denom = math.sqrt(items.length.toDouble)
+      (0 until 6).foreach { f =>
+        assert(math.abs(m.userFactors(u)(f) - expect(f) / denom) < 1e-9)
+      }
+    }
+  }
+
   test("SLIM BPR: positive margin, bounded per-column neighborhood") {
     val s = Models.slimBpr(spark, urm, epochs = 6, samplesPerEpoch = 1500,
       lr = 0.05, liReg = 0.001, ljReg = 0.001, topK = 8, seed = 42)
