@@ -90,6 +90,29 @@ object TextOps {
               regexp_replace(t, "s$", ""))
         .otherwise(t))
 
+  /** F9 (exact parity) — Porter stemming over a token array, matching
+    * the reference's nltk PorterStemmer (NLTK_EXTENSIONS mode) that
+    * tagFilterAndStemming applies per tag
+    * (Data_manager/TagPreprocessing.py:41-62). The per-token algorithm
+    * is inherently procedural, so this is the engine's one deliberate
+    * scalar UDF; the tokenization/normalization around it stays in
+    * codegen'd expressions. [[stemLight]] remains the UDF-free
+    * approximation for scan-speed pipelines. */
+  private val porterUdf = udf((toks: Seq[String]) =>
+    if (toks == null) null else toks.map(PorterStemmer.stem))
+  def stemPorter(toks: Column): Column = porterUdf(toks)
+
+  /** The reference's tagFilterAndStemming pipeline
+    * (TagPreprocessing.py:41-62): strip non-alphanumerics, collapse
+    * spaces, split, Porter-stem each token, drop stopword stems and
+    * empties. */
+  def tagFilterAndStem(tag: Column): Column = {
+    val cleaned = regexp_replace(
+      regexp_replace(tag, "[^a-zA-Z0-9]", " "), " +", " ")
+    filter(stemPorter(split(cleaned, " ")),
+           t => !t.isInCollection(stopwords("en")) && t =!= "")
+  }
+
   /** Document fingerprint: whitespace-normalized lowercase text hashed
     * to a 64-char md5 plus a 60-bit integer prefix — the join key for
     * exact dedup and the hash source for sketching. */

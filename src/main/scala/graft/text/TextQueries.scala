@@ -63,6 +63,20 @@ object TextQueries {
         |  END AS pred_lang
         |FROM h""".stripMargin)),
 
+    // F9 — Porter stemming of document tokens (reference:
+    // TagPreprocessing.py:41-62). The stemmer is a Scala UDF (no SQL
+    // twin exists in DuckDB), so the check is rows-only; exact
+    // per-word parity is pinned by the 60-word fixture in
+    // DedupTextAnnSpec.
+    Q("q87_porter_stem",
+      t => t.documents
+        .select(col("doc_id"),
+                concat_ws(" ",
+                  TextOps.stemPorter(TextOps.tokens(col("text"))))
+                  .as("stemmed"))
+        .filter(length(col("stemmed")) > 0),
+      None),
+
     // md5 document fingerprinting (hex + 60-bit integer prefix).
     Q("q53_fingerprint",
       t => TextOps.fingerprint(t.documents, col("text"))

@@ -57,6 +57,79 @@ object Search {
     SearchResult(history.maxBy(_.metric), history)
   }
 
+  /** Surrogate-guided search — the engine's stand-in for the
+    * reference's Bayesian loop (ParameterTuning/SearchBayesianSkopt.py:
+    * 21-135, which wraps skopt gp_minimize): `nInit` seeded random
+    * trials, then each step
+    *  1. fits a ridge-regularized QUADRATIC surrogate (all pairwise
+    *     terms) to the full normalized trial history,
+    *  2. scores a seeded candidate pool with surrogate-mean plus a
+    *     `kappa`-weighted distance-to-nearest-evaluated exploration
+    *     bonus (the deterministic analog of the GP posterior variance
+    *     that EI trades off),
+    *  3. evaluates the acquisition argmax.
+    * Fully deterministic given the seed; every evaluation is still one
+    * distributed fit+evaluate pipeline — only the tiny surrogate solve
+    * (#features² with #features = 1+d+d(d+1)/2) runs on the driver,
+    * exactly like the reference's skopt loop. */
+  def surrogate(ranges: Map[String, (Double, Double)], nInit: Int,
+                nTotal: Int, candidatePool: Int, kappa: Double, seed: Long)
+               (evaluate: Map[String, Double] => Double): SearchResult = {
+    import breeze.linalg.{DenseMatrix => BDM, DenseVector => BDV}
+    require(nInit >= 1 && nTotal >= nInit && candidatePool >= 1)
+    val keys = ranges.keys.toSeq.sorted
+    val rng = new scala.util.Random(seed)
+    def draw(): Map[String, Double] = keys.map { k =>
+      val (lo, hi) = ranges(k); k -> (lo + rng.nextDouble() * (hi - lo))
+    }.toMap
+    def norm(p: Map[String, Double]): Array[Double] = keys.map { k =>
+      val (lo, hi) = ranges(k)
+      if (hi > lo) (p(k) - lo) / (hi - lo) else 0.0
+    }.toArray
+    def feats(x: Array[Double]): Array[Double] = {
+      val b = scala.collection.mutable.ArrayBuffer(1.0)
+      b ++= x
+      for (a <- x.indices; c <- a until x.length) b += x(a) * x(c)
+      b.toArray
+    }
+    val history = scala.collection.mutable.ArrayBuffer[Trial]()
+    (0 until nInit).foreach { _ =>
+      val p = draw(); history += Trial(p, evaluate(p))
+    }
+    while (history.size < nTotal) {
+      val xs = history.map(t => feats(norm(t.params)))
+      val ys = history.map(_.metric)
+      val d = xs.head.length
+      val xtx = BDM.eye[Double](d) * 1e-6 // ridge
+      val xty = BDV.zeros[Double](d)
+      xs.zip(ys).foreach { case (row, y) =>
+        var a = 0
+        while (a < d) {
+          xty(a) += row(a) * y
+          var c = 0
+          while (c < d) { xtx(a, c) += row(a) * row(c); c += 1 }
+          a += 1
+        }
+      }
+      val w = xtx \ xty
+      val evaluated = history.map(t => norm(t.params)).toArray
+      val scored = Seq.fill(candidatePool)(draw()).map { p =>
+        val x = norm(p)
+        val f = feats(x)
+        var mu = 0.0
+        var a = 0
+        while (a < d) { mu += f(a) * w(a); a += 1 }
+        val nearest = evaluated.map { e =>
+          math.sqrt(x.zip(e).map { case (u, v) => (u - v) * (u - v) }.sum)
+        }.min
+        (p, mu + kappa * nearest)
+      }
+      val next = scored.maxBy(_._2)._1
+      history += Trial(next, evaluate(next))
+    }
+    SearchResult(history.maxBy(_.metric), history.toSeq)
+  }
+
   /** Resume-from-saved-state wrapper (reference:
     * ParameterTuning/SearchBayesianSkopt.py:21-135 resume_from_saved):
     * completed trials append to a tab-separated state file as they

@@ -135,4 +135,66 @@ class DedupTextAnnSpec extends SparkSpec {
     // LSH candidate set contains the true neighbor for same-side vectors
     assert(lsh == brute || lsh % 2 == 0)
   }
+
+  test("Porter stemmer matches the reference stemmer on a 60-word list") {
+    // expected outputs are nltk PorterStemmer (NLTK_EXTENSIONS, the
+    // reference's default) results, hand-traced through the published
+    // algorithm + documented extensions
+    val fixture = Seq(
+      // step 1a plurals + NLTK 4-letter ies→ie
+      "caresses" -> "caress", "ponies" -> "poni", "ties" -> "tie",
+      "dies" -> "die", "caress" -> "caress", "cats" -> "cat",
+      "studies" -> "studi",
+      // step 1b ed/ing/eed + NLTK ied + post-rules
+      "feed" -> "feed", "agreed" -> "agre", "plastered" -> "plaster",
+      "bled" -> "bled", "motoring" -> "motor", "sing" -> "sing",
+      "conflated" -> "conflat", "troubled" -> "troubl", "sized" -> "size",
+      "hopping" -> "hop", "tanned" -> "tan", "falling" -> "fall",
+      "hissing" -> "hiss", "fizzed" -> "fizz", "failing" -> "fail",
+      "filing" -> "file", "died" -> "die", "studied" -> "studi",
+      // step 1c y→i (NLTK non-initial-consonant condition)
+      "happy" -> "happi", "crying" -> "cri", "saying" -> "say",
+      // NLTK irregular-forms pool
+      "sky" -> "sky", "skies" -> "sky", "dying" -> "die",
+      "lying" -> "lie", "tying" -> "tie", "news" -> "news",
+      "innings" -> "inning", "proceed" -> "proceed", "exceed" -> "exceed",
+      "succeed" -> "succeed",
+      // step 2 chains (then stripped further by 4/5a where m allows)
+      "relational" -> "relat", "conditional" -> "condit",
+      "rational" -> "ration", "valenci" -> "valenc",
+      "hesitanci" -> "hesit", "digitizer" -> "digit",
+      "differently" -> "differ", "analogously" -> "analog",
+      "vietnamization" -> "vietnam", "predication" -> "predic",
+      "operator" -> "oper", "feudalism" -> "feudal",
+      "decisiveness" -> "decis", "hopefulness" -> "hope",
+      "callousness" -> "callous", "formaliti" -> "formal",
+      "sensitiviti" -> "sensit", "sensibiliti" -> "sensibl",
+      // step 3
+      "triplicate" -> "triplic", "formative" -> "form",
+      "formalize" -> "formal", "electriciti" -> "electr",
+      "hopeful" -> "hope", "goodness" -> "good",
+      // step 4
+      "revival" -> "reviv", "allowance" -> "allow",
+      "inference" -> "infer", "airliner" -> "airlin",
+      "gyroscopic" -> "gyroscop", "adjustable" -> "adjust",
+      "defensible" -> "defens", "irritant" -> "irrit",
+      "replacement" -> "replac", "adjustment" -> "adjust",
+      "dependent" -> "depend", "adoption" -> "adopt",
+      "communism" -> "commun", "activate" -> "activ",
+      "angulariti" -> "angular", "homologous" -> "homolog",
+      "effective" -> "effect", "bowdlerize" -> "bowdler",
+      // step 5
+      "probate" -> "probat", "rate" -> "rate", "cease" -> "ceas",
+      "controll" -> "control", "roll" -> "roll")
+    fixture.foreach { case (in, want) =>
+      val got = graft.text.PorterStemmer.stem(in)
+      assert(got == want, s"stem($in) = $got, want $want")
+    }
+    // the Spark column wrapper agrees with the pure function
+    val viaUdf = Seq((0L, fixture.map(_._1)))
+      .toDF("id", "toks")
+      .select(TextOps.stemPorter(col("toks")).as("stemmed"))
+      .head().getAs[scala.collection.Seq[String]]("stemmed")
+    assert(viaUdf == fixture.map(_._2))
+  }
 }

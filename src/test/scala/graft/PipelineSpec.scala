@@ -116,6 +116,37 @@ class PipelineSpec extends SparkSpec {
            tex.contains("TopPop & 0.5000 & 0.2500 \\\\"))
   }
 
+  test("surrogate search homes in on a quadratic optimum; beats random") {
+    // bowl with optimum at (0.3, 0.7): the quadratic surrogate can fit
+    // this exactly once the init trials are in, so guided trials should
+    // reach the optimum faster than seeded random draws
+    val ranges = Map("x" -> (0.0, 1.0), "y" -> (0.0, 1.0))
+    def f(p: Map[String, Double]): Double = {
+      val dx = p("x") - 0.3; val dy = p("y") - 0.7
+      -(dx * dx) - (dy * dy)
+    }
+    val sur = Search.surrogate(ranges, nInit = 6, nTotal = 12,
+                               candidatePool = 200, kappa = 0.05,
+                               seed = 11)(f)
+    val rnd = Search.random(ranges, 12, seed = 11)(f)
+    assert(sur.best.metric >= rnd.best.metric,
+           s"surrogate ${sur.best.metric} vs random ${rnd.best.metric}")
+    assert(math.abs(sur.best.params("x") - 0.3) < 0.1 &&
+           math.abs(sur.best.params("y") - 0.7) < 0.1,
+           s"surrogate best ${sur.best.params} should be near (0.3, 0.7)")
+    // fewer trials to reach near-optimal than random needs
+    val eps = -0.005
+    val surHit = sur.history.indexWhere(_.metric > eps)
+    val rndHit = rnd.history.indexWhere(_.metric > eps)
+    assert(surHit >= 0 && (rndHit == -1 || surHit < rndHit),
+           s"surrogate hit at $surHit, random at $rndHit")
+    // deterministic given the seed
+    val again = Search.surrogate(ranges, nInit = 6, nTotal = 12,
+                                 candidatePool = 200, kappa = 0.05,
+                                 seed = 11)(f)
+    assert(again.history.map(_.metric) == sur.history.map(_.metric))
+  }
+
   test("resumable search replays saved trials without re-evaluating") {
     val state = java.nio.file.Files.createTempFile("search", ".tsv")
     java.nio.file.Files.delete(state)
