@@ -68,25 +68,23 @@ object Recommenders {
     val b = urm.select(col("u"), col("i").as("i2"))
     val pairsByUser = a.join(b, "u").filter(col("i1") =!= col("i2"))
       .join(broadcast(userDeg), "u")
-    // Two-level aggregation: the heavy groupBy is a pure integer count
-    // (whole-stage codegen), the exact-decimal arithmetic then touches
-    // only (pair × distinct-degree) rows. Decimal arithmetic is exact,
-    // so cnt·dec(1/nu) ≡ summing dec(1/nu) per occurrence.
-    val counted = pairsByUser
-      .groupBy(col("i1").as("i"), col("i2").as("j"), col("nu"))
-      .agg(count(lit(1)).as("cnt"))
+    // Single aggregation over pair rows: decimal addition is exact and
+    // associative, so summing dec(1/nu) per occurrence directly under
+    // map-side partial aggregation equals the round-2 two-level
+    // count-then-multiply form while cutting one full shuffle stage
+    // (the (i,j,nu)-keyed exchange) out of the plan. dec(16,15) sums
+    // into decimal(26,15) — 11 integral digits of headroom, far above
+    // any real user count.
     val summed =
       if (alpha == 1.0)
-        // (16,15)×(10,0) → decimal(27,15): stays exact under the 38-digit
-        // cap even after sum's +10 precision headroom
-        counted.groupBy("i", "j")
-          .agg(sum((lit(1.0) / col("nu")).cast("decimal(16,15)") *
-                   col("cnt").cast("decimal(10,0)"))
+        pairsByUser
+          .groupBy(col("i1").as("i"), col("i2").as("j"))
+          .agg(sum((lit(1.0) / col("nu")).cast("decimal(16,15)"))
                  .cast("double").as("usum"))
       else
-        counted.groupBy("i", "j")
-          .agg(sum(pow(lit(1.0) / col("nu"), alpha) * col("cnt"))
-                 .as("usum"))
+        pairsByUser
+          .groupBy(col("i1").as("i"), col("i2").as("j"))
+          .agg(sum(pow(lit(1.0) / col("nu"), alpha)).as("usum"))
     summed
       .join(broadcast(itemDeg), "i")
       .select(col("i"), col("j"),
