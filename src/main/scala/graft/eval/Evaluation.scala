@@ -113,11 +113,17 @@ object Evaluation {
   /** Cutoff-list evaluation (reference: run_hyperparameter_tuning.py:
     * 42-58 — validation [10], test [5,10,20]): one hit table ranked to
     * max cutoff, metrics per cutoff stacked with a cutoff column. */
-  def accuracyMetricsAtCutoffs(hits: DataFrame, cutoffs: Seq[Int])
-      : DataFrame =
+  def accuracyMetricsAtCutoffs(hits0: DataFrame, cutoffs: Seq[Int])
+      : DataFrame = {
+    // every cutoff is an independent aggregation branch over the same
+    // hit table — persist it once instead of recomputing the ranking /
+    // join subtree per cutoff
+    val hits = hits0.persist(
+      org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     cutoffs.map(c => accuracyMetrics(hits, c)
         .select(lit(c).as("cutoff"), col("*")))
       .reduce(_ unionByName _)
+  }
 
   /** Catalog coverage: share of items ever recommended
     * (reference: metrics.py:310-323). */
@@ -171,7 +177,10 @@ object Evaluation {
   /** Intra-list diversity against an item-similarity matrix
     * (reference: metrics.py:642-696): mean over users of the average
     * pairwise (1 − sim) inside the recommended list. */
-  def intraListDiversity(recs: DataFrame, sim: DataFrame): DataFrame = {
+  def intraListDiversity(recs0: DataFrame, sim: DataFrame): DataFrame = {
+    // the rec-list subtree feeds both self-join sides — persist once
+    val recs = recs0.persist(
+      org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val a = recs.select(col("u"), col("item").as("ia"))
     val b = recs.select(col("u"), col("item").as("ib"))
     val pairs = a.join(b, "u").filter(col("ia") < col("ib"))

@@ -347,7 +347,9 @@ object ExtraQueries {
         val pop = Recommenders.topPop(train)
         val popScores = pop.select(col("i").as("item"),
                                    col("pop").cast("double").as("score"))
+        // two metric branches share the rec-list subtree — persist once
         val recs = Recommenders.recommendGlobal(popScores, train, 10)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         Evaluation.averagePopularity(recs, pop)
           .crossJoin(Evaluation.meanInterListDiversity(recs, 10))
       },
