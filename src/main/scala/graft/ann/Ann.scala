@@ -100,6 +100,62 @@ object Ann {
       .select("qid", "vid", "cos", "rank")
   }
 
+  /** IVF coarse quantizer: `nCells` centroids drawn deterministically
+    * from the corpus by md5(id) order — a hash-seeded sample instead of
+    * Lloyd-trained means, which keeps the quantizer a pure function of
+    * the data (engine-independent, oracle-checkable) while preserving
+    * the IVF structure. At 100 TB the centroid table is nCells·dim —
+    * always broadcastable. */
+  def ivfCentroids(corpus: DataFrame, nCells: Int): DataFrame =
+    corpus.select(col("id").as("cid"), col("embedding").as("centroid"),
+                  md5(col("id").cast("string")).as("h"))
+      .orderBy(col("h"), col("cid")).limit(nCells).drop("h")
+
+  /** Cell assignment: nearest centroid by cosine (rounded to 6 decimals
+    * so the argmax is stable across engines; ties break on centroid
+    * id). One broadcast join + per-vector argmax window — the corpus
+    * never shuffles except by its own cell key. */
+  def ivfAssign(vectors: DataFrame, centroids: DataFrame,
+                nProbe: Int): DataFrame = {
+    val scored = vectors.crossJoin(broadcast(centroids))
+      .withColumn("ccos", round(
+        dot(col("embedding"), col("centroid")) /
+          (sqrt(norm2(col("embedding"))) * sqrt(norm2(col("centroid")))), 6))
+    val w = Window.partitionBy("id").orderBy(desc("ccos"), asc("cid"))
+    scored.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= nProbe)
+      .select(col("id"), col("cid").as("cell"))
+  }
+
+  /** IVF ANN: inverted-file search — corpus vectors index into their
+    * nearest cell, each query probes its `nProbe` nearest cells, and
+    * exact cosine runs only on the probed cells' members (candidate
+    * fraction ≈ nProbe/nCells of the corpus). The candidate build is a
+    * join co-partitioned on the cell key; scoring mirrors
+    * [[bruteForceCosineTopK]]. The third ANN path next to brute force
+    * (exact baseline) and LSH (bucket hashing). */
+  def ivfCosineTopK(queries: DataFrame, corpus: DataFrame, nCells: Int,
+                    nProbe: Int, k: Int): DataFrame = {
+    val centroids = ivfCentroids(corpus, nCells)
+    val cells = ivfAssign(corpus, centroids, 1)
+      .select(col("id").as("vid"), col("cell"))
+    val probes = ivfAssign(queries, centroids, nProbe)
+      .select(col("id").as("qid"), col("cell"))
+    val cand = probes.join(cells, "cell")
+      .filter(col("qid") =!= col("vid"))
+      .select("qid", "vid").distinct()
+    val q = queries.select(col("id").as("qid"), col("embedding").as("qv"))
+    val c = corpus.select(col("id").as("vid"), col("embedding").as("cv"))
+    val scored = cand.join(broadcast(q), "qid").join(c, "vid")
+      .withColumn("cos", round(
+        dot(col("qv"), col("cv")) /
+          (sqrt(norm2(col("qv"))) * sqrt(norm2(col("cv")))), 6))
+    val w = Window.partitionBy("qid").orderBy(desc("cos"), asc("vid"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("qid", "vid", "cos", "rank")
+  }
+
   /** Embedding-cosine near-duplicate pairs (all-pairs within LSH buckets,
     * cosine above threshold) — the embedding leg of the dedup suite. */
   def cosineNearDupPairs(vectors: DataFrame, planes: DataFrame,

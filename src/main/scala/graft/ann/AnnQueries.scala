@@ -93,6 +93,68 @@ object AnnQueries {
         |    ROW_NUMBER() OVER (PARTITION BY qid
         |      ORDER BY cos DESC, vid) AS rank
         |  FROM cos) r
+        |WHERE rank <= 3""".stripMargin)),
+
+    // IVF ANN: 16 hash-sampled centroids, corpus indexed by nearest
+    // cell, queries probe their 2 nearest cells, exact cosine on the
+    // probed members only, top-3 per query.
+    Q("q88_ann_ivf", { t =>
+        val emb = t.embeddings.select(col("vec_id").as("id"),
+                                      col("embedding"))
+        Ann.ivfCosineTopK(emb.filter(col("id") % 20 === 0), emb,
+                          nCells = 16, nProbe = 2, k = 3)
+      },
+      Some(evCte + """,
+        |cent AS (
+        |  SELECT vec_id AS cid FROM embeddings
+        |  ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 16
+        |), cdots AS (
+        |  SELECT a.vec_id AS vid, c.cid, SUM(a.v * b.v) AS dot
+        |  FROM ev a
+        |  CROSS JOIN cent c
+        |  JOIN ev b ON b.vec_id = c.cid AND a.d = b.d
+        |  GROUP BY 1, 2
+        |), ccos AS (
+        |  SELECT vid, cid,
+        |    round(dot / sqrt(na.nn * nb.nn), 6) AS ccos
+        |  FROM cdots
+        |  JOIN norms na ON vid = na.vec_id
+        |  JOIN norms nb ON cid = nb.vec_id
+        |), assign AS (
+        |  SELECT vid, cell FROM (
+        |    SELECT vid, cid AS cell,
+        |      ROW_NUMBER() OVER (PARTITION BY vid
+        |        ORDER BY ccos DESC, cid) AS rn
+        |    FROM ccos) a
+        |  WHERE rn = 1
+        |), probe AS (
+        |  SELECT qid, cell FROM (
+        |    SELECT vid AS qid, cid AS cell,
+        |      ROW_NUMBER() OVER (PARTITION BY vid
+        |        ORDER BY ccos DESC, cid) AS rn
+        |    FROM ccos WHERE vid % 20 = 0) p
+        |  WHERE rn <= 2
+        |), cand AS (
+        |  SELECT DISTINCT probe.qid, assign.vid
+        |  FROM probe JOIN assign USING (cell)
+        |  WHERE assign.vid <> probe.qid
+        |), dots AS (
+        |  SELECT qid, cand.vid AS vid, SUM(a.v * b.v) AS dot
+        |  FROM cand
+        |  JOIN ev a ON a.vec_id = cand.qid
+        |  JOIN ev b ON b.vec_id = cand.vid AND a.d = b.d
+        |  GROUP BY 1, 2
+        |), cos AS (
+        |  SELECT qid, vid, round(dot / sqrt(na.nn * nb.nn), 6) AS cos
+        |  FROM dots
+        |  JOIN norms na ON qid = na.vec_id
+        |  JOIN norms nb ON vid = nb.vec_id
+        |)
+        |SELECT qid, vid, cos, rank FROM (
+        |  SELECT qid, vid, cos,
+        |    ROW_NUMBER() OVER (PARTITION BY qid
+        |      ORDER BY cos DESC, vid) AS rank
+        |  FROM cos) r
         |WHERE rank <= 3""".stripMargin))
   )
 }

@@ -136,6 +136,30 @@ class DedupTextAnnSpec extends SparkSpec {
     assert(lsh == brute || lsh % 2 == 0)
   }
 
+  test("IVF ANN: finds the duplicate vector inside its probed cell") {
+    // two well-separated clusters; the duplicate of query 0 must be its
+    // top-1 because both land in the same cell
+    def vec(base: Array[Double], noise: Double, salt: Int): Array[Double] =
+      base.zipWithIndex.map { case (v, d) => v + noise * ((salt + d) % 3) }
+    val a = Array(10.0, 0.0, 0.0, 0.0)
+    val b = Array(0.0, 0.0, 10.0, 0.0)
+    val vecs = (
+      Seq((0L, a), (1L, a)) ++                      // 1 duplicates 0
+      (2 to 6).map(i => (i.toLong, vec(a, 0.3, i))) ++
+      (7 to 11).map(i => (i.toLong, vec(b, 0.3, i)))
+    ).toDF("id", "embedding")
+    val top = Ann.ivfCosineTopK(vecs.filter(col("id") === 0), vecs,
+                                nCells = 4, nProbe = 2, k = 1).head()
+    assert(top.getAs[Long]("vid") == 1L,
+           s"duplicate must be top-1, got ${top.getAs[Long]("vid")}")
+    assert(top.getAs[Double]("cos") == 1.0)
+    // candidate set is bounded: a probe of 1 cell from 4 must not scan
+    // the whole corpus
+    val cells = Ann.ivfAssign(
+      vecs, Ann.ivfCentroids(vecs, 4), 1).groupBy("cell").count()
+    assert(cells.count() > 1, "quantizer must produce multiple cells")
+  }
+
   test("Porter stemmer matches the reference stemmer on a 60-word list") {
     // expected outputs are nltk PorterStemmer (NLTK_EXTENSIONS, the
     // reference's default) results, hand-traced through the published
