@@ -180,9 +180,13 @@ object ExtraQueries {
     // set here is predicate-defined so the oracle states it as WHERE.
     Q("q78_candidate_restriction", { t =>
         val urm = Urm.fromOrders(t)
+        // the top-K'ed similarity feeds both the target list and the
+        // scoring join — persist the (item²-bounded) matrix once so the
+        // pair-aggregation subtree underneath runs once
         val sim = Similarity.topK(
           Similarity.itemSimilarity(urm, Similarity.Cosine), 10)
           .select(col("i"), col("j"), col("w"))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         // predicate-defined candidate set built from the bounded
         // user × target id lists (not from a second scoring pass) and
         // pushed INSIDE the scoring aggregation — round 1 derived

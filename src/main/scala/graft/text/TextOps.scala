@@ -17,6 +17,15 @@ object TextOps {
   /** Whitespace tokenization of lowercased text. */
   def tokens(text: Column): Column = split(lower(text), "\\s+")
 
+  /** BPE-ish subword pre-tokenization: the GPT-2-style split into
+    * letter runs, digit runs, and punctuation runs (the regex stage
+    * that precedes byte-pair merging; merging itself needs a learned
+    * vocabulary, so run counts are the engine-portable measure of
+    * token load). Codegen'd regexp — scan speed. */
+  val bpeishPattern = "[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]+"
+  def bpeishTokens(text: Column): Column =
+    regexp_extract_all(text, lit(bpeishPattern), lit(0))
+
   /** Stopword sets used by the language-ID heuristic. */
   val stopwords: Map[String, Seq[String]] = Map(
     "en" -> Seq("the", "a", "of", "and", "to", "in", "is"),

@@ -63,6 +63,22 @@ object TextQueries {
         |  END AS pred_lang
         |FROM h""".stripMargin)),
 
+    // Token counting for training-data budgeting: whitespace tokens
+    // (the corpus-stats measure) and BPE-ish pre-tokenization runs
+    // (the LLM-token-load proxy) per document.
+    Q("q89_token_count",
+      t => t.documents
+        .select(col("doc_id"),
+                size(TextOps.tokens(col("text"))).as("n_ws_tokens"),
+                size(TextOps.bpeishTokens(col("text")))
+                  .as("n_bpe_tokens")),
+      Some("""SELECT doc_id,
+        |  CAST(len(string_split_regex(lower(text), '\s+')) AS INT)
+        |    AS n_ws_tokens,
+        |  CAST(len(regexp_extract_all(text,
+        |    '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]+')) AS INT) AS n_bpe_tokens
+        |FROM documents""".stripMargin)),
+
     // F9 — Porter stemming of document tokens (reference:
     // TagPreprocessing.py:41-62). The stemmer is a Scala UDF (no SQL
     // twin exists in DuckDB), so the check is rows-only; exact
