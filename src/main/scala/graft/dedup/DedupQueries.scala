@@ -44,8 +44,11 @@ object DedupQueries {
     // token sets are near-identical and LSH degenerates to one bucket —
     // the bound keeps the verification join quadratic-safe at sf0.1.
     Q("q55_lsh_jaccard", { t =>
+        // token set feeds the signature build and both sides of the
+        // exact-jaccard verification join — persist once
         val dt = Dedup.docTokens(
           t.documents.filter(col("doc_id") < 500), col("doc_id"), col("text"))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         val sigs = Dedup.minhashSignatures(dt, 6)
         val cand = Dedup.lshCandidatePairs(sigs, 6, 2)
         Dedup.jaccardForPairs(cand, dt)

@@ -77,6 +77,17 @@ object EventStreams {
       }
   }
 
+  /** Streaming exact dedup: drop events whose content fingerprint was
+    * already seen, with watermarked state so the seen-set is bounded to
+    * the watermark horizon — the streaming twin of Dedup.exactDupGroups
+    * for a continuous-ingest corpus pipeline. `fingerprintCols` must
+    * include the event-time column used by the watermark. */
+  def dedupStream(events: DataFrame, tsCol: String, watermark: String,
+                  fingerprintCols: Seq[String]): DataFrame =
+    events
+      .withWatermark(tsCol, watermark)
+      .dropDuplicates(fingerprintCols)
+
   /** Drive a streaming DataFrame to completion against a memory sink and
     * return the materialized result — the local-smoke harness
     * (batch parquet in, streaming semantics, synchronous). */

@@ -65,6 +65,23 @@ class StreamingMultimodalSpec extends SparkSpec {
     assert(streamed.select("eventType").distinct().count() >= 3)
   }
 
+  test("streaming exact dedup drops repeated fingerprints") {
+    implicit val sqlCtx = spark.sqlContext
+    val stream = MemoryStream[Event]
+    stream.addData(
+      Event(ts(5), 1, "click", 1.0),
+      Event(ts(5), 1, "click", 1.0),  // exact duplicate
+      Event(ts(6), 1, "click", 1.0),  // same content, new event time
+      Event(ts(7), 2, "view", 2.0))
+    val out = EventStreams.runToMemory(
+      spark,
+      EventStreams.dedupStream(stream.toDF(), "ts", "1 hour",
+                               Seq("ts", "userId", "eventType", "value")),
+      "dedup_test", OutputMode.Append())
+    assert(out.count() == 3, "one of the two identical events must drop")
+    assert(out.filter(col("userId") === 2).count() == 1)
+  }
+
   test("bounded-heap TopK aggregator matches the ranking window") {
     import org.apache.spark.sql.expressions.Window
     val scores = (for { u <- 0 until 20; i <- 0 until 30 }
