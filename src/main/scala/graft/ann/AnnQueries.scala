@@ -95,6 +95,52 @@ object AnnQueries {
         |  FROM cos) r
         |WHERE rank <= 3""".stripMargin)),
 
+    // Embedding-cosine near-duplicate pairs: all-pairs within LSH
+    // buckets (8 md5-seeded planes), kept at cosine >= 0.3 — the
+    // embedding leg of the dedup suite as a first-class query. The
+    // synthetic embeddings are near-orthogonal (max pairwise cosine
+    // ~0.49), so 0.3 is the "near-dup" regime of this corpus and the
+    // gate checks real survivors rather than an empty set.
+    Q("q90_embedding_neardup", { t =>
+        val emb = t.embeddings.select(col("vec_id").as("id"),
+                                      col("embedding"))
+        val planes = Ann.planeTable(t.spark, 8, 64)
+        Ann.cosineNearDupPairs(emb, planes, 0.3)
+      },
+      Some(evCte + """,
+        |pl AS (
+        |  SELECT p, d,
+        |    ((('0x' || substr(md5(p || ':' || d), 1, 15))::BIGINT % 2) * 2
+        |     - 1) AS c
+        |  FROM UNNEST(generate_series(0, 7)) pp(p),
+        |       UNNEST(generate_series(0, 63)) dd(d)
+        |), proj AS (
+        |  SELECT vec_id, p, SUM(c * v) AS proj
+        |  FROM ev JOIN pl USING (d) GROUP BY 1, 2
+        |), bk AS (
+        |  SELECT vec_id,
+        |    CAST(SUM(CASE WHEN proj > 0
+        |         THEN (CAST(1 AS BIGINT) << CAST(p AS INT))
+        |         ELSE 0 END) AS BIGINT) AS bucket
+        |  FROM proj GROUP BY 1
+        |), cand AS (
+        |  SELECT x.vec_id AS a, y.vec_id AS b
+        |  FROM bk x JOIN bk y ON x.bucket = y.bucket
+        |    AND x.vec_id < y.vec_id
+        |), dots AS (
+        |  SELECT a, b, SUM(ea.v * eb.v) AS dot
+        |  FROM cand
+        |  JOIN ev ea ON ea.vec_id = a
+        |  JOIN ev eb ON eb.vec_id = b AND ea.d = eb.d
+        |  GROUP BY 1, 2
+        |)
+        |SELECT a, b, cos FROM (
+        |  SELECT a, b, round(dot / sqrt(na.nn * nb.nn), 6) AS cos
+        |  FROM dots
+        |  JOIN norms na ON a = na.vec_id
+        |  JOIN norms nb ON b = nb.vec_id) s
+        |WHERE cos >= 0.3""".stripMargin)),
+
     // IVF ANN: 16 hash-sampled centroids, corpus indexed by nearest
     // cell, queries probe their 2 nearest cells, exact cosine on the
     // probed members only, top-3 per query.
