@@ -111,6 +111,35 @@ object Ann {
                   md5(col("id").cast("string")).as("h"))
       .orderBy(col("h"), col("cid")).limit(nCells).drop("h")
 
+  /** Lloyd refinement of [[ivfCentroids]]: `iters` distributed k-means
+    * steps — assign each vector to its nearest centroid, replace each
+    * centroid with its members' mean. Per iteration: one broadcast
+    * assignment pass + one (cell, dim)-keyed aggregation; nothing
+    * bigger than nCells·dim ever sits on one node, so the refinement is
+    * as 100 TB-shaped as the assignment itself. Cells that lose all
+    * members keep their previous centroid (k never shrinks). Mean
+    * aggregation is float-summation-order dependent, so the refined
+    * quantizer is for recall, not cross-engine oracles — q88 stays on
+    * the hash-sampled quantizer, which IS oracle-checkable. */
+  def ivfCentroidsLloyd(corpus: DataFrame, nCells: Int,
+                        iters: Int): DataFrame = {
+    var cents = ivfCentroids(corpus, nCells)
+    for (_ <- 0 until iters) {
+      val assign = ivfAssign(corpus, cents, 1)
+        .select(col("id"), col("cell").as("cid"))
+      val means = corpus.join(assign, "id")
+        .select(col("cid"), posexplode(col("embedding")).as(Seq("d", "v")))
+        .groupBy("cid", "d").agg(avg(col("v").cast("double")).as("m"))
+        .groupBy("cid")
+        .agg(transform(array_sort(collect_list(struct(col("d"), col("m")))),
+                       s => s.getField("m")).as("refined"))
+      cents = cents.join(means, Seq("cid"), "left")
+        .select(col("cid"),
+                coalesce(col("refined"), col("centroid")).as("centroid"))
+    }
+    cents
+  }
+
   /** Cell assignment: nearest centroid by cosine (rounded to 6 decimals
     * so the argmax is stable across engines; ties break on centroid
     * id). One broadcast join + per-vector argmax window — the corpus
@@ -135,8 +164,15 @@ object Ann {
     * [[bruteForceCosineTopK]]. The third ANN path next to brute force
     * (exact baseline) and LSH (bucket hashing). */
   def ivfCosineTopK(queries: DataFrame, corpus: DataFrame, nCells: Int,
-                    nProbe: Int, k: Int): DataFrame = {
-    val centroids = ivfCentroids(corpus, nCells)
+                    nProbe: Int, k: Int): DataFrame =
+    ivfCosineTopKWith(queries, corpus, ivfCentroids(corpus, nCells),
+                      nProbe, k)
+
+  /** [[ivfCosineTopK]] against caller-supplied centroids (e.g. the
+    * Lloyd-refined quantizer from [[ivfCentroidsLloyd]]). */
+  def ivfCosineTopKWith(queries: DataFrame, corpus: DataFrame,
+                        centroids: DataFrame, nProbe: Int,
+                        k: Int): DataFrame = {
     val cells = ivfAssign(corpus, centroids, 1)
       .select(col("id").as("vid"), col("cell"))
     val probes = ivfAssign(queries, centroids, nProbe)

@@ -46,9 +46,9 @@ object DedupQueries {
     Q("q55_lsh_jaccard", { t =>
         // token set feeds the signature build and both sides of the
         // exact-jaccard verification join — persist once
-        val dt = Dedup.docTokens(
-          t.documents.filter(col("doc_id") < 500), col("doc_id"), col("text"))
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val dt = graft.core.CacheScope.persist(Dedup.docTokens(
+          t.documents.filter(col("doc_id") < 500), col("doc_id"),
+          col("text")))
         val sigs = Dedup.minhashSignatures(dt, 6)
         val cand = Dedup.lshCandidatePairs(sigs, 6, 2)
         Dedup.jaccardForPairs(cand, dt)

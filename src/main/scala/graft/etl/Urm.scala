@@ -182,18 +182,18 @@ object Urm {
     } else {
       val pruned = dense.filter(rand(seed + 7) < frac)
         .join(urm, Seq("u", "i"), "left_anti")
-      val first = rankAndTake(pruned, lit(nPerUser), 0L)
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val first = graft.core.CacheScope.persist(
+        rankAndTake(pruned, lit(nPerUser), 0L))
       // exact top-up for users the prune left short — in the common case
       // nobody is short, so the three-anti-join top-up plan is gated on a
       // cheap isEmpty probe against the already-persisted first pass
       // (round 2 ran the top-up unconditionally and it cost ~half the
       // operator's runtime)
       val got = first.groupBy("u").agg(count(lit(1)).as("got"))
-      val short = users.join(got, Seq("u"), "left")
-        .withColumn("got", coalesce(col("got"), lit(0)))
-        .filter(col("got") < nPerUser)
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val short = graft.core.CacheScope.persist(
+        users.join(got, Seq("u"), "left")
+          .withColumn("got", coalesce(col("got"), lit(0)))
+          .filter(col("got") < nPerUser))
       if (short.isEmpty) first.select("u", "i")
       else {
         val rest = short.join(items)

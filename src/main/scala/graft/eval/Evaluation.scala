@@ -118,8 +118,7 @@ object Evaluation {
     // every cutoff is an independent aggregation branch over the same
     // hit table — persist it once instead of recomputing the ranking /
     // join subtree per cutoff
-    val hits = hits0.persist(
-      org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val hits = graft.core.CacheScope.persist(hits0)
     cutoffs.map(c => accuracyMetrics(hits, c)
         .select(lit(c).as("cutoff"), col("*")))
       .reduce(_ unionByName _)
@@ -179,8 +178,7 @@ object Evaluation {
     * pairwise (1 − sim) inside the recommended list. */
   def intraListDiversity(recs0: DataFrame, sim: DataFrame): DataFrame = {
     // the rec-list subtree feeds both self-join sides — persist once
-    val recs = recs0.persist(
-      org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val recs = graft.core.CacheScope.persist(recs0)
     val a = recs.select(col("u"), col("item").as("ia"))
     val b = recs.select(col("u"), col("item").as("ib"))
     val pairs = a.join(b, "u").filter(col("ia") < col("ib"))

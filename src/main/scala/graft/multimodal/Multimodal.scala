@@ -42,6 +42,34 @@ object Multimodal {
     (hex, emb)
   }
 
+  /** Frame sampling over an opaque binary payload: every `everyNth`
+    * fixed-width byte window ("frame") up to `maxFrames` per media row
+    * — the Spark side of a video frame-sampler. Wholly declarative
+    * (sequence + explode + substring on binary, all codegen'd): the
+    * payload never leaves Tungsten rows, each frame carries its byte
+    * length and md5 so a downstream decoder (stubbed here, see
+    * [[extractFeatures]]) can dedup/verify frames before decode.
+    * Returns (media_id, frame_idx, frame_bytes, frame_md5, frame). */
+  def frameSample(media: DataFrame, frameBytes: Int, everyNth: Int,
+                  maxFrames: Int): DataFrame = {
+    val stride = frameBytes * everyNth
+    media
+      // sequence(0, -1) descends instead of producing an empty array, so
+      // zero-byte payloads must be excluded before the explode
+      .where(length(col("payload")) > 0)
+      .withColumn("frame_idx",
+        explode(sequence(lit(0),
+          least(lit(maxFrames - 1),
+                floor((length(col("payload")) - 1) / stride).cast("int")))))
+      .select(
+        col("mediaId").as("media_id"),
+        col("frame_idx"),
+        expr(s"substring(payload, frame_idx * $stride + 1, $frameBytes)")
+          .as("frame"))
+      .withColumn("frame_bytes", length(col("frame")))
+      .withColumn("frame_md5", md5(col("frame")))
+  }
+
   /** Batched feature extraction: mapPartitions gives one decoder
     * lifetime per partition (≈ one Python worker batch in mapInPandas);
     * rows stream through without per-row setup cost. Output schema is a

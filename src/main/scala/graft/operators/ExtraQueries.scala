@@ -183,10 +183,9 @@ object ExtraQueries {
         // the top-K'ed similarity feeds both the target list and the
         // scoring join — persist the (item²-bounded) matrix once so the
         // pair-aggregation subtree underneath runs once
-        val sim = Similarity.topK(
+        val sim = graft.core.CacheScope.persist(Similarity.topK(
           Similarity.itemSimilarity(urm, Similarity.Cosine), 10)
-          .select(col("i"), col("j"), col("w"))
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          .select(col("i"), col("j"), col("w")))
         // predicate-defined candidate set built from the bounded
         // user × target id lists (not from a second scoring pass) and
         // pushed INSIDE the scoring aggregation — round 1 derived
@@ -352,8 +351,8 @@ object ExtraQueries {
         val popScores = pop.select(col("i").as("item"),
                                    col("pop").cast("double").as("score"))
         // two metric branches share the rec-list subtree — persist once
-        val recs = Recommenders.recommendGlobal(popScores, train, 10)
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val recs = graft.core.CacheScope.persist(
+          Recommenders.recommendGlobal(popScores, train, 10))
         Evaluation.averagePopularity(recs, pop)
           .crossJoin(Evaluation.meanInterListDiversity(recs, 10))
       },

@@ -700,10 +700,10 @@ object Models {
           seed: Long): (DataFrame, DataFrame) = {
     import spark.implicits._
     val eps = 1e-9
-    val triples = urm.select(col("u").cast("int"), col("i").cast("int"),
-                             col("v").cast("double"))
-      .as[(Int, Int, Double)].rdd
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val triples = graft.core.CacheScope.persistRdd(
+      urm.select(col("u").cast("int"), col("i").cast("int"),
+                 col("v").cast("double"))
+        .as[(Int, Int, Double)].rdd)
     def initVec(id: Int, salt: Int): Array[Double] =
       Array.tabulate(rank) { f =>
         val h = scala.util.hashing.MurmurHash3
@@ -749,9 +749,9 @@ object Models {
       val numW = triples.map { case (u, i, v) =>
         (u, hMap.value(i).map(_ * v))
       }.reduceByKey((x, y) => Array.tabulate(rank)(f => x(f) + y(f)))
-      val wNew = w.join(numW)
-        .mapValues { case (cur, num) => muUpdate(cur, num, hGram) }
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val wNew = graft.core.CacheScope.persistRdd(
+        w.join(numW)
+          .mapValues { case (cur, num) => muUpdate(cur, num, hGram) })
       val wGram = gram(wNew) // action — materializes wNew
       // H step: numerator VᵀW joins the distributed updated W —
       // user-scaled data never collects
@@ -759,9 +759,9 @@ object Models {
         .join(wNew)
         .map { case (_, ((i, v), wf)) => (i, wf.map(_ * v)) }
         .reduceByKey((x, y) => Array.tabulate(rank)(f => x(f) + y(f)))
-      val hNew = h.join(numH)
-        .mapValues { case (cur, num) => muUpdate(cur, num, wGram) }
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val hNew = graft.core.CacheScope.persistRdd(
+        h.join(numH)
+          .mapValues { case (cur, num) => muUpdate(cur, num, wGram) })
       hNew.count() // materialize before the old h/broadcast go away
       w.unpersist(false); h.unpersist(false)
       w = wNew; h = hNew

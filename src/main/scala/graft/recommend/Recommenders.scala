@@ -60,8 +60,7 @@ object Recommenders {
   def p3alpha(urm0: DataFrame, alpha: Double): DataFrame = {
     // four consumers of the URM subtree (two join sides, two degree
     // aggregations) — persist once
-    val urm = urm0.persist(
-      org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val urm = graft.core.CacheScope.persist(urm0)
     val userDeg = urm.groupBy("u").agg(count(lit(1)).as("nu"))
     val itemDeg = urm.groupBy("i").agg(count(lit(1)).as("ni"))
     val a = urm.select(col("u"), col("i").as("i1"))
@@ -135,8 +134,7 @@ object Recommenders {
                       k: Int): DataFrame = {
     // `seen` feeds the bound computation, the user list, and the
     // anti-join — persist once instead of recomputing the subtree
-    val seen = seen0.persist(
-      org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val seen = graft.core.CacheScope.persist(seen0)
     val maxSeen = seen.groupBy("u").agg(count(lit(1)).as("n"))
       .agg(max("n")).head().getLong(0)
     val m = k + maxSeen.toInt

@@ -405,8 +405,8 @@ object RecsysQueries {
           .select(col("i").as("item"), col("pop").cast("double").as("score"))
         // five metric aggregation branches share the rec-list subtree —
         // persist it once instead of recomputing recommendGlobal 5×
-        val recs = Recommenders.recommendGlobal(popScores, train, 10)
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val recs = graft.core.CacheScope.persist(
+          Recommenders.recommendGlobal(popScores, train, 10))
         val nItems = urm.select("i").distinct().count()
         val nUsers = urm.select("u").distinct().count()
         val nnz = train.count()

@@ -46,8 +46,7 @@ object ContentSimilarity {
     * dot(i,j) = Σ_f w_f(i)·w_f(j), norm(i) = Σ_f w_f(i)². With weights
     * that are exact binary fractions the aggregation stays exact. */
   def weightedItemSimilarity(features0: DataFrame): DataFrame = {
-    val features = features0.persist(
-      org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val features = graft.core.CacheScope.persist(features0)
     val a = features.select(col("f"), col("i").as("i1"), col("w").as("w1"))
     val b = features.select(col("f"), col("i").as("i2"), col("w").as("w2"))
     val dots = a.join(b, "f")

@@ -44,8 +44,7 @@ object Similarity {
     // aggregation): persist once — the physical plan shows no exchange
     // reuse across the aliased sides otherwise (idempotent if the
     // caller already persisted the same frame)
-    val urm = urm0.persist(
-      org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val urm = graft.core.CacheScope.persist(urm0)
     val a = urm.select(col("u"), col("i").as("i1"))
     val b = urm.select(col("u"), col("i").as("i2"))
     a.join(b, "u")
@@ -64,8 +63,7 @@ object Similarity {
     * analog of AQE's skew-join split, which only rebalances joins.
     * Result identical to [[pairDots]]. */
   def pairDotsSalted(urm0: DataFrame, salts: Int): DataFrame = {
-    val urm = urm0.persist(
-      org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val urm = graft.core.CacheScope.persist(urm0)
     val a = urm.select(col("u"), col("i").as("i1"))
     val b = urm.select(col("u"), col("i").as("i2"))
     a.join(b, "u")
@@ -97,8 +95,7 @@ object Similarity {
   def itemSimilarity(urm0: DataFrame, measure: Measure,
                      shrink: Double = 0.0,
                      saltWhenHeavy: Long = 0L): DataFrame = {
-    val urm = urm0.persist(
-      org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val urm = graft.core.CacheScope.persist(urm0)
     val dots =
       if (saltWhenHeavy > 0 && hasHeavyUsers(urm, saltWhenHeavy))
         pairDotsSalted(urm, salts = 16)

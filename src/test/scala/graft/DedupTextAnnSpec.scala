@@ -160,6 +160,40 @@ class DedupTextAnnSpec extends SparkSpec {
     assert(cells.count() > 1, "quantizer must produce multiple cells")
   }
 
+  test("Lloyd-refined IVF cuts distortion and preserves the duplicate") {
+    def vec(base: Array[Double], noise: Double, salt: Int): Array[Double] =
+      base.zipWithIndex.map { case (v, d) => v + noise * ((salt + d) % 3) }
+    val a = Array(10.0, 0.0, 0.0, 0.0)
+    val b = Array(0.0, 0.0, 10.0, 0.0)
+    val c = Array(0.0, 10.0, 0.0, 0.0)
+    val vecs = (
+      Seq((0L, a), (1L, a)) ++
+      (2 to 9).map(i => (i.toLong, vec(a, 0.4, i))) ++
+      (10 to 17).map(i => (i.toLong, vec(b, 0.4, i))) ++
+      (18 to 25).map(i => (i.toLong, vec(c, 0.4, i)))
+    ).toDF("id", "embedding")
+    def distortion(cents: org.apache.spark.sql.DataFrame): Double = {
+      val assigned = vecs.crossJoin(broadcast(cents))
+        .withColumn("ccos",
+          Ann.dot(col("embedding"), col("centroid")) /
+            (sqrt(Ann.norm2(col("embedding"))) *
+             sqrt(Ann.norm2(col("centroid")))))
+        .groupBy("id").agg(max("ccos").as("best"))
+      assigned.agg(avg(lit(1.0) - col("best"))).head().getDouble(0)
+    }
+    val sampled = Ann.ivfCentroids(vecs, 3)
+    val refined = Ann.ivfCentroidsLloyd(vecs, 3, iters = 3)
+    assert(refined.count() == 3, "k must not shrink")
+    val (d0, d1) = (distortion(sampled), distortion(refined))
+    assert(d1 <= d0 + 1e-12,
+           s"Lloyd must not increase distortion: sampled=$d0 refined=$d1")
+    // refined quantizer still routes the duplicate into the probed cell
+    val top = Ann.ivfCosineTopKWith(vecs.filter(col("id") === 0), vecs,
+                                    refined, nProbe = 1, k = 1).head()
+    assert(top.getAs[Long]("vid") == 1L)
+    assert(top.getAs[Double]("cos") == 1.0)
+  }
+
   test("Porter stemmer matches the reference stemmer on a 60-word list") {
     // expected outputs are nltk PorterStemmer (NLTK_EXTENSIONS, the
     // reference's default) results, hand-traced through the published

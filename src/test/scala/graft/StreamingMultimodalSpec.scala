@@ -103,6 +103,32 @@ class StreamingMultimodalSpec extends SparkSpec {
     assert(heaped == windowed)
   }
 
+  test("frameSample windows the payload with stride and caps frames") {
+    // 100-byte payload, 32-byte frames, every 2nd frame (stride 64):
+    // frames start at bytes 0 and 64; both are full-width (36 ≥ 32
+    // bytes remain at offset 64)
+    val payload = ("ab" * 50)
+    val docs = Seq((1L, payload), (2L, "short")).toDF("doc_id", "text")
+    val media = Multimodal.asBinaryPayload(
+      docs, col("doc_id"), col("text"), "video")
+    val frames = Multimodal.frameSample(media, frameBytes = 32,
+                                        everyNth = 2, maxFrames = 4)
+      .collect()
+      .map(r => (r.getAs[Long]("media_id"), r.getAs[Int]("frame_idx")) ->
+        (new String(r.getAs[Array[Byte]]("frame")),
+         r.getAs[Int]("frame_bytes"))).toMap
+    assert(frames.keySet == Set((1L, 0), (1L, 1), (2L, 0)))
+    assert(frames((1L, 0)) == (payload.substring(0, 32), 32))
+    assert(frames((1L, 1)) == (payload.substring(64, 96), 32))
+    assert(frames((2L, 0)) == ("short", 5))
+    // empty payloads emit no frames (sequence(0,-1) guard)
+    val empty = Multimodal.frameSample(
+      Multimodal.asBinaryPayload(Seq((3L, "")).toDF("doc_id", "text"),
+                                 col("doc_id"), col("text"), "video"),
+      32, 2, 4)
+    assert(empty.count() == 0)
+  }
+
   test("multimodal stub pipeline: binary payload → batched features") {
     val docs = Seq((7L, "hello world"), (8L, "spark engine"))
       .toDF("doc_id", "text")
