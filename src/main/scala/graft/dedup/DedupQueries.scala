@@ -19,12 +19,28 @@ object DedupQueries {
   def queries: Seq[Q] = Seq(
 
     // Exact dedup: normalized-md5 groups with more than one member.
-    Q("q50_dedup_exact",
-      t => Dedup.exactDupGroups(t.documents, col("doc_id"), col("text")),
-      Some("""SELECT h, COUNT(*) AS n, MIN(doc_id) AS canonical FROM (
+    // The synthetic corpus contains no exact duplicates, so the gate
+    // plants them: the corpus is documents UNION a verbatim re-id'd
+    // copy of doc_id < 200 — both engines build the identical planted
+    // corpus, so the duplicate groups (≥200) are genuinely compared
+    // instead of both sides returning empty (reference dedup
+    // semantics: Data_manager/DataReader_utils.py:138-144).
+    Q("q50_dedup_exact", { t =>
+        val base = t.documents.select(col("doc_id"), col("text"))
+        val planted = base.filter(col("doc_id") < 200)
+          .select((col("doc_id") + 1000000L).as("doc_id"), col("text"))
+        Dedup.exactDupGroups(base.unionByName(planted),
+                             col("doc_id"), col("text"))
+      },
+      Some("""WITH corpus AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 1000000, text FROM documents WHERE doc_id < 200
+        |)
+        |SELECT h, COUNT(*) AS n, MIN(doc_id) AS canonical FROM (
         |  SELECT doc_id,
         |    md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS h
-        |  FROM documents) t
+        |  FROM corpus) t
         |GROUP BY h HAVING COUNT(*) > 1""".stripMargin)),
 
     // MinHash signatures (6 md5-permutations over the token set).
@@ -40,26 +56,37 @@ object DedupQueries {
 
     // MinHash → LSH bands (3 bands × 2 rows) → candidate pairs →
     // exact token-set Jaccard ≥ 0.4.
-    // Bounded to doc_id < 500: this corpus has a ~31-token vocabulary, so
-    // token sets are near-identical and LSH degenerates to one bucket —
-    // the bound keeps the verification join quadratic-safe at sf0.1.
+    // Bounded to doc_id < 400 plus a planted verbatim copy of
+    // doc_id < 100 (re-id'd +1000000) so the LSH pipeline provably
+    // surfaces true duplicate pairs (jaccard = 1.0) — the corpus has a
+    // ~31-token vocabulary, so token sets are near-identical, LSH
+    // degenerates toward one bucket, and the bound keeps the
+    // verification join quadratic-safe at sf0.1.
     Q("q55_lsh_jaccard", { t =>
+        val base = t.documents.filter(col("doc_id") < 400)
+          .select(col("doc_id"), col("text"))
+        val corpus = base.unionByName(
+          base.filter(col("doc_id") < 100)
+            .select((col("doc_id") + 1000000L).as("doc_id"), col("text")))
         // token set feeds the signature build and both sides of the
         // exact-jaccard verification join — persist once
         val dt = graft.core.CacheScope.persist(Dedup.docTokens(
-          t.documents.filter(col("doc_id") < 500), col("doc_id"),
-          col("text")))
+          corpus, col("doc_id"), col("text")))
         val sigs = Dedup.minhashSignatures(dt, 6)
         val cand = Dedup.lshCandidatePairs(sigs, 6, 2)
         Dedup.jaccardForPairs(cand, dt)
           .filter(col("jaccard") >= 0.4)
           .select(col("a"), col("b"), round(col("jaccard"), 6).as("jaccard"))
       },
-      Some("""WITH dt AS (
+      Some("""WITH corpus AS (
+        |  SELECT doc_id, text FROM documents WHERE doc_id < 400
+        |  UNION ALL
+        |  SELECT doc_id + 1000000, text FROM documents WHERE doc_id < 100
+        |), dt AS (
         |  SELECT DISTINCT doc_id, tok FROM (
         |    SELECT doc_id,
         |      unnest(string_split_regex(lower(text), '\s+')) AS tok
-        |    FROM documents WHERE doc_id < 500) t
+        |    FROM corpus) t
         |),
         |sigs AS (
         |  SELECT doc_id,
@@ -95,8 +122,18 @@ object DedupQueries {
         |""".stripMargin)),
 
     // Word 3-gram Jaccard between documents (bounded candidate set).
+    // The base docs share no shingles above threshold, so the gate
+    // plants NEAR-duplicates: each doc_id < 100 gets a perturbed twin
+    // (+1000, four extra tail tokens) — the planted pair's Jaccard is
+    // high but < 1, so intersection/union arithmetic over unequal set
+    // sizes is genuinely compared across engines.
     Q("q56_ngram_jaccard", { t =>
-        val docs = t.documents.filter(col("doc_id") < 100)
+        val base = t.documents.filter(col("doc_id") < 100)
+          .select(col("doc_id"), col("text"))
+        val docs = base.unionByName(
+          base.select((col("doc_id") + 1000L).as("doc_id"),
+                      concat(col("text"),
+                             lit(" planted near duplicate tail")).as("text")))
         val sh = Dedup.shingles(docs, col("doc_id"), col("text"), 3)
           .withColumnRenamed("shingle", "tok")
         val pairs = sh.select(col("doc_id").as("a"))
@@ -107,14 +144,18 @@ object DedupQueries {
           .filter(col("jaccard") >= 0.05)
           .select(col("a"), col("b"), round(col("jaccard"), 6).as("jaccard"))
       },
-      Some("""WITH toks AS (
+      Some("""WITH corpus AS (
+        |  SELECT doc_id, text FROM documents WHERE doc_id < 100
+        |  UNION ALL
+        |  SELECT doc_id + 1000, text || ' planted near duplicate tail'
+        |  FROM documents WHERE doc_id < 100
+        |), toks AS (
         |  SELECT doc_id, i AS pos,
         |    list_extract(string_split_regex(lower(text), '\s+'),
         |                 CAST(i AS INT)) AS tok
-        |  FROM documents,
+        |  FROM corpus,
         |    UNNEST(generate_series(1,
         |      len(string_split_regex(lower(text), '\s+')))) t(i)
-        |  WHERE doc_id < 100
         |), sh AS (
         |  SELECT DISTINCT doc_id, tok || ' ' || t1 || ' ' || t2 AS shingle
         |  FROM (
