@@ -38,6 +38,54 @@ object Evaluation {
       .join(relCounts, Seq("u"), "inner")
   }
 
+  /** Relevance-weighted hit table: like [[hitTable]] but the relevant
+    * set carries explicit ratings (u, i, r) and each recommended row
+    * keeps its test rating as `rel` (0.0 on miss). Feeds [[ndcgRated]];
+    * the binary [[hitTable]] path is unchanged. */
+  def hitTableRated(recs: DataFrame, relevant: DataFrame,
+                    minRatingsPerUser: Int = 1): DataFrame = {
+    val rel = relevant.select(col("u"), col("i").as("item"),
+                              col("r").cast("double").as("rel"))
+      .withColumn("hit", lit(1))
+    val relCounts = relevant.groupBy("u").agg(count(lit(1)).as("n_rel"))
+      .filter(col("n_rel") >= minRatingsPerUser)
+    recs.join(rel, Seq("u", "item"), "left")
+      .withColumn("hit", coalesce(col("hit"), lit(0)))
+      .withColumn("rel", coalesce(col("rel"), lit(0.0)))
+      .join(relCounts, Seq("u"), "inner")
+  }
+
+  /** Relevance-weighted NDCG@cutoff (reference: metrics.py:182-211 —
+    * dcg() over the user's URM_test ratings):
+    *   DCG  = Σ_{hits} (2^rel − 1) / log2(rank + 1)
+    *   IDCG = the same sum over the user's test ratings sorted
+    *          descending, truncated at the cutoff (the reference's
+    *          `dcg(np.sort(relevance)[::-1])`).
+    * Coincides with the binary NDCG of [[accuracyMetrics]] on all-ones
+    * URMs; diverges exactly where explicit feedback makes rank order
+    * matter. IDCG comes from a per-user ranking window over the test
+    * split — #test-rows work, no driver state, no arrays. */
+  def ndcgRated(hits: DataFrame, relevant: DataFrame, cutoff: Int)
+      : DataFrame = {
+    val dcg = hits.filter(col("rank") <= cutoff)
+      .groupBy("u")
+      .agg(sum(when(col("hit") === 1,
+                    (pow(lit(2.0), col("rel")) - lit(1.0)) /
+                      log2(col("rank") + 1)).otherwise(0.0)).as("dcg"))
+    val wRel = Window.partitionBy("u").orderBy(col("r").desc, col("i"))
+    val idcg = relevant
+      .withColumn("rr", row_number().over(wRel))
+      .filter(col("rr") <= cutoff)
+      .groupBy("u")
+      .agg(sum((pow(lit(2.0), col("r").cast("double")) - lit(1.0)) /
+               log2(col("rr") + 1)).as("idcg"))
+    dcg.join(idcg, Seq("u"), "inner")
+      .withColumn("ndcg", when(col("idcg") > 0, col("dcg") / col("idcg"))
+                            .otherwise(0.0))
+      .agg(round(sum("ndcg") / count(lit(1)), 6).as("ndcg_rated"),
+           count(lit(1)).as("n_users"))
+  }
+
   /** Accuracy metrics at one cutoff, averaged over evaluated users:
     * precision, recall, MAP, MRR, NDCG (binary relevance), hit rate
     * (reference: metrics.py:39-211, Evaluator.py:241-259). */
@@ -215,6 +263,17 @@ object Evaluation {
           ((col("n") + 1) * col("tot")).cast("double"), 6)
         .as("diversity_gini"))
   }
+
+  /** RMSE of predicted scores against explicit test ratings on their
+    * overlap (reference: metrics.py:219-266 — present but DISABLED in
+    * the reference's evaluator loop; mirrored here as an opt-in metric
+    * outside the standard accuracy set, for completeness). */
+  def rmse(predictions: DataFrame, relevant: DataFrame): DataFrame =
+    predictions.select(col("u"), col("item"), col("score"))
+      .join(relevant.select(col("u"), col("i").as("item"),
+                            col("r").cast("double").as("r")),
+            Seq("u", "item"))
+      .agg(round(sqrt(avg(pow(col("score") - col("r"), 2))), 6).as("rmse"))
 
   /** Herfindahl diversity 1 − Σp² (reference: metrics.py:447-479). */
   def herfindahl(recs: DataFrame): DataFrame =

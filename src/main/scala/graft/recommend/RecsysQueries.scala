@@ -453,6 +453,75 @@ object RecsysQueries {
         |   FROM reccnt) AS shannon_entropy,
         |  (SELECT round(1.0 - SUM(pow(CAST(cnt AS DOUBLE)
         |                              / (SELECT SUM(cnt) FROM reccnt), 2)), 6)
-        |   FROM reccnt) AS herfindahl""".stripMargin))
+        |   FROM reccnt) AS herfindahl""".stripMargin)),
+
+    // §2.10 — relevance-weighted NDCG of TopPop@10 against explicit
+    // test ratings (reference: metrics.py:182-211): DCG weights each
+    // hit by (2^rating − 1)/log2(rank+1); IDCG from the user's test
+    // ratings sorted descending, truncated at the cutoff. Ratings are
+    // built with the engine-deterministic form (exact decimal sum →
+    // double → IEEE division) so both engines feed identical rel
+    // values into pow().
+    Q("q92_ndcg_rated", { t =>
+        val ratings = t.lineitem
+          .join(t.orders, col("l_orderkey") === col("o_orderkey"))
+          .groupBy(col("o_custkey").as("u"), col("l_partkey").as("i"))
+          .agg((sum(col("l_quantity").cast("decimal(18,2)")).cast("double") /
+                count(lit(1))).as("r"))
+        val split = Urm.hashSplit(ratings, 8, 10)
+        val train = split.filter(col("split") === "train").select("u", "i")
+        val test = graft.core.CacheScope.persist(
+          split.filter(col("split") === "test").select("u", "i", "r"))
+        val pop = Recommenders.topPop(train)
+          .select(col("i").as("item"), col("pop").cast("double").as("score"))
+        val recs = Recommenders.recommendGlobal(pop, train, 10)
+        Evaluation.ndcgRated(Evaluation.hitTableRated(recs, test), test, 10)
+      },
+      Some("""WITH ratings AS (
+        |  SELECT o_custkey AS u, l_partkey AS i,
+        |    CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+        |      / COUNT(*) AS r
+        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |  GROUP BY 1, 2
+        |),
+        |train AS (SELECT u, i FROM ratings WHERE (u*31 + i) % 10 < 8),
+        |test AS (SELECT u, i, r FROM ratings WHERE (u*31 + i) % 10 >= 8),
+        |pop AS (SELECT i, COUNT(*) AS pop FROM train GROUP BY 1),
+        |users AS (SELECT DISTINCT u FROM train),
+        |scores AS (
+        |  SELECT users.u AS u, pop.i AS item, CAST(pop AS DOUBLE) AS score
+        |  FROM users CROSS JOIN pop
+        |), recs AS (
+        |  SELECT u, item, rank FROM (
+        |    SELECT s.u, s.item,
+        |      ROW_NUMBER() OVER (PARTITION BY s.u
+        |        ORDER BY s.score DESC, s.item) AS rank
+        |    FROM scores s
+        |    WHERE NOT EXISTS (SELECT 1 FROM train t2
+        |                      WHERE t2.u = s.u AND t2.i = s.item)) r
+        |  WHERE rank <= 10
+        |), relc AS (SELECT u, COUNT(*) AS n_rel FROM test GROUP BY 1),
+        |dcg AS (
+        |  SELECT recs.u,
+        |    SUM(CASE WHEN test.i IS NOT NULL
+        |        THEN (pow(2.0, test.r) - 1) / log2(recs.rank + 1)
+        |        ELSE 0.0 END) AS dcg
+        |  FROM recs
+        |  JOIN relc ON recs.u = relc.u
+        |  LEFT JOIN test ON recs.u = test.u AND recs.item = test.i
+        |  GROUP BY 1
+        |), ranked_test AS (
+        |  SELECT u, r,
+        |    ROW_NUMBER() OVER (PARTITION BY u ORDER BY r DESC, i) AS rr
+        |  FROM test
+        |), idcg AS (
+        |  SELECT u, SUM((pow(2.0, r) - 1) / log2(rr + 1)) AS idcg
+        |  FROM ranked_test WHERE rr <= 10 GROUP BY u
+        |)
+        |SELECT
+        |  round(SUM(CASE WHEN idcg.idcg > 0 THEN dcg.dcg / idcg.idcg
+        |            ELSE 0.0 END) / COUNT(*), 6) AS ndcg_rated,
+        |  COUNT(*) AS n_users
+        |FROM dcg JOIN idcg ON dcg.u = idcg.u""".stripMargin))
   )
 }
