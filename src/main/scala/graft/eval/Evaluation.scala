@@ -193,12 +193,17 @@ object Evaluation {
 
   /** Shannon entropy of the recommendation distribution over items
     * (reference: metrics.py:485-530): −Σ p·log2(p). */
-  def shannonEntropy(recs: DataFrame): DataFrame =
-    recs.groupBy("item").agg(count(lit(1)).as("cnt"))
-      .withColumn("tot", sum("cnt").over())
+  def shannonEntropy(recs: DataFrame): DataFrame = {
+    // total mass as a pre-aggregated broadcast scalar, not an all-rows
+    // empty-frame window (which serializes the item axis through one
+    // reducer — fine for a catalog, not for corpus-sized axes)
+    val counts = graft.core.CacheScope.persist(
+      recs.groupBy("item").agg(count(lit(1)).as("cnt")))
+    counts.crossJoin(broadcast(counts.agg(sum("cnt").as("tot"))))
       .agg(round(-sum((col("cnt").cast("double") / col("tot")) *
                       log2(col("cnt").cast("double") / col("tot"))), 6)
              .as("shannon_entropy"))
+  }
 
   /** Normalized average popularity of recommended items
     * (reference: metrics.py:592-636): mean(pop_rec) / max(pop). */
@@ -254,8 +259,11 @@ object Evaluation {
       .join(recs.groupBy("item").agg(count(lit(1)).as("c")),
             Seq("item"), "left")
       .withColumn("c", coalesce(col("c"), lit(0L)))
-    val w = Window.orderBy(col("c"), col("item"))
-    counts.withColumn("r", row_number().over(w))
+    // ascending rank via the two-pass range-partitioned rank — the item
+    // axis never funnels through a single reducer (it is the corpus
+    // axis in the LLM-pipeline framing, not just a bounded catalog)
+    graft.core.Ranking
+      .withGlobalRank(counts, Seq(col("c"), col("item")), "r")
       .agg(sum(col("r") * col("c")).as("rc"),
            count(lit(1)).as("n"), sum("c").as("tot"))
       .select(round(
@@ -276,10 +284,12 @@ object Evaluation {
       .agg(round(sqrt(avg(pow(col("score") - col("r"), 2))), 6).as("rmse"))
 
   /** Herfindahl diversity 1 − Σp² (reference: metrics.py:447-479). */
-  def herfindahl(recs: DataFrame): DataFrame =
-    recs.groupBy("item").agg(count(lit(1)).as("cnt"))
-      .withColumn("tot", sum("cnt").over())
+  def herfindahl(recs: DataFrame): DataFrame = {
+    val counts = graft.core.CacheScope.persist(
+      recs.groupBy("item").agg(count(lit(1)).as("cnt")))
+    counts.crossJoin(broadcast(counts.agg(sum("cnt").as("tot"))))
       .agg(round(lit(1.0) -
                  sum(pow(col("cnt").cast("double") / col("tot"), 2)), 6)
              .as("herfindahl"))
+  }
 }

@@ -18,12 +18,15 @@ object Stats {
   /** Gini coefficient of the `cnt` distribution per `key` group
     * (reference: Utils/gini.py:8-28): sum((2i-n-1)·x_i)/(n·Σx) over x
     * sorted ascending. Exact integer arithmetic until the final division.
+    * The ascending rank comes from the two-pass range-partitioned rank
+    * ([[graft.core.Ranking]]) — no unpartitioned window, so the ranked
+    * axis may be corpus-sized (documents), not just a bounded catalog.
     */
   def giniOfCounts(df: DataFrame, key: Column): DataFrame = {
     val counts = df.groupBy(key.as("k")).agg(count(lit(1)).as("cnt"))
-    val w = Window.orderBy(col("cnt"), col("k"))
     // Σ(2i−n−1)·x == 2·Σi·x − (n+1)·Σx — avoids needing n inside the sum
-    counts.withColumn("i", row_number().over(w))
+    graft.core.Ranking
+      .withGlobalRank(counts, Seq(col("cnt"), col("k")), "i")
       .agg(sum(col("i") * col("cnt")).as("ic"),
            count(lit(1)).as("n"), sum("cnt").as("tot"))
       .select(((lit(2) * col("ic") - (col("n") + 1) * col("tot"))
@@ -38,12 +41,18 @@ object Stats {
     */
   def cumulativeCoverage(df: DataFrame, key: Column,
                          thresholds: Seq[Double]): DataFrame = {
-    val counts = df.groupBy(key.as("k")).agg(count(lit(1)).as("cnt"))
-    val w = Window.orderBy(desc("cnt"), asc("k"))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val cum = counts
-      .withColumn("cum", sum("cnt").over(w))
-      .withColumn("tot", sum("cnt").over())
+    val counts = graft.core.CacheScope.persist(
+      df.groupBy(key.as("k")).agg(count(lit(1)).as("cnt")))
+    // running total via the two-pass range-partitioned prefix sum; the
+    // grand total is a pre-aggregated broadcast scalar instead of an
+    // all-rows empty-frame window — no single-reducer stage on the
+    // entity axis
+    val tot = counts.agg(sum("cnt").as("tot"))
+    val cum = graft.core.Ranking
+      .withGlobalRankAndCumSum(counts, Seq(desc("cnt"), asc("k")),
+                               col("cnt"), "_rk", "cum")
+      .drop("_rk")
+      .crossJoin(broadcast(tot))
     val perThreshold = thresholds.map { th =>
       cum.filter(col("cum") - col("cnt") < lit(th) * col("tot"))
         .agg(count(lit(1)).as("n_entities"))

@@ -101,6 +101,47 @@ class PlanSpec extends SparkSpec {
     assert(saltedMap == plain)
   }
 
+  test("gini rank runs on parallel partitions, not one reducer") {
+    import org.apache.spark.sql.execution.window.WindowExec
+    // two-pass rank: result identical to the single-window formula...
+    val counts = (Seq.fill(40)(7) ++ (0 until 100)).zipWithIndex
+      .map { case (c, k) => (k, c) }.toDF("k", "c")
+    val byWindow = counts.withColumn("r", row_number().over(
+        org.apache.spark.sql.expressions.Window.orderBy("c", "k")))
+      .select("k", "r").collect().map(r => (r.getInt(0), r.getInt(1))).toMap
+    val twoPass = graft.core.Ranking
+      .withGlobalRank(counts, Seq(col("c"), col("k")), "r")
+      .select("k", "r").collect().map(r => (r.getInt(0), r.getInt(1))).toMap
+    assert(twoPass == byWindow, "two-pass rank must equal the window rank")
+    // ...and the gini plan's ranking window must not be fed by a
+    // single-partition exchange (only the final scalar aggregate may
+    // reduce to one partition — it sees #partitions partial rows)
+    val gini = graft.stats.Stats.giniOfCounts(
+      (0 until 500).map(i => (i % 37, i)).toDF("g", "x"), col("g"))
+    gini.collect() // materialize so AQE finalizes the plan
+    // full traversal: AQE hides the final plan behind
+    // AdaptiveSparkPlanExec (children = Nil) and stage boundaries
+    // (QueryStageExec.plan), so plain collect() misses interior nodes
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.{
+      AdaptiveSparkPlanExec, QueryStageExec}
+    def allNodes(p: SparkPlan): Seq[SparkPlan] = {
+      val kids = p match {
+        case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
+        case s: QueryStageExec => Seq(s.plan)
+        case other => other.children
+      }
+      p +: kids.flatMap(allNodes)
+    }
+    val ws = allNodes(gini.queryExecution.executedPlan)
+      .collect { case w: WindowExec => w }
+    assert(ws.nonEmpty, "expected the local rank window in the plan")
+    ws.foreach { w =>
+      assert(!w.child.outputPartitioning.toString.contains("SinglePartition"),
+        s"rank window must not run on a single partition:\n$w")
+    }
+  }
+
   test("grouped aggregation is partial before the shuffle (map-side combine)") {
     val q = t.lineitem.groupBy("l_returnflag").agg(sum("l_quantity"))
     val plan = q.queryExecution.executedPlan.toString
