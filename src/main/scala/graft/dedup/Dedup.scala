@@ -158,4 +158,38 @@ object Dedup {
       .filter(col("hamming") <= maxHamming)
       .select("a", "b", "hamming")
   }
+
+  /** Multi-probe SimHash pairs — FULL recall at Hamming ≤ maxHamming
+    * (the standard (h+1)-bucketing scheme): the `bits`-wide signature
+    * splits into (maxHamming+1) disjoint bit segments; by pigeonhole,
+    * any two signatures within Hamming distance h agree EXACTLY on at
+    * least one segment, so bucketing once per segment and verifying
+    * bit_count(xor) on within-bucket pairs misses nothing. Costs
+    * (h+1)× the bucket volume of [[simhashPairs]] (the single-probe
+    * variant, which trades that for recall); per-bucket pair fan-out
+    * stays bounded the same way. */
+  def simhashPairsMultiProbe(sigs: DataFrame, bits: Int, maxHamming: Int)
+      : DataFrame = {
+    val nSeg = maxHamming + 1
+    require(bits >= nSeg, s"need at least one bit per segment")
+    val segWidth = bits / nSeg
+    val buckets = (0 until nSeg).map { s =>
+      val lo = s * segWidth
+      // leftover bits fold into the last segment
+      val width = if (s == nSeg - 1) bits - lo else segWidth
+      val mask = (1L << width) - 1
+      sigs.select(col("doc_id"), col("sig"), lit(s).as("seg"),
+                  expr(s"(sig >> $lo) & $mask").as("bucket"))
+    }.reduce(_ unionByName _)
+    val a = buckets.select(col("seg"), col("bucket"),
+                           col("doc_id").as("a"), col("sig").as("sig_a"))
+    val b = buckets.select(col("seg"), col("bucket"),
+                           col("doc_id").as("b"), col("sig").as("sig_b"))
+    a.join(b, Seq("seg", "bucket"))
+      .filter(col("a") < col("b"))
+      .select(col("a"), col("b"),
+              expr("bit_count(sig_a ^ sig_b)").as("hamming"))
+      .filter(col("hamming") <= maxHamming)
+      .distinct() // a pair may collide in several segments
+  }
 }

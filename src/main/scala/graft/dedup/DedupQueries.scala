@@ -178,6 +178,53 @@ object DedupQueries {
         |WHERE CAST(inter AS DOUBLE) / (sa.n + sb.n - inter) >= 0.05
         |""".stripMargin)),
 
+    // Multi-probe SimHash near-dup pairs: (h+1) disjoint bit-segment
+    // bucketings give FULL recall at Hamming ≤ 6 (pigeonhole), verified
+    // by bit_count(xor). Bounded to doc_id < 300 to keep the
+    // degenerate-vocabulary bucket fan-out quadratic-safe.
+    Q("q93_simhash_multiprobe", { t =>
+        val sigs = Dedup.simhash(Dedup.docTokens(
+          t.documents.filter(col("doc_id") < 300),
+          col("doc_id"), col("text")))
+        Dedup.simhashPairsMultiProbe(sigs, bits = 60, maxHamming = 6)
+      },
+      Some {
+        val segs = (0 until 7).map { s =>
+          val lo = s * 8
+          val mask = if (s == 6) (1L << 12) - 1 else 255L
+          s"SELECT doc_id, sig, $s AS seg, (sig >> $lo) & $mask AS bucket FROM sigs"
+        }.mkString("\n  UNION ALL\n  ")
+        s"""WITH dt AS (
+           |  SELECT DISTINCT doc_id, tok FROM (
+           |    SELECT doc_id,
+           |      unnest(string_split_regex(lower(text), '\\s+')) AS tok
+           |    FROM documents WHERE doc_id < 300) t
+           |), vh AS (
+           |  SELECT tok, ('0x' || substr(md5(tok), 1, 15))::BIGINT AS h
+           |  FROM (SELECT DISTINCT tok FROM dt) v
+           |), vb AS (
+           |  SELECT tok, b, ((h >> CAST(b AS INT)) & 1) * 2 - 1 AS c
+           |  FROM vh, UNNEST(generate_series(0, 59)) t(b)
+           |), s AS (
+           |  SELECT doc_id, b, SUM(c) AS s
+           |  FROM dt JOIN vb USING (tok) GROUP BY 1, 2
+           |), sigs AS (
+           |  SELECT doc_id,
+           |    CAST(SUM(CASE WHEN s > 0
+           |         THEN (CAST(1 AS BIGINT) << CAST(b AS INT))
+           |         ELSE 0 END) AS BIGINT) AS sig
+           |  FROM s GROUP BY doc_id
+           |), buckets AS (
+           |  $segs
+           |)
+           |SELECT DISTINCT x.doc_id AS a, y.doc_id AS b,
+           |  CAST(bit_count(xor(x.sig, y.sig)) AS INT) AS hamming
+           |FROM buckets x JOIN buckets y
+           |  ON x.seg = y.seg AND x.bucket = y.bucket
+           |     AND x.doc_id < y.doc_id
+           |WHERE bit_count(xor(x.sig, y.sig)) <= 6""".stripMargin
+      }),
+
     // SimHash 60-bit signatures via md5 token hashes + bitwise votes.
     Q("q57_simhash",
       t => Dedup.simhash(

@@ -111,15 +111,59 @@ object TextOps {
     if (toks == null) null else toks.map(PorterStemmer.stem))
   def stemPorter(toks: Column): Column = porterUdf(toks)
 
+  /** The full NLTK English stopword list (179 words) — the set the
+    * reference's tag pipeline filters against
+    * (TagPreprocessing.py:28/50, `nltk.corpus.stopwords.words(
+    * 'english')`; the list itself is published public data). */
+  val nltkEnglishStopwords: Seq[String] = Seq(
+    "i", "me", "my", "myself", "we", "our", "ours", "ourselves", "you",
+    "you're", "you've", "you'll", "you'd", "your", "yours", "yourself",
+    "yourselves", "he", "him", "his", "himself", "she", "she's", "her",
+    "hers", "herself", "it", "it's", "its", "itself", "they", "them",
+    "their", "theirs", "themselves", "what", "which", "who", "whom",
+    "this", "that", "that'll", "these", "those", "am", "is", "are",
+    "was", "were", "be", "been", "being", "have", "has", "had",
+    "having", "do", "does", "did", "doing", "a", "an", "the", "and",
+    "but", "if", "or", "because", "as", "until", "while", "of", "at",
+    "by", "for", "with", "about", "against", "between", "into",
+    "through", "during", "before", "after", "above", "below", "to",
+    "from", "up", "down", "in", "out", "on", "off", "over", "under",
+    "again", "further", "then", "once", "here", "there", "when",
+    "where", "why", "how", "all", "any", "both", "each", "few", "more",
+    "most", "other", "some", "such", "no", "nor", "not", "only", "own",
+    "same", "so", "than", "too", "very", "s", "t", "can", "will",
+    "just", "don", "don't", "should", "should've", "now", "d", "ll",
+    "m", "o", "re", "ve", "y", "ain", "aren", "aren't", "couldn",
+    "couldn't", "didn", "didn't", "doesn", "doesn't", "hadn", "hadn't",
+    "hasn", "hasn't", "haven", "haven't", "isn", "isn't", "ma",
+    "mightn", "mightn't", "mustn", "mustn't", "needn", "needn't",
+    "shan", "shan't", "shouldn", "shouldn't", "wasn", "wasn't",
+    "weren", "weren't", "won", "won't", "wouldn", "wouldn't")
+
+  /** The reference's tagFilter (TagPreprocessing.py:20-37): strip
+    * non-alphanumerics, collapse runs of spaces, split, drop RAW tokens
+    * found in the NLTK stopword list. Empty-string tokens from
+    * leading/trailing separators survive, exactly as in the reference
+    * (Python "".split keeps them and "" is not a stopword). */
+  def tagFilter(tag: Column): Column = {
+    val cleaned = regexp_replace(
+      regexp_replace(tag, "[^a-zA-Z0-9]", " "), " +", " ")
+    filter(split(cleaned, " "),
+           t => !t.isInCollection(nltkEnglishStopwords))
+  }
+
   /** The reference's tagFilterAndStemming pipeline
     * (TagPreprocessing.py:41-62): strip non-alphanumerics, collapse
-    * spaces, split, Porter-stem each token, drop stopword stems and
-    * empties. */
+    * spaces, split, Porter-stem each token, then drop tokens whose
+    * STEM is in the full NLTK stopword list — the reference stems
+    * first and filters the stemmed form (so e.g. "owned" → "own" is
+    * dropped even though "owned" is not a stopword). Empty-string
+    * tokens survive, exactly as in the reference. */
   def tagFilterAndStem(tag: Column): Column = {
     val cleaned = regexp_replace(
       regexp_replace(tag, "[^a-zA-Z0-9]", " "), " +", " ")
     filter(stemPorter(split(cleaned, " ")),
-           t => !t.isInCollection(stopwords("en")) && t =!= "")
+           t => !t.isInCollection(nltkEnglishStopwords))
   }
 
   /** Document fingerprint: whitespace-normalized lowercase text hashed

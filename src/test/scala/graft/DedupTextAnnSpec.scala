@@ -68,6 +68,83 @@ class DedupTextAnnSpec extends SparkSpec {
     assert(pairs.contains((0L, 1L)))
   }
 
+  test("tag pipeline: full NLTK stopword list, stem-first filtering") {
+    import spark.implicits._
+    val sw = TextOps.nltkEnglishStopwords
+    assert(sw.size == 179, s"NLTK english list has 179 words, got ${sw.size}")
+    assert(Seq("i", "won't", "shouldn", "y", "own", "having")
+             .forall(sw.contains))
+    assert(sw.distinct.size == sw.size, "no duplicate stopwords")
+    // 30 tags; expected outputs traced through the reference's
+    // tagFilterAndStemming by hand (clean → split → NLTK-porter-stem →
+    // drop tokens whose STEM is a stopword; empties survive)
+    val fixture: Seq[(String, Seq[String])] = Seq(
+      "The Lord of the Rings" -> Seq("lord", "ring"),
+      "based on a true story" -> Seq("base", "true", "stori"),
+      // stems can LEAVE the stopword set: once→onc is kept even though
+      // "once" itself is a stopword (the reference filters the stem)
+      "once upon a time" -> Seq("onc", "upon", "time"),
+      "sci-fi & aliens" -> Seq("sci", "fi", "alien"),
+      "#led zeppelin" -> Seq("", "led", "zeppelin"),
+      "it's funny" -> Seq("funni"),
+      "doesn't work" -> Seq("work"),
+      "so bad it is good" -> Seq("bad", "good"),
+      "owned cars" -> Seq("car"),          // stem "own" is a stopword
+      "women directors" -> Seq("women", "director"),
+      "rock! " -> Seq("rock", ""),         // trailing empty survives
+      "being there" -> Seq(),              // both stems are stopwords
+      "having fun" -> Seq("fun"),
+      "won't watch again" -> Seq("watch"),
+      "dogs playing poker" -> Seq("dog", "play", "poker"),
+      "visually stunning" -> Seq("visual", "stun"),
+      "thought provoking" -> Seq("thought", "provok"),
+      "coming of age" -> Seq("come", "age"),
+      "based on a book" -> Seq("base", "book"),
+      "time travel" -> Seq("time", "travel"),
+      "very funny" -> Seq("veri", "funni"), // very→veri leaves the set
+      "classic" -> Seq("classic"),
+      "oscar (best supporting actress)" -> Seq("oscar", "best",
+                                               "support", "actress", ""),
+      "black and white" -> Seq("black", "white"),
+      "talking animals" -> Seq("talk", "anim"),
+      "stop motion" -> Seq("stop", "motion"),
+      "under 10 minutes" -> Seq("10", "minut"),
+      "shakespeare" -> Seq("shakespear"),
+      "zombies!!!" -> Seq("zombi", ""),
+      "after the credits" -> Seq("credit"))
+    val got = fixture.map(_._1).toDF("tag")
+      .select(TextOps.tagFilterAndStem(col("tag")).as("out"))
+      .collect().map(_.getAs[scala.collection.Seq[String]]("out").toSeq)
+    fixture.zip(got).foreach { case ((tag, want), actual) =>
+      assert(actual == want, s"tagFilterAndStem($tag) = $actual, want $want")
+    }
+    // the non-stemming variant filters RAW tokens: "owned" survives it
+    val raw = Seq("owned cars").toDF("tag")
+      .select(TextOps.tagFilter(col("tag")).as("out"))
+      .head().getAs[scala.collection.Seq[String]]("out").toSeq
+    assert(raw == Seq("owned", "cars"))
+  }
+
+  test("multi-probe simhash finds a close pair the single probe misses") {
+    import spark.implicits._
+    // two 60-bit signatures at Hamming distance 1, differing ONLY in
+    // the top bit: any high-bit-prefix bucket (bucketShift < 60)
+    // separates them, so the single-probe variant misses the pair...
+    val s1 = (1L << 59) | 0x5aL
+    val s2 = 0x5aL
+    val sigs = Seq((0L, s1), (1L, s2)).toDF("doc_id", "sig")
+    val single = Dedup.simhashPairs(sigs, bucketShift = 40, maxHamming = 2)
+      .collect()
+    assert(single.isEmpty, "single-probe should miss the top-bit pair")
+    // ...while the pigeonhole (h+1)-segment bucketing must find it
+    val multi = Dedup.simhashPairsMultiProbe(sigs, bits = 60, maxHamming = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(multi == Set((0L, 1L, 1)))
+    // and a pair beyond the radius stays excluded (hamming 3 > 2)
+    val far = Seq((0L, 0x7L), (1L, 0x0L)).toDF("doc_id", "sig")
+    assert(Dedup.simhashPairsMultiProbe(far, 60, 2).isEmpty)
+  }
+
   test("shingles produce n-2 word 3-grams") {
     val sh = Dedup.shingles(docs.filter(col("doc_id") === 0), col("doc_id"),
                             col("text"), 3)
