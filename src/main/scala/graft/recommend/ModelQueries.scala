@@ -164,29 +164,39 @@ object ModelQueries {
     // (Models.mfBpr, the reference's Cython mirror with inside/outside
     // sampling modes) remains covered by ModelsSpec fixtures.
     Q("q68_mfbpr", { t =>
-        val spark = t.spark
-        import spark.implicits._
         val urm = Urm.fromOrders(t).filter(col("u") < 200)
-        val (_, itemF) = Models.mfBprDistributed(spark, urm, rank = 8,
+        val (_, itemF) = Models.mfBprDistributed(t.spark, urm, rank = 8,
           epochs = 3, samplesPerEpoch = 2000, lr = 0.05, reg = 0.01,
           seed = 42)
-        itemF.toSeq.map { case (i, f) =>
-          (i, f.map(x => x * x).sum)
-        }.toDF("i", "norm2")
+        itemF.select(col("i"),
+          expr("aggregate(factors, 0d, (a, x) -> a + x*x)").as("norm2"))
       }, None),
 
     // L21 scale path — distributed MF-BPR (partitioned Hogwild SGD with
     // parameter averaging; triples sampled as a distributed query);
     // rows-only.
     Q("q80_mfbpr_distributed", { t =>
-        val spark = t.spark
-        import spark.implicits._
         val urm = Urm.fromOrders(t).filter(col("u") < 300)
-        val (_, itf) = Models.mfBprDistributed(spark, urm, rank = 8,
+        val (_, itf) = Models.mfBprDistributed(t.spark, urm, rank = 8,
           epochs = 2, samplesPerEpoch = 2000, lr = 0.05, reg = 0.01,
           seed = 42)
-        itf.toSeq.map { case (i, f) => (i, f.map(x => x * x).sum) }
-          .toDF("i", "norm2")
+        itf.select(col("i"),
+          expr("aggregate(factors, 0d, (a, x) -> a + x*x)").as("norm2"))
+      }, None),
+
+    // L27 composed — early-stopped distributed BPR driven by the
+    // MAP@10 evaluator on a hash split (the reference's actual training
+    // lifecycle: Incremental_Training_Early_Stopping.py:91-262 +
+    // SearchAbstractClass.py:366-489); rows-only: the validation curve.
+    // ModelsSpec asserts the stop fires before the epoch budget and
+    // the selected metric dominates the first validation.
+    Q("q94_bpr_early_stop", { t =>
+        val urm = Urm.fromOrders(t)
+          .filter(col("u") < 150 && col("i") < 400)
+        val split = Urm.hashSplit(urm, 8, 10)
+        Models.bprEarlyStopped(t.spark, split, rank = 8, maxEpochs = 15,
+          validateEvery = 1, patience = 2, samplesPerEpoch = 1500,
+          lr = 0.05, reg = 0.01, seed = 42, cutoff = 10)
       }, None),
 
     // L22 — true FunkSVD SGD with biases and negative-interactions

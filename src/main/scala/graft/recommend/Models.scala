@@ -298,102 +298,137 @@ object Models {
     (uf.toMap, itf.toMap)
   }
 
-  /** L21 at scale — distributed MF-BPR: per-partition Hogwild SGD with
-    * parameter averaging. Each epoch:
+  /** L21 at scale — distributed MF-BPR trainer state: both factor
+    * matrices live as keyed RDDs, never on the driver. */
+  final case class BprState(
+      userFactors: org.apache.spark.rdd.RDD[(Int, Array[Double])],
+      itemFactors: org.apache.spark.rdd.RDD[(Int, Array[Double])])
+
+  /** One distributed BPR epoch over keyed factor RDDs (the ml.ALS
+    * shape — VERDICT r3 #4):
     *  1. a distributed seeded query samples (u, i⁺, j⁻) triples —
     *     positives from the URM, negatives by rand-pick + anti-join
-    *     rejection (no driver-side sampling);
-    *  2. every partition runs local BPR SGD over its triples against a
-    *     broadcast snapshot of the factors;
-    *  3. updated factor vectors are averaged per id across partitions
-    *     (parameter averaging — the standard distributed-SGD
-    *     compromise; exact sequential semantics are impossible to
-    *     distribute, SURVEY §7.4).
-    * The driver only holds the factor matrices (rank · (|U|+|I|)), not
-    * the URM — the data-sized structures stay distributed. */
+    *     rejection (no driver-side sampling); positive-draw and
+    *     negative-pick seeds live in disjoint ranges so the two rand
+    *     streams never coincide;
+    *  2. the triples JOIN the factor partitions (u, then i⁺, then j⁻)
+    *     to assemble each triple's three factor vectors — shuffles on
+    *     the factor keys, the same co-location ml.ALS uses;
+    *  3. each triple takes one BPR gradient step against its joined
+    *     epoch-start snapshot; the stepped vectors are averaged per id
+    *     with reduceByKey (parameter averaging / mini-batch SGD — the
+    *     standard distributed compromise; exact sequential semantics
+    *     are impossible to distribute, SURVEY §7.4) and merged into the
+    *     factor RDDs with an outer join.
+    * NOTHING proportional to |U| ever reaches the driver: no collect,
+    * no factor broadcast — only the item-ID array for negative
+    * sampling (catalog axis, the bounded dimension the reference
+    * itself keeps dense). */
+  def bprEpoch(spark: SparkSession, triplesBase: DataFrame,
+               state: BprState, items: Array[Int], total: Long,
+               rank: Int, samplesPerEpoch: Int, lr: Double, reg: Double,
+               seed: Long, ep: Int): BprState = {
+    import spark.implicits._
+    val nItems = items.length
+    // 1. linear Bernoulli sample (no per-epoch global sort), 25%
+    //    oversampled to absorb anti-join rejections
+    val frac = math.min(1.0, 1.25 * samplesPerEpoch / math.max(1L, total))
+    val sample = triplesBase
+      .sample(withReplacement = false, frac, seed + ep)
+      .withColumn("jneg",
+        element_at(typedLit(items),
+                   (floor(rand(seed + 1000003 + ep) * nItems) + 1)
+                     .cast("int")))
+    val valid = sample.join(
+      triplesBase.select(col("u"), col("i").as("jneg")),
+      Seq("u", "jneg"), "left_anti")
+    // 2. assemble factor vectors by joining the factor partitions
+    val triples = valid.select("u", "i", "jneg").as[(Int, Int, Int)].rdd
+    val joined = triples
+      .map { case (u, i, j) => (u, (i, j)) }
+      .join(state.userFactors)
+      .map { case (u, ((i, j), wu)) => (i, (u, j, wu)) }
+      .join(state.itemFactors)
+      .map { case (i, ((u, j, wu), hi)) => (j, (u, i, wu, hi)) }
+      .join(state.itemFactors)
+    // 3. one gradient step per triple vs the snapshot; average per id
+    val stepped = joined.flatMap { case (j, ((u, i, wu0, hi0), hj0)) =>
+      val wu = wu0.clone(); val hi = hi0.clone(); val hj = hj0.clone()
+      var x = 0.0
+      var f = 0
+      while (f < rank) { x += wu(f) * (hi(f) - hj(f)); f += 1 }
+      val sig = 1.0 / (1.0 + math.exp(x))
+      f = 0
+      while (f < rank) {
+        val du = sig * (hi(f) - hj(f)) - reg * wu(f)
+        val di = sig * wu(f) - reg * hi(f)
+        val dj = -sig * wu(f) - reg * hj(f)
+        wu(f) += lr * du; hi(f) += lr * di; hj(f) += lr * dj
+        f += 1
+      }
+      Iterator((("u", u), wu), (("i", i), hi), (("i", j), hj))
+    }
+    val averaged = stepped
+      .mapValues(v => (v, 1))
+      .reduceByKey((x: (Array[Double], Int), y: (Array[Double], Int)) => {
+        val s = x._1.clone()
+        var f = 0
+        while (f < rank) { s(f) += y._1(f); f += 1 }
+        (s, x._2 + y._2)
+      })
+      .mapValues(sn => sn._1.map(_ / sn._2))
+    val avgU = averaged.collect { case (("u", id), v) => (id, v) }
+    val avgI = averaged.collect { case (("i", id), v) => (id, v) }
+    // merge: touched ids take the averaged vector, others keep theirs
+    val newU = graft.core.CacheScope.persistRdd(
+      state.userFactors.leftOuterJoin(avgU)
+        .mapValues { case (old, upd) => upd.getOrElse(old) })
+    val newI = graft.core.CacheScope.persistRdd(
+      state.itemFactors.leftOuterJoin(avgI)
+        .mapValues { case (old, upd) => upd.getOrElse(old) })
+    newU.count(); newI.count() // materialize before releasing parents
+    state.userFactors.unpersist(false)
+    state.itemFactors.unpersist(false)
+    BprState(newU, newI)
+  }
+
+  /** Deterministic hash-seeded factor init (same device as [[nmf]]) —
+    * distributed init must not depend on a sequential driver RNG. */
+  private[recommend] def bprInitVec(rank: Int, id: Int, salt: Int,
+                                    seed: Long): Array[Double] =
+    Array.tabulate(rank) { f =>
+      val h = scala.util.hashing.MurmurHash3
+        .productHash((id, f, salt, seed))
+      (((h & 0x7fffffff) % 1000) / 1000.0 - 0.5) * 0.1
+    }
+
+  /** L21 at scale — distributed MF-BPR: [[bprEpoch]] iterated from
+    * hash-initialized factor RDDs. Returns (u, factors) and
+    * (i, factors) DataFrames — still distributed; callers that need
+    * local maps (tests) collect explicitly. */
   def mfBprDistributed(spark: SparkSession, urm: DataFrame, rank: Int,
                        epochs: Int, samplesPerEpoch: Int, lr: Double,
                        reg: Double, seed: Long)
-      : (Map[Int, Array[Double]], Map[Int, Array[Double]]) = {
+      : (DataFrame, DataFrame) = {
     import spark.implicits._
-    val triplesBase = urm.select(col("u").cast("int").as("u"),
-                                 col("i").cast("int").as("i"))
+    val triplesBase = graft.core.CacheScope.persist(
+      urm.select(col("u").cast("int").as("u"),
+                 col("i").cast("int").as("i")))
     val items = triplesBase.select("i").distinct().as[Int].collect().sorted
-    val nItems = items.length
-    val initRng = new scala.util.Random(seed)
-    var uf = triplesBase.select("u").distinct().as[Int].collect()
-      .map(u => u -> Array.fill(rank)((initRng.nextDouble() - 0.5) * 0.1))
-      .toMap
-    var itf = items
-      .map(i => i -> Array.fill(rank)((initRng.nextDouble() - 0.5) * 0.1))
-      .toMap
-    val itemsBc = spark.sparkContext.broadcast(items)
     val total = triplesBase.count()
+    var state = BprState(
+      graft.core.CacheScope.persistRdd(
+        triplesBase.select("u").distinct().as[Int].rdd
+          .map(u => (u, bprInitVec(rank, u, 1, seed)))),
+      graft.core.CacheScope.persistRdd(
+        triplesBase.select("i").distinct().as[Int].rdd
+          .map(i => (i, bprInitVec(rank, i, 2, seed)))))
     (0 until epochs).foreach { ep =>
-      // 1. distributed triple sampling: a linear Bernoulli sample()
-      //    (no per-epoch global sort), oversampled 25% to absorb the
-      //    anti-join rejections so the effective epoch size doesn't
-      //    shrink with URM density; positive-draw and negative-pick
-      //    seeds live in disjoint ranges so the two rand streams never
-      //    coincide (round 1 collided at ep=0: seed+ep == seed+7·ep)
-      val frac =
-        math.min(1.0, 1.25 * samplesPerEpoch / math.max(1L, total))
-      val sample = triplesBase
-        .sample(withReplacement = false, frac, seed + ep)
-        .withColumn("jneg",
-          element_at(typedLit(items),
-                     (floor(rand(seed + 1000003 + ep) * nItems) + 1)
-                       .cast("int")))
-      val valid = sample.join(
-        triplesBase.select(col("u"), col("i").as("jneg")),
-        Seq("u", "jneg"), "left_anti")
-      val ufBc = spark.sparkContext.broadcast(uf)
-      val itfBc = spark.sparkContext.broadcast(itf)
-      // 2. per-partition local SGD over broadcast factor snapshots
-      val updated = valid.select("u", "i", "jneg")
-        .as[(Int, Int, Int)].rdd
-        .mapPartitions { part =>
-          val lu = scala.collection.mutable.Map[Int, Array[Double]]()
-          val li = scala.collection.mutable.Map[Int, Array[Double]]()
-          def cu(id: Int) = lu.getOrElseUpdate(id, ufBc.value(id).clone())
-          def ci(id: Int) = li.getOrElseUpdate(id, itfBc.value(id).clone())
-          part.foreach { case (u, ipos, jneg) =>
-            val wu = cu(u); val hi = ci(ipos); val hj = ci(jneg)
-            var x = 0.0
-            var f = 0
-            while (f < rank) { x += wu(f) * (hi(f) - hj(f)); f += 1 }
-            val sig = 1.0 / (1.0 + math.exp(x))
-            f = 0
-            while (f < rank) {
-              val du = sig * (hi(f) - hj(f)) - reg * wu(f)
-              val di = sig * wu(f) - reg * hi(f)
-              val dj = -sig * wu(f) - reg * hj(f)
-              wu(f) += lr * du; hi(f) += lr * di; hj(f) += lr * dj
-              f += 1
-            }
-          }
-          lu.iterator.map { case (id, v) => (("u", id), v) } ++
-            li.iterator.map { case (id, v) => (("i", id), v) }
-        }
-      // 3. parameter averaging per id across partitions
-      val averaged = updated
-        .mapValues(v => (v, 1))
-        .reduceByKey((x: (Array[Double], Int), y: (Array[Double], Int)) => {
-          val s = x._1.clone()
-          var f = 0
-          while (f < rank) { s(f) += y._1(f); f += 1 }
-          (s, x._2 + y._2)
-        })
-        .mapValues(sn => sn._1.map(_ / sn._2))
-        .collect()
-      averaged.foreach {
-        case (("u", id), v) => uf = uf.updated(id, v)
-        case (("i", id), v) => itf = itf.updated(id, v)
-        case _ => ()
-      }
-      ufBc.destroy(); itfBc.destroy()
+      state = bprEpoch(spark, triplesBase, state, items, total, rank,
+                       samplesPerEpoch, lr, reg, seed, ep)
     }
-    (uf, itf)
+    (state.userFactors.toDF("u", "factors"),
+     state.itemFactors.toDF("i", "factors"))
   }
 
   /** L22 result: factor matrices, bias terms, and the per-epoch train
@@ -774,6 +809,60 @@ object Models {
     * `trainEpoch` up to `maxEpochs`, validate every `validateEvery`,
     * keep the best metric, stop after `patience` non-improving
     * validations. Returns (bestEpoch, bestMetric, history). */
+  /** L27 composed with L21 — the reference's actual training lifecycle
+    * (Base/Incremental_Training_Early_Stopping.py:91-262, driven by the
+    * search's evaluator, ParameterTuning/SearchAbstractClass.py:366-489):
+    * distributed BPR epochs validated every `validateEvery` epochs by
+    * MAP@cutoff against the held-out half of `split`, stopping after
+    * `patience` non-improving validations. Validation is itself a
+    * distributed plan — factor frames cross-scored with the codegen'd
+    * dot product, seen items anti-joined, MAP from the standard
+    * evaluator; only the single metric scalar reaches the driver.
+    * Returns the validation history (epoch, map) with the selected
+    * best epoch/metric and the epoch budget as columns — the training
+    * curve the reference logs. */
+  def bprEarlyStopped(spark: SparkSession, split: DataFrame, rank: Int,
+                      maxEpochs: Int, validateEvery: Int, patience: Int,
+                      samplesPerEpoch: Int, lr: Double, reg: Double,
+                      seed: Long, cutoff: Int): DataFrame = {
+    import spark.implicits._
+    import graft.eval.Evaluation
+    val train = graft.core.CacheScope.persist(
+      split.filter(col("split") === "train")
+        .select(col("u").cast("int").as("u"), col("i").cast("int").as("i")))
+    val heldOut = graft.core.CacheScope.persist(
+      split.filter(col("split") =!= "train")
+        .select(col("u").cast("int").as("u"), col("i").cast("int").as("i")))
+    val items = train.select("i").distinct().as[Int].collect().sorted
+    val total = train.count()
+    var state = BprState(
+      graft.core.CacheScope.persistRdd(
+        train.select("u").distinct().as[Int].rdd
+          .map(u => (u, bprInitVec(rank, u, 1, seed)))),
+      graft.core.CacheScope.persistRdd(
+        train.select("i").distinct().as[Int].rdd
+          .map(i => (i, bprInitVec(rank, i, 2, seed)))))
+    def validate(): Double = {
+      val scores = state.userFactors.toDF("u", "ufac")
+        .crossJoin(state.itemFactors.toDF("item", "ifac"))
+        .select(col("u"), col("item"),
+                graft.functions.VectorFunctions
+                  .dot_product(col("ufac"), col("ifac")).as("score"))
+      val recs = Recommenders.recommend(scores, train, cutoff)
+      Evaluation.accuracyMetrics(Evaluation.hitTable(recs, heldOut), cutoff)
+        .select("map").head().getDouble(0)
+    }
+    val (bestEpoch, bestMap, history) =
+      trainWithEarlyStopping(maxEpochs, validateEvery, patience) { ep =>
+        state = bprEpoch(spark, train, state, items, total, rank,
+                         samplesPerEpoch, lr, reg, seed, ep)
+      } { () => validate() }
+    history.toDF("epoch", "map")
+      .withColumn("best_epoch", lit(bestEpoch))
+      .withColumn("best_map", lit(bestMap))
+      .withColumn("max_epochs", lit(maxEpochs))
+  }
+
   def trainWithEarlyStopping(maxEpochs: Int, validateEvery: Int,
                              patience: Int)(trainEpoch: Int => Unit)(
                              validate: () => Double)

@@ -64,8 +64,11 @@ class ModelsSpec extends SparkSpec {
   }
 
   test("distributed MF-BPR (partitioned SGD + averaging) learns margins") {
-    val (uf, itf) = Models.mfBprDistributed(spark, urm, rank = 6,
+    val (ufDf, itfDf) = Models.mfBprDistributed(spark, urm, rank = 6,
       epochs = 10, samplesPerEpoch = 2000, lr = 0.1, reg = 0.01, seed = 42)
+    // the trainer returns distributed frames; the fixture collects them
+    val uf = ufDf.as[(Int, Array[Double])].collect().toMap
+    val itf = itfDf.as[(Int, Array[Double])].collect().toMap
     val seen = urm.select("u", "i").as[(Int, Int)].collect()
       .groupBy(_._1).map { case (u, rs) => (u, rs.map(_._2).toSet) }
     def score(u: Int, i: Int): Double =
@@ -77,6 +80,28 @@ class ModelsSpec extends SparkSpec {
     } yield score(u, pos) - score(u, neg)
     assert(margins.sum / margins.size > 0,
            "positives must outscore negatives after distributed training")
+  }
+
+  test("early-stopped distributed BPR stops before the budget and improves") {
+    val split = Urm.hashSplit(urm, 8, 10)
+    val hist = Models.bprEarlyStopped(spark, split, rank = 6,
+      maxEpochs = 15, validateEvery = 1, patience = 2,
+      samplesPerEpoch = 1000, lr = 0.1, reg = 0.01, seed = 42, cutoff = 5)
+      .collect()
+    assert(hist.nonEmpty)
+    val epochs = hist.map(_.getInt(0))
+    val maps = hist.sortBy(r => r.getInt(0)).map(_.getDouble(1))
+    val bestEpoch = hist.head.getInt(2)
+    val bestMap = hist.head.getDouble(3)
+    // patience exhausted before the epoch budget
+    assert(epochs.max < 15,
+           s"expected early stop, trained all ${epochs.max} epochs")
+    // the selected model is at least as good as the first validation
+    assert(bestMap >= maps.head,
+           s"best $bestMap must be >= first ${maps.head}")
+    assert(epochs.contains(bestEpoch))
+    // history metric at the best epoch equals the reported best
+    assert(hist.find(_.getInt(0) == bestEpoch).get.getDouble(1) == bestMap)
   }
 
   test("MF-BPR impression sampling modes draw from the right pools") {
