@@ -85,7 +85,11 @@ object Bench {
     val results = selected.flatMap { q =>
       def once(): Double = {
         val t0 = System.nanoTime()
-        try { q.run(tables).count() } catch { case _: Throwable => -1L }
+        // scoped persists release at query exit (belt and braces with
+        // clearState: scoping is the library-grade hygiene, clearState
+        // additionally resets whatever escapes, e.g. ml.ALS internals)
+        try graft.core.CacheScope.scoped { q.run(tables).count() }
+        catch { case _: Throwable => -1L }
         (System.nanoTime() - t0) / 1e9
       }
       reps match {
