@@ -100,19 +100,21 @@ object Dedup {
 
   /** Word n-gram shingles with positions, via a per-document lead window
     * (identical shape in SQL engines — no array lambdas needed). */
-  def shingles(docs: DataFrame, id: Column, text: Column, n: Int)
-      : DataFrame = {
+  def shingles(docs: DataFrame, id: Column, text: Column, n: Int,
+               distinctShingles: Boolean = true): DataFrame = {
     require(n == 3, "shingle width fixed at 3 for the lead-window form")
     val toks = docs.select(id.as("doc_id"),
       posexplode(split(lower(text), "\\s+")).as(Seq("pos", "tok")))
     val w = Window.partitionBy("doc_id").orderBy("pos")
-    toks
+    val all = toks
       .withColumn("t1", lead("tok", 1).over(w))
       .withColumn("t2", lead("tok", 2).over(w))
       .filter(col("t2").isNotNull)
       .select(col("doc_id"),
               concat_ws(" ", col("tok"), col("t1"), col("t2")).as("shingle"))
-      .distinct()
+    // set semantics for similarity/dedup; keep duplicates for
+    // within-document repetition measures
+    if (distinctShingles) all.distinct() else all
   }
 
   /** SimHash signatures (60-bit): md5-derived token hashes voted bitwise.

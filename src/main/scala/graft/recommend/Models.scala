@@ -299,10 +299,15 @@ object Models {
   }
 
   /** L21 at scale — distributed MF-BPR trainer state: both factor
-    * matrices live as keyed RDDs, never on the driver. */
+    * matrices live as keyed RDDs, never on the driver. Both carry the
+    * same HashPartitioner so (a) per-epoch joins shuffle only the
+    * sampled triples, never the factor matrices, and (b) merging the
+    * averaged updates is a narrow co-partitioned join — the ml.ALS
+    * co-location strategy. */
   final case class BprState(
       userFactors: org.apache.spark.rdd.RDD[(Int, Array[Double])],
-      itemFactors: org.apache.spark.rdd.RDD[(Int, Array[Double])])
+      itemFactors: org.apache.spark.rdd.RDD[(Int, Array[Double])],
+      partitioner: org.apache.spark.HashPartitioner)
 
   /** One distributed BPR epoch over keyed factor RDDs (the ml.ALS
     * shape — VERDICT r3 #4):
@@ -342,15 +347,18 @@ object Models {
     val valid = sample.join(
       triplesBase.select(col("u"), col("i").as("jneg")),
       Seq("u", "jneg"), "left_anti")
-    // 2. assemble factor vectors by joining the factor partitions
+    // 2. assemble factor vectors by joining the factor partitions —
+    //    the factor RDDs are pre-partitioned, so each join shuffles
+    //    only the (sampled, bounded) triple side
+    val part = state.partitioner
     val triples = valid.select("u", "i", "jneg").as[(Int, Int, Int)].rdd
     val joined = triples
       .map { case (u, i, j) => (u, (i, j)) }
-      .join(state.userFactors)
+      .join(state.userFactors, part)
       .map { case (u, ((i, j), wu)) => (i, (u, j, wu)) }
-      .join(state.itemFactors)
+      .join(state.itemFactors, part)
       .map { case (i, ((u, j, wu), hi)) => (j, (u, i, wu, hi)) }
-      .join(state.itemFactors)
+      .join(state.itemFactors, part)
     // 3. one gradient step per triple vs the snapshot; average per id
     val stepped = joined.flatMap { case (j, ((u, i, wu0, hi0), hj0)) =>
       val wu = wu0.clone(); val hi = hi0.clone(); val hj = hj0.clone()
@@ -378,18 +386,21 @@ object Models {
       })
       .mapValues(sn => sn._1.map(_ / sn._2))
     val avgU = averaged.collect { case (("u", id), v) => (id, v) }
+      .partitionBy(part)
     val avgI = averaged.collect { case (("i", id), v) => (id, v) }
-    // merge: touched ids take the averaged vector, others keep theirs
+      .partitionBy(part)
+    // merge: touched ids take the averaged vector, others keep theirs —
+    // co-partitioned, so the outer join is narrow (no factor shuffle)
     val newU = graft.core.CacheScope.persistRdd(
-      state.userFactors.leftOuterJoin(avgU)
+      state.userFactors.leftOuterJoin(avgU, part)
         .mapValues { case (old, upd) => upd.getOrElse(old) })
     val newI = graft.core.CacheScope.persistRdd(
-      state.itemFactors.leftOuterJoin(avgI)
+      state.itemFactors.leftOuterJoin(avgI, part)
         .mapValues { case (old, upd) => upd.getOrElse(old) })
     newU.count(); newI.count() // materialize before releasing parents
     state.userFactors.unpersist(false)
     state.itemFactors.unpersist(false)
-    BprState(newU, newI)
+    BprState(newU, newI, part)
   }
 
   /** Deterministic hash-seeded factor init (same device as [[nmf]]) —
@@ -416,13 +427,18 @@ object Models {
                  col("i").cast("int").as("i")))
     val items = triplesBase.select("i").distinct().as[Int].collect().sorted
     val total = triplesBase.count()
+    val part = new org.apache.spark.HashPartitioner(
+      spark.sparkContext.defaultParallelism)
     var state = BprState(
       graft.core.CacheScope.persistRdd(
         triplesBase.select("u").distinct().as[Int].rdd
-          .map(u => (u, bprInitVec(rank, u, 1, seed)))),
+          .map(u => (u, bprInitVec(rank, u, 1, seed)))
+          .partitionBy(part)),
       graft.core.CacheScope.persistRdd(
         triplesBase.select("i").distinct().as[Int].rdd
-          .map(i => (i, bprInitVec(rank, i, 2, seed)))))
+          .map(i => (i, bprInitVec(rank, i, 2, seed)))
+          .partitionBy(part)),
+      part)
     (0 until epochs).foreach { ep =>
       state = bprEpoch(spark, triplesBase, state, items, total, rank,
                        samplesPerEpoch, lr, reg, seed, ep)
@@ -835,13 +851,18 @@ object Models {
         .select(col("u").cast("int").as("u"), col("i").cast("int").as("i")))
     val items = train.select("i").distinct().as[Int].collect().sorted
     val total = train.count()
+    val part = new org.apache.spark.HashPartitioner(
+      spark.sparkContext.defaultParallelism)
     var state = BprState(
       graft.core.CacheScope.persistRdd(
         train.select("u").distinct().as[Int].rdd
-          .map(u => (u, bprInitVec(rank, u, 1, seed)))),
+          .map(u => (u, bprInitVec(rank, u, 1, seed)))
+          .partitionBy(part)),
       graft.core.CacheScope.persistRdd(
         train.select("i").distinct().as[Int].rdd
-          .map(i => (i, bprInitVec(rank, i, 2, seed)))))
+          .map(i => (i, bprInitVec(rank, i, 2, seed)))
+          .partitionBy(part)),
+      part)
     def validate(): Double = {
       val scores = state.userFactors.toDF("u", "ufac")
         .crossJoin(state.itemFactors.toDF("item", "ifac"))

@@ -522,6 +522,48 @@ object RecsysQueries {
         |  round(SUM(CASE WHEN idcg.idcg > 0 THEN dcg.dcg / idcg.idcg
         |            ELSE 0.0 END) / COUNT(*), 6) AS ndcg_rated,
         |  COUNT(*) AS n_users
-        |FROM dcg JOIN idcg ON dcg.u = idcg.u""".stripMargin))
+        |FROM dcg JOIN idcg ON dcg.u = idcg.u""".stripMargin)),
+
+    // §2.10 — RMSE of the per-item-mean rating predictor against the
+    // held-out explicit ratings (reference: metrics.py:219-266 — the
+    // reference defines RMSE but keeps it disabled in the evaluator
+    // loop; registered here as the opt-in completeness metric).
+    // Ratings/means use the engine-deterministic decimal-sum → double
+    // → IEEE-division form; the final mean-of-squares follows the
+    // q45-novelty precedent (plain double sums, round 6, inside the
+    // gate's float tolerance).
+    Q("q95_rmse", { t =>
+        val ratings = t.lineitem
+          .join(t.orders, col("l_orderkey") === col("o_orderkey"))
+          .groupBy(col("o_custkey").as("u"), col("l_partkey").as("i"))
+          .agg((sum(col("l_quantity").cast("decimal(18,2)")).cast("double") /
+                count(lit(1))).as("r"))
+        val split = Urm.hashSplit(ratings, 8, 10)
+        val train = split.filter(col("split") === "train")
+        val test = split.filter(col("split") === "test").select("u", "i", "r")
+        val itemMean = train.groupBy("i")
+          .agg((sum(col("r").cast("decimal(28,6)")).cast("double") /
+                count(lit(1))).as("score"))
+        val preds = test.join(itemMean, "i")
+          .select(col("u"), col("i").as("item"), col("score"))
+        Evaluation.rmse(preds, test)
+      },
+      Some("""WITH ratings AS (
+        |  SELECT o_custkey AS u, l_partkey AS i,
+        |    CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+        |      / COUNT(*) AS r
+        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |  GROUP BY 1, 2
+        |),
+        |train AS (SELECT u, i, r FROM ratings WHERE (u*31 + i) % 10 < 8),
+        |test AS (SELECT u, i, r FROM ratings WHERE (u*31 + i) % 10 >= 8),
+        |item_mean AS (
+        |  SELECT i,
+        |    CAST(SUM(CAST(r AS DECIMAL(28,6))) AS DOUBLE) / COUNT(*)
+        |      AS score
+        |  FROM train GROUP BY 1
+        |)
+        |SELECT round(sqrt(AVG(pow(m.score - t.r, 2))), 6) AS rmse
+        |FROM test t JOIN item_mean m ON t.i = m.i""".stripMargin))
   )
 }

@@ -166,6 +166,42 @@ object TextOps {
            t => !t.isInCollection(nltkEnglishStopwords))
   }
 
+  /** Within-document repetition: the share of word 3-grams that repeat
+    * an earlier 3-gram of the SAME document, 1 − distinct/total — the
+    * standard repetitive-text filter for LLM training corpora (looping
+    * boilerplate scores high, natural prose low). Exact integer
+    * rational; scan-shaped (explode → per-doc window → groupBy). */
+  def repetitionRatio(docs: DataFrame, id: Column, text: Column)
+      : DataFrame =
+    graft.dedup.Dedup
+      .shingles(docs, id, text, 3, distinctShingles = false)
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_grams"),
+           countDistinct(col("shingle")).as("n_distinct"))
+      .withColumn("rep_ratio",
+        lit(1.0) - col("n_distinct").cast("double") / col("n_grams"))
+
+  /** Benchmark contamination: per corpus document, the share of its
+    * DISTINCT word 3-grams that appear anywhere in the benchmark set —
+    * the eval-leakage check run before training on scraped corpora.
+    * The benchmark shingle set is deduplicated once and the overlap is
+    * a semi-join on the shingle key: corpus-scan-shaped, no pairwise
+    * document comparison. */
+  def contamination(corpus: DataFrame, benchmark: DataFrame,
+                    id: Column, text: Column): DataFrame = {
+    val c = graft.core.CacheScope.persist(
+      graft.dedup.Dedup.shingles(corpus, id, text, 3))
+    val bench = graft.dedup.Dedup.shingles(benchmark, id, text, 3)
+      .select("shingle").distinct()
+    val totals = c.groupBy("doc_id").agg(count(lit(1)).as("n_grams"))
+    val hits = c.join(bench, Seq("shingle"), "left_semi")
+      .groupBy("doc_id").agg(count(lit(1)).as("n_hit"))
+    totals.join(hits, Seq("doc_id"), "left")
+      .withColumn("n_hit", coalesce(col("n_hit"), lit(0L)))
+      .withColumn("contamination",
+        col("n_hit").cast("double") / col("n_grams"))
+  }
+
   /** Document fingerprint: whitespace-normalized lowercase text hashed
     * to a 64-char md5 plus a 60-bit integer prefix — the join key for
     * exact dedup and the hash source for sketching. */

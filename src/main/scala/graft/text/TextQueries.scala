@@ -93,6 +93,109 @@ object TextQueries {
         .filter(length(col("stemmed")) > 0),
       None),
 
+    // Within-document repetition ratio (duplicate 3-gram share) — the
+    // repetitive-text quality filter for LLM corpora. The corpus is
+    // natural prose, so a planted looping doc (one sentence repeated
+    // verbatim 5x, re-id'd +3000 from doc 0) pins the high end of the
+    // scale in both engines.
+    Q("q96_repetition_ratio", { t =>
+        val base = t.documents.filter(col("doc_id") < 500)
+          .select(col("doc_id"), col("text"))
+        val looped = base.filter(col("doc_id") < 20)
+          .select((col("doc_id") + 3000L).as("doc_id"),
+                  concat_ws(" ", col("text"), col("text"), col("text"),
+                            col("text"), col("text")).as("text"))
+        TextOps.repetitionRatio(base.unionByName(looped),
+                                col("doc_id"), col("text"))
+      },
+      Some("""WITH corpus AS (
+        |  SELECT doc_id, text FROM documents WHERE doc_id < 500
+        |  UNION ALL
+        |  SELECT doc_id + 3000,
+        |    text || ' ' || text || ' ' || text || ' ' || text || ' ' || text
+        |  FROM documents WHERE doc_id < 20
+        |), toks AS (
+        |  SELECT doc_id, i AS pos,
+        |    list_extract(string_split_regex(lower(text), '\s+'),
+        |                 CAST(i AS INT)) AS tok
+        |  FROM corpus,
+        |    UNNEST(generate_series(1,
+        |      len(string_split_regex(lower(text), '\s+')))) t(i)
+        |), sh AS (
+        |  SELECT doc_id, tok || ' ' || t1 || ' ' || t2 AS shingle
+        |  FROM (
+        |    SELECT doc_id, tok,
+        |      LEAD(tok, 1) OVER w AS t1, LEAD(tok, 2) OVER w AS t2
+        |    FROM toks WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+        |  ) x WHERE t2 IS NOT NULL
+        |)
+        |SELECT doc_id, COUNT(*) AS n_grams,
+        |  COUNT(DISTINCT shingle) AS n_distinct,
+        |  1.0 - CAST(COUNT(DISTINCT shingle) AS DOUBLE) / COUNT(*)
+        |    AS rep_ratio
+        |FROM sh GROUP BY doc_id""".stripMargin)),
+
+    // Benchmark-contamination check: share of each corpus document's
+    // distinct 3-grams that appear in a held-out benchmark set
+    // (doc_id < 100) — the eval-leakage scan run before training.
+    // 20 verbatim benchmark docs are planted into the corpus (+4000)
+    // so full contamination (1.0) is provably detected.
+    Q("q97_contamination", { t =>
+        val bench = t.documents.filter(col("doc_id") < 100)
+          .select(col("doc_id"), col("text"))
+        val corpus = t.documents.filter(col("doc_id") >= 400)
+          .select(col("doc_id"), col("text"))
+          .unionByName(bench.filter(col("doc_id") < 20)
+            .select((col("doc_id") + 4000L).as("doc_id"), col("text")))
+        TextOps.contamination(corpus, bench, col("doc_id"), col("text"))
+      },
+      Some("""WITH corpus AS (
+        |  SELECT doc_id, text FROM documents WHERE doc_id >= 400
+        |  UNION ALL
+        |  SELECT doc_id + 4000, text FROM documents WHERE doc_id < 20
+        |), bench_docs AS (
+        |  SELECT doc_id, text FROM documents WHERE doc_id < 100
+        |), ctoks AS (
+        |  SELECT doc_id, i AS pos,
+        |    list_extract(string_split_regex(lower(text), '\s+'),
+        |                 CAST(i AS INT)) AS tok
+        |  FROM corpus,
+        |    UNNEST(generate_series(1,
+        |      len(string_split_regex(lower(text), '\s+')))) t(i)
+        |), csh AS (
+        |  SELECT DISTINCT doc_id, tok || ' ' || t1 || ' ' || t2 AS shingle
+        |  FROM (
+        |    SELECT doc_id, tok,
+        |      LEAD(tok, 1) OVER w AS t1, LEAD(tok, 2) OVER w AS t2
+        |    FROM ctoks WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+        |  ) x WHERE t2 IS NOT NULL
+        |), btoks AS (
+        |  SELECT doc_id, i AS pos,
+        |    list_extract(string_split_regex(lower(text), '\s+'),
+        |                 CAST(i AS INT)) AS tok
+        |  FROM bench_docs,
+        |    UNNEST(generate_series(1,
+        |      len(string_split_regex(lower(text), '\s+')))) t(i)
+        |), bsh AS (
+        |  SELECT DISTINCT tok || ' ' || t1 || ' ' || t2 AS shingle
+        |  FROM (
+        |    SELECT doc_id, tok,
+        |      LEAD(tok, 1) OVER w AS t1, LEAD(tok, 2) OVER w AS t2
+        |    FROM btoks WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+        |  ) x WHERE t2 IS NOT NULL
+        |), totals AS (
+        |  SELECT doc_id, COUNT(*) AS n_grams FROM csh GROUP BY 1
+        |), hits AS (
+        |  SELECT doc_id, COUNT(*) AS n_hit FROM csh
+        |  WHERE shingle IN (SELECT shingle FROM bsh) GROUP BY 1
+        |)
+        |SELECT totals.doc_id, totals.n_grams,
+        |  COALESCE(hits.n_hit, 0) AS n_hit,
+        |  CAST(COALESCE(hits.n_hit, 0) AS DOUBLE) / totals.n_grams
+        |    AS contamination
+        |FROM totals LEFT JOIN hits ON totals.doc_id = hits.doc_id"""
+        .stripMargin)),
+
     // md5 document fingerprinting (hex + 60-bit integer prefix).
     Q("q53_fingerprint",
       t => TextOps.fingerprint(t.documents, col("text"))
