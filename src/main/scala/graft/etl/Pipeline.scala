@@ -52,4 +52,25 @@ object Pipeline {
       : DataFrame =
     spark.read.parquet(s"$path/urm").filter(col("split") === split)
       .drop("split")
+
+  /** Bucketed URM persistence — the co-located-join scale path: the
+    * table is hash-bucketed (and sorted) on the join key ONCE at write
+    * time, so every later join keyed on it — the similarity engine's
+    * user-key self-join above all — reads co-located, pre-sorted
+    * buckets and plans a SortMergeJoin with NO exchange on the bucketed
+    * sides. At 100 TB this converts the per-query shuffle of the whole
+    * URM into a one-time write cost amortized across the workload.
+    * Registered through the session catalog (`saveAsTable` — bucket
+    * metadata lives in the catalog; a plain parquet path cannot carry
+    * it). */
+  def saveBucketed(urm: DataFrame, table: String, buckets: Int,
+                   key: String = "u"): Unit =
+    urm.write.mode("overwrite").format("parquet")
+      .bucketBy(buckets, key).sortBy(key)
+      .saveAsTable(table)
+
+  /** Read a bucketed URM back; joins on the bucket key are
+    * exchange-free (PlanSpec pins this). */
+  def loadBucketed(spark: SparkSession, table: String): DataFrame =
+    spark.table(table)
 }

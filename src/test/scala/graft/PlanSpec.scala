@@ -142,6 +142,38 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("bucketed URM self-join plans with no exchange on the bucketed sides") {
+    val urm = (for { u <- 0 until 200; i <- 0 until 12 if (u + i) % 3 != 0 }
+      yield (u, i)).toDF("u", "i")
+    val prevThreshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    val prevAqe = spark.conf.get("spark.sql.adaptive.enabled")
+    try {
+      // force a real join strategy decision (no broadcast, no AQE
+      // post-planning) so the bucket metadata is what removes exchanges
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
+      Pipeline.saveBucketed(urm, "urm_bucketed_spec", buckets = 4)
+      val t = Pipeline.loadBucketed(spark, "urm_bucketed_spec")
+      val a = t.select(col("u"), col("i").as("i1"))
+      val b = t.select(col("u"), col("i").as("i2"))
+      val joined = a.join(b, "u").filter(col("i1") =!= col("i2"))
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(plan.contains("SortMergeJoin"),
+             s"expected a sort-merge join over buckets:\n$plan")
+      assert(!plan.contains("Exchange"),
+             s"bucketed self-join must not shuffle:\n$plan")
+      // the same join WITHOUT bucketing shuffles both sides
+      val p = urm.select(col("u"), col("i").as("i1"))
+        .join(urm.select(col("u"), col("i").as("i2")), "u")
+        .queryExecution.executedPlan.toString
+      assert(p.contains("Exchange"), "unbucketed twin should shuffle")
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
+      spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
+      spark.sql("DROP TABLE IF EXISTS urm_bucketed_spec")
+    }
+  }
+
   test("grouped aggregation is partial before the shuffle (map-side combine)") {
     val q = t.lineitem.groupBy("l_returnflag").agg(sum("l_quantity"))
     val plan = q.queryExecution.executedPlan.toString
