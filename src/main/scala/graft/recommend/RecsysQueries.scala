@@ -463,11 +463,13 @@ object RecsysQueries {
     // double → IEEE division) so both engines feed identical rel
     // values into pow().
     Q("q92_ndcg_rated", { t =>
-        val ratings = t.lineitem
+        // the ratings aggregate feeds both split branches (train via
+        // TopPop + seen, test via DCG + IDCG) — persist once
+        val ratings = graft.core.CacheScope.persist(t.lineitem
           .join(t.orders, col("l_orderkey") === col("o_orderkey"))
           .groupBy(col("o_custkey").as("u"), col("l_partkey").as("i"))
           .agg((sum(col("l_quantity").cast("decimal(18,2)")).cast("double") /
-                count(lit(1))).as("r"))
+                count(lit(1))).as("r")))
         val split = Urm.hashSplit(ratings, 8, 10)
         val train = split.filter(col("split") === "train").select("u", "i")
         val test = graft.core.CacheScope.persist(
@@ -533,11 +535,12 @@ object RecsysQueries {
     // q45-novelty precedent (plain double sums, round 6, inside the
     // gate's float tolerance).
     Q("q95_rmse", { t =>
-        val ratings = t.lineitem
+        // ratings feed both split branches — persist once
+        val ratings = graft.core.CacheScope.persist(t.lineitem
           .join(t.orders, col("l_orderkey") === col("o_orderkey"))
           .groupBy(col("o_custkey").as("u"), col("l_partkey").as("i"))
           .agg((sum(col("l_quantity").cast("decimal(18,2)")).cast("double") /
-                count(lit(1))).as("r"))
+                count(lit(1))).as("r")))
         val split = Urm.hashSplit(ratings, 8, 10)
         val train = split.filter(col("split") === "train")
         val test = split.filter(col("split") === "test").select("u", "i", "r")
