@@ -100,6 +100,42 @@ object Ann {
       .select("qid", "vid", "cos", "rank")
   }
 
+  /** Multi-probe variant of [[lshCosineTopK]] (Lv et al.'s multi-probe
+    * LSH, the hyperplane case): each query probes its own bucket PLUS
+    * the `nPlanes` buckets at Hamming distance 1 (one sign bit
+    * flipped) — a near neighbor separated from the query by exactly
+    * one hyperplane lands in such a bucket, which the single-probe
+    * join misses by construction. Probe volume is (nPlanes+1)× the
+    * QUERY side only; the corpus index is built and keyed once,
+    * untouched — at 100 TB the recall fix costs a wider (still tiny)
+    * probe table, not a second corpus pass. */
+  def lshCosineTopKMultiProbe(queries: DataFrame, corpus: DataFrame,
+                              planes: DataFrame, nPlanes: Int,
+                              k: Int): DataFrame = {
+    val qb0 = lshBuckets(queries, planes)
+      .select(col("id").as("qid"), col("bucket"))
+    // bucket ^ 0 (self) plus each single-bit flip
+    val flips = lit(0L) +: (0 until nPlanes).map(p => lit(1L << p))
+    val qb = qb0
+      .withColumn("flip", explode(array(flips: _*)))
+      .select(col("qid"), expr("bucket ^ flip").as("bucket"))
+    val cb = lshBuckets(corpus, planes)
+      .select(col("id").as("vid"), col("bucket"))
+    val cand = qb.join(cb, "bucket")
+      .filter(col("qid") =!= col("vid"))
+      .select("qid", "vid").distinct()
+    val q = queries.select(col("id").as("qid"), col("embedding").as("qv"))
+    val c = corpus.select(col("id").as("vid"), col("embedding").as("cv"))
+    val scored = cand.join(broadcast(q), "qid").join(c, "vid")
+      .withColumn("cos", round(
+        dot(col("qv"), col("cv")) /
+          (sqrt(norm2(col("qv"))) * sqrt(norm2(col("cv")))), 6))
+    val w = Window.partitionBy("qid").orderBy(desc("cos"), asc("vid"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("qid", "vid", "cos", "rank")
+  }
+
   /** IVF coarse quantizer: `nCells` centroids drawn deterministically
     * from the corpus by md5(id) order — a hash-seeded sample instead of
     * Lloyd-trained means, which keeps the quantizer a pure function of

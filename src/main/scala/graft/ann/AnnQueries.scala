@@ -95,6 +95,63 @@ object AnnQueries {
         |  FROM cos) r
         |WHERE rank <= 3""".stripMargin)),
 
+    // Multi-probe LSH ANN: queries probe their own bucket plus the 8
+    // single-bit-flip buckets (full recall across one hyperplane),
+    // exact cosine on candidates, top-3 per query — q59's recall fix.
+    Q("q98_ann_lsh_multiprobe", { t =>
+        val emb = t.embeddings.select(col("vec_id").as("id"),
+                                      col("embedding"))
+        val planes = Ann.planeTable(t.spark, 8, 64)
+        Ann.lshCosineTopKMultiProbe(emb.filter(col("id") % 20 === 0),
+                                    emb, planes, nPlanes = 8, k = 3)
+      },
+      Some(evCte + """,
+        |pl AS (
+        |  SELECT p, d,
+        |    ((('0x' || substr(md5(p || ':' || d), 1, 15))::BIGINT % 2) * 2
+        |     - 1) AS c
+        |  FROM UNNEST(generate_series(0, 7)) pp(p),
+        |       UNNEST(generate_series(0, 63)) dd(d)
+        |), proj AS (
+        |  SELECT vec_id, p, SUM(c * v) AS proj
+        |  FROM ev JOIN pl USING (d) GROUP BY 1, 2
+        |), bk AS (
+        |  SELECT vec_id,
+        |    CAST(SUM(CASE WHEN proj > 0
+        |         THEN (CAST(1 AS BIGINT) << CAST(p AS INT))
+        |         ELSE 0 END) AS BIGINT) AS bucket
+        |  FROM proj GROUP BY 1
+        |), flips AS (
+        |  SELECT 0::BIGINT AS flip
+        |  UNION ALL
+        |  SELECT CAST(1 AS BIGINT) << CAST(p AS INT)
+        |  FROM UNNEST(generate_series(0, 7)) pp(p)
+        |), qb AS (
+        |  SELECT DISTINCT vec_id AS qid, xor(bucket, flip) AS bucket
+        |  FROM bk CROSS JOIN flips WHERE vec_id % 20 = 0
+        |), cand AS (
+        |  SELECT DISTINCT qb.qid, c.vec_id AS vid
+        |  FROM qb JOIN bk c ON qb.bucket = c.bucket
+        |    AND qb.qid <> c.vec_id
+        |), dots AS (
+        |  SELECT qid, vid, SUM(a.v * b.v) AS dot
+        |  FROM cand
+        |  JOIN ev a ON a.vec_id = qid
+        |  JOIN ev b ON b.vec_id = vid AND a.d = b.d
+        |  GROUP BY 1, 2
+        |), cos AS (
+        |  SELECT qid, vid, round(dot / sqrt(na.nn * nb.nn), 6) AS cos
+        |  FROM dots
+        |  JOIN norms na ON qid = na.vec_id
+        |  JOIN norms nb ON vid = nb.vec_id
+        |)
+        |SELECT qid, vid, cos, rank FROM (
+        |  SELECT qid, vid, cos,
+        |    ROW_NUMBER() OVER (PARTITION BY qid
+        |      ORDER BY cos DESC, vid) AS rank
+        |  FROM cos) r
+        |WHERE rank <= 3""".stripMargin)),
+
     // Embedding-cosine near-duplicate pairs: all-pairs within LSH
     // buckets (8 md5-seeded planes), kept at cosine >= 0.3 — the
     // embedding leg of the dedup suite as a first-class query. The

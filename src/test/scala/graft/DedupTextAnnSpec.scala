@@ -145,6 +145,25 @@ class DedupTextAnnSpec extends SparkSpec {
     assert(Dedup.simhashPairsMultiProbe(far, 60, 2).isEmpty)
   }
 
+  test("multi-probe LSH ANN finds a one-plane-away neighbor") {
+    import spark.implicits._
+    // hand-built planes: p0 = (1, 1), p1 = (1, -1)
+    val planes = Seq((0, 0, 1L), (0, 1, 1L), (1, 0, 1L), (1, 1, -1L))
+      .toDF("p", "d", "c")
+    // q = (1, 0.1): bits (1,1) -> bucket 3; n = (0.1, 1): p1 proj
+    // 0.1-1 < 0 -> bits (1,0) -> bucket 1. Hamming(3,1) = 1.
+    val vecs = Seq((0L, Array(1.0f, 0.1f)), (1L, Array(0.1f, 1.0f)))
+      .toDF("id", "embedding")
+    val queries = vecs.filter(col("id") === 0)
+    val single = Ann.lshCosineTopK(queries, vecs, planes, 1).collect()
+    assert(single.isEmpty, "single probe should miss the flipped-bit pair")
+    val multi = Ann.lshCosineTopKMultiProbe(queries, vecs, planes,
+                                            nPlanes = 2, k = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(multi.toSeq == Seq((0L, 1L)),
+           s"multi-probe must surface the neighbor, got ${multi.toSeq}")
+  }
+
   test("shingles produce n-2 word 3-grams") {
     val sh = Dedup.shingles(docs.filter(col("doc_id") === 0), col("doc_id"),
                             col("text"), 3)
