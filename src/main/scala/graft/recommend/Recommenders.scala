@@ -67,19 +67,25 @@ object Recommenders {
     val b = urm.select(col("u"), col("i").as("i2"))
     val pairsByUser = a.join(b, "u").filter(col("i1") =!= col("i2"))
       .join(broadcast(userDeg), "u")
-    // Single aggregation over pair rows: decimal addition is exact and
-    // associative, so summing dec(1/nu) per occurrence directly under
-    // map-side partial aggregation equals the round-2 two-level
-    // count-then-multiply form while cutting one full shuffle stage
-    // (the (i,j,nu)-keyed exchange) out of the plan. dec(16,15) sums
-    // into decimal(26,15) — 11 integral digits of headroom, far above
-    // any real user count.
+    // Single aggregation over pair rows. For alpha == 1 the per-row
+    // term 1/nu accumulates in FIXED-POINT LONG space: floor(1e12/nu)
+    // is the same long on every engine (floor has no tie semantics —
+    // double→int casts round in some engines and truncate in others),
+    // long addition is exact and associative (map-side combine safe),
+    // and the single long→double conversion at the end is IEEE-
+    // deterministic. This replaces the round-3 decimal(16,15) sum,
+    // whose per-row BigDecimal accumulation was the gap between this
+    // query and the integer-sum cosine engine (q33) on the identical
+    // pair fan-out. Headroom: terms ≤ 1e12, so a pair group overflows
+    // long at ~9.2e6 co-occurring users — far above any bounded
+    // catalog pair; at larger per-pair co-occurrence drop the scale
+    // constant or restore the decimal form.
     val summed =
       if (alpha == 1.0)
         pairsByUser
           .groupBy(col("i1").as("i"), col("i2").as("j"))
-          .agg(sum((lit(1.0) / col("nu")).cast("decimal(16,15)"))
-                 .cast("double").as("usum"))
+          .agg((sum(floor(lit(1e12) / col("nu"))).cast("double") /
+                lit(1e12)).as("usum"))
       else
         pairsByUser
           .groupBy(col("i1").as("i"), col("i2").as("j"))

@@ -226,7 +226,8 @@ object RecsysQueries {
         |ideg AS (SELECT i, COUNT(*) AS ni FROM urm GROUP BY 1),
         |pairs AS (
         |  SELECT a.i AS i, b.i AS j,
-        |    CAST(SUM(CAST(1.0 / nu AS DECIMAL(28,15))) AS DOUBLE) AS usum
+        |    CAST(SUM(CAST(FLOOR(1e12 / nu) AS BIGINT)) AS DOUBLE) / 1e12
+        |      AS usum
         |  FROM urm a
         |  JOIN urm b ON a.u = b.u AND a.i <> b.i
         |  JOIN udeg ON a.u = udeg.u
@@ -252,7 +253,8 @@ object RecsysQueries {
         |ideg AS (SELECT i, COUNT(*) AS ni FROM urm GROUP BY 1),
         |pairs AS (
         |  SELECT a.i AS i, b.i AS j,
-        |    CAST(SUM(CAST(1.0 / nu AS DECIMAL(28,15))) AS DOUBLE) AS usum
+        |    CAST(SUM(CAST(FLOOR(1e12 / nu) AS BIGINT)) AS DOUBLE) / 1e12
+        |      AS usum
         |  FROM urm a
         |  JOIN urm b ON a.u = b.u AND a.i <> b.i
         |  JOIN udeg ON a.u = udeg.u
