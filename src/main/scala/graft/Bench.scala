@@ -100,10 +100,14 @@ object Bench {
           }
           // best-of-N converges to an optimistic floor as N grows; the
           // median is the honest steady-state estimator, so rep runs
-          // (N ≥ 3) record it alongside the raw timings
+          // (N ≥ 3) record it alongside the raw timings. Even N takes
+          // the mean of the two middle elements (the upper-middle alone
+          // biases the estimate toward the slower run).
           if (n >= 3) {
             val sorted = runs.sorted
-            medianRun(q.name) = sorted(n / 2)
+            medianRun(q.name) =
+              if (n % 2 == 1) sorted(n / 2)
+              else (sorted(n / 2 - 1) + sorted(n / 2)) / 2.0
           }
           runs.zipWithIndex.map { case (t, r) => s"${q.name}#$r" -> t }
         case None =>
@@ -132,6 +136,23 @@ object Bench {
                                     "bench_out.json")
     java.nio.file.Files.write(java.nio.file.Paths.get(outFile),
       (line + "\n").getBytes("UTF-8"))
+    // The harness keeps only the last ~2000 chars of stdout, and the
+    // full per-query map is ~2300 chars — every prior round's tail cut
+    // the line mid-map and the structured parse failed. Emit a LAST
+    // line that is guaranteed to fit: total + the costliest queries,
+    // greedily added (by descending time) under a 1800-char budget,
+    // with the full map pointed at via "queries_full".
+    val byCost = results.sortBy(-_._2)
+    val budget = 1800
+    val head = s"""{"metric":"total","value":${math.round(total * 100) / 100.0},"unit":"sec","n_queries":${results.size},"queries_full":"$outFile","sf":"$sfDir","queries":{"""
+    val tailStr = "}}"
+    val entries = scala.collection.mutable.ArrayBuffer[String]()
+    var len = head.length + tailStr.length
+    byCost.foreach { case (k, v) =>
+      val e = "\"" + k + "\":" + (math.round(v * 1000) / 1000.0)
+      if (len + e.length + 1 <= budget) { entries += e; len += e.length + 1 }
+    }
+    println(head + entries.mkString(",") + tailStr)
     spark.stop()
   }
 }

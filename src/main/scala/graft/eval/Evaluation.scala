@@ -58,9 +58,10 @@ object Evaluation {
   /** Relevance-weighted NDCG@cutoff (reference: metrics.py:182-211 —
     * dcg() over the user's URM_test ratings):
     *   DCG  = Σ_{hits} (2^rel − 1) / log2(rank + 1)
-    *   IDCG = the same sum over the user's test ratings sorted
-    *          descending, truncated at the cutoff (the reference's
-    *          `dcg(np.sort(relevance)[::-1])`).
+    *   IDCG = the same sum over ALL of the user's test ratings sorted
+    *          descending — deliberately NOT truncated at the cutoff,
+    *          matching the reference's `dcg(np.sort(relevance)[::-1])`
+    *          which feeds the full test-relevance vector to dcg().
     * Coincides with the binary NDCG of [[accuracyMetrics]] on all-ones
     * URMs; diverges exactly where explicit feedback makes rank order
     * matter. IDCG comes from a per-user ranking window over the test
@@ -75,7 +76,6 @@ object Evaluation {
     val wRel = Window.partitionBy("u").orderBy(col("r").desc, col("i"))
     val idcg = relevant
       .withColumn("rr", row_number().over(wRel))
-      .filter(col("rr") <= cutoff)
       .groupBy("u")
       .agg(sum((pow(lit(2.0), col("r").cast("double")) - lit(1.0)) /
                log2(col("rr") + 1)).as("idcg"))

@@ -376,6 +376,9 @@ object Models {
       }
       Iterator((("u", u), wu), (("i", i), hi), (("i", j), hj))
     }
+    // persisted: `averaged` feeds BOTH the user and item update
+    // branches — without it each branch re-executes the whole epoch
+    // lineage (sample, three joins, SGD flatMap, reduceByKey)
     val averaged = stepped
       .mapValues(v => (v, 1))
       .reduceByKey((x: (Array[Double], Int), y: (Array[Double], Int)) => {
@@ -385,6 +388,7 @@ object Models {
         (s, x._2 + y._2)
       })
       .mapValues(sn => sn._1.map(_ / sn._2))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val avgU = averaged.collect { case (("u", id), v) => (id, v) }
       .partitionBy(part)
     val avgI = averaged.collect { case (("i", id), v) => (id, v) }
@@ -398,6 +402,7 @@ object Models {
       state.itemFactors.leftOuterJoin(avgI, part)
         .mapValues { case (old, upd) => upd.getOrElse(old) })
     newU.count(); newI.count() // materialize before releasing parents
+    averaged.unpersist(false)
     state.userFactors.unpersist(false)
     state.itemFactors.unpersist(false)
     BprState(newU, newI, part)

@@ -459,8 +459,9 @@ object RecsysQueries {
 
     // §2.10 — relevance-weighted NDCG of TopPop@10 against explicit
     // test ratings (reference: metrics.py:182-211): DCG weights each
-    // hit by (2^rating − 1)/log2(rank+1); IDCG from the user's test
-    // ratings sorted descending, truncated at the cutoff. Ratings are
+    // hit by (2^rating − 1)/log2(rank+1); IDCG from ALL of the user's
+    // test ratings sorted descending (untruncated, matching the
+    // reference's dcg(np.sort(relevance)[::-1])). Ratings are
     // built with the engine-deterministic form (exact decimal sum →
     // double → IEEE division) so both engines feed identical rel
     // values into pow().
@@ -520,7 +521,7 @@ object RecsysQueries {
         |  FROM test
         |), idcg AS (
         |  SELECT u, SUM((pow(2.0, r) - 1) / log2(rr + 1)) AS idcg
-        |  FROM ranked_test WHERE rr <= 10 GROUP BY u
+        |  FROM ranked_test GROUP BY u
         |)
         |SELECT
         |  round(SUM(CASE WHEN idcg.idcg > 0 THEN dcg.dcg / idcg.idcg
