@@ -65,7 +65,12 @@ object Recommenders {
     val itemDeg = urm.groupBy("i").agg(count(lit(1)).as("ni"))
     val a = urm.select(col("u"), col("i").as("i1"))
     val b = urm.select(col("u"), col("i").as("i2"))
-    val pairsByUser = a.join(b, "u").filter(col("i1") =!= col("i2"))
+    // The user sum Σ_u 1/nu is orientation-independent (the asymmetric
+    // (1/ni)^alpha factor joins in AFTER the aggregation), so only the
+    // upper triangle i1 < i2 is generated and aggregated — half the
+    // pair fan-out and shuffle of the dominant stage, exactly the
+    // [[graft.similarity.Similarity.pairDots]] mirror trick.
+    val pairsByUser = a.join(b, "u").filter(col("i1") < col("i2"))
       .join(broadcast(userDeg), "u")
     // Single aggregation over pair rows. For alpha == 1 the per-row
     // term 1/nu accumulates in FIXED-POINT LONG space: floor(1e12/nu)
@@ -77,20 +82,34 @@ object Recommenders {
     // whose per-row BigDecimal accumulation was the gap between this
     // query and the integer-sum cosine engine (q33) on the identical
     // pair fan-out. Headroom: terms ≤ 1e12, so a pair group overflows
-    // long at ~9.2e6 co-occurring users — far above any bounded
-    // catalog pair; at larger per-pair co-occurrence drop the scale
-    // constant or restore the decimal form.
+    // long at ~9.2e6 co-occurring users. Engines fail DIFFERENTLY past
+    // that bound (Spark ANSI long sum raises, DuckDB promotes to
+    // HUGEINT silently), so the bound is enforced up front: a pair
+    // group's row count is ≤ its items' min degree, so
+    // max(item degree) ≤ 9e6 proves no group can overflow; otherwise
+    // the same floor terms accumulate in exact decimal(38,0) —
+    // bit-identical result (identical terms, exact sum, one final
+    // IEEE division), no overflow on any engine. The check is one
+    // tiny aggregate over the already-persisted item-degree table.
     val summed =
-      if (alpha == 1.0)
-        pairsByUser
-          .groupBy(col("i1").as("i"), col("i2").as("j"))
-          .agg((sum(floor(lit(1e12) / col("nu"))).cast("double") /
-                lit(1e12)).as("usum"))
-      else
+      if (alpha == 1.0) {
+        val maxDeg = itemDeg.agg(max("ni")).head().getLong(0)
+        if (maxDeg <= 9000000L)
+          pairsByUser
+            .groupBy(col("i1").as("i"), col("i2").as("j"))
+            .agg((sum(floor(lit(1e12) / col("nu"))).cast("double") /
+                  lit(1e12)).as("usum"))
+        else
+          pairsByUser
+            .groupBy(col("i1").as("i"), col("i2").as("j"))
+            .agg((sum(floor(lit(1e12) / col("nu")).cast("decimal(38,0)"))
+                    .cast("double") / lit(1e12)).as("usum"))
+      } else
         pairsByUser
           .groupBy(col("i1").as("i"), col("i2").as("j"))
           .agg(sum(pow(lit(1.0) / col("nu"), alpha)).as("usum"))
-    summed
+    val mirrored = graft.similarity.Similarity.mirrorPairs(summed, "usum")
+    mirrored
       .join(broadcast(itemDeg), "i")
       .select(col("i"), col("j"),
               (pow(lit(1.0) / col("ni"), alpha) * col("usum")).as("w"))

@@ -49,10 +49,15 @@ object ContentSimilarity {
     val features = graft.core.CacheScope.persist(features0)
     val a = features.select(col("f"), col("i").as("i1"), col("w").as("w1"))
     val b = features.select(col("f"), col("i").as("i2"), col("w").as("w2"))
-    val dots = a.join(b, "f")
-      .filter(col("i1") =!= col("i2"))
-      .groupBy(col("i1").as("i"), col("i2").as("j"))
-      .agg(sum(col("w1") * col("w2")).as("dot"))
+    // upper triangle + mirror (the pairDots trick): the dot is
+    // symmetric, so generate/aggregate half the pair fan-out and
+    // explode each aggregated row into both orientations
+    val dots = graft.similarity.Similarity.mirrorPairs(
+      a.join(b, "f")
+        .filter(col("i1") < col("i2"))
+        .groupBy(col("i1").as("i"), col("i2").as("j"))
+        .agg(sum(col("w1") * col("w2")).as("dot")),
+      "dot")
     val norms = features.groupBy("i").agg(sum(col("w") * col("w")).as("nn"))
     dots
       .join(broadcast(norms.select(col("i"), col("nn").as("ni"))), "i")

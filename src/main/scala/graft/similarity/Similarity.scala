@@ -35,10 +35,30 @@ object Similarity {
     * (reference: Compute_Similarity_Euclidean.py:196-205). */
   final case class Euclidean(transform: String) extends Measure
 
+  /** Explode each upper-triangle pair row (i < j, value v) into both
+    * orientations — a narrow per-row map, so the expensive aggregation
+    * subtree underneath runs exactly once (a `union(mirror)` of the
+    * same subtree plans TWO pair joins: exchange reuse does not fire
+    * across the union branches, verified in PlanSpec). */
+  private[graft] def mirrorPairs(upper: DataFrame, v: String): DataFrame =
+    upper.select(explode(array(
+        struct(col("i"), col("j"), col(v)),
+        struct(col("j").as("i"), col("i").as("j"), col(v)))).as("_p"))
+      .select(col("_p.i").as("i"), col("_p.j").as("j"),
+              col(s"_p.$v").as(v))
+
   /** Pairwise co-occurrence counts (dot products of binary item columns):
     * both orientations (i,j) and (j,i) emitted, diagonal excluded —
     * mirrors the reference's zeroed self-similarity
-    * (Compute_similarity_test.py:37-56). */
+    * (Compute_similarity_test.py:37-56).
+    *
+    * The dot product is symmetric, so only the upper triangle (i1 < i2)
+    * is generated and aggregated — half the per-user pair fan-out, half
+    * the hash-aggregation and shuffle volume of the engine's dominant
+    * stage — and each aggregated row is then exploded into both
+    * orientations ([[mirrorPairs]]). Asymmetric measures are
+    * unaffected: their asymmetry enters through the norm joins applied
+    * after the mirror, never through the dot itself. */
   def pairDots(urm0: DataFrame): DataFrame = {
     // the URM subtree feeds both self-join sides (and the caller's norm
     // aggregation): persist once — the physical plan shows no exchange
@@ -47,10 +67,12 @@ object Similarity {
     val urm = graft.core.CacheScope.persist(urm0)
     val a = urm.select(col("u"), col("i").as("i1"))
     val b = urm.select(col("u"), col("i").as("i2"))
-    a.join(b, "u")
-      .filter(col("i1") =!= col("i2"))
-      .groupBy(col("i1").as("i"), col("i2").as("j"))
-      .agg(count(lit(1)).as("dot"))
+    mirrorPairs(
+      a.join(b, "u")
+        .filter(col("i1") < col("i2"))
+        .groupBy(col("i1").as("i"), col("i2").as("j"))
+        .agg(count(lit(1)).as("dot")),
+      "dot")
   }
 
   /** Per-item interaction counts (squared L2 norms of binary columns). */
@@ -66,15 +88,18 @@ object Similarity {
     val urm = graft.core.CacheScope.persist(urm0)
     val a = urm.select(col("u"), col("i").as("i1"))
     val b = urm.select(col("u"), col("i").as("i2"))
-    a.join(b, "u")
-      .filter(col("i1") =!= col("i2"))
-      .withColumn("_salt",
-        pmod(spark_partition_id() + monotonically_increasing_id(),
-             lit(salts)))
-      .groupBy(col("i1").as("i"), col("i2").as("j"), col("_salt"))
-      .agg(count(lit(1)).as("partial"))
-      .groupBy(col("i"), col("j"))
-      .agg(sum("partial").as("dot"))
+    // upper triangle only + post-aggregation mirror, as in [[pairDots]]
+    mirrorPairs(
+      a.join(b, "u")
+        .filter(col("i1") < col("i2"))
+        .withColumn("_salt",
+          pmod(spark_partition_id() + monotonically_increasing_id(),
+               lit(salts)))
+        .groupBy(col("i1").as("i"), col("i2").as("j"), col("_salt"))
+        .agg(count(lit(1)).as("partial"))
+        .groupBy(col("i"), col("j"))
+        .agg(sum("partial").as("dot")),
+      "dot")
   }
 
   /** Heavy-hitter guard: true when any user's profile exceeds

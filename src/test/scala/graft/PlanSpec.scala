@@ -174,6 +174,48 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("pairDots mirror: result has both orientations; the pair join " +
+       "executes once (exchange reuse)") {
+    import graft.similarity.Similarity
+    val urm = (for { u <- 0 until 60; i <- 0 until 8 if (u + i) % 4 != 0 }
+      yield (u, i)).toDF("u", "i")
+    val dots = Similarity.pairDots(urm)
+    val got = dots.collect()
+      .map(r => ((r.getInt(0), r.getInt(1)), r.getLong(2))).toMap
+    // oracle: the naive both-orientations aggregation
+    val a = urm.select(col("u"), col("i").as("i1"))
+    val b = urm.select(col("u"), col("i").as("i2"))
+    val naive = a.join(b, "u").filter(col("i1") =!= col("i2"))
+      .groupBy(col("i1"), col("i2")).agg(count(lit(1)).as("dot"))
+      .collect().map(r => ((r.getInt(0), r.getInt(1)), r.getLong(2))).toMap
+    assert(got == naive, "mirrored upper triangle must equal the full " +
+           "both-orientations aggregation")
+    // the expensive half — pair generation + partial agg + shuffle —
+    // must run once: the mirror branch reuses the aggregation exchange
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.{
+      AdaptiveSparkPlanExec, QueryStageExec}
+    import org.apache.spark.sql.execution.joins.{
+      SortMergeJoinExec, ShuffledHashJoinExec, BroadcastHashJoinExec}
+    def allNodes(p: SparkPlan): Seq[SparkPlan] = {
+      val kids = p match {
+        case ad: AdaptiveSparkPlanExec => Seq(ad.executedPlan)
+        case s: QueryStageExec => Seq(s.plan)
+        case other => other.children
+      }
+      p +: kids.flatMap(allNodes)
+    }
+    val nodes = allNodes(dots.queryExecution.executedPlan)
+    val joins = nodes.count {
+      case _: SortMergeJoinExec | _: ShuffledHashJoinExec |
+           _: BroadcastHashJoinExec => true
+      case _ => false
+    }
+    assert(joins == 1,
+      s"the self-join must appear once, found $joins:\n" +
+      dots.queryExecution.executedPlan)
+  }
+
   test("grouped aggregation is partial before the shuffle (map-side combine)") {
     val q = t.lineitem.groupBy("l_returnflag").agg(sum("l_quantity"))
     val plan = q.queryExecution.executedPlan.toString
