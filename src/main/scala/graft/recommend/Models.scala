@@ -408,6 +408,26 @@ object Models {
     BprState(newU, newI, part)
   }
 
+  /** Factor partitioner sized by state volume, not a fixed core count:
+    * ceil(bytes / 64 MB) keeps every partition spill-safe at any |U|,
+    * and the min(defaultParallelism, entities/50k) term supplies
+    * baseline parallelism once there is enough data to amortize a
+    * task. At bench scale the whole factor state is under 1 MB — the
+    * previous unconditional defaultParallelism partitioner scheduled
+    * 32 near-empty tasks across ~10 stages per epoch, pure scheduler
+    * tax; at 1B users × rank 8 the byte term takes over (~1000
+    * partitions before the parallelism floor). */
+  private[recommend] def bprPartitioner(spark: SparkSession,
+                                        nEntities: Long, rank: Int)
+      : org.apache.spark.HashPartitioner = {
+    val bytes = nEntities * rank * 8L
+    val bySize = math.ceil(bytes / (64.0 * 1024 * 1024)).toInt
+    val byParallelism = math.min(
+      spark.sparkContext.defaultParallelism.toLong, nEntities / 50000L)
+    new org.apache.spark.HashPartitioner(
+      math.max(1, math.max(bySize, byParallelism.toInt)))
+  }
+
   /** Deterministic hash-seeded factor init (same device as [[nmf]]) —
     * distributed init must not depend on a sequential driver RNG. */
   private[recommend] def bprInitVec(rank: Int, id: Int, salt: Int,
@@ -432,8 +452,8 @@ object Models {
                  col("i").cast("int").as("i")))
     val items = triplesBase.select("i").distinct().as[Int].collect().sorted
     val total = triplesBase.count()
-    val part = new org.apache.spark.HashPartitioner(
-      spark.sparkContext.defaultParallelism)
+    val nUsers = triplesBase.select("u").distinct().count()
+    val part = bprPartitioner(spark, nUsers + items.length, rank)
     var state = BprState(
       graft.core.CacheScope.persistRdd(
         triplesBase.select("u").distinct().as[Int].rdd
@@ -856,8 +876,8 @@ object Models {
         .select(col("u").cast("int").as("u"), col("i").cast("int").as("i")))
     val items = train.select("i").distinct().as[Int].collect().sorted
     val total = train.count()
-    val part = new org.apache.spark.HashPartitioner(
-      spark.sparkContext.defaultParallelism)
+    val nUsers = train.select("u").distinct().count()
+    val part = bprPartitioner(spark, nUsers + items.length, rank)
     var state = BprState(
       graft.core.CacheScope.persistRdd(
         train.select("u").distinct().as[Int].rdd
