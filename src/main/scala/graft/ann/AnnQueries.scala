@@ -258,6 +258,54 @@ object AnnQueries {
         |    ROW_NUMBER() OVER (PARTITION BY qid
         |      ORDER BY cos DESC, vid) AS rank
         |  FROM cos) r
-        |WHERE rank <= 3""".stripMargin))
+        |WHERE rank <= 3""".stripMargin)),
+
+    // One distributed k-means (Lloyd) centroid-update step over the
+    // embedding corpus: assign every vector to its nearest of 16
+    // hash-sampled centroids, then recompute each cell's per-dimension
+    // mean. Oracle-gates the update numerics that previously only had
+    // a fixture (Ann.ivfCentroidsLloyd) — cell sizes and means are
+    // compared across engines (means rounded to 6, same discipline as
+    // the q88 dot products).
+    Q("q104_kmeans_update", { t =>
+        val emb = t.embeddings.select(col("vec_id").as("id"),
+                                      col("embedding"))
+        val cents = Ann.ivfCentroids(emb, 16)
+        val assign = Ann.ivfAssign(emb, cents, 1)
+        assign.join(emb, "id")
+          .select(col("cell"),
+                  posexplode(col("embedding")).as(Seq("d", "v")))
+          .groupBy(col("cell"), col("d").cast("long").as("d"))
+          .agg(count(lit(1)).as("n"),
+               round(avg(col("v").cast("double")), 6).as("mean_v"))
+      },
+      Some(evCte + """,
+        |cent AS (
+        |  SELECT vec_id AS cid FROM embeddings
+        |  ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 16
+        |), cdots AS (
+        |  SELECT a.vec_id AS vid, c.cid, SUM(a.v * b.v) AS dot
+        |  FROM ev a
+        |  CROSS JOIN cent c
+        |  JOIN ev b ON b.vec_id = c.cid AND a.d = b.d
+        |  GROUP BY 1, 2
+        |), ccos AS (
+        |  SELECT vid, cid,
+        |    round(dot / sqrt(na.nn * nb.nn), 6) AS ccos
+        |  FROM cdots
+        |  JOIN norms na ON vid = na.vec_id
+        |  JOIN norms nb ON cid = nb.vec_id
+        |), assign AS (
+        |  SELECT vid, cell FROM (
+        |    SELECT vid, cid AS cell,
+        |      ROW_NUMBER() OVER (PARTITION BY vid
+        |        ORDER BY ccos DESC, cid) AS rn
+        |    FROM ccos) a
+        |  WHERE rn = 1
+        |)
+        |SELECT assign.cell, ev.d, COUNT(*) AS n,
+        |  round(AVG(v), 6) AS mean_v
+        |FROM assign JOIN ev ON ev.vec_id = assign.vid
+        |GROUP BY 1, 2""".stripMargin))
   )
 }

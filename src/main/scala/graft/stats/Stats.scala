@@ -95,6 +95,53 @@ object Stats {
       "gini_item_popularity" -> giniItems)
   }
 
+  /** Deterministic hash-stratified sampling: keep a row iff the first
+    * 8 hex digits of md5(id) — a uniform 32-bit integer — fall below
+    * the row's stratum rate threshold. The corpus down-sampling
+    * primitive (per-language / per-source rates for training-mix
+    * control): seedless-reproducible (the SAME rows survive any re-run
+    * on any engine, the property incremental 100 TB processing needs —
+    * `df.sample()` cannot promise that across partitionings), and one
+    * codegen'd scan — no shuffle, no state.
+    *
+    * Thresholds are precomputed longs out of 2³², so the SQL twin
+    * embeds identical integer constants. */
+  def stratifiedSample(df: DataFrame, id: Column, stratum: Column,
+                       rates: Map[String, Double],
+                       defaultRate: Double): DataFrame = {
+    val bucket = conv(substring(md5(id.cast("string")), 1, 8), 16, 10)
+      .cast("long")
+    val threshold = rates.foldLeft(
+      lit(rateThreshold(defaultRate))) { case (acc, (k, r)) =>
+        when(stratum === k, lit(rateThreshold(r))).otherwise(acc)
+      }
+    df.filter(bucket < threshold)
+  }
+
+  /** A sampling rate as an exact 32-bit integer threshold. */
+  def rateThreshold(rate: Double): Long = (rate * 4294967296.0).toLong
+
+  /** Per-group percentile band of `value`: exact linear-interpolation
+    * percentiles (Spark's `percentile` — same definition as SQL
+    * `quantile_cont`), one grouped aggregate, #groups output rows.
+    * The quality-trimming pre-pass of corpus filtering (drop length /
+    * score outliers per source before training). */
+  def quantileBounds(df: DataFrame, group: Column, value: Column,
+                     lo: Double, hi: Double): DataFrame =
+    df.groupBy(group.as("g"))
+      .agg(percentile(value, lit(lo)).as("p_lo"),
+           percentile(value, lit(hi)).as("p_hi"))
+
+  /** Keep only rows inside their group's [lo, hi] percentile band of
+    * `value`. Bounds are #groups rows — always broadcastable — so the
+    * trim is scan + broadcast join at any corpus size. */
+  def quantileTrim(df: DataFrame, group: Column, value: Column,
+                   lo: Double, hi: Double): DataFrame =
+    df.join(broadcast(quantileBounds(df, group, value, lo, hi)),
+            group === col("g"))
+      .filter(value >= col("p_lo") && value <= col("p_hi"))
+      .drop("g", "p_lo", "p_hi")
+
   /** Gap-based sessionization: a new session starts after `gapMs`
     * milliseconds of inactivity. Batch twin of the streaming
     * session-window operator. Exact integer epoch-ms arithmetic; `tie`

@@ -99,6 +99,58 @@ object StatsQueries {
         .agg(count(lit(1)).as("n"), Qh.dsum(col("value")).as("sum_value")),
       Some(s"""SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H') AS hour,
               |COUNT(*) AS n, ${Qh.sqlDsum("value")} AS sum_value
-              |FROM events GROUP BY 1""".stripMargin))
+              |FROM events GROUP BY 1""".stripMargin)),
+
+    // Deterministic hash-stratified sampling of the document corpus:
+    // per-language rates (training-mix control), md5-bucket keep
+    // decision — the SAME rows survive on any engine, which is the
+    // whole point of the gate (the sample itself is compared, not just
+    // its size).
+    Q("q101_stratified_sample", { t =>
+        Stats.stratifiedSample(
+          t.documents.select("doc_id", "lang", "source"),
+          col("doc_id"), col("lang"),
+          Map("en" -> 0.5, "zh" -> 0.1), defaultRate = 0.25)
+      },
+      Some(s"""SELECT doc_id, lang, source FROM documents
+        |WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+        |  < CASE lang
+        |      WHEN 'zh' THEN ${Stats.rateThreshold(0.1)}
+        |      WHEN 'en' THEN ${Stats.rateThreshold(0.5)}
+        |      ELSE ${Stats.rateThreshold(0.25)}
+        |    END""".stripMargin)),
+
+    // Percentile-band trimming: per-source 10th/90th percentile bounds
+    // of document length plus how many documents survive the trim —
+    // the outlier-removal pre-pass of corpus quality filtering. Exact
+    // linear-interpolation percentiles on both engines.
+    Q("q102_quantile_trim", { t =>
+        val docs = graft.core.CacheScope.persist(
+          t.documents.select(col("doc_id"), col("source"),
+                             col("n_chars")))
+        val bounds = Stats.quantileBounds(docs, col("source"),
+                                          col("n_chars"), 0.1, 0.9)
+        docs.join(broadcast(bounds), col("source") === col("g"))
+          .groupBy("source")
+          .agg(count(lit(1)).as("n_total"),
+               sum((col("n_chars") >= col("p_lo") &&
+                    col("n_chars") <= col("p_hi")).cast("long"))
+                 .as("n_kept"),
+               round(first(col("p_lo")), 6).as("p_lo"),
+               round(first(col("p_hi")), 6).as("p_hi"))
+      },
+      Some("""WITH b AS (
+        |  SELECT source AS g,
+        |    quantile_cont(n_chars, 0.1) AS p_lo,
+        |    quantile_cont(n_chars, 0.9) AS p_hi
+        |  FROM documents GROUP BY 1
+        |)
+        |SELECT source, COUNT(*) AS n_total,
+        |  CAST(SUM(CASE WHEN n_chars >= p_lo AND n_chars <= p_hi
+        |      THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+        |  round(ANY_VALUE(p_lo), 6) AS p_lo,
+        |  round(ANY_VALUE(p_hi), 6) AS p_hi
+        |FROM documents JOIN b ON source = g
+        |GROUP BY source""".stripMargin))
   )
 }

@@ -88,6 +88,23 @@ object EventStreams {
       .withWatermark(tsCol, watermark)
       .dropDuplicates(fingerprintCols)
 
+  /** Stream-static enrichment + windowed rollup: each micro-batch joins
+    * the bounded static dimension on the broadcast side — the stream
+    * never shuffles for the join, the dimension is re-resolvable per
+    * batch (Spark re-plans stream-static joins every micro-batch, so a
+    * refreshed dimension table is picked up) — then aggregates per
+    * (window, segment) under the watermark. The continuous-ingest twin
+    * of the batch join-aggregate: at 100 TB/day the only stateful
+    * stage is the windowed aggregate, bounded by the watermark. */
+  def enrichedWindowedAgg(events: DataFrame, dim: DataFrame,
+                          key: String, segment: String): DataFrame =
+    events.join(broadcast(dim), Seq(key), "left")
+      .withWatermark("ts", "2 hours")
+      .groupBy(window(col("ts"), "1 hour"), col(segment))
+      .agg(count(lit(1)).as("n"), sum("value").as("sum_value"))
+      .select(col("window.start").as("wstart"), col(segment),
+              col("n"), col("sum_value"))
+
   /** Drive a streaming DataFrame to completion against a memory sink and
     * return the materialized result — the local-smoke harness
     * (batch parquet in, streaming semantics, synchronous). */

@@ -202,6 +202,53 @@ object TextOps {
         col("n_hit").cast("double") / col("n_grams"))
   }
 
+  /** Corpus-unigram LM quality score per document: the average log2
+    * probability of the document's tokens under the corpus's own
+    * unigram distribution — the cheap LM-perplexity proxy of corpus
+    * filtering (documents of rare/garbled tokens score low, documents
+    * of common vocabulary high). Two corpus-wide scalars (vocabulary
+    * counts, total token count) broadcast to a scan-shaped per-token
+    * join; no N² anything.
+    *
+    * Cross-engine determinism: the per-token log2(c/N) is rounded to 6
+    * decimals BEFORE accumulation and summed as exact decimal, so both
+    * engines add identical addends in any order (the repo's standard
+    * transcendental + round discipline). `avg_prob` is the pure-integer
+    * twin — Σc / (n·N) — exact on any engine. */
+  def unigramLogProb(docs: DataFrame, id: Column, text: Column)
+      : DataFrame = {
+    val toks = graft.core.CacheScope.persist(
+      docs.select(id.as("doc_id"),
+                  explode(tokens(text)).as("tok")))
+    val counts = toks.groupBy("tok").agg(count(lit(1)).as("c"))
+    val total = toks.agg(count(lit(1)).as("n_corpus"))
+    toks.join(broadcast(counts), "tok")
+      .crossJoin(broadcast(total))
+      .withColumn("logp",
+        round(log2(col("c").cast("double") / col("n_corpus")), 6)
+          .cast("decimal(18,6)"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_tokens"),
+           round(sum(col("logp")).cast("double") / count(lit(1)), 6)
+             .as("avg_logp"),
+           (sum(col("c").cast("decimal(28,0)")).cast("double") /
+              (count(lit(1)) * first(col("n_corpus")))).as("avg_prob"))
+  }
+
+  /** PII pattern scan: per-document counts of email-shaped and
+    * NANP-phone-shaped substrings — the redaction/filter pre-pass of
+    * corpus hygiene. Codegen'd regexp over the scan, no UDF; the
+    * patterns avoid every Java-vs-RE2 dialect divergence (no
+    * lookaround, no backrefs) so the same counts come out of any
+    * engine. */
+  val emailPattern = "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}"
+  val phonePattern = "[0-9]{3}-[0-9]{3}-[0-9]{4}"
+  def piiCounts(docs: DataFrame, id: Column, text: Column): DataFrame =
+    docs.select(
+      id.as("doc_id"),
+      regexp_count(lower(text), lit(emailPattern)).as("n_email"),
+      regexp_count(text, lit(phonePattern)).as("n_phone"))
+
   /** Document fingerprint: whitespace-normalized lowercase text hashed
     * to a 64-char md5 plus a 60-bit integer prefix — the join key for
     * exact dedup and the hash source for sketching. */

@@ -196,6 +196,59 @@ object TextQueries {
         |FROM totals LEFT JOIN hits ON totals.doc_id = hits.doc_id"""
         .stripMargin)),
 
+    // Corpus-unigram LM quality score: average log2 token probability
+    // under the corpus's own unigram distribution (the cheap perplexity
+    // proxy of corpus filtering), plus the pure-integer avg-probability
+    // twin. Per-token log2 rounded to 6 before exact-decimal
+    // accumulation — both engines add identical addends.
+    Q("q100_unigram_lm",
+      t => TextOps.unigramLogProb(t.documents, col("doc_id"),
+                                  col("text")),
+      Some("""WITH toks AS (
+        |  SELECT doc_id,
+        |    unnest(string_split_regex(lower(text), '\s+')) AS tok
+        |  FROM documents
+        |), counts AS (SELECT tok, COUNT(*) AS c FROM toks GROUP BY 1),
+        |tot AS (SELECT COUNT(*) AS n_corpus FROM toks)
+        |SELECT doc_id, COUNT(*) AS n_tokens,
+        |  round(CAST(SUM(CAST(round(log2(CAST(c AS DOUBLE) / n_corpus), 6)
+        |                      AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*), 6)
+        |    AS avg_logp,
+        |  CAST(SUM(CAST(c AS DECIMAL(28,0))) AS DOUBLE)
+        |    / (COUNT(*) * ANY_VALUE(n_corpus)) AS avg_prob
+        |FROM toks JOIN counts USING (tok) CROSS JOIN tot
+        |GROUP BY doc_id""".stripMargin)),
+
+    // PII pattern scan with planted PII: every 5th document gets a
+    // deterministic email, every 6th two phone numbers — both engines
+    // build the identical planted corpus, so non-zero match counts are
+    // genuinely compared (the raw corpus contains none).
+    Q("q103_pii_scan", { t =>
+        val planted = t.documents.select(col("doc_id"),
+          concat(col("text"),
+            when(col("doc_id") % 5 === 0,
+              concat(lit(" contact user"), col("doc_id").cast("string"),
+                     lit("@example.com now"))).otherwise(lit("")),
+            when(col("doc_id") % 6 === 0,
+              lit(" call 555-867-5309 or 555-123-4567"))
+              .otherwise(lit(""))).as("text"))
+        TextOps.piiCounts(planted, col("doc_id"), col("text"))
+      },
+      Some("""SELECT doc_id,
+        |  CAST(len(regexp_extract_all(lower(text2),
+        |    '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}')) AS INT) AS n_email,
+        |  CAST(len(regexp_extract_all(text2,
+        |    '[0-9]{3}-[0-9]{3}-[0-9]{4}')) AS INT) AS n_phone
+        |FROM (
+        |  SELECT doc_id, text
+        |    || CASE WHEN doc_id % 5 = 0
+        |       THEN ' contact user' || CAST(doc_id AS VARCHAR)
+        |            || '@example.com now' ELSE '' END
+        |    || CASE WHEN doc_id % 6 = 0
+        |       THEN ' call 555-867-5309 or 555-123-4567' ELSE '' END
+        |    AS text2
+        |  FROM documents) t""".stripMargin)),
+
     // md5 document fingerprinting (hex + 60-bit integer prefix).
     Q("q53_fingerprint",
       t => TextOps.fingerprint(t.documents, col("text"))

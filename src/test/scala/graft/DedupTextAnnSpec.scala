@@ -44,6 +44,52 @@ class DedupTextAnnSpec extends SparkSpec {
     assert(math.abs(j((0L, 1L)) - 1.0) < 1e-12)
   }
 
+  test("unigram LM scores common-vocabulary docs above rare ones") {
+    val corpus = Seq(
+      (0L, "common common common common common common"),
+      (1L, "common common common rare"),
+      (2L, "weird tokens xqzt unique")).toDF("doc_id", "text")
+    val scored = TextOps.unigramLogProb(corpus, col("doc_id"), col("text"))
+      .collect().map(r => r.getLong(0) ->
+        (r.getAs[Double]("avg_logp"), r.getAs[Double]("avg_prob"))).toMap
+    // all-"common" doc: p = 9/14 per token, avg_prob exact
+    assert(math.abs(scored(0L)._2 - 9.0 / 14.0) < 1e-12)
+    assert(scored(0L)._1 > scored(1L)._1 && scored(1L)._1 > scored(2L)._1)
+  }
+
+  test("PII counts find planted emails and phones, none elsewhere") {
+    val docsPii = Seq(
+      (0L, "reach me at jane.doe+spam@mail.example.org thanks"),
+      (1L, "call 555-867-5309 or 555-123-4567 today"),
+      (2L, "no contact info here at all")).toDF("doc_id", "text")
+    val c = TextOps.piiCounts(docsPii, col("doc_id"), col("text"))
+      .collect().map(r => r.getLong(0) -> (r.getInt(1), r.getInt(2))).toMap
+    assert(c(0L) == ((1, 0)) && c(1L) == ((0, 2)) && c(2L) == ((0, 0)))
+  }
+
+  test("connected components: chain, star, disjoint, empty") {
+    // 200-node chain: plain min-propagation needs ~200 rounds, far past
+    // maxIter — converging inside the default 30 PROVES the pointer
+    // jump is doing the O(log d) doubling.
+    val chain = (0L until 199L).map(i => (i, i + 1)).toDF("a", "b")
+    val cc = Dedup.connectedComponents(chain).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(cc.size == 200 && cc.values.forall(_ == 0L))
+
+    // two disjoint components + a star — labels settle on each min id
+    val multi = Seq((10L, 11L), (11L, 12L), (20L, 21L),
+                    (30L, 31L), (30L, 32L), (30L, 33L)).toDF("a", "b")
+    val m = Dedup.connectedComponents(multi).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(Seq(10L, 11L, 12L).forall(m(_) == 10L))
+    assert(Seq(20L, 21L).forall(m(_) == 20L))
+    assert(Seq(30L, 31L, 32L, 33L).forall(m(_) == 30L))
+
+    // empty pair set → empty result, no NPE on the convergence scalar
+    val empty = Seq.empty[(Long, Long)].toDF("a", "b")
+    assert(Dedup.connectedComponents(empty).isEmpty)
+  }
+
   test("LSH bucket-size cap drops oversized buckets only") {
     val dt = Dedup.docTokens(docs, col("doc_id"), col("text"))
     val sigs = Dedup.minhashSignatures(dt, 6)

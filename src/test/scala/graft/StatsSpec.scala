@@ -38,6 +38,35 @@ class StatsSpec extends SparkSpec {
     assert(bins(0L) == 2 && bins(1L) == 2 && bins(2L) == 1)
   }
 
+  test("stratified sample: deterministic, rate-proportional per stratum") {
+    val df = (0L until 2000L).map(i => (i, if (i % 2 == 0) "en" else "zh"))
+      .toDF("id", "lang")
+    val s1 = Stats.stratifiedSample(df, col("id"), col("lang"),
+      Map("en" -> 0.5, "zh" -> 0.1), defaultRate = 0.25)
+    val s2 = Stats.stratifiedSample(df, col("id"), col("lang"),
+      Map("en" -> 0.5, "zh" -> 0.1), defaultRate = 0.25)
+    val r1 = s1.collect().map(_.getLong(0)).toSet
+    // identical rows on a re-run — the reproducibility contract
+    assert(r1 == s2.collect().map(_.getLong(0)).toSet)
+    val byLang = s1.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    // 1000 per stratum: en ≈ 500, zh ≈ 100 (md5 is uniform; ±5σ bands)
+    assert(byLang("en") > 400 && byLang("en") < 600)
+    assert(byLang("zh") > 50 && byLang("zh") < 160)
+  }
+
+  test("quantile trim keeps the in-band rows only") {
+    val df = ((1 to 100).map(v => ("g1", v)) ++ Seq(("g2", 1000)))
+      .toDF("g0", "v")
+    val trimmed = Stats.quantileTrim(df, col("g0"), col("v"), 0.1, 0.9)
+      .collect()
+    val g1 = trimmed.filter(_.getString(0) == "g1").map(_.getInt(1))
+    // p10 = 10.9, p90 = 90.1 on 1..100 → keeps 11..90
+    assert(g1.min == 11 && g1.max == 90 && g1.length == 80)
+    // a single-row group survives its own (degenerate) band
+    assert(trimmed.count(_.getString(0) == "g2") == 1)
+  }
+
   test("sessionize splits on gap and counts sessions") {
     val ev = Seq(
       (1L, java.sql.Timestamp.valueOf("2024-01-01 10:00:00"), 1L),

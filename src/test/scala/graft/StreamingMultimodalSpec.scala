@@ -51,6 +51,25 @@ class StreamingMultimodalSpec extends SparkSpec {
     assert(m(2L).nSessions == 1 && m(2L).nEvents == 1)
   }
 
+  test("stream-static enrichment joins the dimension per micro-batch") {
+    implicit val sqlCtx = spark.sqlContext
+    val stream = MemoryStream[Event]
+    stream.addData(
+      Event(ts(5), 1, "click", 1.0), Event(ts(10), 2, "view", 2.0),
+      Event(ts(20), 3, "click", 4.0)) // user 3 absent from the dimension
+    val dim = Seq((1L, "paid"), (2L, "free")).toDF("userId", "segment")
+    val out = EventStreams.runToMemory(
+      spark, EventStreams.enrichedWindowedAgg(
+        stream.toDF(), dim, "userId", "segment"),
+      "enrich_test", OutputMode.Complete())
+    val rows = out.collect()
+      .map(r => Option(r.getAs[String]("segment")) ->
+             (r.getAs[Long]("n"), r.getAs[Double]("sum_value"))).toMap
+    assert(rows(Some("paid")) == ((1L, 1.0)))
+    assert(rows(Some("free")) == ((1L, 2.0)))
+    assert(rows(None) == ((1L, 4.0))) // left join keeps unmatched events
+  }
+
   test("file-source stream over sf0.001 events matches the batch counts") {
     val streamed = EventStreams.runToMemory(
       spark,
