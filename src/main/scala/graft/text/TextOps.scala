@@ -249,6 +249,44 @@ object TextOps {
       regexp_count(lower(text), lit(emailPattern)).as("n_email"),
       regexp_count(text, lit(phonePattern)).as("n_phone"))
 
+  /** Composite corpus filter — the C4/Gopher-style keep/drop decision
+    * that production training pipelines run over every document:
+    * length band, heuristic quality score, within-document repetition,
+    * and corpus-unigram LM score, each surfaced as its own flag column
+    * (so drops are attributable) with keep = all rules pass.
+    *
+    * Plan shape: one codegen'd scan (length/quality flags) plus two
+    * doc-keyed aggregations (repetition, LM) joined back on doc_id —
+    * three scan-sized stages, no pairwise anything, 100 TB-safe.
+    * Documents too short to have a 3-gram have no repetition row and
+    * pass that rule (coalesce 0). */
+  def qualityFilter(docs: DataFrame, id: Column, text: Column,
+                    minTokens: Long, maxTokens: Long,
+                    minQuality: Double, maxRep: Double,
+                    minAvgLogp: Double): DataFrame = {
+    val base = docs.select(id.as("doc_id"), text.as("text"))
+    val q = qualityFeatures(base, col("text"))
+      .select(col("doc_id"), col("n_tokens"), col("quality"))
+    val rep = repetitionRatio(base, col("doc_id"), col("text"))
+      .select(col("doc_id"), col("rep_ratio"))
+    val lm = unigramLogProb(base, col("doc_id"), col("text"))
+      .select(col("doc_id"), col("avg_logp"))
+    q.join(rep, Seq("doc_id"), "left").join(lm, Seq("doc_id"), "left")
+      .withColumn("rep_ratio",
+        round(coalesce(col("rep_ratio"), lit(0.0)), 6))
+      .withColumn("f_len",
+        (col("n_tokens") >= minTokens &&
+         col("n_tokens") <= maxTokens).cast("int"))
+      .withColumn("f_quality", (col("quality") >= minQuality).cast("int"))
+      .withColumn("f_rep", (col("rep_ratio") <= maxRep).cast("int"))
+      .withColumn("f_lm", (col("avg_logp") >= minAvgLogp).cast("int"))
+      .withColumn("keep",
+        (col("f_len") === 1 && col("f_quality") === 1 &&
+         col("f_rep") === 1 && col("f_lm") === 1).cast("int"))
+      .select("doc_id", "n_tokens", "quality", "rep_ratio", "avg_logp",
+              "f_len", "f_quality", "f_rep", "f_lm", "keep")
+  }
+
   /** Document fingerprint: whitespace-normalized lowercase text hashed
     * to a 64-char md5 plus a 60-bit integer prefix — the join key for
     * exact dedup and the hash source for sketching. */

@@ -249,6 +249,78 @@ object TextQueries {
         |    AS text2
         |  FROM documents) t""".stripMargin)),
 
+    // Composite C4/Gopher-style quality filter: length band, quality
+    // score, repetition ratio, unigram-LM score — one flag column per
+    // rule plus the final keep decision. Thresholds sit inside the
+    // corpus's observed score ranges so every rule genuinely splits
+    // the data in both engines.
+    Q("q105_quality_filter",
+      t => TextOps.qualityFilter(t.documents, col("doc_id"), col("text"),
+        minTokens = 20, maxTokens = 80, minQuality = 0.6,
+        maxRep = 0.03, minAvgLogp = -5.0),
+      Some("""WITH f AS (
+        |  SELECT doc_id,
+        |    len(string_split_regex(lower(text), '\s+')) AS n_tokens,
+        |    length(text) AS n_chars,
+        |    length(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'))
+        |      AS n_alnum,
+        |    len(list_filter(string_split_regex(lower(text), '\s+'),
+        |        t -> t IN ('the','a','of','and','to','in','is'))) AS n_stop
+        |  FROM documents
+        |), q AS (
+        |  SELECT doc_id, CAST(n_tokens AS INT) AS n_tokens,
+        |    round(least(CAST(n_tokens AS DOUBLE) / 100, 1.0) * 0.4
+        |      + (1.0 - CAST(n_chars - n_alnum AS DOUBLE) / n_chars) * 0.3
+        |      + least(CAST(n_stop AS DOUBLE) / n_tokens * 5, 1.0) * 0.3,
+        |      6) AS quality
+        |  FROM f
+        |), toks AS (
+        |  SELECT doc_id, i AS pos,
+        |    list_extract(string_split_regex(lower(text), '\s+'),
+        |                 CAST(i AS INT)) AS tok
+        |  FROM documents,
+        |    UNNEST(generate_series(1,
+        |      len(string_split_regex(lower(text), '\s+')))) t(i)
+        |), sh AS (
+        |  SELECT doc_id, tok || ' ' || t1 || ' ' || t2 AS shingle
+        |  FROM (
+        |    SELECT doc_id, tok,
+        |      LEAD(tok, 1) OVER w AS t1, LEAD(tok, 2) OVER w AS t2
+        |    FROM toks WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+        |  ) x WHERE t2 IS NOT NULL
+        |), rep AS (
+        |  SELECT doc_id,
+        |    round(1.0 - CAST(COUNT(DISTINCT shingle) AS DOUBLE)
+        |                / COUNT(*), 6) AS rep_ratio
+        |  FROM sh GROUP BY doc_id
+        |), wtoks AS (
+        |  SELECT doc_id,
+        |    unnest(string_split_regex(lower(text), '\s+')) AS tok
+        |  FROM documents
+        |), counts AS (SELECT tok, COUNT(*) AS c FROM wtoks GROUP BY 1),
+        |tot AS (SELECT COUNT(*) AS n_corpus FROM wtoks),
+        |lm AS (
+        |  SELECT doc_id,
+        |    round(CAST(SUM(CAST(round(log2(CAST(c AS DOUBLE) / n_corpus),
+        |                              6) AS DECIMAL(18,6))) AS DOUBLE)
+        |          / COUNT(*), 6) AS avg_logp
+        |  FROM wtoks JOIN counts USING (tok) CROSS JOIN tot
+        |  GROUP BY doc_id
+        |)
+        |SELECT q.doc_id, q.n_tokens, q.quality,
+        |  COALESCE(rep.rep_ratio, 0.0) AS rep_ratio, lm.avg_logp,
+        |  CAST(q.n_tokens >= 20 AND q.n_tokens <= 80 AS INT) AS f_len,
+        |  CAST(q.quality >= 0.6 AS INT) AS f_quality,
+        |  CAST(COALESCE(rep.rep_ratio, 0.0) <= 0.03 AS INT) AS f_rep,
+        |  CAST(lm.avg_logp >= -5.0 AS INT) AS f_lm,
+        |  CAST(q.n_tokens >= 20 AND q.n_tokens <= 80
+        |       AND q.quality >= 0.6
+        |       AND COALESCE(rep.rep_ratio, 0.0) <= 0.03
+        |       AND lm.avg_logp >= -5.0 AS INT) AS keep
+        |FROM q
+        |LEFT JOIN rep ON rep.doc_id = q.doc_id
+        |LEFT JOIN lm ON lm.doc_id = q.doc_id""".stripMargin)),
+
     // md5 document fingerprinting (hex + 60-bit integer prefix).
     Q("q53_fingerprint",
       t => TextOps.fingerprint(t.documents, col("text"))

@@ -67,6 +67,24 @@ class DedupTextAnnSpec extends SparkSpec {
     assert(c(0L) == ((1, 0)) && c(1L) == ((0, 2)) && c(2L) == ((0, 0)))
   }
 
+  test("composite quality filter attributes each drop to its rule") {
+    val corpus = Seq(
+      (0L, (1 to 30).map(i => s"tok$i").mkString(" ")), // passes all
+      (1L, "too short"),                                // fails f_len only
+      (2L, (1 to 60).map(_ => "again").mkString(" "))   // repetitive
+    ).toDF("doc_id", "text")
+    val f = TextOps.qualityFilter(corpus, col("doc_id"), col("text"),
+      minTokens = 20, maxTokens = 300, minQuality = 0.3,
+      maxRep = 0.5, minAvgLogp = -10.0)
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(f(0L).getAs[Int]("keep") == 1)
+    assert(f(1L).getAs[Int]("f_len") == 0 && f(1L).getAs[Int]("keep") == 0)
+    // doc 2 is one token repeated: rep_ratio ≈ 1 fails the rep rule
+    assert(f(2L).getAs[Int]("f_rep") == 0 && f(2L).getAs[Int]("keep") == 0)
+    // short doc has no 3-gram repetition row and passes f_rep
+    assert(f(1L).getAs[Int]("f_rep") == 1)
+  }
+
   test("connected components: chain, star, disjoint, empty") {
     // 200-node chain: plain min-propagation needs ~200 rounds, far past
     // maxIter — converging inside the default 30 PROVES the pointer
