@@ -206,9 +206,12 @@ object TextOps {
     * probability of the document's tokens under the corpus's own
     * unigram distribution — the cheap LM-perplexity proxy of corpus
     * filtering (documents of rare/garbled tokens score low, documents
-    * of common vocabulary high). Two corpus-wide scalars (vocabulary
-    * counts, total token count) broadcast to a scan-shaped per-token
-    * join; no N² anything.
+    * of common vocabulary high). The token stream joins its vocabulary
+    * counts co-partitioned on the token key — NOT a forced broadcast:
+    * the vocabulary is corpus-dependent (billions of distinct tokens
+    * at 100 TB), so the join must degrade to shuffle; AQE broadcasts
+    * it by itself whenever it is actually small. Only the total-count
+    * scalar is broadcast. No N² anything.
     *
     * Cross-engine determinism: the per-token log2(c/N) is rounded to 6
     * decimals BEFORE accumulation and summed as exact decimal, so both
@@ -222,7 +225,7 @@ object TextOps {
                   explode(tokens(text)).as("tok")))
     val counts = toks.groupBy("tok").agg(count(lit(1)).as("c"))
     val total = toks.agg(count(lit(1)).as("n_corpus"))
-    toks.join(broadcast(counts), "tok")
+    toks.join(counts, "tok")
       .crossJoin(broadcast(total))
       .withColumn("logp",
         round(log2(col("c").cast("double") / col("n_corpus")), 6)

@@ -224,4 +224,30 @@ class PlanSpec extends SparkSpec {
            plan.contains("Exchange"),
            s"expected partial aggregation around the shuffle:\n$plan")
   }
+
+  test("stratified sample is a pure scan: no exchange, no aggregate") {
+    val q = graft.stats.Stats.stratifiedSample(
+      t.documents.select("doc_id", "lang"),
+      col("doc_id"), col("lang"), Map("en" -> 0.5), defaultRate = 0.25)
+    val plan = q.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange") && !plan.contains("HashAggregate"),
+           s"hash-threshold sampling must not shuffle:\n$plan")
+  }
+
+  test("unigram LM joins vocabulary counts on the token key, not a " +
+       "forced broadcast (vocabulary is unbounded at corpus scale)") {
+    val q = graft.text.TextOps.unigramLogProb(
+      t.documents, col("doc_id"), col("text"))
+    // exactly ONE broadcast hint — the one-row total scalar. The
+    // vocabulary-counts join must carry none: AQE may still pick
+    // broadcast at runtime for a small vocabulary, which is exactly
+    // the desired degradation (hint would force it at any size).
+    val analyzed = q.queryExecution.analyzed.toString
+    assert("ResolvedHint".r.findAllIn(analyzed).size == 1,
+           s"only the total scalar may be broadcast-hinted:\n$analyzed")
+    val physical = q.queryExecution.executedPlan.toString
+    assert(physical.contains("BroadcastNestedLoopJoin"),
+           s"the total-count scalar should broadcast:\n$physical")
+    graft.core.CacheScope.global.release()
+  }
 }
