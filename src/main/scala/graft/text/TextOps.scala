@@ -290,6 +290,54 @@ object TextOps {
               "f_len", "f_quality", "f_rep", "f_lm", "keep")
   }
 
+  /** Sequence packing — the GPT-style pretraining layout: documents
+    * concatenate in a deterministic hash order and the token stream is
+    * cut every `budget` tokens into training sequences. Each document
+    * gets the sequence id and in-sequence offset where it STARTS (a
+    * document may straddle a cut — standard concat-then-cut packing).
+    *
+    * The global token cumsum is the scale question, and it routes
+    * through [[graft.core.Ranking]]'s two-pass range-partitioned
+    * prefix sum — parallel windows, broadcast offsets, never a
+    * single-reducer ordering, so the packed axis may be the full
+    * corpus. Hash order makes the layout reproducible with no seed
+    * and independent of input partitioning. */
+  def packSequences(docs: DataFrame, id: Column, text: Column,
+                    budget: Long): DataFrame = {
+    val counted = docs.select(id.as("doc_id"),
+                              size(tokens(text)).as("n_tokens"))
+      .withColumn("h", md5(col("doc_id").cast("string")))
+    val ordered = graft.core.Ranking.withGlobalRankAndCumSum(
+      counted, Seq(col("h"), col("doc_id")),
+      col("n_tokens").cast("long"), "pos", "cum_tokens")
+    ordered
+      .withColumn("start_tok", col("cum_tokens") - col("n_tokens"))
+      .withColumn("seq_id", floor(col("start_tok") / budget).cast("long"))
+      .withColumn("offset", col("start_tok") - col("seq_id") * budget)
+      .select("doc_id", "n_tokens", "pos", "seq_id", "offset")
+  }
+
+  /** Token-window chunking with stride (the RAG / context-window
+    * preprocessing step): each document explodes into chunks of
+    * `chunkTokens` tokens starting every `stride` tokens, with the
+    * chunk text rematerialized. Scan-shaped: per-document arrays only,
+    * fan-out ≈ n_tokens/stride rows per document, no shuffle at all. */
+  def chunkDocuments(docs: DataFrame, id: Column, text: Column,
+                     chunkTokens: Int, stride: Int): DataFrame = {
+    require(stride > 0 && chunkTokens > 0, "positive chunk and stride")
+    docs.select(id.as("doc_id"), tokens(text).as("toks"))
+      .withColumn("n_tokens", size(col("toks")))
+      .filter(col("n_tokens") > 0)
+      .withColumn("start",
+        explode(sequence(lit(0), col("n_tokens") - 1, lit(stride))))
+      .withColumn("chunk_idx", (col("start") / stride).cast("int"))
+      .withColumn("chunk",
+        slice(col("toks"), col("start") + 1, lit(chunkTokens)))
+      .select(col("doc_id"), col("chunk_idx"),
+              size(col("chunk")).as("n_chunk_tokens"),
+              array_join(col("chunk"), " ").as("chunk_text"))
+  }
+
   /** Document fingerprint: whitespace-normalized lowercase text hashed
     * to a 64-char md5 plus a 60-bit integer prefix — the join key for
     * exact dedup and the hash source for sketching. */

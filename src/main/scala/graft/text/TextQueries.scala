@@ -321,6 +321,56 @@ object TextQueries {
         |LEFT JOIN rep ON rep.doc_id = q.doc_id
         |LEFT JOIN lm ON lm.doc_id = q.doc_id""".stripMargin)),
 
+    // Sequence packing: documents concatenated in deterministic md5
+    // order, token stream cut into 512-token training sequences; each
+    // doc's (seq_id, offset) compared across engines. The Spark side
+    // computes the global cumsum with the two-pass range-partitioned
+    // prefix sum — the oracle's single window checks it exactly.
+    Q("q106_sequence_pack",
+      t => TextOps.packSequences(t.documents, col("doc_id"),
+                                 col("text"), budget = 512L),
+      Some("""WITH counted AS (
+        |  SELECT doc_id,
+        |    len(string_split_regex(lower(text), '\s+')) AS n_tokens,
+        |    md5(CAST(doc_id AS VARCHAR)) AS h
+        |  FROM documents
+        |), ordered AS (
+        |  SELECT doc_id, CAST(n_tokens AS INT) AS n_tokens,
+        |    CAST(ROW_NUMBER() OVER w AS INT) AS pos,
+        |    CAST(SUM(n_tokens) OVER w AS BIGINT) AS cum
+        |  FROM counted WINDOW w AS (ORDER BY h, doc_id)
+        |)
+        |SELECT doc_id, n_tokens, pos,
+        |  CAST(FLOOR((cum - n_tokens) / 512.0) AS BIGINT) AS seq_id,
+        |  (cum - n_tokens)
+        |    - CAST(FLOOR((cum - n_tokens) / 512.0) AS BIGINT) * 512
+        |    AS offset
+        |FROM ordered""".stripMargin)),
+
+    // Token-window chunking: 32-token chunks every 16 tokens (50%
+    // overlap), chunk text rematerialized — the RAG/context-window
+    // preprocessing step. Chunk boundaries, sizes, and the exact chunk
+    // strings are compared.
+    Q("q107_chunk_docs",
+      t => TextOps.chunkDocuments(t.documents, col("doc_id"),
+                                  col("text"),
+                                  chunkTokens = 32, stride = 16),
+      Some("""WITH d AS (
+        |  SELECT doc_id, string_split_regex(lower(text), '\s+') AS toks
+        |  FROM documents
+        |), e AS (
+        |  SELECT doc_id, toks, len(toks) AS n, CAST(s AS INT) AS start
+        |  FROM d, UNNEST(generate_series(0, len(toks) - 1, 16)) t(s)
+        |  WHERE len(toks) > 0
+        |)
+        |SELECT doc_id, CAST(start // 16 AS INT) AS chunk_idx,
+        |  CAST(len(list_slice(toks, start + 1, least(start + 32, n)))
+        |       AS INT) AS n_chunk_tokens,
+        |  array_to_string(list_slice(toks, start + 1,
+        |                             least(start + 32, n)), ' ')
+        |    AS chunk_text
+        |FROM e""".stripMargin)),
+
     // md5 document fingerprinting (hex + 60-bit integer prefix).
     Q("q53_fingerprint",
       t => TextOps.fingerprint(t.documents, col("text"))

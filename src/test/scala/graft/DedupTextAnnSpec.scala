@@ -67,6 +67,35 @@ class DedupTextAnnSpec extends SparkSpec {
     assert(c(0L) == ((1, 0)) && c(1L) == ((0, 2)) && c(2L) == ((0, 0)))
   }
 
+  test("sequence packing cuts the concatenated stream every budget tokens") {
+    // three docs of 4 tokens each, budget 5: the layout is 12 tokens
+    // over sequences [0..4][5..9][10..11] regardless of which doc the
+    // hash order puts first
+    val corpus = Seq(
+      (0L, "a b c d"), (1L, "e f g h"), (2L, "i j k l"))
+      .toDF("doc_id", "text")
+    val packed = TextOps.packSequences(corpus, col("doc_id"),
+                                       col("text"), budget = 5L)
+      .orderBy("pos").collect()
+    assert(packed.map(_.getAs[Long]("offset")).toSeq == Seq(0L, 4L, 3L))
+    assert(packed.map(_.getAs[Long]("seq_id")).toSeq == Seq(0L, 0L, 1L))
+    // ranks are a permutation and the cumsum is order-consistent
+    assert(packed.map(_.getAs[Int]("pos")).toSeq == Seq(1, 2, 3))
+  }
+
+  test("chunking windows the token stream with stride and remainder") {
+    val corpus = Seq((7L, (1 to 10).map(i => s"w$i").mkString(" ")))
+      .toDF("doc_id", "text")
+    val chunks = TextOps.chunkDocuments(corpus, col("doc_id"),
+        col("text"), chunkTokens = 4, stride = 3)
+      .orderBy("chunk_idx").collect()
+    assert(chunks.length == 4) // starts 0, 3, 6, 9
+    assert(chunks.map(_.getAs[String]("chunk_text")).toSeq == Seq(
+      "w1 w2 w3 w4", "w4 w5 w6 w7", "w7 w8 w9 w10", "w10"))
+    assert(chunks.map(_.getAs[Int]("n_chunk_tokens")).toSeq ==
+      Seq(4, 4, 4, 1))
+  }
+
   test("composite quality filter attributes each drop to its rule") {
     val corpus = Seq(
       (0L, (1 to 30).map(i => s"tok$i").mkString(" ")), // passes all
