@@ -21,6 +21,50 @@ import graft.{Q, Qh}
   */
 object Relational {
 
+  /** AS-OF join: for every left row, attach the single right row with
+    * the greatest right.`ts` ≤ left.`ts` within the same `key` group —
+    * the point-in-time lookup of event pipelines (latest click before
+    * each purchase, latest price before each trade).
+    *
+    * Spark has no built-in as-of join; a naive range join explodes to
+    * a per-row probe. The distributed form here is union-and-carry-
+    * forward: tag both inputs, shuffle ONCE on the key, order each
+    * group by (ts, side, tie) with right rows sorting before left rows
+    * at equal ts (inclusive as-of), and carry the latest right payload
+    * forward with `last(_, ignoreNulls)` over a running frame. Total
+    * cost = one shuffle + one linear window pass — the same plan shape
+    * as a grouped cumsum, at any corpus size. Groups are per-key
+    * sequential (inherent to as-of semantics); a hot key is bounded by
+    * its own event history, not the corpus.
+    *
+    * `tie` must be a unique id present in both inputs (total order ⇒
+    * deterministic result). Right payload columns are returned as one
+    * struct column `asof`, null when no right row precedes the left
+    * row. */
+  def asofJoin(left: DataFrame, right: DataFrame, key: String,
+               ts: String, tie: String, payload: Seq[String])
+      : DataFrame = {
+    val lStruct = struct(left.columns.map(left(_)): _*)
+    val rStruct = struct(payload.map(right(_)): _*)
+    val lType = left.select(lStruct.as("_l")).schema("_l").dataType
+    val rType = right.select(rStruct.as("_r")).schema("_r").dataType
+    val lTagged = left.select(
+      left(key).as("_k"), left(ts).as("_ts"), lit(1).as("_side"),
+      left(tie).cast("long").as("_tie"), lStruct.as("_l"),
+      lit(null).cast(rType).as("_r"))
+    val rTagged = right.select(
+      right(key).as("_k"), right(ts).as("_ts"), lit(0).as("_side"),
+      right(tie).cast("long").as("_tie"),
+      lit(null).cast(lType).as("_l"), rStruct.as("_r"))
+    val w = Window.partitionBy("_k")
+      .orderBy(col("_ts"), col("_side"), col("_tie"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    lTagged.unionByName(rTagged)
+      .withColumn("_match", last(col("_r"), ignoreNulls = true).over(w))
+      .filter(col("_side") === 1)
+      .select(col("_l.*"), col("_match").as("asof"))
+  }
+
   def queries: Seq[Q] = Seq(
 
     // P1/P2/P3 — projection, rename, cast. Cast via floor() because DuckDB
@@ -197,6 +241,43 @@ object Relational {
              |  OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
              |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
              |  AS DOUBLE) AS run_spend
-             |FROM orders""".stripMargin))
+             |FROM orders""".stripMargin)),
+
+    // AS-OF join: each purchase matched to the user's most recent
+    // click at-or-before it. The oracle uses DuckDB's native ASOF
+    // LEFT JOIN, so the one-shuffle carry-forward plan is checked
+    // against an independent reference implementation of the
+    // semantics. Timestamps compare as epoch-µs longs (the generator
+    // is µs-precision, so both engines see identical instants).
+    Q("q108_asof_join", { t =>
+        val ev = graft.core.CacheScope.persist(
+          t.events.select(col("event_id"), col("user_id"), col("ts"),
+                          col("event_type"), col("value")))
+        val l = ev.filter(col("event_type") === "purchase")
+          .select(col("event_id"), col("user_id"), col("ts"),
+                  col("value"))
+        val r = ev.filter(col("event_type") === "click")
+          .select(col("event_id"), col("event_id").as("r_event_id"),
+                  col("user_id"), col("ts"), col("value").as("r_value"))
+        Relational.asofJoin(l, r, key = "user_id", ts = "ts",
+                            tie = "event_id",
+                            payload = Seq("r_event_id", "r_value"))
+          .select(col("event_id"), col("user_id"),
+                  unix_micros(col("ts")).as("ts_us"), col("value"),
+                  col("asof.r_event_id").as("r_event_id"),
+                  col("asof.r_value").as("r_value"))
+      },
+      Some("""WITH l AS (
+        |  SELECT event_id, user_id, ts, value FROM events
+        |  WHERE event_type = 'purchase'
+        |), r AS (
+        |  SELECT event_id AS r_event_id, user_id, ts,
+        |    value AS r_value
+        |  FROM events WHERE event_type = 'click'
+        |)
+        |SELECT l.event_id, l.user_id, epoch_us(l.ts) AS ts_us, l.value,
+        |  r.r_event_id, r.r_value
+        |FROM l ASOF LEFT JOIN r
+        |  ON l.user_id = r.user_id AND l.ts >= r.ts""".stripMargin))
   )
 }

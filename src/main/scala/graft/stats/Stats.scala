@@ -142,6 +142,27 @@ object Stats {
       .filter(value >= col("p_lo") && value <= col("p_hi"))
       .drop("g", "p_lo", "p_hi")
 
+  /** Equi-depth histogram (quantile binning): `nBins` bins bounded by
+    * the exact (nBins−1) interior percentiles of `value`; a row's bin
+    * is the number of edges strictly below its value. The feature-
+    * bucketing twin of the equi-width [[histogram]]: one percentile
+    * aggregate (a scalar row, broadcast) + one scan — two stages at
+    * any size. */
+  def equidepthHistogram(df: DataFrame, value: Column, nBins: Int)
+      : DataFrame = {
+    require(nBins >= 2, "need at least two bins")
+    val edgeExprs = (1 until nBins).map(i =>
+      percentile(value, lit(i.toDouble / nBins)).as(s"e$i"))
+    val edges = df.agg(edgeExprs.head, edgeExprs.tail: _*)
+    val bin = (1 until nBins)
+      .map(i => (value > col(s"e$i")).cast("int"))
+      .reduce(_ + _)
+    df.crossJoin(broadcast(edges))
+      .withColumn("bin", bin)
+      .groupBy("bin")
+      .agg(count(lit(1)).as("n"))
+  }
+
   /** Gap-based sessionization: a new session starts after `gapMs`
     * milliseconds of inactivity. Batch twin of the streaming
     * session-window operator. Exact integer epoch-ms arithmetic; `tie`

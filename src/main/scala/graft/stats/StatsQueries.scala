@@ -120,6 +120,22 @@ object StatsQueries {
         |      ELSE ${Stats.rateThreshold(0.25)}
         |    END""".stripMargin)),
 
+    // Equi-depth histogram: document lengths quantile-binned into 4
+    // equal-mass buckets (exact interpolated edges; bin = #edges below
+    // the value, so edge ties resolve identically in both engines).
+    Q("q109_equidepth_hist",
+      t => Stats.equidepthHistogram(t.documents, col("n_chars"), 4),
+      Some("""WITH e AS (
+        |  SELECT quantile_cont(n_chars, 0.25) AS e1,
+        |         quantile_cont(n_chars, 0.50) AS e2,
+        |         quantile_cont(n_chars, 0.75) AS e3
+        |  FROM documents
+        |)
+        |SELECT CAST(n_chars > e1 AS INT) + CAST(n_chars > e2 AS INT)
+        |     + CAST(n_chars > e3 AS INT) AS bin,
+        |  COUNT(*) AS n
+        |FROM documents, e GROUP BY 1""".stripMargin)),
+
     // Percentile-band trimming: per-source 10th/90th percentile bounds
     // of document length plus how many documents survive the trim —
     // the outlier-removal pre-pass of corpus quality filtering. Exact

@@ -67,6 +67,34 @@ class StatsSpec extends SparkSpec {
     assert(trimmed.count(_.getString(0) == "g2") == 1)
   }
 
+  test("equi-depth bins split 1..100 into four quarters") {
+    val df = (1 to 100).map(v => Tuple1(v)).toDF("v")
+    val bins = Stats.equidepthHistogram(df, col("v"), 4).collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).toMap
+    // edges 25.75 / 50.5 / 75.25 → 25 values per bin
+    assert(bins == Map(0 -> 25L, 1 -> 25L, 2 -> 25L, 3 -> 25L))
+  }
+
+  test("as-of join picks the latest right row at-or-before each left row") {
+    def t(m: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 10:$m%02d:00")
+    val l = Seq((100L, 1L, t(10), "p1"), (101L, 1L, t(30), "p2"),
+                (102L, 2L, t(5), "p3"))
+      .toDF("event_id", "user_id", "ts", "what")
+    val r = Seq((1L, 1L, t(5), 5.0), (2L, 1L, t(10), 10.0),
+                (3L, 1L, t(20), 20.0), (4L, 3L, t(1), 1.0))
+      .toDF("event_id", "user_id", "ts", "v")
+        .withColumn("r_id", col("event_id"))
+    val out = graft.operators.Relational.asofJoin(
+        l, r, key = "user_id", ts = "ts", tie = "event_id",
+        payload = Seq("r_id", "v"))
+      .select(col("event_id"), col("asof.r_id").as("rid"))
+      .collect().map(x => x.getLong(0) ->
+        (if (x.isNullAt(1)) -1L else x.getLong(1))).toMap
+    assert(out(100L) == 2L) // equal ts matches (inclusive as-of)
+    assert(out(101L) == 3L) // latest earlier, not first
+    assert(out(102L) == -1L) // user 2 has no clicks → null match
+  }
+
   test("sessionize splits on gap and counts sessions") {
     val ev = Seq(
       (1L, java.sql.Timestamp.valueOf("2024-01-01 10:00:00"), 1L),
