@@ -247,6 +247,102 @@ object DedupQueries {
         |  CAST(node = MIN(lab) AS INT) AS keep
         |FROM reach GROUP BY node""".stripMargin)),
 
+    // The END-TO-END fuzzy-dedup pipeline in one query: MinHash
+    // signatures → LSH banding → exact-Jaccard verification →
+    // connected components → keep-one-per-cluster, reported as the
+    // per-source survivor counts a corpus curation run actually emits.
+    // Every stage is the already-gated operator (q54/q55/q99); the
+    // composition itself — and the final survivorship arithmetic — is
+    // what this gate pins.
+    Q("q110_dedup_e2e", { t =>
+        val base = t.documents.filter(col("doc_id") < 400)
+          .select(col("doc_id"), col("source"), col("text"))
+        val corpus = graft.core.CacheScope.persist(base.unionByName(
+          base.filter(col("doc_id") < 100)
+            .select((col("doc_id") + 1000000L).as("doc_id"),
+                    col("source"), col("text"))))
+        val dt = graft.core.CacheScope.persist(
+          Dedup.docTokens(corpus, col("doc_id"), col("text")))
+        val sigs = Dedup.minhashSignatures(dt, 6)
+        val cand = Dedup.lshCandidatePairs(sigs, 6, 2)
+        val dup = Dedup.jaccardForPairs(cand, dt)
+          .filter(col("jaccard") >= 0.97)
+        val cc = Dedup.connectedComponents(dup.select("a", "b"))
+          .withColumnRenamed("node", "doc_id")
+        corpus.join(cc, Seq("doc_id"), "left")
+          .withColumn("keep",
+            (col("cluster").isNull ||
+             col("cluster") === col("doc_id")).cast("long"))
+          .groupBy("source")
+          .agg(count(lit(1)).as("n_docs"),
+               sum(col("cluster").isNotNull.cast("long"))
+                 .as("n_dup_members"),
+               sum(lit(1L) - col("keep")).as("n_dropped"),
+               sum(col("keep")).as("n_kept"))
+      },
+      Some("""WITH RECURSIVE corpus AS (
+        |  SELECT doc_id, source, text FROM documents WHERE doc_id < 400
+        |  UNION ALL
+        |  SELECT doc_id + 1000000, source, text FROM documents
+        |  WHERE doc_id < 100
+        |), dt AS (
+        |  SELECT DISTINCT doc_id, tok FROM (
+        |    SELECT doc_id,
+        |      unnest(string_split_regex(lower(text), '\s+')) AS tok
+        |    FROM corpus) t
+        |), sigs AS (
+        |  SELECT doc_id,
+        |    MIN(md5('0:' || tok)) AS mh_0, MIN(md5('1:' || tok)) AS mh_1,
+        |    MIN(md5('2:' || tok)) AS mh_2, MIN(md5('3:' || tok)) AS mh_3,
+        |    MIN(md5('4:' || tok)) AS mh_4, MIN(md5('5:' || tok)) AS mh_5
+        |  FROM dt GROUP BY doc_id
+        |), buckets AS (
+        |  SELECT doc_id, 0 AS band, md5(mh_0 || mh_1) AS bucket FROM sigs
+        |  UNION ALL
+        |  SELECT doc_id, 1, md5(mh_2 || mh_3) FROM sigs
+        |  UNION ALL
+        |  SELECT doc_id, 2, md5(mh_4 || mh_5) FROM sigs
+        |), cand AS (
+        |  SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+        |  FROM buckets x JOIN buckets y
+        |    ON x.band = y.band AND x.bucket = y.bucket
+        |       AND x.doc_id < y.doc_id
+        |), sizes AS (SELECT doc_id, COUNT(*) AS n FROM dt GROUP BY 1),
+        |inter AS (
+        |  SELECT cand.a, cand.b, COUNT(*) AS inter
+        |  FROM cand
+        |  JOIN dt ta ON ta.doc_id = cand.a
+        |  JOIN dt tb ON tb.doc_id = cand.b AND tb.tok = ta.tok
+        |  GROUP BY 1, 2
+        |), pairs AS (
+        |  SELECT inter.a, inter.b
+        |  FROM inter
+        |  JOIN sizes sa ON sa.doc_id = inter.a
+        |  JOIN sizes sb ON sb.doc_id = inter.b
+        |  WHERE CAST(inter AS DOUBLE) / (sa.n + sb.n - inter) >= 0.97
+        |), edges AS (
+        |  SELECT a AS src, b AS dst FROM pairs
+        |  UNION
+        |  SELECT b, a FROM pairs
+        |), reach(node, lab) AS (
+        |  SELECT src, src FROM edges
+        |  UNION
+        |  SELECT e.dst, r.lab FROM reach r JOIN edges e ON e.src = r.node
+        |), cc AS (
+        |  SELECT node, MIN(lab) AS cluster FROM reach GROUP BY node
+        |)
+        |SELECT source, COUNT(*) AS n_docs,
+        |  CAST(SUM(CASE WHEN cc.cluster IS NOT NULL THEN 1 ELSE 0 END)
+        |       AS BIGINT) AS n_dup_members,
+        |  CAST(SUM(CASE WHEN cc.cluster IS NOT NULL
+        |                 AND cc.cluster <> corpus.doc_id
+        |            THEN 1 ELSE 0 END) AS BIGINT) AS n_dropped,
+        |  CAST(SUM(CASE WHEN cc.cluster IS NULL
+        |                 OR cc.cluster = corpus.doc_id
+        |            THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
+        |FROM corpus LEFT JOIN cc ON cc.node = corpus.doc_id
+        |GROUP BY source""".stripMargin)),
+
     // Multi-probe SimHash near-dup pairs: (h+1) disjoint bit-segment
     // bucketings give FULL recall at Hamming ≤ 6 (pigeonhole), verified
     // by bit_count(xor). Bounded to doc_id < 300 to keep the
