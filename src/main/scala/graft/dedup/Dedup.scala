@@ -197,11 +197,16 @@ object Dedup {
     * from `pairs` are singletons and are not returned.
     */
   def connectedComponents(pairs: DataFrame, maxIter: Int = 30): DataFrame = {
+    // the symmetrization union references the pair input TWICE, and
+    // exchange reuse does not fire across union branches — persist the
+    // input once so an expensive upstream (an LSH+verify chain) is not
+    // computed per branch
+    val p = graft.core.CacheScope.persist(
+      pairs.select(col("a").cast("long").as("a"),
+                   col("b").cast("long").as("b")))
     val edges = graft.core.CacheScope.persist(
-      pairs.select(col("a").cast("long").as("src"),
-                   col("b").cast("long").as("dst"))
-        .unionByName(pairs.select(col("b").cast("long").as("src"),
-                                  col("a").cast("long").as("dst")))
+      p.select(col("a").as("src"), col("b").as("dst"))
+        .unionByName(p.select(col("b").as("src"), col("a").as("dst")))
         .distinct())
     // exact decimal sum: overflow-safe for arbitrary long ids
     def labelSum(df: DataFrame): java.math.BigDecimal = {
