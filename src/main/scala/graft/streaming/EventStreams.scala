@@ -105,6 +105,24 @@ object EventStreams {
       .select(col("window.start").as("wstart"), col(segment),
               col("n"), col("sum_value"))
 
+  /** Stream-stream interval join — the continuous form of the as-of
+    * lookup (operators.Relational.asofJoin): purchases join the same
+    * user's clicks from the preceding `windowMs` milliseconds. Both
+    * sides carry watermarks, so Spark bounds the buffered state to the
+    * interval horizon — the property that lets the join run forever on
+    * an unbounded stream. Inputs need distinct column names
+    * (`ts`/`userId` on the left, `clickTs`/`clickUserId` on the
+    * right); output is one row per (purchase, matching click). */
+  def intervalJoin(purchases: DataFrame, clicks: DataFrame,
+                   windowMs: Long, watermark: String): DataFrame = {
+    val l = purchases.withWatermark("ts", watermark)
+    val r = clicks.withWatermark("clickTs", watermark)
+    l.join(r,
+      col("userId") === col("clickUserId") &&
+      col("clickTs") <= col("ts") &&
+      col("clickTs") >= col("ts") - expr(s"INTERVAL $windowMs MILLISECONDS"))
+  }
+
   /** Drive a streaming DataFrame to completion against a memory sink and
     * return the materialized result — the local-smoke harness
     * (batch parquet in, streaming semantics, synchronous). */

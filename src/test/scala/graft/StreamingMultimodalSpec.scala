@@ -70,6 +70,30 @@ class StreamingMultimodalSpec extends SparkSpec {
     assert(rows(None) == ((1L, 4.0))) // left join keeps unmatched events
   }
 
+  test("stream-stream interval join attributes clicks within the window") {
+    implicit val sqlCtx = spark.sqlContext
+    val purchases = MemoryStream[Event]
+    val clicks = MemoryStream[Event]
+    purchases.addData(
+      Event(ts(30), 1, "purchase", 10.0), Event(ts(40), 2, "purchase", 5.0))
+    clicks.addData(
+      Event(ts(25), 1, "click", 0.0),  // 5 min before → attributed
+      Event(ts(29), 1, "click", 0.0),  // 1 min before → attributed
+      Event(ts(45), 1, "click", 0.0),  // after the purchase → no
+      Event(ts(0), 2, "click", 0.0))   // 40 min before → outside window
+    val out = EventStreams.runToMemory(
+      spark, EventStreams.intervalJoin(
+        purchases.toDF().select(col("ts"), col("userId"), col("value")),
+        clicks.toDF().select(col("ts").as("clickTs"),
+                             col("userId").as("clickUserId")),
+        windowMs = 10 * 60 * 1000L, watermark = "1 hour"),
+      "ssjoin_test", OutputMode.Append())
+    val byUser = out.collect().groupBy(_.getAs[Long]("userId"))
+      .view.mapValues(_.length).toMap
+    assert(byUser.getOrElse(1L, 0) == 2) // two in-window clicks
+    assert(byUser.getOrElse(2L, 0) == 0) // only a stale click
+  }
+
   test("file-source stream over sf0.001 events matches the batch counts") {
     val streamed = EventStreams.runToMemory(
       spark,
