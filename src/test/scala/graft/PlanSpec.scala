@@ -225,6 +225,25 @@ class PlanSpec extends SparkSpec {
            s"expected partial aggregation around the shuffle:\n$plan")
   }
 
+  test("as-of join is one shuffle: a single exchange feeds the window") {
+    val l = t.events.filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), col("ts"), col("value"))
+    val r = t.events.filter(col("event_type") === "click")
+      .select(col("event_id"), col("event_id").as("r_id"),
+              col("user_id"), col("ts"), col("value").as("r_v"))
+    val q = graft.operators.Relational.asofJoin(
+      l, r, key = "user_id", ts = "ts", tie = "event_id",
+      payload = Seq("r_id", "r_v"))
+    val plan = q.queryExecution.executedPlan.toString
+    // both tagged sides union BEFORE the shuffle, so exactly one
+    // hash-partitioning exchange (the window's) appears — the claim
+    // that as-of costs the same as a grouped cumsum
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).size
+    assert(exchanges == 1, s"expected one shuffle, got $exchanges:\n$plan")
+    assert(!plan.contains("SortMergeJoin") && !plan.contains("BroadcastHashJoin"),
+           s"as-of must not plan a join operator:\n$plan")
+  }
+
   test("stratified sample is a pure scan: no exchange, no aggregate") {
     val q = graft.stats.Stats.stratifiedSample(
       t.documents.select("doc_id", "lang"),
