@@ -1,8 +1,8 @@
 package graft.core
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, Row}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.types._
 
 /** Distributed replacements for unpartitioned ranking windows.
   *
@@ -12,16 +12,26 @@ import org.apache.spark.sql.expressions.Window
   * (documents, users). This computes the same global rank / running sum
   * with the classic two-pass shape:
   *
-  *   1. range-partition on the sort key (global order across
-  *      partitions, local order within);
-  *   2. rank and prefix-sum locally per partition — parallel windows;
-  *   3. add per-partition offsets, aggregated from partition totals via
-  *      a #partitions-sized self-join (no single-partition exchange
-  *      anywhere; the only tiny structure is the offsets table, which
-  *      broadcasts).
+  *   1. range-partition on the sort key and sort within partitions —
+  *      global order across partitions, local order within;
+  *   2. one local pass per partition for (row count, value total) —
+  *      #partitions rows to the driver, prefix-summed into offsets;
+  *   3. a second local pass emits rank and running sum, seeded with the
+  *      partition's offsets.
+  *
+  * The local passes are `mapPartitionsWithIndex` — per-partition
+  * sequential accumulation, the one case where imperative RDD code
+  * beats the declarative form: a `Window.partitionBy(pid)` local pass
+  * would re-shuffle rows that the range exchange already co-located
+  * (Spark does not recognize range partitioning as satisfying a hash
+  * clustering), doubling the job's shuffle volume. Measured on the
+  * sequence-packing plan: two full-data exchanges → one.
   *
   * `orderCols` must be a TOTAL order (include a unique tie-break key)
-  * for the rank to be deterministic.
+  * for the rank to be deterministic. Integral `value` accumulates in
+  * exact Long arithmetic (cum column is LongType); anything else
+  * accumulates in Double (per-partition sequential order, so the sum
+  * is deterministic for a fixed partitioning).
   */
 object Ranking {
 
@@ -31,30 +41,59 @@ object Ranking {
   def withGlobalRankAndCumSum(df: DataFrame, orderCols: Seq[Column],
                               value: Column, rankName: String,
                               cumName: String): DataFrame = {
-    // the range-shuffled frame feeds both the local window and the
-    // partition-totals aggregate — persist once (it is already an
-    // aggregate/catalog-sized frame at every call site)
+    val spark = df.sparkSession
+    val integral = df.withColumn("_v", value).schema("_v").dataType match {
+      case ByteType | ShortType | IntegerType | LongType => true
+      case _ => false
+    }
+    val normalized = df.withColumn("_v",
+      if (integral) value.cast("long") else value.cast("double"))
+    // the range-shuffled frame feeds both local passes — persist once
+    // so pass 2 sees the exact partitions pass 1 measured
     val ranged = CacheScope.persist(
-      df.repartitionByRange(orderCols: _*)
-        .withColumn("_pid", spark_partition_id()))
-    val wLocal = Window.partitionBy("_pid").orderBy(orderCols: _*)
-    val local = ranged
-      .withColumn("_lrn", row_number().over(wLocal))
-      .withColumn("_lcum", sum(value).over(
-        wLocal.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
-    val parts = ranged.groupBy("_pid")
-      .agg(count(lit(1)).as("_np"), sum(value).as("_sp"))
-    val partsB = parts.select(col("_pid").as("_pid_b"),
-                              col("_np").as("_np_b"),
-                              col("_sp").as("_sp_b"))
-    val offsets = parts.join(partsB, col("_pid_b") < col("_pid"), "left")
-      .groupBy("_pid")
-      .agg(coalesce(sum("_np_b"), lit(0L)).as("_offn"),
-           coalesce(sum("_sp_b"), lit(0L)).as("_offs"))
-    local.join(broadcast(offsets), "_pid")
-      .withColumn(rankName, (col("_lrn") + col("_offn")).cast("int"))
-      .withColumn(cumName, col("_lcum") + col("_offs"))
-      .drop("_pid", "_lrn", "_lcum", "_offn", "_offs")
+      normalized.repartitionByRange(orderCols: _*)
+        .sortWithinPartitions(orderCols: _*))
+    val vIdx = ranged.schema.fieldIndex("_v")
+    val totals = ranged.rdd.mapPartitionsWithIndex { (pid, it) =>
+      var n = 0L; var sl = 0L; var sd = 0.0
+      it.foreach { r =>
+        n += 1
+        if (!r.isNullAt(vIdx)) {
+          if (integral) sl += r.getLong(vIdx) else sd += r.getDouble(vIdx)
+        }
+      }
+      Iterator((pid, n, sl, sd))
+    }.collect().map(t => t._1 -> t).toMap
+    val nParts = ranged.rdd.getNumPartitions
+    val offN = new Array[Long](nParts)
+    val offL = new Array[Long](nParts)
+    val offD = new Array[Double](nParts)
+    var an = 0L; var al = 0L; var ad = 0.0
+    for (p <- 0 until nParts) {
+      offN(p) = an; offL(p) = al; offD(p) = ad
+      totals.get(p).foreach { case (_, n, sl, sd) =>
+        an += n; al += sl; ad += sd
+      }
+    }
+    val keepIdx = ranged.schema.fields.zipWithIndex
+      .filterNot(_._1.name == "_v").map(_._2)
+    val outSchema = StructType(
+      keepIdx.map(ranged.schema.fields(_)) :+
+      StructField(rankName, IntegerType, nullable = false) :+
+      StructField(cumName, if (integral) LongType else DoubleType,
+                  nullable = false))
+    val rows = ranged.rdd.mapPartitionsWithIndex { (pid, it) =>
+      var rn = offN(pid); var cl = offL(pid); var cd = offD(pid)
+      it.map { r =>
+        rn += 1
+        if (!r.isNullAt(vIdx)) {
+          if (integral) cl += r.getLong(vIdx) else cd += r.getDouble(vIdx)
+        }
+        val cum: Any = if (integral) cl else cd
+        Row.fromSeq(keepIdx.map(r.get).toSeq :+ rn.toInt :+ cum)
+      }
+    }
+    spark.createDataFrame(rows, outSchema)
   }
 
   /** Rank-only variant. */

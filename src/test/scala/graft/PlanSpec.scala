@@ -113,9 +113,11 @@ class PlanSpec extends SparkSpec {
       .withGlobalRank(counts, Seq(col("c"), col("k")), "r")
       .select("k", "r").collect().map(r => (r.getInt(0), r.getInt(1))).toMap
     assert(twoPass == byWindow, "two-pass rank must equal the window rank")
-    // ...and the gini plan's ranking window must not be fed by a
-    // single-partition exchange (only the final scalar aggregate may
-    // reduce to one partition — it sees #partitions partial rows)
+    // ...and the gini plan carries NO window operator at all: the rank
+    // is a per-partition sequential pass over the range-partitioned
+    // data (a Window.partitionBy(pid) would re-shuffle rows the range
+    // exchange already co-located). Only the final scalar aggregate
+    // may reduce to one partition — it sees #partitions partial rows.
     val gini = graft.stats.Stats.giniOfCounts(
       (0 until 500).map(i => (i % 37, i)).toDF("g", "x"), col("g"))
     gini.collect() // materialize so AQE finalizes the plan
@@ -135,11 +137,8 @@ class PlanSpec extends SparkSpec {
     }
     val ws = allNodes(gini.queryExecution.executedPlan)
       .collect { case w: WindowExec => w }
-    assert(ws.nonEmpty, "expected the local rank window in the plan")
-    ws.foreach { w =>
-      assert(!w.child.outputPartitioning.toString.contains("SinglePartition"),
-        s"rank window must not run on a single partition:\n$w")
-    }
+    assert(ws.isEmpty,
+      s"rank must be windowless (per-partition pass), found:\n${ws.mkString}")
   }
 
   test("bucketed URM self-join plans with no exchange on the bucketed sides") {
