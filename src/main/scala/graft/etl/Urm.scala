@@ -40,10 +40,15 @@ object Urm {
   /** Dense-index ID remapping (reference:
     * Data_manager/IncrementalSparseMatrix.py:95-127 keeps dict mappers) —
     * distinct ids → contiguous [0, n) indices as a mapping DataFrame;
-    * joins replace dict lookups. */
+    * joins replace dict lookups. The id axis grows with the corpus
+    * (users/items), so the rank goes through the two-pass range-
+    * partitioned [[graft.core.Ranking]] instead of a single-reducer
+    * window. */
   def denseIndex(df: DataFrame, id: Column): DataFrame =
-    df.select(id.as("orig")).distinct()
-      .withColumn("idx", row_number().over(Window.orderBy(col("orig"))) - 1)
+    graft.core.Ranking.withGlobalRank(
+        df.select(id.as("orig")).distinct(), Seq(col("orig")), "_rk")
+      .withColumn("idx", col("_rk") - 1)
+      .drop("_rk")
 
   /** X1 — seeded random split after dedup
     * (reference: Utils/dataset.py:322-325, frac .7/.1/.2 seed 42). */

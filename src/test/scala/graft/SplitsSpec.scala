@@ -110,6 +110,13 @@ class SplitsSpec extends SparkSpec {
     }
   }
 
+  test("denseIndex maps distinct ids to contiguous sorted [0, n)") {
+    val ids = Seq(50L, 7L, 7L, 999L, 0L, 50L).toDF("raw")
+    val m = Urm.denseIndex(ids, col("raw")).collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(m == Map(0L -> 0, 7L -> 1, 50L -> 2, 999L -> 3))
+  }
+
   test("overlapCells flags constructed overlap and passes disjoint") {
     val disjoint = Seq((1, 1, "train"), (1, 2, "test"))
       .toDF("u", "i", "split")
