@@ -65,6 +65,33 @@ object Relational {
       .select(col("_l.*"), col("_match").as("asof"))
   }
 
+  /** RANGE join: left points against right intervals
+    * (`lo` ≤ v ≤ `hi`) — the band/containment lookup (price bands,
+    * IP ranges, time windows). A naive inequality join plans as a
+    * broadcast-nested-loop theta join — O(points × intervals); this
+    * uses the standard bucketing decomposition: every interval
+    * replicates to the `bucketWidth`-sized buckets it overlaps
+    * (fan-out = interval length / width, bounded by the caller),
+    * points hash to their single bucket, candidates equi-join on the
+    * bucket key and the exact predicate filters within. One
+    * partitioned equi-join at any scale; pick `bucketWidth` near the
+    * median interval length so fan-out and bucket occupancy stay
+    * balanced. Returns point rows joined to every containing
+    * interval. */
+  def rangeJoin(points: DataFrame, intervals: DataFrame, v: String,
+                lo: String, hi: String, bucketWidth: Double)
+      : DataFrame = {
+    require(bucketWidth > 0, "positive bucket width")
+    val ivB = intervals.withColumn("_b", explode(sequence(
+      floor(col(lo) / bucketWidth).cast("long"),
+      floor(col(hi) / bucketWidth).cast("long"))))
+    val ptB = points.withColumn("_b",
+      floor(col(v) / bucketWidth).cast("long"))
+    ptB.join(ivB, "_b")
+      .filter(col(v) >= col(lo) && col(v) <= col(hi))
+      .drop("_b")
+  }
+
   def queries: Seq[Q] = Seq(
 
     // P1/P2/P3 — projection, rename, cast. Cast via floor() because DuckDB
@@ -278,6 +305,34 @@ object Relational {
         |SELECT l.event_id, l.user_id, epoch_us(l.ts) AS ts_us, l.value,
         |  r.r_event_id, r.r_value
         |FROM l ASOF LEFT JOIN r
-        |  ON l.user_id = r.user_id AND l.ts >= r.ts""".stripMargin))
+        |  ON l.user_id = r.user_id AND l.ts >= r.ts""".stripMargin)),
+
+    // RANGE join: orders bucketed into overlapping price bands
+    // (width 15000, start step 10000 — a price can land in two bands,
+    // so the multi-match path is genuinely exercised), aggregated per
+    // band. The oracle uses a plain BETWEEN theta join — an
+    // independent formulation of the same semantics.
+    Q("q111_range_join", { t =>
+        val bands = t.spark.range(0, 40)
+          .select(col("id").as("band_id"),
+                  (col("id") * 10000.0).as("lo"),
+                  (col("id") * 10000.0 + 14999.99).as("hi"))
+        val pts = t.orders.select(col("o_orderkey"), col("o_totalprice"))
+        Relational.rangeJoin(pts, bands, v = "o_totalprice",
+                             lo = "lo", hi = "hi", bucketWidth = 5000.0)
+          .groupBy("band_id")
+          .agg(count(lit(1)).as("n"),
+               Qh.dsum(col("o_totalprice")).as("sum_price"))
+      },
+      Some(s"""WITH bands AS (
+        |  SELECT i AS band_id, i * 10000.0 AS lo,
+        |    i * 10000.0 + 14999.99 AS hi
+        |  FROM UNNEST(generate_series(0, 39)) t(i)
+        |)
+        |SELECT band_id, COUNT(*) AS n,
+        |  ${Qh.sqlDsum("o_totalprice")} AS sum_price
+        |FROM orders JOIN bands
+        |  ON o_totalprice >= lo AND o_totalprice <= hi
+        |GROUP BY 1""".stripMargin))
   )
 }

@@ -243,6 +243,20 @@ class PlanSpec extends SparkSpec {
            s"as-of must not plan a join operator:\n$plan")
   }
 
+  test("range join plans an equi-join on the bucket, not a nested loop") {
+    val pts = t.orders.select(col("o_orderkey"), col("o_totalprice"))
+    val bands = spark.range(0, 40)
+      .select(col("id").as("band_id"), (col("id") * 10000.0).as("lo"),
+              (col("id") * 10000.0 + 14999.99).as("hi"))
+    val q = graft.operators.Relational.rangeJoin(
+      pts, bands, v = "o_totalprice", lo = "lo", hi = "hi",
+      bucketWidth = 5000.0)
+    val plan = q.queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin") &&
+           !plan.contains("CartesianProduct"),
+           s"range join must not plan a theta join:\n$plan")
+  }
+
   test("stratified sample is a pure scan: no exchange, no aggregate") {
     val q = graft.stats.Stats.stratifiedSample(
       t.documents.select("doc_id", "lang"),

@@ -75,6 +75,19 @@ class StatsSpec extends SparkSpec {
     assert(bins == Map(0 -> 25L, 1 -> 25L, 2 -> 25L, 3 -> 25L))
   }
 
+  test("range join matches every containing interval, boundaries inclusive") {
+    val pts = Seq((1L, 5.0), (2L, 10.0), (3L, 25.0), (4L, 99.0))
+      .toDF("pid", "v")
+    val ivs = Seq((10L, 0.0, 10.0), (11L, 10.0, 20.0), (12L, 24.0, 26.0))
+      .toDF("iid", "lo", "hi")
+    val out = graft.operators.Relational.rangeJoin(
+        pts, ivs, v = "v", lo = "lo", hi = "hi", bucketWidth = 7.0)
+      .select("pid", "iid").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    // 10.0 sits on both band boundaries → two matches; 99 matches none
+    assert(out == Set((1L, 10L), (2L, 10L), (2L, 11L), (3L, 12L)))
+  }
+
   test("as-of join picks the latest right row at-or-before each left row") {
     def t(m: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 10:$m%02d:00")
     val l = Seq((100L, 1L, t(10), "p1"), (101L, 1L, t(30), "p2"),
