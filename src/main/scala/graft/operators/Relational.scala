@@ -333,6 +333,50 @@ object Relational {
         |  ${Qh.sqlDsum("o_totalprice")} AS sum_price
         |FROM orders JOIN bands
         |  ON o_totalprice >= lo AND o_totalprice <= hi
-        |GROUP BY 1""".stripMargin))
+        |GROUP BY 1""".stripMargin)),
+
+    // ROLLUP aggregation: subtotals per (status, priority), per status,
+    // and the grand total in one pass — Catalyst expands the grouping
+    // sets into a single shuffle, no per-level re-scan.
+    Q("q112_rollup",
+      t => t.orders
+        .rollup(col("o_orderstatus"), col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"),
+             Qh.dsum(col("o_totalprice")).as("sum_price")),
+      Some(s"""SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n,
+        |  ${Qh.sqlDsum("o_totalprice")} AS sum_price
+        |FROM orders
+        |GROUP BY ROLLUP (o_orderstatus, o_orderpriority)"""
+        .stripMargin)),
+
+    // Window-function sampler over per-customer order histories: gap
+    // to the previous order (lag), spend rank, percent_rank, and
+    // quartile (ntile) — the analytic windows a reporting workload
+    // leans on, all over ONE partitioned sort.
+    Q("q113_window_funcs", { t =>
+        val w = Window.partitionBy("o_custkey")
+          .orderBy(col("o_orderdate"), col("o_orderkey"))
+        val ws = Window.partitionBy("o_custkey")
+          .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+        t.orders.select(
+          col("o_custkey"), col("o_orderkey"),
+          datediff(col("o_orderdate"),
+                   lag(col("o_orderdate"), 1).over(w)).as("days_since_prev"),
+          row_number().over(ws).as("spend_rank"),
+          round(percent_rank().over(ws), 6).as("spend_pct"),
+          ntile(4).over(ws).as("spend_quartile"))
+      },
+      Some("""SELECT o_custkey, o_orderkey,
+        |  CAST(datediff('day', LAG(o_orderdate, 1) OVER w, o_orderdate)
+        |       AS INT) AS days_since_prev,
+        |  CAST(ROW_NUMBER() OVER ws AS INT) AS spend_rank,
+        |  round(PERCENT_RANK() OVER ws, 6) AS spend_pct,
+        |  CAST(NTILE(4) OVER ws AS INT) AS spend_quartile
+        |FROM orders
+        |WINDOW
+        |  w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey),
+        |  ws AS (PARTITION BY o_custkey
+        |         ORDER BY o_totalprice DESC, o_orderkey)"""
+        .stripMargin))
   )
 }
