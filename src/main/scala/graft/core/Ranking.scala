@@ -35,13 +35,17 @@ import org.apache.spark.sql.types._
   */
 object Ranking {
 
-  /** Adds `rankName` (int, 1-based row_number over the global
-    * `orderCols` order) and `cumName` (running sum of `value` up to and
-    * including the current row in that order). */
+  /** Adds `rankName` (long, 1-based row_number over the global
+    * `orderCols` order — long, not int: the whole point of this helper
+    * is corpus-sized axes, where 2³¹ rows is reachable) and `cumName`
+    * (running sum of `value` up to and including the current row in
+    * that order). */
   def withGlobalRankAndCumSum(df: DataFrame, orderCols: Seq[Column],
                               value: Column, rankName: String,
                               cumName: String): DataFrame = {
     val spark = df.sparkSession
+    require(!df.columns.contains("_v"),
+      "input must not carry a column named _v (internal scratch name)")
     val integral = df.withColumn("_v", value).schema("_v").dataType match {
       case ByteType | ShortType | IntegerType | LongType => true
       case _ => false
@@ -79,7 +83,7 @@ object Ranking {
       .filterNot(_._1.name == "_v").map(_._2)
     val outSchema = StructType(
       keepIdx.map(ranged.schema.fields(_)) :+
-      StructField(rankName, IntegerType, nullable = false) :+
+      StructField(rankName, LongType, nullable = false) :+
       StructField(cumName, if (integral) LongType else DoubleType,
                   nullable = false))
     val rows = ranged.rdd.mapPartitionsWithIndex { (pid, it) =>
@@ -90,7 +94,7 @@ object Ranking {
           if (integral) cl += r.getLong(vIdx) else cd += r.getDouble(vIdx)
         }
         val cum: Any = if (integral) cl else cd
-        Row.fromSeq(keepIdx.map(r.get).toSeq :+ rn.toInt :+ cum)
+        Row.fromSeq(keepIdx.map(r.get).toSeq :+ rn :+ cum)
       }
     }
     spark.createDataFrame(rows, outSchema)

@@ -178,18 +178,21 @@ object Dedup {
     * DataFrame form of the doubling scheme in Kiveris et al.,
     * "Connected Components in MapReduce and Beyond" (SoCC '14).
     *
-    * Scale shape: labels and edges stay partitioned by node id end to
-    * end; per round the driver sees ONE scalar (the label sum —
-    * labels only ever decrease, so an unchanged sum proves a fixed
-    * point, no change-count join needed). Each round's label frame is
-    * `localCheckpoint`ed: persist alone is NOT enough for an iterative
-    * DataFrame — the jump self-join references the previous round's
-    * plan twice, so the logical plan doubles per round and Catalyst
+    * Scale shape: the loop runs on co-partitioned keyed RDDs (the
+    * model-tier convention, Models.bprEpoch) — labels and edges share
+    * one HashPartitioner, so the per-round joins reuse the
+    * partitioning; per round the driver sees ONE scalar (the label
+    * sum — labels only ever decrease, so an unchanged sum proves a
+    * fixed point, no change-count join needed). RDDs, not DataFrames,
+    * deliberately: the jump self-join references the previous round
+    * twice, and in Catalyst that doubles the logical PLAN per round —
     * analysis goes exponential (measured: 280 s for a 200-node graph
-    * at round 30 vs milliseconds with truncation). localCheckpoint
-    * trades executor-loss recoverability for a constant-size plan; a
-    * long-lived production job would point `checkpoint` at reliable
-    * storage instead, same shape.
+    * vs milliseconds here); an RDD DAG shares the node instead. Each
+    * round persists its label RDD and explicitly unpersists the
+    * previous one, so executor storage is bounded at two label tables
+    * regardless of round count. Throws IllegalStateException if
+    * `maxIter` rounds don't converge — silent under-merging would leak
+    * duplicates into a training corpus.
     *
     * Returns (node, cluster) with cluster = the component's minimum
     * node id — which IS the canonical document under the reference's
@@ -197,6 +200,10 @@ object Dedup {
     * from `pairs` are singletons and are not returned.
     */
   def connectedComponents(pairs: DataFrame, maxIter: Int = 30): DataFrame = {
+    import org.apache.spark.HashPartitioner
+    import org.apache.spark.rdd.RDD
+    import org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val spark = pairs.sparkSession
     // the symmetrization union references the pair input TWICE, and
     // exchange reuse does not fire across union branches — persist the
     // input once so an expensive upstream (an LSH+verify chain) is not
@@ -204,46 +211,68 @@ object Dedup {
     val p = graft.core.CacheScope.persist(
       pairs.select(col("a").cast("long").as("a"),
                    col("b").cast("long").as("b")))
-    val edges = graft.core.CacheScope.persist(
-      p.select(col("a").as("src"), col("b").as("dst"))
-        .unionByName(p.select(col("b").as("src"), col("a").as("dst")))
-        .distinct())
-    // exact decimal sum: overflow-safe for arbitrary long ids
-    def labelSum(df: DataFrame): java.math.BigDecimal = {
-      val s = df.agg(sum(col("label").cast("decimal(38,0)"))).head()
-      if (s.isNullAt(0)) java.math.BigDecimal.ZERO else s.getDecimal(0)
-    }
-    var labels = edges.select(col("src").as("node")).distinct()
-      .withColumn("label", col("node"))
-      .localCheckpoint()
+    val edgesDf = p.select(col("a").as("src"), col("b").as("dst"))
+      .unionByName(p.select(col("b").as("src"), col("a").as("dst")))
+      .distinct()
+    val part = new HashPartitioner(
+      spark.sessionState.conf.numShufflePartitions)
+    val edges = edgesDf.rdd.map(r => (r.getLong(0), r.getLong(1)))
+      .partitionBy(part).persist(MEMORY_AND_DISK)
+    // BigInt sum: overflow-safe for arbitrary long ids, one scalar to
+    // the driver per round
+    def labelSum(l: RDD[(Long, Long)]): BigInt =
+      l.aggregate(BigInt(0))((acc, kv) => acc + kv._2, _ + _)
+    var labels: RDD[(Long, Long)] = edges
+      .mapValues(_ => 0L).reduceByKey(part, (a, _) => a)
+      .mapPartitions(_.map { case (n, _) => (n, n) },
+                     preservesPartitioning = true)
+      .persist(MEMORY_AND_DISK)
     var prevSum = labelSum(labels)
     var converged = false
     var iter = 0
     while (!converged && iter < maxIter) {
-      val nbrMin = edges
-        .join(labels.withColumnRenamed("node", "src"), "src")
-        .groupBy(col("dst").as("node"))
-        .agg(min("label").as("nl"))
-      val prop = labels.join(nbrMin, Seq("node"), "left")
-        .select(col("node"),
-                least(col("label"),
-                      coalesce(col("nl"), col("label"))).as("label"))
-      // label(v) is always a node id of the same component, so the
-      // jump target row exists; coalesce only guards the self-row
-      val jumped = prop
-        .join(prop.select(col("node").as("label"), col("label").as("ll")),
-              Seq("label"), "left")
-        .select(col("node"), coalesce(col("ll"), col("label")).as("label"))
-      val next = jumped.localCheckpoint() // eager: truncates the plan
-      val s = labelSum(next)
+      val nbrMin = edges.join(labels)
+        .map { case (_, (dst, l)) => (dst, l) }
+        .reduceByKey(part, (a: Long, b: Long) => math.min(a, b))
+      val prop = labels.leftOuterJoin(nbrMin)
+        .mapValues { case (l, nl) => math.min(l, nl.getOrElse(l)) }
+        .persist(MEMORY_AND_DISK) // read twice by the jump below
+      // pointer jump: label ← label(label). label(v) is always a node
+      // id of the same component, so the jump target row exists;
+      // getOrElse only guards the self-row
+      val next = prop.map { case (n, l) => (l, n) }
+        .leftOuterJoin(prop)
+        .map { case (l, (n, ll)) => (n, ll.getOrElse(l)) }
+        .partitionBy(part)
+        .persist(MEMORY_AND_DISK)
+      val s = labelSum(next) // materializes next
+      prop.unpersist(false)
+      labels.unpersist(false)
       labels = next
-      converged = s.compareTo(prevSum) == 0
+      converged = s == prevSum
       prevSum = s
       iter += 1
     }
-    val out = labels.select(col("node"), col("label").as("cluster"))
+    if (!converged) {
+      labels.unpersist(false)
+      edges.unpersist(false)
+      throw new IllegalStateException(
+        s"connectedComponents did not converge in $maxIter rounds — " +
+        "raise maxIter (rounds needed ≈ log2 of the component diameter)")
+    }
     edges.unpersist(false)
-    out
+    // final labels stay cached for the caller's consumption; scope
+    // release (CacheScope) frees them with the enclosing query
+    // (re-persist at the same level is a no-op — this just registers
+    // the release callback)
+    graft.core.CacheScope.current.persistRdd(labels)
+    spark.createDataFrame(
+      labels.map { case (n, c) => org.apache.spark.sql.Row(n, c) },
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("node",
+          org.apache.spark.sql.types.LongType, nullable = false),
+        org.apache.spark.sql.types.StructField("cluster",
+          org.apache.spark.sql.types.LongType, nullable = false))))
   }
 
   /** Multi-probe SimHash pairs — FULL recall at Hamming ≤ maxHamming

@@ -48,13 +48,16 @@ object Relational {
     val rStruct = struct(payload.map(right(_)): _*)
     val lType = left.select(lStruct.as("_l")).schema("_l").dataType
     val rType = right.select(rStruct.as("_r")).schema("_r").dataType
+    // the tie column orders RAW (no numeric cast): a string/UUID id
+    // must keep its values — casting would null them out and silently
+    // break the deterministic-total-order contract
     val lTagged = left.select(
       left(key).as("_k"), left(ts).as("_ts"), lit(1).as("_side"),
-      left(tie).cast("long").as("_tie"), lStruct.as("_l"),
+      left(tie).as("_tie"), lStruct.as("_l"),
       lit(null).cast(rType).as("_r"))
     val rTagged = right.select(
       right(key).as("_k"), right(ts).as("_ts"), lit(0).as("_side"),
-      right(tie).cast("long").as("_tie"),
+      right(tie).as("_tie"),
       lit(null).cast(lType).as("_l"), rStruct.as("_r"))
     val w = Window.partitionBy("_k")
       .orderBy(col("_ts"), col("_side"), col("_tie"))

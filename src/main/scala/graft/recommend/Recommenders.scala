@@ -93,7 +93,10 @@ object Recommenders {
     // tiny aggregate over the already-persisted item-degree table.
     val summed =
       if (alpha == 1.0) {
-        val maxDeg = itemDeg.agg(max("ni")).head().getLong(0)
+        // coalesce: max over an EMPTY URM is null — degrade to the
+        // fixed-point fast path (vacuously safe), don't NPE
+        val maxDeg =
+          itemDeg.agg(coalesce(max("ni"), lit(0L))).head().getLong(0)
         if (maxDeg <= 9000000L)
           pairsByUser
             .groupBy(col("i1").as("i"), col("i2").as("j"))

@@ -3,6 +3,7 @@ package graft.stats
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
+import graft.core.CacheScope
 
 /** Distribution analytics (SURVEY.md §2.4): Gini concentration,
   * cumulative-coverage percentiles, histograms, pivot heatmaps,
@@ -134,13 +135,17 @@ object Stats {
 
   /** Keep only rows inside their group's [lo, hi] percentile band of
     * `value`. Bounds are #groups rows — always broadcastable — so the
-    * trim is scan + broadcast join at any corpus size. */
-  def quantileTrim(df: DataFrame, group: Column, value: Column,
-                   lo: Double, hi: Double): DataFrame =
+    * trim is scan + broadcast join at any corpus size. The input feeds
+    * both the bounds aggregate and the filtered scan, so it is
+    * persisted once (the repo's multi-consumer discipline). */
+  def quantileTrim(df0: DataFrame, group: Column, value: Column,
+                   lo: Double, hi: Double): DataFrame = {
+    val df = CacheScope.persist(df0)
     df.join(broadcast(quantileBounds(df, group, value, lo, hi)),
             group === col("g"))
       .filter(value >= col("p_lo") && value <= col("p_hi"))
       .drop("g", "p_lo", "p_hi")
+  }
 
   /** Equi-depth histogram (quantile binning): `nBins` bins bounded by
     * the exact (nBins−1) interior percentiles of `value`; a row's bin
@@ -148,9 +153,11 @@ object Stats {
     * bucketing twin of the equi-width [[histogram]]: one percentile
     * aggregate (a scalar row, broadcast) + one scan — two stages at
     * any size. */
-  def equidepthHistogram(df: DataFrame, value: Column, nBins: Int)
+  def equidepthHistogram(df0: DataFrame, value: Column, nBins: Int)
       : DataFrame = {
     require(nBins >= 2, "need at least two bins")
+    // the input feeds the edge aggregate AND the binning scan
+    val df = CacheScope.persist(df0)
     val edgeExprs = (1 until nBins).map(i =>
       percentile(value, lit(i.toDouble / nBins)).as(s"e$i"))
     val edges = df.agg(edgeExprs.head, edgeExprs.tail: _*)

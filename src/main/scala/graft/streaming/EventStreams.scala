@@ -97,11 +97,15 @@ object EventStreams {
     * of the batch join-aggregate: at 100 TB/day the only stateful
     * stage is the windowed aggregate, bounded by the watermark. */
   def enrichedWindowedAgg(events: DataFrame, dim: DataFrame,
-                          key: String, segment: String): DataFrame =
+                          key: String, segment: String,
+                          tsCol: String = "ts",
+                          valueCol: String = "value",
+                          windowLen: String = "1 hour",
+                          watermark: String = "2 hours"): DataFrame =
     events.join(broadcast(dim), Seq(key), "left")
-      .withWatermark("ts", "2 hours")
-      .groupBy(window(col("ts"), "1 hour"), col(segment))
-      .agg(count(lit(1)).as("n"), sum("value").as("sum_value"))
+      .withWatermark(tsCol, watermark)
+      .groupBy(window(col(tsCol), windowLen), col(segment))
+      .agg(count(lit(1)).as("n"), sum(valueCol).as("sum_value"))
       .select(col("window.start").as("wstart"), col(segment),
               col("n"), col("sum_value"))
 

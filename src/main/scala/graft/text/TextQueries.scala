@@ -336,7 +336,7 @@ object TextQueries {
         |  FROM documents
         |), ordered AS (
         |  SELECT doc_id, CAST(n_tokens AS INT) AS n_tokens,
-        |    CAST(ROW_NUMBER() OVER w AS INT) AS pos,
+        |    CAST(ROW_NUMBER() OVER w AS BIGINT) AS pos,
         |    CAST(SUM(n_tokens) OVER w AS BIGINT) AS cum
         |  FROM counted WINDOW w AS (ORDER BY h, doc_id)
         |)

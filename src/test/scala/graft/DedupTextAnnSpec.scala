@@ -80,7 +80,7 @@ class DedupTextAnnSpec extends SparkSpec {
     assert(packed.map(_.getAs[Long]("offset")).toSeq == Seq(0L, 4L, 3L))
     assert(packed.map(_.getAs[Long]("seq_id")).toSeq == Seq(0L, 0L, 1L))
     // ranks are a permutation and the cumsum is order-consistent
-    assert(packed.map(_.getAs[Int]("pos")).toSeq == Seq(1, 2, 3))
+    assert(packed.map(_.getAs[Long]("pos")).toSeq == Seq(1L, 2L, 3L))
   }
 
   test("chunking windows the token stream with stride and remainder") {

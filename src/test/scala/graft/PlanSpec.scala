@@ -108,10 +108,12 @@ class PlanSpec extends SparkSpec {
       .map { case (c, k) => (k, c) }.toDF("k", "c")
     val byWindow = counts.withColumn("r", row_number().over(
         org.apache.spark.sql.expressions.Window.orderBy("c", "k")))
-      .select("k", "r").collect().map(r => (r.getInt(0), r.getInt(1))).toMap
+      .select("k", "r").collect()
+      .map(r => (r.getInt(0), r.getInt(1).toLong)).toMap
     val twoPass = graft.core.Ranking
       .withGlobalRank(counts, Seq(col("c"), col("k")), "r")
-      .select("k", "r").collect().map(r => (r.getInt(0), r.getInt(1))).toMap
+      .select("k", "r").collect()
+      .map(r => (r.getInt(0), r.getLong(1))).toMap
     assert(twoPass == byWindow, "two-pass rank must equal the window rank")
     // ...and the gini plan carries NO window operator at all: the rank
     // is a per-partition sequential pass over the range-partitioned

@@ -113,8 +113,8 @@ class SplitsSpec extends SparkSpec {
   test("denseIndex maps distinct ids to contiguous sorted [0, n)") {
     val ids = Seq(50L, 7L, 7L, 999L, 0L, 50L).toDF("raw")
     val m = Urm.denseIndex(ids, col("raw")).collect()
-      .map(r => r.getLong(0) -> r.getInt(1)).toMap
-    assert(m == Map(0L -> 0, 7L -> 1, 50L -> 2, 999L -> 3))
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(m == Map(0L -> 0L, 7L -> 1L, 50L -> 2L, 999L -> 3L))
   }
 
   test("overlapCells flags constructed overlap and passes disjoint") {
