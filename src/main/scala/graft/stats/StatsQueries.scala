@@ -120,6 +120,17 @@ object StatsQueries {
         |      ELSE ${Stats.rateThreshold(0.25)}
         |    END""".stripMargin)),
 
+    // Mergeable HLL distinct sketches: distinct users per event type
+    // plus the sketch-UNION global row. No DuckDB twin exists for the
+    // DataSketches binary format, so the gate is rows-only; the
+    // accuracy contract (estimate within 5% of exact, union ≥ max
+    // part) is pinned by the StatsSpec fixture.
+    Q("q114_hll_sketch",
+      t => Stats.distinctSketch(t.events, col("event_type"),
+                                col("user_id"))
+        .select(col("g"), col("est"), col("exact")),
+      None),
+
     // Equi-depth histogram: document lengths quantile-binned into 4
     // equal-mass buckets (exact interpolated edges; bin = #edges below
     // the value, so edge ties resolve identically in both engines).

@@ -67,6 +67,25 @@ class StatsSpec extends SparkSpec {
     assert(trimmed.count(_.getString(0) == "g2") == 1)
   }
 
+  test("HLL sketches estimate within 5% and union-merge across groups") {
+    val df = (0 until 5000).map(i => (s"g${i % 3}", (i % 1700).toLong))
+      .toDF("grp", "uid")
+    val rows = Stats.distinctSketch(df, col("grp"), col("uid"))
+      .collect()
+      .map(r => r.getString(0) ->
+        (r.getAs[Long]("est"), r.getAs[Long]("exact"))).toMap
+    rows.foreach { case (g, (est, exact)) =>
+      assert(math.abs(est - exact).toDouble / exact < 0.05,
+        s"$g: estimate $est drifted >5% from exact $exact")
+    }
+    // the global row is a sketch UNION, not a rescan — it must cover
+    // at least the largest part and at most the sum of parts
+    val (totalEst, totalExact) = rows("__total__")
+    assert(totalExact == 1700L)
+    val parts = (rows - "__total__").values.map(_._1)
+    assert(totalEst >= parts.max && totalEst <= (parts.sum * 1.05).toLong)
+  }
+
   test("equi-depth bins split 1..100 into four quarters") {
     val df = (1 to 100).map(v => Tuple1(v)).toDF("v")
     val bins = Stats.equidepthHistogram(df, col("v"), 4).collect()
