@@ -216,17 +216,24 @@ object Dedup {
       .distinct()
     val part = new HashPartitioner(
       spark.sessionState.conf.numShufflePartitions)
-    val edges = edgesDf.rdd.map(r => (r.getLong(0), r.getLong(1)))
-      .partitionBy(part).persist(MEMORY_AND_DISK)
+    // every persist ALSO registers with the current CacheScope: the
+    // eager per-round unpersists below bound storage on the happy
+    // path, and scope release sweeps whatever a mid-loop failure
+    // leaves behind (unpersisting twice is a Spark no-op)
+    def tracked[T](rdd: org.apache.spark.rdd.RDD[T])
+        : org.apache.spark.rdd.RDD[T] =
+      graft.core.CacheScope.current.persistRdd(rdd, MEMORY_AND_DISK)
+    val edges = tracked(
+      edgesDf.rdd.map(r => (r.getLong(0), r.getLong(1)))
+        .partitionBy(part))
     // BigInt sum: overflow-safe for arbitrary long ids, one scalar to
     // the driver per round
     def labelSum(l: RDD[(Long, Long)]): BigInt =
       l.aggregate(BigInt(0))((acc, kv) => acc + kv._2, _ + _)
-    var labels: RDD[(Long, Long)] = edges
+    var labels: RDD[(Long, Long)] = tracked(edges
       .mapValues(_ => 0L).reduceByKey(part, (a, _) => a)
       .mapPartitions(_.map { case (n, _) => (n, n) },
-                     preservesPartitioning = true)
-      .persist(MEMORY_AND_DISK)
+                     preservesPartitioning = true))
     var prevSum = labelSum(labels)
     var converged = false
     var iter = 0
@@ -234,17 +241,16 @@ object Dedup {
       val nbrMin = edges.join(labels)
         .map { case (_, (dst, l)) => (dst, l) }
         .reduceByKey(part, (a: Long, b: Long) => math.min(a, b))
-      val prop = labels.leftOuterJoin(nbrMin)
-        .mapValues { case (l, nl) => math.min(l, nl.getOrElse(l)) }
-        .persist(MEMORY_AND_DISK) // read twice by the jump below
+      val prop = tracked(labels.leftOuterJoin(nbrMin)
+        .mapValues { case (l, nl) => math.min(l, nl.getOrElse(l)) })
+      // ^ read twice by the jump below
       // pointer jump: label ← label(label). label(v) is always a node
       // id of the same component, so the jump target row exists;
       // getOrElse only guards the self-row
-      val next = prop.map { case (n, l) => (l, n) }
+      val next = tracked(prop.map { case (n, l) => (l, n) }
         .leftOuterJoin(prop)
         .map { case (l, (n, ll)) => (n, ll.getOrElse(l)) }
-        .partitionBy(part)
-        .persist(MEMORY_AND_DISK)
+        .partitionBy(part))
       val s = labelSum(next) // materializes next
       prop.unpersist(false)
       labels.unpersist(false)
@@ -261,11 +267,8 @@ object Dedup {
         "raise maxIter (rounds needed ≈ log2 of the component diameter)")
     }
     edges.unpersist(false)
-    // final labels stay cached for the caller's consumption; scope
-    // release (CacheScope) frees them with the enclosing query
-    // (re-persist at the same level is a no-op — this just registers
-    // the release callback)
-    graft.core.CacheScope.current.persistRdd(labels)
+    // final labels stay cached (scope-tracked) for the caller's
+    // consumption; scope release frees them with the enclosing query
     spark.createDataFrame(
       labels.map { case (n, c) => org.apache.spark.sql.Row(n, c) },
       org.apache.spark.sql.types.StructType(Seq(

@@ -48,6 +48,14 @@ object Relational {
     val rStruct = struct(payload.map(right(_)): _*)
     val lType = left.select(lStruct.as("_l")).schema("_l").dataType
     val rType = right.select(rStruct.as("_r")).schema("_r").dataType
+    // mismatched tie types would be resolved by silent union coercion
+    // (long + string → string, lexicographic tie order) — reject them
+    val lTie = left.select(left(tie).as("_t")).schema("_t").dataType
+    val rTie = right.select(right(tie).as("_t")).schema("_t").dataType
+    require(lTie == rTie,
+      s"tie column '$tie' must have the same type on both inputs " +
+      s"(left: $lTie, right: $rTie) — union coercion would silently " +
+      "change the tie order")
     // the tie column orders RAW (no numeric cast): a string/UUID id
     // must keep its values — casting would null them out and silently
     // break the deterministic-total-order contract

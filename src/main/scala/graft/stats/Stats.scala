@@ -179,23 +179,26 @@ object Stats {
     * users per day → per month" into a byte-blob merge instead of a
     * 100 TB re-aggregation. Built on Spark's Apache DataSketches
     * functions; estimates are within ~1.6% (lgK 12) of exact. */
-  def distinctSketch(df0: DataFrame, group: Column, key: Column)
+  def distinctSketch(df: DataFrame, group: Column, key: Column)
       : DataFrame = {
-    val df = CacheScope.persist(df0)
+    // ONE scan, ONE aggregate — no exact countDistinct anywhere: the
+    // whole point of the sketch is to never pay the exact-distinct
+    // shuffle (accuracy is pinned by the StatsSpec fixture, which
+    // computes its own exact yardstick)
     val perGroup = CacheScope.persist(
       df.groupBy(group.as("g"))
-        .agg(hll_sketch_agg(key).as("sk"),
-             countDistinct(key).as("exact")))
+        .agg(hll_sketch_agg(key).as("sk")))
     // the global row comes from MERGING the per-group sketches — the
-    // mergeability property itself, not a rescan of the raw data
-    // (exact global distinct joins in only as the fixture's yardstick)
+    // mergeability property itself, not a rescan of the raw data. It
+    // is flagged by `is_total` (g = null), never by a sentinel value
+    // that could collide with a real group.
     val total = perGroup
       .agg(hll_sketch_estimate(hll_union_agg(col("sk"))).as("est"))
-      .crossJoin(df.agg(countDistinct(key).as("exact")))
-      .select(lit("__total__").as("g"), col("est"), col("exact"))
+      .select(lit(null).cast(perGroup.schema("g").dataType).as("g"),
+              lit(true).as("is_total"), col("est"))
     perGroup
-      .select(col("g"), hll_sketch_estimate(col("sk")).as("est"),
-              col("exact"))
+      .select(col("g"), lit(false).as("is_total"),
+              hll_sketch_estimate(col("sk")).as("est"))
       .unionByName(total)
   }
 

@@ -121,14 +121,13 @@ object StatsQueries {
         |    END""".stripMargin)),
 
     // Mergeable HLL distinct sketches: distinct users per event type
-    // plus the sketch-UNION global row. No DuckDB twin exists for the
-    // DataSketches binary format, so the gate is rows-only; the
-    // accuracy contract (estimate within 5% of exact, union ≥ max
-    // part) is pinned by the StatsSpec fixture.
+    // plus the sketch-UNION global row (is_total). No DuckDB twin
+    // exists for the DataSketches binary format, so the gate is
+    // rows-only; the accuracy contract (estimate within 5% of exact,
+    // union bounded by its parts) is pinned by the StatsSpec fixture.
     Q("q114_hll_sketch",
       t => Stats.distinctSketch(t.events, col("event_type"),
-                                col("user_id"))
-        .select(col("g"), col("est"), col("exact")),
+                                col("user_id")),
       None),
 
     // Equi-depth histogram: document lengths quantile-binned into 4
