@@ -137,6 +137,14 @@ class DedupTextAnnSpec extends SparkSpec {
     assert(Dedup.connectedComponents(empty).isEmpty)
   }
 
+  test("connected components throws rather than under-merge on iteration cap") {
+    val chain = (0L until 99L).map(i => (i, i + 1)).toDF("a", "b")
+    val e = intercept[IllegalStateException] {
+      Dedup.connectedComponents(chain, maxIter = 2).collect()
+    }
+    assert(e.getMessage.contains("did not converge"))
+  }
+
   test("LSH bucket-size cap drops oversized buckets only") {
     val dt = Dedup.docTokens(docs, col("doc_id"), col("text"))
     val sigs = Dedup.minhashSignatures(dt, 6)
