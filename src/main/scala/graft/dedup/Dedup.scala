@@ -161,6 +161,26 @@ object Dedup {
       .select("a", "b", "hamming")
   }
 
+  /** Cross-corpus deduplication: drop every document of `corpus` whose
+    * normalized-text fingerprint appears anywhere in `reference` — the
+    * decontamination step run before training when a corpus may embed
+    * another dataset (an eval benchmark, an earlier snapshot, licensed
+    * content). One md5 per side + a LEFT ANTI join on the hash key:
+    * hash-partitioned both sides, no pairwise anything, and the
+    * reference side reduces to its distinct fingerprints first so the
+    * anti-join probe table is as small as the reference's unique
+    * content. */
+  def crossDedup(corpus: DataFrame, reference: DataFrame,
+                 id: Column, text: Column): DataFrame = {
+    def fp(df: DataFrame, keep: Boolean): DataFrame = {
+      val norm = regexp_replace(lower(trim(text)), "\\s+", " ")
+      if (keep) df.select(id.as("doc_id"), md5(norm).as("h"))
+      else df.select(md5(norm).as("h")).distinct()
+    }
+    fp(corpus, keep = true)
+      .join(fp(reference, keep = false), Seq("h"), "left_anti")
+  }
+
   /** Resolve candidate duplicate PAIRS into duplicate CLUSTERS —
     * distributed connected components over the pair graph, the step a
     * real fuzzy-dedup pipeline needs between LSH candidate generation

@@ -247,6 +247,40 @@ object DedupQueries {
         |  CAST(node = MIN(lab) AS INT) AS keep
         |FROM reach GROUP BY node""".stripMargin)),
 
+    // Cross-corpus decontamination: the corpus (docs ≥ 250 plus
+    // planted verbatim copies of reference docs) anti-joined on
+    // normalized fingerprints against the reference set (docs < 250).
+    // The planted copies (re-id'd +5000) MUST disappear; everything
+    // else survives — both engines compare the surviving id set.
+    Q("q115_cross_dedup", { t =>
+        val reference = t.documents.filter(col("doc_id") < 250)
+          .select(col("doc_id"), col("text"))
+        val corpus = t.documents.filter(col("doc_id") >= 250)
+          .select(col("doc_id"), col("text"))
+          .unionByName(reference.filter(col("doc_id") < 50)
+            .select((col("doc_id") + 5000L).as("doc_id"), col("text")))
+        Dedup.crossDedup(corpus, reference,
+                         col("doc_id"), col("text"))
+          .select("doc_id", "h")
+      },
+      Some("""WITH reference AS (
+        |  SELECT doc_id, text FROM documents WHERE doc_id < 250
+        |), corpus AS (
+        |  SELECT doc_id, text FROM documents WHERE doc_id >= 250
+        |  UNION ALL
+        |  SELECT doc_id + 5000, text FROM documents WHERE doc_id < 50
+        |), cfp AS (
+        |  SELECT doc_id,
+        |    md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS h
+        |  FROM corpus
+        |), rfp AS (
+        |  SELECT DISTINCT
+        |    md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS h
+        |  FROM reference
+        |)
+        |SELECT doc_id, h FROM cfp
+        |WHERE h NOT IN (SELECT h FROM rfp)""".stripMargin)),
+
     // The END-TO-END fuzzy-dedup pipeline in one query: MinHash
     // signatures → LSH banding → exact-Jaccard verification →
     // connected components → keep-one-per-cluster, reported as the
