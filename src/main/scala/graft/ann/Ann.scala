@@ -228,6 +228,26 @@ object Ann {
       .select("qid", "vid", "cos", "rank")
   }
 
+  /** Symmetric int8 quantization of an embedding column: per-vector
+    * scale = max|x|/127, q = round(x/scale) — 4× smaller storage and
+    * wire volume than float32, the standard compression step before an
+    * ANN index is built over a corpus-scale embedding table. Pure
+    * codegen'd array HOFs (aggregate + transform), scan speed, no
+    * shuffle; dequantization is q·scale. Zero vectors quantize to
+    * zeros (scale 0 sentinel). */
+  def quantizeInt8(vectors: DataFrame, id: Column, emb: Column)
+      : DataFrame =
+    vectors
+      .withColumn("_ma", aggregate(emb, lit(0.0d),
+        (a, x) => greatest(a, abs(x.cast("double")))))
+      .select(
+        id.as("id"),
+        (col("_ma") / 127.0).as("scale"),
+        transform(emb, x =>
+          when(col("_ma") === 0.0, lit(0))
+            .otherwise(round(x.cast("double") / (col("_ma") / 127.0)))
+            .cast("byte")).as("q"))
+
   /** Embedding-cosine near-duplicate pairs (all-pairs within LSH buckets,
     * cosine above threshold) — the embedding leg of the dedup suite. */
   def cosineNearDupPairs(vectors: DataFrame, planes: DataFrame,

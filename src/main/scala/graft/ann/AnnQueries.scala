@@ -260,6 +260,27 @@ object AnnQueries {
         |  FROM cos) r
         |WHERE rank <= 3""".stripMargin)),
 
+    // Symmetric int8 quantization of the embedding table: per-vector
+    // scale (max|x|/127, exact float→double arithmetic — no sums) and
+    // the quantized byte array. round() is half-away-from-zero in both
+    // engines, so the arrays compare exactly.
+    Q("q116_embedding_quantize",
+      t => Ann.quantizeInt8(t.embeddings, col("vec_id"),
+                            col("embedding"))
+        .select(col("id"), round(col("scale"), 9).as("scale"), col("q")),
+      Some("""WITH m AS (
+        |  SELECT vec_id AS id, embedding,
+        |    list_max(list_transform(embedding,
+        |      x -> abs(CAST(x AS DOUBLE)))) AS ma
+        |  FROM embeddings
+        |)
+        |SELECT id, round(ma / 127.0, 9) AS scale,
+        |  list_transform(embedding, x ->
+        |    CAST(CASE WHEN ma = 0 THEN 0
+        |         ELSE round(CAST(x AS DOUBLE) / (ma / 127.0))
+        |         END AS TINYINT)) AS q
+        |FROM m""".stripMargin)),
+
     // One distributed k-means (Lloyd) centroid-update step over the
     // embedding corpus: assign every vector to its nearest of 16
     // hash-sampled centroids, then recompute each cell's per-dimension

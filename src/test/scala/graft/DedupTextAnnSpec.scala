@@ -96,6 +96,24 @@ class DedupTextAnnSpec extends SparkSpec {
       Seq(4, 4, 4, 1))
   }
 
+  test("int8 quantization round-trips within half a scale step") {
+    val vecs = Seq(
+      (1L, Array(0.5f, -1.0f, 0.25f, 0.0f)),
+      (2L, Array(0.0f, 0.0f, 0.0f, 0.0f))) // zero vector → zeros
+      .toDF("vec_id", "embedding")
+    val out = Ann.quantizeInt8(vecs, col("vec_id"), col("embedding"))
+      .collect().map(r => r.getLong(0) ->
+        (r.getDouble(1), r.getSeq[Byte](2))).toMap
+    val (s1, q1) = out(1L)
+    assert(math.abs(s1 - 1.0 / 127) < 1e-12)
+    // dequantize: every element within scale/2 of the original
+    Seq(0.5f, -1.0f, 0.25f, 0.0f).zip(q1).foreach { case (x, q) =>
+      assert(math.abs(q * s1 - x) <= s1 / 2 + 1e-12)
+    }
+    assert(q1(1) == -127) // max-magnitude element hits the rail exactly
+    assert(out(2L)._2.forall(_ == 0) && out(2L)._1 == 0.0)
+  }
+
   test("composite quality filter attributes each drop to its rule") {
     val corpus = Seq(
       (0L, (1 to 30).map(i => s"tok$i").mkString(" ")), // passes all
