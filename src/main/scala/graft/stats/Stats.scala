@@ -122,6 +122,29 @@ object Stats {
   /** A sampling rate as an exact 32-bit integer threshold. */
   def rateThreshold(rate: Double): Long = (rate * 4294967296.0).toLong
 
+  /** Weighted sampling WITHOUT replacement, k per stratum — the
+    * Efraimidis–Spirakis A-Res scheme: each row draws u ∈ (0,1) and the
+    * k rows with the largest u^(1/w) win, which selects with
+    * probability proportional to `weight` (token-budget-proportional
+    * corpus sampling). One scan + one per-stratum top-k window — no
+    * global state, no rejection loop.
+    *
+    * Randomness is md5(id) (seedless-reproducible, like
+    * [[stratifiedSample]]): u = (first 52 hash bits + ½)/2⁵², ranked by
+    * ln(u)/w (monotone in u^(1/w)), rounded to 6 with an id tie-break
+    * so any engine ranks identically. */
+  def weightedSample(df: DataFrame, id: Column, stratum: Column,
+                     weight: Column, k: Int): DataFrame = {
+    val u = (conv(substring(md5(id.cast("string")), 1, 13), 16, 10)
+               .cast("double") + 0.5) / 4503599627370496.0 // 2^52
+    val key = round(log(u) / weight, 6)
+    val w = Window.partitionBy(stratum).orderBy(col("_key").desc, id)
+    df.withColumn("_key", key)
+      .withColumn("_rk", row_number().over(w))
+      .filter(col("_rk") <= k)
+      .drop("_key", "_rk")
+  }
+
   /** Per-group percentile band of `value`: exact linear-interpolation
     * percentiles (Spark's `percentile` — same definition as SQL
     * `quantile_cont`), one grouped aggregate, #groups output rows.

@@ -120,6 +120,29 @@ object StatsQueries {
         |      ELSE ${Stats.rateThreshold(0.25)}
         |    END""".stripMargin)),
 
+    // Weighted sampling without replacement (A-Res): 20 docs per
+    // language, selection probability ∝ document length. The sample
+    // itself is compared across engines — deterministic md5 draws,
+    // identical rounded sort keys, id tie-break.
+    Q("q117_weighted_sample",
+      t => Stats.weightedSample(
+          t.documents.select("doc_id", "lang", "n_chars"),
+          col("doc_id"), col("lang"), col("n_chars"), k = 20)
+        .select("doc_id", "lang", "n_chars"),
+      Some("""WITH keyed AS (
+        |  SELECT doc_id, lang, n_chars,
+        |    round(ln((('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 13))
+        |              ::BIGINT + 0.5) / 4503599627370496.0)
+        |          / n_chars, 6) AS key
+        |  FROM documents
+        |)
+        |SELECT doc_id, lang, n_chars FROM (
+        |  SELECT doc_id, lang, n_chars,
+        |    ROW_NUMBER() OVER (PARTITION BY lang
+        |      ORDER BY key DESC, doc_id) AS rk
+        |  FROM keyed) t
+        |WHERE rk <= 20""".stripMargin)),
+
     // Mergeable HLL distinct sketches: distinct users per event type
     // plus the sketch-UNION global row (is_total). No DuckDB twin
     // exists for the DataSketches binary format, so the gate is

@@ -92,6 +92,22 @@ class StatsSpec extends SparkSpec {
     assert(totalEst >= parts.max && totalEst <= (parts.sum * 1.05).toLong)
   }
 
+  test("weighted sample favors heavy rows and is reproducible") {
+    // 1000 weight-1 rows vs 10 weight-1000 rows: A-Res should pick
+    // mostly heavy rows into a k=10 sample (md5 draws → deterministic)
+    val df = ((0L until 1000L).map(i => (i, "s", 1L)) ++
+              (2000L until 2010L).map(i => (i, "s", 1000L)))
+      .toDF("id", "g", "w")
+    val pick = Stats.weightedSample(df, col("id"), col("g"), col("w"), 10)
+      .collect().map(_.getLong(0)).toSet
+    assert(pick.size == 10)
+    val heavy = pick.count(_ >= 2000L)
+    assert(heavy >= 7, s"expected mostly heavy rows, got $heavy/10")
+    val again = Stats.weightedSample(df, col("id"), col("g"), col("w"), 10)
+      .collect().map(_.getLong(0)).toSet
+    assert(again == pick) // seedless reproducibility
+  }
+
   test("equi-depth bins split 1..100 into four quarters") {
     val df = (1 to 100).map(v => Tuple1(v)).toDF("v")
     val bins = Stats.equidepthHistogram(df, col("v"), 4).collect()
