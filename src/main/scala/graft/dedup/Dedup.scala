@@ -98,6 +98,26 @@ object Dedup {
                (col("na") + col("nb") - col("inter"))).as("jaccard"))
   }
 
+  /** One-sided CONTAINMENT for candidate pairs: |A∩B| / min(|A|,|B|) —
+    * the asymmetric overlap that catches subset duplicates Jaccard
+    * misses (a document wholly embedded in a much larger one scores
+    * Jaccard ≈ |A|/|B| → 0 but containment = 1). Same join shape as
+    * [[jaccardForPairs]]. */
+  def containmentForPairs(pairs: DataFrame, docToks: DataFrame)
+      : DataFrame = {
+    val sizes = docToks.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val ta = docToks.select(col("doc_id").as("a"), col("tok"))
+    val tb = docToks.select(col("doc_id").as("b"), col("tok"))
+    val inter = pairs.join(ta, "a").join(tb, Seq("b", "tok"))
+      .groupBy("a", "b").agg(count(lit(1)).as("inter"))
+    inter
+      .join(sizes.select(col("doc_id").as("a"), col("n").as("na")), "a")
+      .join(sizes.select(col("doc_id").as("b"), col("n").as("nb")), "b")
+      .select(col("a"), col("b"),
+              (col("inter").cast("double") /
+               least(col("na"), col("nb"))).as("containment"))
+  }
+
   /** Word n-gram shingles with positions, via a per-document lead window
     * (identical shape in SQL engines — no array lambdas needed). */
   def shingles(docs: DataFrame, id: Column, text: Column, n: Int,

@@ -247,6 +247,63 @@ object DedupQueries {
         |  CAST(node = MIN(lab) AS INT) AS keep
         |FROM reach GROUP BY node""".stripMargin)),
 
+    // Shingle CONTAINMENT (|A∩B|/min sizes): planted SUBSET documents
+    // — each twin keeps only the first half of its source's text — so
+    // pairs where Jaccard stays low but containment approaches 1 are
+    // genuinely produced and compared (the metric that catches a doc
+    // embedded inside a larger one).
+    Q("q118_containment", { t =>
+        val base = t.documents.filter(col("doc_id") < 100)
+          .select(col("doc_id"), col("text"))
+        val docs = base.unionByName(
+          base.select((col("doc_id") + 2000L).as("doc_id"),
+                      substring(col("text"), 1, 120).as("text")))
+        val sh = Dedup.shingles(docs, col("doc_id"), col("text"), 3)
+          .withColumnRenamed("shingle", "tok")
+        val pairs = sh.select(col("doc_id").as("a"))
+          .distinct()
+          .crossJoin(sh.select(col("doc_id").as("b")).distinct())
+          .filter(col("a") < col("b"))
+        Dedup.containmentForPairs(pairs, sh)
+          .filter(col("containment") >= 0.5)
+          .select(col("a"), col("b"),
+                  round(col("containment"), 6).as("containment"))
+      },
+      Some("""WITH corpus AS (
+        |  SELECT doc_id, text FROM documents WHERE doc_id < 100
+        |  UNION ALL
+        |  SELECT doc_id + 2000, substr(text, 1, 120)
+        |  FROM documents WHERE doc_id < 100
+        |), toks AS (
+        |  SELECT doc_id, i AS pos,
+        |    list_extract(string_split_regex(lower(text), '\s+'),
+        |                 CAST(i AS INT)) AS tok
+        |  FROM corpus,
+        |    UNNEST(generate_series(1,
+        |      len(string_split_regex(lower(text), '\s+')))) t(i)
+        |), sh AS (
+        |  SELECT DISTINCT doc_id, tok || ' ' || t1 || ' ' || t2 AS shingle
+        |  FROM (
+        |    SELECT doc_id, tok,
+        |      LEAD(tok, 1) OVER w AS t1, LEAD(tok, 2) OVER w AS t2
+        |    FROM toks WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+        |  ) x WHERE t2 IS NOT NULL
+        |), sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY 1),
+        |inter AS (
+        |  SELECT a.doc_id AS a, b.doc_id AS b, COUNT(*) AS inter
+        |  FROM sh a JOIN sh b ON a.shingle = b.shingle
+        |    AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2
+        |)
+        |SELECT inter.a, inter.b,
+        |  round(CAST(inter AS DOUBLE) / least(sa.n, sb.n), 6)
+        |    AS containment
+        |FROM inter
+        |JOIN sizes sa ON sa.doc_id = inter.a
+        |JOIN sizes sb ON sb.doc_id = inter.b
+        |WHERE CAST(inter AS DOUBLE) / least(sa.n, sb.n) >= 0.5"""
+        .stripMargin)),
+
     // Cross-corpus decontamination: the corpus (docs ≥ 250 plus
     // planted verbatim copies of reference docs) anti-joined on
     // normalized fingerprints against the reference set (docs < 250).
