@@ -15,6 +15,7 @@ object SparkEntry {
     operators.SetOps.queries ++
     operators.Scalars.queries ++
     operators.ExtraQueries.queries ++
+    operators.ScaleQueries.queries ++
     stats.StatsQueries.queries ++
     recommend.RecsysQueries.queries ++
     recommend.ModelQueries.queries ++

@@ -1,0 +1,84 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import graft.Q
+import graft.stats.Sketches
+import graft.text.TextOps
+
+/** Oracle-checked queries for the round-6 scale operators: Bloom-pruned
+  * semi-join, sketch-guided exact heavy hitters, mergeable KLL
+  * quantiles.
+  */
+object ScaleQueries {
+
+  def queries: Seq[Q] = Seq(
+
+    // Bloom-pruned semi-join: lineitem rows belonging to URGENT orders.
+    // The Bloom prefilter runs at the probe scan, so only ~20% of
+    // lineitem (+1% false positives) reaches the exchange; the exact
+    // confirm join makes the result identical to the plain semi-join
+    // the oracle runs. At 100 TB the probe side is the corpus and this
+    // is the difference between shuffling 100 TB and shuffling the
+    // selectivity's worth.
+    Q("q119_bloom_semijoin", { t =>
+        val urgent = t.orders
+          .filter(col("o_orderpriority") === "1-URGENT")
+        JoinPrune.bloomSemiJoin(
+            t.lineitem, urgent, "l_orderkey", "o_orderkey",
+            expectedItems = 1 << 20, fpp = 0.01)
+          .select("l_orderkey", "l_linenumber", "l_quantity")
+      },
+      Some("""SELECT l_orderkey, l_linenumber, l_quantity
+        |FROM lineitem
+        |WHERE l_orderkey IN (
+        |  SELECT o_orderkey FROM orders
+        |  WHERE o_orderpriority = '1-URGENT')""".stripMargin)),
+
+    // Sketch-guided EXACT heavy hitters: every token bigram holding
+    // >= 0.1% of the corpus' bigram mass, with its exact count. The
+    // oracle runs the naive full GROUP BY + HAVING; the engine runs
+    // the Misra-Gries candidate pass + exact confirm, and must produce
+    // the identical rows (the sketch's no-false-negative guarantee,
+    // made checkable).
+    Q("q120_heavy_hitters", { t =>
+        val toks = TextOps.tokens(col("text"))
+        val bigrams = t.documents.select(
+          explode(filter(
+            zip_with(toks,
+                     slice(toks, lit(2), greatest(size(toks) - 1, lit(0))),
+                     (a, b) => concat_ws(" ", a, b)),
+            p => p.rlike(" "))).as("bigram"))
+        Sketches.heavyHitters(bigrams, col("bigram"),
+                              minShare = 0.001, maxMapSize = 4096)
+      },
+      Some("""WITH toks AS (
+        |  SELECT doc_id, i AS pos,
+        |    list_extract(string_split_regex(lower(text), '\s+'),
+        |                 CAST(i AS INT)) AS tok
+        |  FROM documents,
+        |    UNNEST(generate_series(1,
+        |      len(string_split_regex(lower(text), '\s+')))) t(i)
+        |), bg AS (
+        |  SELECT tok || ' ' || t1 AS k FROM (
+        |    SELECT tok, LEAD(tok, 1) OVER (PARTITION BY doc_id
+        |                                   ORDER BY pos) AS t1
+        |    FROM toks
+        |  ) x WHERE t1 IS NOT NULL
+        |)
+        |SELECT k, COUNT(*) AS n FROM bg
+        |GROUP BY k
+        |HAVING COUNT(*) >= CEIL(0.001 * (SELECT COUNT(*) FROM bg))"""
+        .stripMargin)),
+
+    // Mergeable KLL quantile sketches: per-returnflag price quartiles
+    // plus the sketch-merged global row. No DuckDB twin exists for the
+    // sketch binary, so the gate is rows-only; the accuracy contract
+    // (rank error vs exact quantile_cont) is pinned by the StatsSpec
+    // fixture.
+    Q("q123_kll_quantiles",
+      t => Sketches.kllQuantiles(t.lineitem, col("l_returnflag"),
+                                 col("l_extendedprice"),
+                                 Seq(0.25, 0.5, 0.75)),
+      None)
+  )
+}

@@ -1,0 +1,133 @@
+package graft.stats
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import org.apache.datasketches.common.ArrayOfStringsSerDe
+import org.apache.datasketches.frequencies.{ErrorType, ItemsSketch}
+import org.apache.datasketches.kll.KllDoublesSketch
+import org.apache.datasketches.memory.Memory
+import org.apache.datasketches.quantilescommon.QuantileSearchCriteria
+
+/** Mergeable-sketch operators beyond [[Stats.distinctSketch]]'s HLL
+  * (SURVEY.md §2.4 addendum; beyond-reference scale operators).
+  *
+  * Both follow the same 100 TB shape: each input partition reduces to a
+  * few-KB sketch, sketches merge associatively (one tiny driver or
+  * reducer step), and nothing proportional to the data ever leaves the
+  * executors. Apache DataSketches (bundled with Spark 4) supplies the
+  * sketch math; the operators here supply the distributed harness.
+  */
+object Sketches {
+
+  /** Sketch-guided EXACT heavy hitters: every distinct value of `key`
+    * holding at least `minShare` of the rows, with its exact count.
+    *
+    * Exact heavy hitters naively need a full `groupBy(key)` — at corpus
+    * scale that is a shuffle with one hash entry per DISTINCT token
+    * (billions). Two passes beat it:
+    *
+    *  1. SKETCH pass: one Misra–Gries `ItemsSketch` (size `maxMapSize`)
+    *     per partition, merged on the driver (#partitions × few KB).
+    *     `getFrequentItems(NO_FALSE_NEGATIVES)` then yields a candidate
+    *     set that PROVABLY contains every item with true count ≥
+    *     maximumError ≤ streamLength/maxMapSize — false positives
+    *     possible, false negatives impossible.
+    *  2. EXACT pass: the corpus filtered to the (broadcast) candidate
+    *     set, aggregated exactly. The groupBy now holds ≤ |candidates|
+    *     hash entries instead of |vocabulary|, and the map-side combine
+    *     collapses each partition to ≤ |candidates| rows before the
+    *     shuffle.
+    *
+    * The result is bit-identical to the naive full groupBy + HAVING —
+    * which is exactly what the DuckDB oracle runs. `maxMapSize` must
+    * keep the sketch's error bound `N/maxMapSize` below `minShare·N`,
+    * i.e. `maxMapSize > 1/minShare` (power of 2); the method asserts
+    * this so the no-false-negative guarantee is never silently voided.
+    */
+  def heavyHitters(df: DataFrame, key: Column, minShare: Double,
+                   maxMapSize: Int = 1024): DataFrame = {
+    require(maxMapSize > 1.0 / minShare,
+      s"maxMapSize=$maxMapSize cannot guarantee recall at share=$minShare")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val keyed = df.select(key.cast("string").as("k")).filter($"k".isNotNull)
+    val serde = new ArrayOfStringsSerDe
+    // pass 1: per-partition sketches -> driver merge (#partitions rows)
+    val parts: Array[(Array[Byte], Long)] = keyed.rdd
+      .mapPartitions { it =>
+        val sk = new ItemsSketch[String](maxMapSize)
+        var n = 0L
+        it.foreach { r => sk.update(r.getString(0)); n += 1 }
+        Iterator.single((sk.toByteArray(new ArrayOfStringsSerDe), n))
+      }
+      .collect()
+    val merged = new ItemsSketch[String](maxMapSize)
+    parts.foreach { case (bytes, _) =>
+      merged.merge(ItemsSketch.getInstance(Memory.wrap(bytes), serde))
+    }
+    val total = parts.map(_._2).sum
+    val threshold = math.ceil(minShare * total).toLong
+    val candidates = merged
+      .getFrequentItems(threshold, ErrorType.NO_FALSE_NEGATIVES)
+      .map(_.getItem).toSeq
+    // pass 2: exact counts of the candidates only
+    keyed
+      .filter($"k".isInCollection(candidates))
+      .groupBy("k")
+      .agg(count(lit(1)).as("n"))
+      .filter($"n" >= threshold)
+  }
+
+  /** Mergeable per-group quantile sketches (KLL, ~1.7% rank error at
+    * k=200): one row per group with the requested quantile estimates,
+    * plus a global row (`is_total`) obtained by MERGING the per-group
+    * sketches — never by rescanning the data. The twin of the exact
+    * [[Stats.quantileBounds]]/[[Stats.equidepthHistogram]]: exact
+    * interpolated percentiles need a per-group sort (or Spark's
+    * single-pass-exact `percentile`, which holds all values); the KLL
+    * path holds ~3 KB per group at ANY row count, and its sketches
+    * persist and merge across corpus increments.
+    *
+    * Plan shape: map-side per-partition-per-group sketches
+    * (`reduceByKey` with map-side combine — merge is associative), one
+    * shuffle of sketch bytes keyed by group, driver sees only the final
+    * per-group rows.
+    */
+  def kllQuantiles(df: DataFrame, group: Column, value: Column,
+                   qs: Seq[Double], k: Int = 200): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val keyed = df.select(group.cast("string").as("g"),
+                          value.cast("double").as("v"))
+      .filter($"v".isNotNull)
+    val perGroup: Array[(String, Array[Byte])] = keyed.rdd
+      .mapPartitions { it =>
+        val m = scala.collection.mutable.HashMap.empty[String, KllDoublesSketch]
+        it.foreach { r =>
+          m.getOrElseUpdate(r.getString(0), KllDoublesSketch.newHeapInstance(k))
+            .update(r.getDouble(1))
+        }
+        m.iterator.map { case (g, sk) => (g, sk.toByteArray) }
+      }
+      .reduceByKey { (a, b) =>
+        val sa = KllDoublesSketch.heapify(Memory.wrap(a))
+        sa.merge(KllDoublesSketch.heapify(Memory.wrap(b)))
+        sa.toByteArray
+      }
+      .collect()
+    def quantRow(sk: KllDoublesSketch): Seq[Double] =
+      qs.map(q => sk.getQuantile(q, QuantileSearchCriteria.INCLUSIVE))
+    val globalSk = KllDoublesSketch.newHeapInstance(k)
+    perGroup.foreach { case (_, bytes) =>
+      globalSk.merge(KllDoublesSketch.heapify(Memory.wrap(bytes)))
+    }
+    val rows = perGroup.toSeq.map { case (g, bytes) =>
+      (g, false, quantRow(KllDoublesSketch.heapify(Memory.wrap(bytes))))
+    } :+ ((null: String, true, quantRow(globalSk)))
+    val base = rows.toDF("g", "is_total", "qv")
+    qs.zipWithIndex.foldLeft(base) { case (acc, (q, i)) =>
+      acc.withColumn(s"q${(q * 100).round}", col("qv")(i))
+    }.drop("qv")
+  }
+}
