@@ -351,4 +351,43 @@ object Dedup {
       .filter(col("hamming") <= maxHamming)
       .distinct() // a pair may collide in several segments
   }
+
+  /** SemDeDup-style semantic deduplication over an embedding corpus
+    * (Abbas et al., "SemDeDup: Data-efficient learning at web-scale
+    * through semantic deduplication", arXiv:2303.09540): cluster the
+    * embeddings, compare pairs only WITHIN each cluster, and drop every
+    * vector whose cosine to a lower-id cluster-mate reaches `tau`
+    * (keep-smallest-id, the convention of [[exactDupGroups]]).
+    *
+    * The clustering is the quantizer of [[graft.ann.Ann.ivfCentroids]]
+    * — md5-hash-sampled centroids + nearest-centroid assignment — so
+    * the whole decision is a pure function of the data: deterministic
+    * across engines, which is what makes SEMANTIC dedup oracle-
+    * checkable at all. The cluster step is what bounds the quadratic:
+    * all-pairs over a 10⁹-doc corpus is 10¹⁸ comparisons, per-cell
+    * pairs are (n/k)² · k — the SemDeDup paper's own cost argument.
+    * Per-cell skew is data-dependent; the pair join shuffles on the
+    * cell key, so AQE's skew split handles a hot cell.
+    *
+    * Returns the SURVIVING (id, cell) rows. */
+  def semanticDedup(corpus: DataFrame, nCells: Int, tau: Double)
+      : DataFrame = {
+    import graft.ann.Ann
+    val persisted = graft.core.CacheScope.persist(corpus)
+    val assign = Ann.ivfAssign(persisted,
+                               Ann.ivfCentroids(persisted, nCells), 1)
+    val v = persisted.join(assign, "id")
+    val a = v.select(col("cell"), col("id").as("i"),
+                     col("embedding").as("va"))
+    val b = v.select(col("cell"), col("id").as("j"),
+                     col("embedding").as("vb"))
+    val dropped = a.join(b, "cell")
+      .filter(col("i") < col("j"))
+      .filter(round(
+          Ann.dot(col("va"), col("vb")) /
+            (sqrt(Ann.norm2(col("va"))) * sqrt(Ann.norm2(col("vb")))),
+          6) >= tau)
+      .select(col("j").as("id")).distinct()
+    v.join(dropped, Seq("id"), "left_anti").select("id", "cell")
+  }
 }

@@ -18,6 +18,77 @@ object DedupQueries {
 
   def queries: Seq[Q] = Seq(
 
+    // SemDeDup-style semantic dedup over the embedding corpus: hash-
+    // sampled quantizer cells, within-cell cosine, drop the higher id
+    // at cos >= 0.95. Planted duplicates make the gate non-vacuous:
+    // 60 verbatim copies (+10000) AND 60 2x-scaled copies (+20000 —
+    // cosine exactly 1 only if the normalization is right, so the
+    // scaled plant gates the cosine math, not just equality). Both
+    // engines build the identical corpus; survivors are compared.
+    Q("q122_semantic_dedup", { t =>
+        val emb = t.embeddings.select(col("vec_id").as("id"),
+                                      col("embedding"))
+        val base = emb.filter(col("id") < 300)
+          .unionByName(emb.filter(col("id") < 60)
+            .select((col("id") + 10000L).as("id"), col("embedding")))
+          .unionByName(emb.filter(col("id") >= 60 && col("id") < 120)
+            .select((col("id") + 20000L).as("id"),
+                    transform(col("embedding"), x => x * lit(2.0f))
+                      .as("embedding")))
+        Dedup.semanticDedup(base, nCells = 8, tau = 0.95)
+      },
+      Some("""WITH base AS (
+        |  SELECT vec_id AS id, embedding FROM embeddings
+        |  WHERE vec_id < 300
+        |  UNION ALL
+        |  SELECT vec_id + 10000, embedding FROM embeddings
+        |  WHERE vec_id < 60
+        |  UNION ALL
+        |  SELECT vec_id + 20000, list_transform(embedding, x -> x * 2)
+        |  FROM embeddings WHERE vec_id >= 60 AND vec_id < 120
+        |), ev AS (
+        |  SELECT id, CAST(i - 1 AS BIGINT) AS d,
+        |    CAST(embedding[CAST(i AS INT)] AS DOUBLE) AS v
+        |  FROM base, UNNEST(generate_series(1, len(embedding))) t(i)
+        |), norms AS (
+        |  SELECT id, SUM(v * v) AS nn FROM ev GROUP BY 1
+        |), cent AS (
+        |  SELECT id AS cid FROM base
+        |  ORDER BY md5(CAST(id AS VARCHAR)), id LIMIT 8
+        |), cdots AS (
+        |  SELECT a.id AS vid, c.cid, SUM(a.v * b.v) AS dot
+        |  FROM ev a CROSS JOIN cent c
+        |  JOIN ev b ON b.id = c.cid AND a.d = b.d
+        |  GROUP BY 1, 2
+        |), ccos AS (
+        |  SELECT vid, cid, round(dot / sqrt(na.nn * nb.nn), 6) AS ccos
+        |  FROM cdots
+        |  JOIN norms na ON vid = na.id
+        |  JOIN norms nb ON cid = nb.id
+        |), cells AS (
+        |  SELECT vid AS id, cid AS cell FROM (
+        |    SELECT vid, cid, ROW_NUMBER() OVER (PARTITION BY vid
+        |      ORDER BY ccos DESC, cid) AS rn FROM ccos) x
+        |  WHERE rn = 1
+        |), pairs AS (
+        |  SELECT ca.id AS i, cb.id AS j
+        |  FROM cells ca JOIN cells cb
+        |    ON ca.cell = cb.cell AND ca.id < cb.id
+        |), pcos AS (
+        |  SELECT p.i, p.j,
+        |    round(SUM(a.v * b.v) / sqrt(na.nn * nb.nn), 6) AS cos
+        |  FROM pairs p
+        |  JOIN ev a ON a.id = p.i
+        |  JOIN ev b ON b.id = p.j AND b.d = a.d
+        |  JOIN norms na ON na.id = p.i
+        |  JOIN norms nb ON nb.id = p.j
+        |  GROUP BY p.i, p.j, na.nn, nb.nn
+        |)
+        |SELECT c.id, c.cell FROM cells c
+        |WHERE c.id NOT IN (
+        |  SELECT DISTINCT j FROM pcos WHERE cos >= 0.95)"""
+        .stripMargin)),
+
     // Exact dedup: normalized-md5 groups with more than one member.
     // The synthetic corpus contains no exact duplicates, so the gate
     // plants them: the corpus is documents UNION a verbatim re-id'd

@@ -470,4 +470,24 @@ class DedupTextAnnSpec extends SparkSpec {
       .head().getAs[scala.collection.Seq[String]]("stemmed")
     assert(viaUdf == fixture.map(_._2))
   }
+
+  test("semanticDedup drops perturbed near-dups, keeps distinct vectors") {
+    val rnd = new scala.util.Random(21)
+    def vec(): Array[Float] = Array.fill(16)(rnd.nextGaussian().toFloat)
+    val originals = (0L until 40L).map(i => (i, vec()))
+    // ids 1000+: copies of the first 10, one coordinate nudged 1% —
+    // cosine ~0.9999, well above tau, NOT an exact or scaled copy
+    val nearDups = originals.take(10).map { case (i, v) =>
+      val w = v.clone(); w(0) = w(0) * 1.01f
+      (1000L + i, w)
+    }
+    val corpus = (originals ++ nearDups).toDF("id", "embedding")
+    val kept = graft.dedup.Dedup.semanticDedup(corpus, nCells = 4,
+                                               tau = 0.99)
+      .select("id").as[Long].collect().toSet
+    // every near-dup dropped (higher id), every original kept: random
+    // 16-dim positive vectors stay far below cos 0.99 of each other
+    assert(nearDups.forall { case (id, _) => !kept.contains(id) })
+    assert(originals.forall { case (id, _) => kept.contains(id) })
+  }
 }
