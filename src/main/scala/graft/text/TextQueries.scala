@@ -380,6 +380,20 @@ object TextQueries {
         |  ('0x' || substr(md5(regexp_replace(lower(trim(text)), '\s+',
         |                                     ' ', 'g')), 1, 15))::BIGINT
         |    AS fp_long
-        |FROM documents""".stripMargin))
+        |FROM documents""".stripMargin)),
+
+    // BPE vocabulary learning: 15 merges from the corpus word-
+    // frequency table. Iterative argmax (driver sees one row per
+    // round) has no SQL twin, so the gate is rows-only; exact merge-
+    // sequence parity against an independent in-memory reference BPE
+    // is pinned by the DedupTextAnnSpec fixture.
+    Q("q121_bpe_learn", { t =>
+        val words = t.documents
+          .select(explode(TextOps.tokens(col("text"))).as("w"))
+          .filter(length(col("w")) > 0)
+          .groupBy("w").agg(count(lit(1)).as("f"))
+        Bpe.learnMerges(words, col("w"), col("f"), nMerges = 15)
+      },
+      None)
   )
 }

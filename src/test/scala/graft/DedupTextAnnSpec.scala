@@ -490,4 +490,64 @@ class DedupTextAnnSpec extends SparkSpec {
     assert(nearDups.forall { case (id, _) => !kept.contains(id) })
     assert(originals.forall { case (id, _) => kept.contains(id) })
   }
+
+  test("BPE merge learning matches an independent reference BPE") {
+    // the ACL-2016 paper's own example corpus plus a multi-merge word
+    val corpus = Map("low" -> 5L, "lower" -> 2L, "newest" -> 6L,
+                     "widest" -> 3L, "lowest" -> 4L)
+    // reference implementation: in-memory vocab dict, greedy
+    // left-to-right merge application, (freq desc, l asc, r asc) argmax
+    def applyM(syms: Vector[String], l: String, r: String)
+        : Vector[String] = {
+      var res = Vector.empty[String]
+      for (x <- syms) {
+        if (res.nonEmpty && res.last == l && x == r)
+          res = res.init :+ (l + r)
+        else res = res :+ x
+      }
+      res
+    }
+    def refBpe(n: Int): Seq[(Int, String, String, Long)] = {
+      var vocab = corpus.toSeq.map { case (w, f) =>
+        (w.map(_.toString).toVector :+ graft.text.Bpe.EndOfWord, f)
+      }
+      (0 until n).flatMap { round =>
+        val counts = vocab.flatMap { case (syms, f) =>
+          syms.zip(syms.tail).map(p => p -> f)
+        }.groupBy(_._1).view.mapValues(_.map(_._2).sum).toMap
+        if (counts.isEmpty) None
+        else {
+          val ((l, r), pf) = counts.minBy { case ((l, r), pf) =>
+            (-pf, l, r)
+          }
+          vocab = vocab.map { case (syms, f) => (applyM(syms, l, r), f) }
+          Some((round, l, r, pf))
+        }
+      }
+    }
+    val words = corpus.toSeq.toDF("w", "f")
+    val got = graft.text.Bpe.learnMerges(words, col("w"), col("f"), 10)
+      .select("round", "left", "right", "pair_freq")
+      .collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getString(2),
+                 r.getLong(3)))
+      .sortBy(_._1).toSeq
+    assert(got == refBpe(10))
+    // encode round-trip: replaying the merges tokenizes a corpus word
+    // into learned subwords, and an unseen word falls back gracefully
+    val merges = got.map(t => (t._2, t._3))
+    val enc = graft.text.Bpe.encode(
+        Seq("lowest", "highest").toDF("w"), col("w"), merges)
+      .collect().map(r => r.getString(0) ->
+        r.getAs[scala.collection.Seq[String]]("syms")).toMap
+    assert(enc("lowest").mkString("|") != "")
+    assert(enc("lowest") == applyAll(merges, "lowest") &&
+           enc("highest") == applyAll(merges, "highest"))
+    def applyAll(ms: Seq[(String, String)], w: String)
+        : Vector[String] =
+      ms.foldLeft(w.map(_.toString).toVector :+
+                    graft.text.Bpe.EndOfWord) {
+        case (syms, (l, r)) => applyM(syms, l, r)
+      }
+  }
 }
