@@ -43,3 +43,11 @@ class TopKAggregator(k: Int)
   override def outputEncoder: Encoder[Seq[(Long, Double)]] =
     ExpressionEncoder()
 }
+
+object TopKAggregator {
+  /** Untyped-column form, for use inside `groupBy(...).agg(...)`:
+    * `udafFor(k)(idCol, scoreCol)` yields `array<struct<_1,_2>>` of the
+    * k strongest (id, score) pairs, score desc / id asc. */
+  def udafFor(k: Int): org.apache.spark.sql.expressions.UserDefinedFunction =
+    org.apache.spark.sql.functions.udaf(new TopKAggregator(k))
+}

@@ -165,8 +165,29 @@ object Similarity {
     * (Compute_Similarity_Python.py:352-365). Deterministic tie-break on
     * neighbor id. */
   def topK(sim: DataFrame, k: Int): DataFrame = {
+    // ranking window, NOT the typed bounded-heap Aggregator: Spark's
+    // WindowGroupLimit rewrite (4.x) already pushes the rank <= k
+    // predicate below the exchange as a primitive-comparison group
+    // limit, so the window form gets map-side top-k pruning inside
+    // whole-stage codegen. An A/B at sf0.1 measured the
+    // TopKAggregator-udaf form at 15-35 s vs 6 s for this plan — the
+    // per-row boxed buffer update can't compete with codegen'd group
+    // limits. (The heap Aggregator remains the right tool where the
+    // engine needs top-k DURING an aggregation, not after one.)
     val w = Window.partitionBy("j").orderBy(desc("w"), asc("i"))
     sim.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
+  }
+
+  /** Heap-aggregator form of [[topK]], kept as a differential yardstick
+    * (SimilaritySpec pins bit-equality of the two forms). */
+  private[graft] def topKHeap(sim: DataFrame, k: Int): DataFrame = {
+    val agg = graft.functions.TopKAggregator.udafFor(k)
+    sim
+      .groupBy("j")
+      .agg(agg(col("i").cast("long"), col("w").cast("double")).as("top"))
+      .select(col("j"), posexplode(col("top")).as(Seq("pos", "p")))
+      .select(col("p._1").as("i"), col("j"), col("p._2").as("w"),
+              (col("pos") + 1).cast("int").as("rank"))
   }
 }

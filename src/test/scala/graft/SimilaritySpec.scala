@@ -98,4 +98,21 @@ class SimilaritySpec extends SparkSpec {
     assert(math.abs(tv((0, 1)) - 1.0) < 1e-12)
     assert(math.abs(tv((1, 0)) - 0.25) < 1e-12)
   }
+
+  test("heap topK is bit-identical to the ranking-window topK") {
+    val rnd = new scala.util.Random(33)
+    // duplicate weights force tie-breaks; sparse j groups force ranks
+    // past k for some columns and under k for others
+    val sim = (0 until 4000).map { _ =>
+      (rnd.nextInt(60).toLong, rnd.nextInt(60).toLong,
+       (rnd.nextInt(8) + 1) / 8.0)
+    }.toDF("i", "j", "w")
+    def key(r: org.apache.spark.sql.Row): (Long, Long, Double, Int) =
+      (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3))
+    val heap = Similarity.topKHeap(sim, 5)
+      .select("i", "j", "w", "rank").collect().map(key).sortBy(identity)
+    val win = Similarity.topK(sim, 5)
+      .select("i", "j", "w", "rank").collect().map(key).sortBy(identity)
+    assert(heap.nonEmpty && heap.sameElements(win))
+  }
 }
