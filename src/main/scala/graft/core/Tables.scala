@@ -10,8 +10,9 @@ import org.apache.spark.sql.functions._
   * Catalyst a columnar scan with pushdown/pruning for free.
   */
 final case class Tables(spark: SparkSession, dir: String) {
-  // engine-native SQL functions ride along with the table catalog
-  graft.functions.VectorFunctions.register(spark)
+  // engine-native SQL functions + optimizer rules ride along with the
+  // table catalog (function registry + HOF-dot-product rewrite)
+  graft.plans.GraftExtensions.install(spark)
 
   private def t(name: String): DataFrame =
     spark.read.parquet(s"$dir/$name.parquet")

@@ -284,4 +284,33 @@ class PlanSpec extends SparkSpec {
            s"the total-count scalar should broadcast:\n$physical")
     graft.core.CacheScope.global.release()
   }
+
+  test("HOF dot product rewrites to the native DotProduct expression") {
+    graft.plans.GraftExtensions.install(spark)
+    // parquet-backed input: a local relation would be constant-folded
+    // away before the plan can be inspected
+    val vecs = t.embeddings
+      .select(col("vec_id").as("id"), col("embedding").as("a"),
+              reverse(col("embedding")).as("b"))
+    val hof = vecs.select(col("id"), graft.ann.Ann.dotHof(col("a"),
+                                                          col("b")).as("d"))
+    val optimized = hof.queryExecution.optimizedPlan
+    val fired = optimized.expressions.exists(_.exists(
+      _.isInstanceOf[graft.functions.DotProduct]))
+    assert(fired, s"rule must rewrite the HOF form:\n$optimized")
+    // bit-exact vs the native path (same summation order)
+    val native = vecs.select(col("id"), graft.ann.Ann.dot(col("a"),
+                                                          col("b")).as("d"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    hof.collect().foreach(r => assert(r.getDouble(1) == native(r.getLong(0))))
+    // a near-miss shape (zero = 1.0: a shifted sum, not a dot product)
+    // must NOT be rewritten
+    val miss = vecs.select(aggregate(
+        zip_with(col("a"), col("b"),
+                 (x, y) => x.cast("double") * y.cast("double")),
+        lit(1.0), (acc, z) => acc + z).as("d"))
+    val missFired = miss.queryExecution.optimizedPlan.expressions.exists(
+      _.exists(_.isInstanceOf[graft.functions.DotProduct]))
+    assert(!missFired, "rewrite must not fire on a non-dot aggregate")
+  }
 }
