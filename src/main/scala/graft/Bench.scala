@@ -17,12 +17,6 @@ object Bench {
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
-      // the heap top-k (Similarity.topK) runs as an ObjectHashAggregate;
-      // the default 128-group threshold would demote it to the sort-based
-      // fallback — the very sort the bounded heap exists to avoid. Memory
-      // stays bounded: each group's buffer is k (id, score) pairs.
-      .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold",
-              (1 << 22).toString)
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val tables = core.Tables(spark, sfDir)

@@ -12,9 +12,6 @@ object Verify {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
-      // keep the heap top-k an object-hash aggregation (see Bench)
-      .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold",
-              (1 << 22).toString)
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()

@@ -16,8 +16,6 @@ object SparkSpec {
       .config("spark.sql.shuffle.partitions", "4")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
-      .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold",
-              (1 << 22).toString)
       .getOrCreate()
     s.sparkContext.setLogLevel("WARN")
     graft.functions.VectorFunctions.register(s)
