@@ -265,4 +265,46 @@ object Ann {
       .filter(col("cos") >= threshold)
       .select("a", "b", "cos")
   }
+
+  /** Johnson–Lindenstrauss random projection to `outDim` dimensions
+    * with a deterministic ±1/√outDim matrix (Achlioptas, "Database-
+    * friendly random projections", PODS '01): the sign of cell (d, k)
+    * is the parity of md5("d_k"), so the matrix is a pure function of
+    * the coordinates — reproducible on any engine, nothing stored, no
+    * seed. The projection is a NARROW per-row map (nested array HOFs,
+    * no shuffle, no UDF): at corpus scale this is the dimensionality
+    * cut applied before an ANN index, at scan speed.
+    *
+    * Returns one row per (id, k) with the projected coordinate —
+    * per-term round-to-6 + exact decimal accumulation, so the sum is
+    * order-independent and oracle-checkable bit-for-bit. */
+  def randomProjection(vectors: DataFrame, id: Column, emb: Column,
+                       outDim: Int): DataFrame = {
+    def sign(d: Column, k: Column): Column =
+      lit(1) - lit(2) * pmod(
+        conv(substring(md5(concat(d.cast("string"), lit("_"),
+                                  k.cast("string"))), 1, 1), 16, 10)
+          .cast("int"), lit(2))
+    // the 1/√outDim normalization folds into the PER-TERM rounding:
+    // rounding the already-normalized sum would land on exact 5e-7
+    // boundaries (six-decimal sum ÷ 4) where Java's HALF_UP and
+    // DuckDB's float rounding disagree — measured 26/8000 off-by-1e-6
+    // rows before the fold. Normalized terms round at the same 6
+    // decimals, the decimal sum is exact, and no final rounding exists
+    // to diverge.
+    val proj = transform(sequence(lit(0), lit(outDim - 1)), k =>
+      aggregate(
+        zip_with(emb, sequence(lit(0), size(emb) - 1),
+                 (x, d) => round(x.cast("double") * sign(d, k) /
+                                   math.sqrt(outDim.toDouble), 6)
+                   .cast("decimal(18,6)")),
+        lit(java.math.BigDecimal.ZERO).cast("decimal(28,6)"),
+        // re-narrow after the widening add: 64 six-decimal terms can
+        // never overflow 28 digits, so the cast is lossless
+        (acc, term) => (acc + term).cast("decimal(28,6)"))
+        .cast("double"))
+    vectors
+      .select(id.as("id"), posexplode(proj).as(Seq("k", "pv")))
+      .select(col("id"), col("k"), col("pv").as("v"))
+  }
 }

@@ -281,6 +281,31 @@ object AnnQueries {
         |         END AS TINYINT)) AS q
         |FROM m""".stripMargin)),
 
+    // Johnson-Lindenstrauss random projection 64 -> 16 dims with the
+    // deterministic md5-parity ±1 matrix: the dimensionality cut
+    // before ANN indexing, as a narrow per-row map. Per-term round-6 +
+    // exact decimal accumulation makes the sums order-independent, so
+    // every projected coordinate compares bit-for-bit.
+    Q("q125_random_projection",
+      t => Ann.randomProjection(
+          t.embeddings.select(col("vec_id").as("id"), col("embedding")),
+          col("id"), col("embedding"), outDim = 16),
+      Some("""WITH ev AS (
+        |  SELECT vec_id AS id, CAST(i - 1 AS BIGINT) AS d,
+        |    CAST(embedding[CAST(i AS INT)] AS DOUBLE) AS v
+        |  FROM embeddings,
+        |    UNNEST(generate_series(1, len(embedding))) t(i)
+        |), terms AS (
+        |  SELECT id, k,
+        |    CAST(round(v * (1 - 2 * (('0x' || substr(md5(
+        |      CAST(d AS VARCHAR) || '_' || CAST(k AS VARCHAR)), 1, 1))
+        |      ::BIGINT % 2)) / sqrt(16.0), 6) AS DECIMAL(18,6)) AS term
+        |  FROM ev, UNNEST(generate_series(0, 15)) s(k)
+        |)
+        |SELECT id, CAST(k AS INT) AS k,
+        |  CAST(SUM(term) AS DOUBLE) AS v
+        |FROM terms GROUP BY 1, 2""".stripMargin)),
+
     // One distributed k-means (Lloyd) centroid-update step over the
     // embedding corpus: assign every vector to its nearest of 16
     // hash-sampled centroids, then recompute each cell's per-dimension

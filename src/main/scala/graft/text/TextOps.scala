@@ -2,6 +2,7 @@ package graft.text
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
 
 /** Text-analysis operators for large-scale training-data pipelines:
   * tokenization, quality scoring, language identification,
@@ -347,5 +348,35 @@ object TextOps {
       .withColumn("fp_md5", md5(norm))
       .withColumn("fp_long",
         conv(substring(col("fp_md5"), 1, 15), 16, 10).cast("long"))
+  }
+
+  /** TF-IDF keyword extraction: the `k` highest-scoring tokens per
+    * document, tfidf = tf · ln(N / df) — the standard summarization/
+    * topic-tagging pre-pass over a corpus. One token explode feeds
+    * both the term frequencies and (via a distinct) the document
+    * frequencies; N and the df table broadcast, so the per-doc ranking
+    * is the only shuffle and it is keyed by document — corpus-
+    * parallel at any size. Deterministic: integer tf/df/N, one ln and
+    * one multiply rounded to 6 decimals, ties broken on the token. */
+  def tfidfKeywords(docs: DataFrame, id: Column, text: Column,
+                    k: Int): DataFrame = {
+    val toks = graft.core.CacheScope.persist(
+      docs.select(id.as("doc_id"), explode(tokens(text)).as("tok"))
+          .filter(length(col("tok")) > 0))
+    val df = toks.select("doc_id", "tok").distinct()
+      .groupBy("tok").agg(count(lit(1)).as("df"))
+    val n = toks.select("doc_id").distinct()
+      .agg(count(lit(1)).as("n_docs"))
+    val tf = toks.groupBy("doc_id", "tok").agg(count(lit(1)).as("tf"))
+    val scored = tf.join(broadcast(df), "tok")
+      .crossJoin(broadcast(n))
+      .withColumn("tfidf", round(
+        col("tf") * log(col("n_docs").cast("double") / col("df")), 6))
+    val w = Window.partitionBy("doc_id")
+      .orderBy(desc("tfidf"), asc("tok"))
+    scored.withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k)
+      .select(col("doc_id"), col("tok"), col("tfidf"),
+              col("rk").as("rank"))
   }
 }

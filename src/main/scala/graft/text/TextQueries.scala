@@ -382,6 +382,33 @@ object TextQueries {
         |    AS fp_long
         |FROM documents""".stripMargin)),
 
+    // TF-IDF keyword extraction: top-5 tokens per document by
+    // tf·ln(N/df) — integer tf/df/N, one ln + multiply rounded to 6
+    // decimals, token tie-break, so the per-doc ranking is identical
+    // on both engines.
+    Q("q124_tfidf_keywords",
+      t => TextOps.tfidfKeywords(t.documents, col("doc_id"),
+                                 col("text"), k = 5),
+      Some("""WITH toks AS (
+        |  SELECT doc_id, tok FROM (
+        |    SELECT doc_id,
+        |      unnest(string_split_regex(lower(text), '\s+')) AS tok
+        |    FROM documents) t
+        |  WHERE len(tok) > 0
+        |), tf AS (
+        |  SELECT doc_id, tok, COUNT(*) AS tf FROM toks GROUP BY 1, 2
+        |), dft AS (
+        |  SELECT tok, COUNT(DISTINCT doc_id) AS df FROM toks GROUP BY 1
+        |), n AS (SELECT COUNT(DISTINCT doc_id) AS n_docs FROM toks)
+        |SELECT doc_id, tok, tfidf, CAST(rk AS INT) AS rank FROM (
+        |  SELECT doc_id, tok,
+        |    round(tf * ln(CAST(n_docs AS DOUBLE) / df), 6) AS tfidf,
+        |    ROW_NUMBER() OVER (PARTITION BY doc_id
+        |      ORDER BY round(tf * ln(CAST(n_docs AS DOUBLE) / df), 6)
+        |        DESC, tok) AS rk
+        |  FROM tf JOIN dft USING (tok) CROSS JOIN n) x
+        |WHERE rk <= 5""".stripMargin)),
+
     // BPE vocabulary learning: 15 merges from the corpus word-
     // frequency table. Iterative argmax (driver sees one row per
     // round) has no SQL twin, so the gate is rows-only; exact merge-

@@ -107,4 +107,45 @@ class SketchJoinSpec extends SparkSpec {
     // the global row must come from the merge, flagged is_total
     assert(got.contains("__total__"))
   }
+
+  test("random projection roughly preserves pairwise distances (JL)") {
+    val rnd = new Random(15)
+    val vecs = (0L until 30L)
+      .map(i => (i, Array.fill(64)(rnd.nextGaussian().toFloat)))
+    val proj = graft.ann.Ann.randomProjection(
+        vecs.toDF("id", "embedding"), col("id"), col("embedding"),
+        outDim = 16)
+      .collect()
+      .groupBy(_.getLong(0))
+      .view.mapValues(_.sortBy(_.getInt(1)).map(_.getDouble(2))).toMap
+    def d2(a: Seq[Double], b: Seq[Double]): Double =
+      a.zip(b).map { case (x, y) => (x - y) * (x - y) }.sum
+    val pairs = for (i <- 0 until 30; j <- i + 1 until 30) yield (i, j)
+    val ratios = pairs.map { case (i, j) =>
+      val orig = d2(vecs(i)._2.map(_.toDouble).toSeq,
+                    vecs(j)._2.map(_.toDouble).toSeq)
+      d2(proj(i.toLong).toSeq, proj(j.toLong).toSeq) / orig
+    }
+    // ±1 JL matrix at outDim 16: distance ratios concentrate around 1
+    assert(ratios.sum / ratios.size > 0.7 &&
+           ratios.sum / ratios.size < 1.3)
+    assert(ratios.forall(r => r > 0.15 && r < 3.0))
+  }
+
+  test("tfidf keywords rank rare terms above ubiquitous ones") {
+    val docs = Seq(
+      (0L, "shared shared shared unicorn"),
+      (1L, "shared shared common words"),
+      (2L, "shared common words too")).toDF("doc_id", "text")
+    val kw = graft.text.TextOps.tfidfKeywords(docs, col("doc_id"),
+                                              col("text"), k = 2)
+      .collect()
+      .groupBy(_.getLong(0))
+      .view.mapValues(_.sortBy(_.getInt(3)).map(_.getString(1)).toSeq)
+      .toMap
+    // "unicorn" (df=1) must outrank "shared" (df=3, idf=0) in doc 0
+    assert(kw(0L).head == "unicorn")
+    // "shared" scores 0 everywhere (ln(3/3)=0): never the top keyword
+    assert(!kw.values.exists(_.head == "shared"))
+  }
 }
