@@ -77,6 +77,61 @@ object EventStreams {
       }
   }
 
+  final case class SessionRecord(userId: Long, startTs: Long, endTs: Long,
+                                 nEvents: Long, sumValue: Double,
+                                 closedBy: String)
+
+  /** Stateful session EMISSION via flatMapGroupsWithState — where
+    * [[sessionCounts]] maintains per-user aggregates, this emits one
+    * RECORD per closed session (start/end/size/value), the shape a
+    * downstream training pipeline actually consumes. A session closes
+    * when a later event arrives past the gap ("gap") or when the
+    * event-time timeout fires with no successor ("timeout") — the
+    * timeout is what guarantees the LAST session of an idle user is
+    * eventually emitted, which a pure gap rule never does on an
+    * unbounded stream. State per user is one open session (constant),
+    * expired by watermark + timeout: bounded at any corpus rate. */
+  def sessionRecords(events: Dataset[Event], gapMs: Long)
+      : Dataset[SessionRecord] = {
+    import events.sparkSession.implicits._
+    // open-session state: (start, end, n, sum)
+    events
+      .withWatermark("ts", "2 hours")
+      .groupByKey(_.userId)
+      .flatMapGroupsWithState[(Long, Long, Long, Double), SessionRecord](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        case (uid, evs, state: GroupState[(Long, Long, Long, Double)]) =>
+          if (evs.isEmpty && state.hasTimedOut) {
+            // idle past the gap horizon: close and emit the open session
+            val (s, e, n, v) = state.get
+            state.remove()
+            Iterator.single(SessionRecord(uid, s, e, n, v, "timeout"))
+          } else {
+            val closed = scala.collection.mutable.ArrayBuffer
+              .empty[SessionRecord]
+            var open = state.getOption
+            evs.toSeq.sortBy(e => (e.ts.getTime, e.eventType)).foreach { ev =>
+              val ms = ev.ts.getTime
+              open match {
+                case Some((s, e, n, v)) if ms - e <= gapMs =>
+                  open = Some((s, ms, n + 1, v + ev.value))
+                case Some((s, e, n, v)) =>
+                  closed += SessionRecord(uid, s, e, n, v, "gap")
+                  open = Some((ms, ms, 1L, ev.value))
+                case None =>
+                  open = Some((ms, ms, 1L, ev.value))
+              }
+            }
+            open.foreach { o =>
+              state.update(o)
+              // close via timeout once event time passes end + gap
+              state.setTimeoutTimestamp(o._2 + gapMs)
+            }
+            closed.iterator
+          }
+      }
+  }
+
   /** Streaming exact dedup: drop events whose content fingerprint was
     * already seen, with watermarked state so the seen-set is bounded to
     * the watermark horizon — the streaming twin of Dedup.exactDupGroups

@@ -51,6 +51,38 @@ class StreamingMultimodalSpec extends SparkSpec {
     assert(m(2L).nSessions == 1 && m(2L).nEvents == 1)
   }
 
+  test("session records emit on gap close and on event-time timeout") {
+    implicit val sqlCtx = spark.sqlContext
+    val stream = MemoryStream[Event]
+    // user 1: 10:00 + 10:05 (one session), then 11:30 — the first
+    // session closes by GAP when 11:30 arrives
+    stream.addData(
+      Event(ts(0), 1, "click", 1.0), Event(ts(5), 1, "click", 2.0),
+      Event(Timestamp.valueOf("2024-01-01 11:30:00"), 1, "click", 4.0))
+    val gap = 30 * 60 * 1000L
+    val sessions = EventStreams.sessionRecords(stream.toDS(), gapMs = gap)
+    val q = sessions.toDF().writeStream
+      .format("memory").queryName("sessrec_test")
+      .outputMode(OutputMode.Append()).start()
+    q.processAllAvailable()
+    // advance event time far past 11:30 + gap: watermark moves, the
+    // EventTimeTimeout fires, and the OPEN session flushes as "timeout"
+    stream.addData(
+      Event(Timestamp.valueOf("2024-01-01 15:00:00"), 2, "view", 1.0))
+    q.processAllAvailable()
+    q.stop()
+    val recs = spark.table("sessrec_test")
+      .as[graft.streaming.EventStreams.SessionRecord].collect()
+    val byClose = recs.filter(_.userId == 1L).sortBy(_.startTs)
+    assert(byClose.length == 2)
+    assert(byClose(0).closedBy == "gap" && byClose(0).nEvents == 2 &&
+           byClose(0).sumValue == 3.0 &&
+           byClose(0).startTs == ts(0).getTime &&
+           byClose(0).endTs == ts(5).getTime)
+    assert(byClose(1).closedBy == "timeout" && byClose(1).nEvents == 1 &&
+           byClose(1).sumValue == 4.0)
+  }
+
   test("stream-static enrichment joins the dimension per micro-batch") {
     implicit val sqlCtx = spark.sqlContext
     val stream = MemoryStream[Event]
