@@ -239,6 +239,49 @@ object TextOps {
               (count(lit(1)) * first(col("n_corpus")))).as("avg_prob"))
   }
 
+  /** Corpus-bigram LM quality score with add-1 smoothing: per document,
+    * the average log2 of p(w2|w1) = (c(w1,w2)+1)/(c(w1)+V) over its
+    * bigrams — the stronger perplexity proxy next to
+    * [[unigramLogProb]] (word order now matters: scrambled text scores
+    * below fluent text with identical token counts). One token explode
+    * feeds the bigram counts, the history counts, and the vocabulary
+    * scalar; the per-doc aggregation is keyed by document. Per-term
+    * round-6 + exact decimal summation, the engine's cross-engine
+    * convention for transcendental aggregates. Documents with fewer
+    * than two tokens have no bigrams and produce no row. */
+  def bigramLogProb(docs: DataFrame, id: Column, text: Column)
+      : DataFrame = {
+    val toks = graft.core.CacheScope.persist(
+      docs.select(id.as("doc_id"), explode(tokens(text)).as("tok")))
+    val tarr = tokens(text)
+    val bg = graft.core.CacheScope.persist(
+      docs.select(id.as("doc_id"),
+          explode(filter(
+            zip_with(tarr, slice(tarr, lit(2),
+                                 greatest(size(tarr) - 1, lit(0))),
+                     (a, b) => struct(a.as("w1"), b.as("w2"))),
+            p => p.getField("w2").isNotNull)).as("p"))
+        .select(col("doc_id"), col("p.w1").as("w1"), col("p.w2").as("w2")))
+    val c12 = bg.groupBy("w1", "w2").agg(count(lit(1)).as("c12"))
+    val c1 = toks.groupBy(col("tok").as("w1")).agg(count(lit(1)).as("c1"))
+    val v = toks.agg(countDistinct("tok").as("v"))
+    bg.join(c12, Seq("w1", "w2"))
+      .join(broadcast(c1), Seq("w1"))
+      .crossJoin(broadcast(v))
+      .withColumn("logp",
+        round(log2((col("c12") + lit(1.0)) / (col("c1") + col("v"))), 6)
+          .cast("decimal(18,6)"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_bigrams"),
+           // the exact decimal total is the cross-engine-stable score;
+           // avg = sum/n re-rounds a quotient that can land exactly on
+           // a 5e-7 boundary (measured: doc 375 at sf0.01), so the avg
+           // rides along unrounded and the oracle gates on the sum
+           sum(col("logp")).cast("double").as("sum_logp"),
+           (sum(col("logp")).cast("double") / count(lit(1)))
+             .as("avg_logp"))
+  }
+
   /** PII pattern scan: per-document counts of email-shaped and
     * NANP-phone-shaped substrings — the redaction/filter pre-pass of
     * corpus hygiene. Codegen'd regexp over the scan, no UDF; the

@@ -382,6 +382,39 @@ object TextQueries {
         |    AS fp_long
         |FROM documents""".stripMargin)),
 
+    // Corpus-bigram LM scoring with add-1 smoothing: avg log2
+    // p(w2|w1) per document — the order-sensitive quality score next
+    // to q100's unigram LM. Same determinism discipline as q100:
+    // integer counts, one log2 rounded to 6, exact decimal sum.
+    Q("q126_bigram_lm",
+      t => TextOps.bigramLogProb(t.documents, col("doc_id"),
+                                 col("text"))
+        .select("doc_id", "n_bigrams", "sum_logp"),
+      Some("""WITH toks AS (
+        |  SELECT doc_id, i AS pos,
+        |    list_extract(string_split_regex(lower(text), '\s+'),
+        |                 CAST(i AS INT)) AS tok
+        |  FROM documents,
+        |    UNNEST(generate_series(1,
+        |      len(string_split_regex(lower(text), '\s+')))) t(i)
+        |), bg AS (
+        |  SELECT doc_id, tok AS w1, t1 AS w2 FROM (
+        |    SELECT doc_id, tok, LEAD(tok, 1) OVER (PARTITION BY doc_id
+        |                                           ORDER BY pos) AS t1
+        |    FROM toks
+        |  ) x WHERE t1 IS NOT NULL
+        |), c12 AS (
+        |  SELECT w1, w2, COUNT(*) AS c12 FROM bg GROUP BY 1, 2
+        |), c1 AS (
+        |  SELECT tok AS w1, COUNT(*) AS c1 FROM toks GROUP BY 1
+        |), vv AS (SELECT COUNT(DISTINCT tok) AS v FROM toks)
+        |SELECT doc_id, COUNT(*) AS n_bigrams,
+        |  CAST(SUM(CAST(round(
+        |      log2((c12 + 1.0) / (c1 + v)), 6) AS DECIMAL(18,6)))
+        |    AS DOUBLE) AS sum_logp
+        |FROM bg JOIN c12 USING (w1, w2) JOIN c1 USING (w1) CROSS JOIN vv
+        |GROUP BY doc_id""".stripMargin)),
+
     // TF-IDF keyword extraction: top-5 tokens per document by
     // tf·ln(N/df) — integer tf/df/N, one ln + multiply rounded to 6
     // decimals, token tie-break, so the per-doc ranking is identical
