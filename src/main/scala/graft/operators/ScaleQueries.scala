@@ -70,6 +70,25 @@ object ScaleQueries {
         |HAVING COUNT(*) >= CEIL(0.001 * (SELECT COUNT(*) FROM bg))"""
         .stripMargin)),
 
+    // Morton/Z-order interleaving of the two lineitem access paths
+    // (part, supplier): the data-skipping layout key — rows sorted by
+    // z cluster BOTH dimensions, so row-group min/max pruning works
+    // for predicates on either. Pure bit arithmetic, bit-identical
+    // across engines.
+    Q("q127_zorder_key",
+      t => t.lineitem.select(
+        col("l_orderkey"), col("l_linenumber"),
+        Sketches.zValue(col("l_partkey"), col("l_suppkey"), bits = 20)
+          .as("z")),
+      // per-row inline bit terms, no unnest+regroup: (l_orderkey,
+      // l_linenumber) is not unique in the synthetic data
+      Some("SELECT l_orderkey, l_linenumber, " +
+        (0 until 20).map(b =>
+          s"(((l_partkey >> $b) & 1) << ${2 * b}) + " +
+          s"(((l_suppkey >> $b) & 1) << ${2 * b + 1})")
+          .mkString("", " + ", " AS z") +
+        " FROM lineitem")),
+
     // Mergeable KLL quantile sketches: per-returnflag price quartiles
     // plus the sketch-merged global row. No DuckDB twin exists for the
     // sketch binary, so the gate is rows-only; the accuracy contract

@@ -130,4 +130,32 @@ object Sketches {
       acc.withColumn(s"q${(q * 100).round}", col("qv")(i))
     }.drop("qv")
   }
+
+  /** Morton/Z-order interleaving of two non-negative integer keys
+    * (bits of `x` on even positions, `y` on odd): rows sorted by the
+    * z-value cluster BOTH dimensions, so parquet row-group min/max
+    * pruning skips data for predicates on either column — the
+    * data-skipping layout step of a 100 TB table bucketed by two
+    * access paths (Delta/Iceberg's OPTIMIZE ZORDER, as plain Spark).
+    * Pure bit arithmetic in codegen (a fold over the bit positions,
+    * no UDF); keys must fit `bits` bits (≤ 31 each, z fits a long). */
+  def zValue(x: Column, y: Column, bits: Int = 20): Column = {
+    require(bits >= 1 && bits <= 31, "bits must be in [1, 31]")
+    (0 until bits).map { b =>
+      (shiftleft(shiftright(x.cast("long"), b).bitwiseAND(lit(1L)),
+                 2 * b) +
+       shiftleft(shiftright(y.cast("long"), b).bitwiseAND(lit(1L)),
+                 2 * b + 1))
+    }.reduce(_ + _)
+  }
+
+  /** Z-order layout: range-partition + sort the frame by
+    * [[zValue]](x, y) — the write-side pass before a parquet dump whose
+    * row groups should prune on either key. */
+  def zOrderLayout(df: DataFrame, x: Column, y: Column,
+                   partitions: Int, bits: Int = 20): DataFrame = {
+    val z = df.withColumn("_z", zValue(x, y, bits))
+    z.repartitionByRange(partitions, col("_z"))
+      .sortWithinPartitions("_z")
+  }
 }

@@ -132,6 +132,38 @@ class SketchJoinSpec extends SparkSpec {
     assert(ratios.forall(r => r > 0.15 && r < 3.0))
   }
 
+  test("zValue interleaves bits and orders locality for both keys") {
+    val got = Seq((3L, 0L), (0L, 3L), (5L, 3L), (0L, 0L),
+                  ((1L << 19) + 1L, 1L << 19))
+      .toDF("x", "y")
+      .select(graft.stats.Sketches.zValue(col("x"), col("y")).as("z"))
+      .as[Long].collect().toSeq
+    // x bits land on even positions, y bits on odd
+    assert(got(0) == 5L)   // x=11b  -> 0101b
+    assert(got(1) == 10L)  // y=11b  -> 1010b
+    assert(got(2) == 27L)  // x=101b, y=011b -> 11011b
+    assert(got(3) == 0L)
+    assert(got(4) == (1L << 38) + (1L << 39) + 1L) // top bits interleave
+    // the data-skipping property is quadrant containment: on the
+    // complete 32x32 grid, z is a bijection onto 0..1023 and every
+    // z-PREFIX range maps to one aligned square — a z-sorted file's
+    // row group [0, 4^k) holds exactly the 2^k x 2^k corner, so a
+    // predicate on either coordinate prunes whole groups
+    val grid = (for (x <- 0L until 32L; y <- 0L until 32L) yield (x, y))
+      .toDF("x", "y")
+    val zsorted = grid
+      .select(col("x"), col("y"),
+              graft.stats.Sketches.zValue(col("x"), col("y"), 5).as("z"))
+      .orderBy("z").collect()
+    assert(zsorted.map(_.getLong(2)).toSeq == (0L until 1024L))
+    for (k <- Seq(1, 2, 3, 4)) {
+      val quad = zsorted.take(1 << (2 * k))
+      assert(quad.forall(r => r.getLong(0) < (1 << k) &&
+                              r.getLong(1) < (1 << k)),
+             s"z < 4^$k must be exactly the ${1 << k}-square")
+    }
+  }
+
   test("tfidf keywords rank rare terms above ubiquitous ones") {
     val docs = Seq(
       (0L, "shared shared shared unicorn"),
