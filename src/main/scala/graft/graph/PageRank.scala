@@ -1,0 +1,73 @@
+package graft.graph
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Distributed PageRank in FIXED-POINT integer arithmetic — the
+  * link-graph quality prior of corpus curation (Common-Crawl-style
+  * pipelines rank hosts/pages by centrality before sampling; here the
+  * same operator runs over any edge list, e.g. the item co-occurrence
+  * graph).
+  *
+  * Floating-point PageRank is not oracle-checkable: the per-node sum
+  * of neighbor contributions is order-dependent. This variant keeps
+  * every rank as an integer number of 1e-12 units:
+  *
+  *   p₀        = 10¹² div N
+  *   contrib(j)= p(j) div outdeg(j)            (integer floor)
+  *   p'(i)     = (15·10¹¹ div N) + (85 · Σ contrib) div 100
+  *
+  * Long addition is exact and associative (map-side combine safe) and
+  * integer division is identical on every engine, so after any number
+  * of iterations the ranks are bit-identical to the unrolled SQL twin.
+  * The floors leak ≤1e-12·(N + in-edges) of mass per iteration —
+  * irrelevant to ordering, which is what the quality prior consumes.
+  *
+  * Scale shape: per iteration ONE join of the edge list to the rank
+  * table (both keyed by node — a co-partitioned shuffle) and one
+  * map-side-combined aggregation; the rank table is localCheckpointed
+  * per round so round k's plan does not embed rounds 1..k-1 (the
+  * connectedComponents convention). Nodes without in-edges keep the
+  * teleport mass; dangling nodes (no out-edges) simply contribute
+  * nothing — the deterministic convention, documented here.
+  */
+object PageRank {
+
+  val Unit12 = 1000000000000L // 1.0 in 1e-12 fixed point
+
+  /** `edges`: directed (src, dst) pairs, deduplicated by the caller if
+    * multiplicity is not intended. Returns (node, rank12) for every
+    * node appearing as src or dst. */
+  def fixedPoint(edges0: DataFrame, iters: Int): DataFrame = {
+    val edges = graft.core.CacheScope.persist(
+      edges0.select(col("src").cast("long").as("src"),
+                    col("dst").cast("long").as("dst")))
+    val nodes = graft.core.CacheScope.persist(
+      edges.select(col("src").as("node"))
+        .unionByName(edges.select(col("dst").as("node")))
+        .distinct())
+    val outdeg = edges.groupBy("src").agg(count(lit(1)).as("d"))
+    val n = nodes.count()
+    val init = Unit12 / n          // integer division, exact both engines
+    val teleport = (Unit12 * 15L / 100L) / n
+    var p = nodes.withColumn("p", lit(init)).localCheckpoint(true)
+    for (_ <- 0 until iters) {
+      val contribs = edges
+        .join(p.withColumnRenamed("node", "src"), "src")
+        .join(outdeg, "src")
+        .select(col("dst").as("node"),
+                expr("p div d").as("c"))
+        .groupBy("node").agg(sum("c").as("inflow"))
+      val next = nodes
+        .join(contribs, Seq("node"), "left")
+        .select(col("node"),
+                (lit(teleport) +
+                 expr(s"(85 * coalesce(inflow, 0L)) div 100"))
+                  .as("p"))
+        .localCheckpoint(true)
+      p.unpersist(false)
+      p = next
+    }
+    p.withColumnRenamed("p", "rank12")
+  }
+}

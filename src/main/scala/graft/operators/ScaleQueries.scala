@@ -89,6 +89,51 @@ object ScaleQueries {
           .mkString("", " + ", " AS z") +
         " FROM lineitem")),
 
+    // Fixed-point PageRank (5 iterations) over the item co-occurrence
+    // graph — the link-graph quality prior of corpus curation, in
+    // integer 1e-12 units so every rank is bit-identical to the
+    // unrolled SQL twin (floating PageRank sums are order-dependent
+    // and cannot be oracle-gated).
+    Q("q128_pagerank", { t =>
+        val urm = graft.etl.Urm.fromOrders(t).filter(col("i") < 500)
+        val edges = graft.similarity.Similarity.pairDots(urm)
+          .select(col("i").as("src"), col("j").as("dst"))
+        graft.graph.PageRank.fixedPoint(edges, iters = 5)
+      },
+      Some {
+        val iter = (k: Int) => s"""p$k AS (
+          |  SELECT n2.node,
+          |    CAST((150000000000 // nn.n)
+          |      + (85 * COALESCE(c.inflow, 0)) // 100 AS BIGINT) AS p
+          |  FROM nodes n2 CROSS JOIN nn
+          |  LEFT JOIN (
+          |    SELECT e.dst AS node, SUM(pp.p // deg.d) AS inflow
+          |    FROM edges e
+          |    JOIN p${k - 1} pp ON e.src = pp.node
+          |    JOIN deg ON e.src = deg.src
+          |    GROUP BY 1) c ON n2.node = c.node
+          |)""".stripMargin
+        s"""WITH urm AS (
+          |  SELECT DISTINCT o_custkey AS u, l_partkey AS i
+          |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+          |  WHERE l_partkey < 500
+          |), edges AS (
+          |  SELECT a.i AS src, b.i AS dst
+          |  FROM urm a JOIN urm b ON a.u = b.u AND a.i <> b.i
+          |  GROUP BY 1, 2
+          |), nodes AS (
+          |  SELECT src AS node FROM edges
+          |  UNION SELECT dst FROM edges
+          |), deg AS (SELECT src, COUNT(*) AS d FROM edges GROUP BY 1),
+          |nn AS (SELECT COUNT(*) AS n FROM nodes),
+          |p0 AS (
+          |  SELECT node, CAST(1000000000000 // nn.n AS BIGINT) AS p
+          |  FROM nodes CROSS JOIN nn
+          |),
+          |${(1 to 5).map(iter).mkString(",\n")}
+          |SELECT node, p AS rank12 FROM p5""".stripMargin
+      }),
+
     // Mergeable KLL quantile sketches: per-returnflag price quartiles
     // plus the sketch-merged global row. No DuckDB twin exists for the
     // sketch binary, so the gate is rows-only; the accuracy contract

@@ -164,6 +164,23 @@ class SketchJoinSpec extends SparkSpec {
     }
   }
 
+  test("fixed-point PageRank concentrates rank on the hub") {
+    // star: every leaf links to the hub and back (so no dangling mass)
+    val edges = ((1L to 8L).map(l => (l, 0L)) ++
+                 (1L to 8L).map(l => (0L, l))).toDF("src", "dst")
+    val ranks = graft.graph.PageRank.fixedPoint(edges, iters = 10)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val hub = ranks(0L)
+    val leaves = (1L to 8L).map(ranks)
+    // symmetry: all leaves identical; hub dominates any leaf
+    assert(leaves.distinct.size == 1)
+    assert(hub > leaves.head * 4)
+    // fixed-point floors only LEAK mass: total stays within 1e-6 of 1
+    val total = ranks.values.sum
+    assert(total <= graft.graph.PageRank.Unit12 &&
+           total > graft.graph.PageRank.Unit12 - 1000000L)
+  }
+
   test("tfidf keywords rank rare terms above ubiquitous ones") {
     val docs = Seq(
       (0L, "shared shared shared unicorn"),
