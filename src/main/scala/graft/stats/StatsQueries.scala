@@ -200,6 +200,27 @@ object StatsQueries {
         |  round(ANY_VALUE(p_lo), 6) AS p_lo,
         |  round(ANY_VALUE(p_hi), 6) AS p_hi
         |FROM documents JOIN b ON source = g
-        |GROUP BY source""".stripMargin))
+        |GROUP BY source""".stripMargin)),
+
+    // Percentile-rank normalization of a corpus-sized score axis —
+    // pct = (rank-1)/(N-1) over a TOTAL order (score, id) — through
+    // the windowless two-pass global rank (core.Ranking): the
+    // feature-normalization step that an unpartitioned PERCENT_RANK
+    // window would funnel through one reducer. Exact integers divided
+    // once: bit-identical across engines without rounding.
+    Q("q129_percentile_rank", { t =>
+        val docs = t.documents.select(col("doc_id"), col("n_chars"))
+        val n = docs.agg(count(lit(1)).as("n_docs"))
+        graft.core.Ranking.withGlobalRank(
+            docs, Seq(col("n_chars"), col("doc_id")), "rn")
+          .crossJoin(broadcast(n))
+          .select(col("doc_id"), col("n_chars"),
+                  ((col("rn") - 1).cast("double") / (col("n_docs") - 1))
+                    .as("pct"))
+      },
+      Some("""SELECT doc_id, n_chars,
+        |  CAST(ROW_NUMBER() OVER (ORDER BY n_chars, doc_id) - 1
+        |    AS DOUBLE) / (COUNT(*) OVER () - 1) AS pct
+        |FROM documents""".stripMargin))
   )
 }
