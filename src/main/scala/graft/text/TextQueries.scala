@@ -382,6 +382,97 @@ object TextQueries {
         |    AS fp_long
         |FROM documents""".stripMargin)),
 
+    // End-to-end LLM text-prep pipeline in ONE gated query: the
+    // C4/Gopher-style quality filter (all four rules, scored over the
+    // FULL corpus) selects survivors, and only the survivors flow into
+    // deterministic-hash-ordered sequence packing — filter → layout,
+    // the two stages a pretraining data build always chains. The
+    // oracle chains the q105 and q106 CTEs over the same survivor set.
+    Q("q130_prep_pipeline", { t =>
+        val docs = graft.core.CacheScope.persist(
+          t.documents.select(col("doc_id"), col("text")))
+        val kept = TextOps.qualityFilter(docs, col("doc_id"),
+            col("text"), minTokens = 20, maxTokens = 80,
+            minQuality = 0.6, maxRep = 0.03, minAvgLogp = -5.0)
+          .filter(col("keep") === 1).select("doc_id")
+        TextOps.packSequences(docs.join(kept, "doc_id"),
+                              col("doc_id"), col("text"), budget = 256L)
+      },
+      Some("""WITH f AS (
+        |  SELECT doc_id,
+        |    len(string_split_regex(lower(text), '\s+')) AS n_tokens,
+        |    length(text) AS n_chars,
+        |    length(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'))
+        |      AS n_alnum,
+        |    len(list_filter(string_split_regex(lower(text), '\s+'),
+        |        t -> t IN ('the','a','of','and','to','in','is'))) AS n_stop
+        |  FROM documents
+        |), q AS (
+        |  SELECT doc_id, CAST(n_tokens AS INT) AS n_tokens,
+        |    round(least(CAST(n_tokens AS DOUBLE) / 100, 1.0) * 0.4
+        |      + (1.0 - CAST(n_chars - n_alnum AS DOUBLE) / n_chars) * 0.3
+        |      + least(CAST(n_stop AS DOUBLE) / n_tokens * 5, 1.0) * 0.3,
+        |      6) AS quality
+        |  FROM f
+        |), toks AS (
+        |  SELECT doc_id, i AS pos,
+        |    list_extract(string_split_regex(lower(text), '\s+'),
+        |                 CAST(i AS INT)) AS tok
+        |  FROM documents,
+        |    UNNEST(generate_series(1,
+        |      len(string_split_regex(lower(text), '\s+')))) t(i)
+        |), sh AS (
+        |  SELECT doc_id, tok || ' ' || t1 || ' ' || t2 AS shingle
+        |  FROM (
+        |    SELECT doc_id, tok,
+        |      LEAD(tok, 1) OVER w AS t1, LEAD(tok, 2) OVER w AS t2
+        |    FROM toks WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+        |  ) x WHERE t2 IS NOT NULL
+        |), rep AS (
+        |  SELECT doc_id,
+        |    round(1.0 - CAST(COUNT(DISTINCT shingle) AS DOUBLE)
+        |                / COUNT(*), 6) AS rep_ratio
+        |  FROM sh GROUP BY doc_id
+        |), wtoks AS (
+        |  SELECT doc_id,
+        |    unnest(string_split_regex(lower(text), '\s+')) AS tok
+        |  FROM documents
+        |), counts AS (SELECT tok, COUNT(*) AS c FROM wtoks GROUP BY 1),
+        |tot AS (SELECT COUNT(*) AS n_corpus FROM wtoks),
+        |lm AS (
+        |  SELECT doc_id,
+        |    round(CAST(SUM(CAST(round(log2(CAST(c AS DOUBLE) / n_corpus),
+        |                              6) AS DECIMAL(18,6))) AS DOUBLE)
+        |          / COUNT(*), 6) AS avg_logp
+        |  FROM wtoks JOIN counts USING (tok) CROSS JOIN tot
+        |  GROUP BY doc_id
+        |), kept AS (
+        |  SELECT q.doc_id
+        |  FROM q
+        |  LEFT JOIN rep ON rep.doc_id = q.doc_id
+        |  LEFT JOIN lm ON lm.doc_id = q.doc_id
+        |  WHERE q.n_tokens >= 20 AND q.n_tokens <= 80
+        |    AND q.quality >= 0.6
+        |    AND COALESCE(rep.rep_ratio, 0.0) <= 0.03
+        |    AND lm.avg_logp >= -5.0
+        |), counted AS (
+        |  SELECT doc_id,
+        |    len(string_split_regex(lower(text), '\s+')) AS n_tokens,
+        |    md5(CAST(doc_id AS VARCHAR)) AS h
+        |  FROM documents JOIN kept USING (doc_id)
+        |), ordered AS (
+        |  SELECT doc_id, CAST(n_tokens AS INT) AS n_tokens,
+        |    CAST(ROW_NUMBER() OVER w AS BIGINT) AS pos,
+        |    CAST(SUM(n_tokens) OVER w AS BIGINT) AS cum
+        |  FROM counted WINDOW w AS (ORDER BY h, doc_id)
+        |)
+        |SELECT doc_id, n_tokens, pos,
+        |  CAST(FLOOR((cum - n_tokens) / 256.0) AS BIGINT) AS seq_id,
+        |  (cum - n_tokens)
+        |    - CAST(FLOOR((cum - n_tokens) / 256.0) AS BIGINT) * 256
+        |    AS offset
+        |FROM ordered""".stripMargin)),
+
     // Corpus-bigram LM scoring with add-1 smoothing: avg log2
     // p(w2|w1) per document — the order-sensitive quality score next
     // to q100's unigram LM. Same determinism discipline as q100:
