@@ -370,6 +370,40 @@ object Dedup {
     * cell key, so AQE's skew split handles a hot cell.
     *
     * Returns the SURVIVING (id, cell) rows. */
+  /** Cross-document repeated-span detection — the exact-substring
+    * deduplication primitive (Lee et al., "Deduplicating Training Data
+    * Makes Language Models Better", ACL 2022, §3.1: repeated spans of
+    * ≥ N tokens across a corpus are memorization fuel). The full
+    * suffix-array construction is replaced by the bounded form a Spark
+    * pipeline wants: every `spanTokens`-token window of every document
+    * is fingerprinted (md5 of the space-joined window — engine-
+    * portable like every hash here), and fingerprints seen in MORE
+    * THAN ONE distinct document are reported with their document and
+    * occurrence counts.
+    *
+    * Scale shape: the window explode is a narrow per-doc map (arrays
+    * never leave their row), the only shuffle is the groupBy on the
+    * span hash — |corpus tokens| rows with map-side combine. Span text
+    * itself is NOT carried through the shuffle, only the 32-char hash;
+    * callers join back on the hash if they need the offending text. */
+  def repeatedSpans(docs: DataFrame, id: Column, text: Column,
+                    spanTokens: Int): DataFrame = {
+    val arr = split(lower(text), "\\s+")
+    docs
+      .select(id.as("doc_id"),
+              // guard: sequence(1, n) DESCENDS when n < 1, so short
+              // documents must map to an empty window list explicitly
+              explode(when(size(arr) >= spanTokens,
+                transform(
+                  sequence(lit(1), size(arr) - (spanTokens - 1)),
+                  i => md5(concat_ws(" ", slice(arr, i, lit(spanTokens))))))
+                .otherwise(array().cast("array<string>"))).as("h"))
+      .groupBy("h")
+      .agg(countDistinct("doc_id").as("n_docs"),
+           count(lit(1)).as("n_occ"))
+      .filter(col("n_docs") > 1)
+  }
+
   def semanticDedup(corpus: DataFrame, nCells: Int, tau: Double)
       : DataFrame = {
     import graft.ann.Ann

@@ -89,6 +89,36 @@ object DedupQueries {
         |  SELECT DISTINCT j FROM pcos WHERE cos >= 0.95)"""
         .stripMargin)),
 
+    // Cross-document repeated 10-token spans — the exact-substring
+    // dedup primitive (ACL 2022). The random-vocabulary corpus shares
+    // no natural 10-gram across documents, so the gate plants them:
+    // verbatim copies (+5000) of doc_id < 10 make every >= 10-token
+    // window of those documents a cross-document repeat.
+    Q("q131_repeated_spans", { t =>
+        val base = t.documents.select(col("doc_id"), col("text"))
+        val planted = base.filter(col("doc_id") < 10)
+          .select((col("doc_id") + 5000L).as("doc_id"), col("text"))
+        Dedup.repeatedSpans(base.unionByName(planted),
+                            col("doc_id"), col("text"), spanTokens = 10)
+      },
+      Some("""WITH corpus AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 5000, text FROM documents WHERE doc_id < 10
+        |), spans AS (
+        |  SELECT doc_id,
+        |    md5(array_to_string(list_slice(
+        |      string_split_regex(lower(text), '\s+'),
+        |      CAST(i AS INT), CAST(i + 9 AS INT)), ' ')) AS h
+        |  FROM corpus,
+        |    UNNEST(generate_series(1,
+        |      len(string_split_regex(lower(text), '\s+')) - 9)) t(i)
+        |  WHERE len(string_split_regex(lower(text), '\s+')) >= 10
+        |)
+        |SELECT h, COUNT(DISTINCT doc_id) AS n_docs, COUNT(*) AS n_occ
+        |FROM spans GROUP BY h
+        |HAVING COUNT(DISTINCT doc_id) > 1""".stripMargin)),
+
     // Exact dedup: normalized-md5 groups with more than one member.
     // The synthetic corpus contains no exact duplicates, so the gate
     // plants them: the corpus is documents UNION a verbatim re-id'd

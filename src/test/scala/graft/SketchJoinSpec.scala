@@ -164,6 +164,22 @@ class SketchJoinSpec extends SparkSpec {
     }
   }
 
+  test("repeatedSpans finds an embedded 10-gram, ignores short docs") {
+    val shared = (1 to 10).map(i => s"x$i").mkString(" ")
+    val docs = Seq(
+      (0L, s"a1 a2 a3 $shared b1 b2"),        // span embedded mid-doc
+      (1L, s"$shared c1 c2 c3 c4 c5"),        // span at the start
+      (2L, "unrelated tokens that never repeat across documents here"),
+      (3L, "too short")                        // < 10 tokens: no windows
+    ).toDF("doc_id", "text")
+    val spans = graft.dedup.Dedup.repeatedSpans(
+        docs, col("doc_id"), col("text"), spanTokens = 10)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    // exactly one cross-document span: the planted x1..x10 window
+    assert(spans.length == 1)
+    assert(spans.head._2 == 2 && spans.head._3 == 2)
+  }
+
   test("fixed-point PageRank concentrates rank on the hub") {
     // star: every leaf links to the hub and back (so no dangling mass)
     val edges = ((1L to 8L).map(l => (l, 0L)) ++
