@@ -156,6 +156,28 @@ object Stats {
       .agg(percentile(value, lit(lo)).as("p_lo"),
            percentile(value, lit(hi)).as("p_hi"))
 
+  /** Robust per-group outlier detection via MAD (median absolute
+    * deviation): med = exact median of `value`, mad = exact median of
+    * |value − med|, outlier ⇔ |value − med| > k · 1.4826 · mad (the
+    * normal-consistency constant; Hampel's rule at k = 3). Unlike
+    * mean/stddev z-scores, both statistics have a 50% breakdown point
+    * — the contamination this filter exists to find cannot corrupt its
+    * own threshold. Two grouped percentile aggregates + one broadcast
+    * join: three stages at any corpus size, #groups broadcast rows. */
+  def madOutliers(df0: DataFrame, group: Column, value: Column,
+                  k: Double = 3.0): DataFrame = {
+    val df = CacheScope.persist(df0)
+    val med = df.groupBy(group.as("g"))
+      .agg(percentile(value, lit(0.5)).as("med"))
+    val mad = df.join(broadcast(med), group === col("g")).drop("g")
+      .groupBy(group.as("g"), col("med"))
+      .agg(percentile(abs(value - col("med")), lit(0.5)).as("mad"))
+    df.join(broadcast(mad), group === col("g")).drop("g")
+      .withColumn("is_outlier",
+        (abs(value - col("med")) > lit(k) * lit(1.4826) * col("mad"))
+          .cast("int"))
+  }
+
   /** Keep only rows inside their group's [lo, hi] percentile band of
     * `value`. Bounds are #groups rows — always broadcastable — so the
     * trim is scan + broadcast join at any corpus size. The input feeds

@@ -202,6 +202,51 @@ object StatsQueries {
         |FROM documents JOIN b ON source = g
         |GROUP BY source""".stripMargin)),
 
+    // Robust MAD outlier detection per source (Hampel's rule at k=3):
+    // median and MAD are exact interpolated percentiles on both
+    // engines, the comparison is pure IEEE arithmetic — per-source
+    // outlier counts compare exactly.
+    // The natural corpus has no length outliers at k=3 (uniform-ish
+    // synthetic lengths), which would make the gate pass on 0 = 0 —
+    // so 20x-length rows are PLANTED (doc_id < 20, one per source)
+    // and must be flagged, while the robust median/MAD must barely
+    // move (the 50% breakdown point in action).
+    Q("q132_mad_outliers", { t =>
+        val base = t.documents.select(col("doc_id"), col("source"),
+                                      col("n_chars"))
+        val planted = base.filter(col("doc_id") < 20)
+          .select((col("doc_id") + 7000L).as("doc_id"), col("source"),
+                  (col("n_chars") * 20).as("n_chars"))
+        Stats.madOutliers(base.unionByName(planted),
+                          col("source"), col("n_chars"), k = 3.0)
+          .groupBy("source")
+          .agg(count(lit(1)).as("n"),
+               sum("is_outlier").as("n_outliers"),
+               round(first("med"), 6).as("med"),
+               round(first("mad"), 6).as("mad"))
+      },
+      Some("""WITH corpus AS (
+        |  SELECT doc_id, source, n_chars FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 7000, source, n_chars * 20 FROM documents
+        |  WHERE doc_id < 20
+        |), med AS (
+        |  SELECT source AS g, quantile_cont(n_chars, 0.5) AS med
+        |  FROM corpus GROUP BY 1
+        |), mad AS (
+        |  SELECT source AS g, med,
+        |    quantile_cont(abs(n_chars - med), 0.5) AS mad
+        |  FROM corpus JOIN med ON source = med.g
+        |  GROUP BY source, med
+        |)
+        |SELECT source, COUNT(*) AS n,
+        |  CAST(SUM(CASE WHEN abs(n_chars - med) > 3 * 1.4826 * mad
+        |           THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers,
+        |  round(ANY_VALUE(med), 6) AS med,
+        |  round(ANY_VALUE(mad), 6) AS mad
+        |FROM corpus JOIN mad ON source = mad.g
+        |GROUP BY source""".stripMargin)),
+
     // Percentile-rank normalization of a corpus-sized score axis —
     // pct = (rank-1)/(N-1) over a TOTAL order (score, id) — through
     // the windowless two-pass global rank (core.Ranking): the
