@@ -47,6 +47,7 @@ object PageRank {
         .unionByName(edges.select(col("dst").as("node")))
         .distinct())
     val n = nodes.count()
+    require(n > 0, "PageRank needs a non-empty edge list")
     // size the loop's shuffles by the graph, not the session default:
     // a 500-node subgraph on 32 shuffle partitions pays ~15 near-empty
     // task waves across the iterations (the bprPartitioner convention

@@ -164,6 +164,46 @@ class SketchJoinSpec extends SparkSpec {
     }
   }
 
+  test("bloomSemiJoin tolerates null probe keys (dropped, like the join)") {
+    val probe = Seq((1L, java.lang.Long.valueOf(5L)),
+                    (2L, null.asInstanceOf[java.lang.Long]),
+                    (3L, java.lang.Long.valueOf(99L)))
+      .toDF("row_id", "pk")
+    val build = Seq(5L, 7L).toDF("bk")
+    val got = JoinPrune.bloomSemiJoin(probe, build, "pk", "bk",
+                                      expectedItems = 100)
+      .select("row_id").as[Long].collect().toSet
+    assert(got == Set(1L)) // null never matches a semi-join key
+  }
+
+  test("repeatedSpans matches a brute-force window count on random text") {
+    val rnd = new Random(31)
+    val vocab = Array("a", "b", "c", "d")
+    val docs = (0L until 25L).map { i =>
+      (i, Array.fill(8 + rnd.nextInt(12))(vocab(rnd.nextInt(4)))
+            .mkString(" "))
+    }
+    val got = graft.dedup.Dedup.repeatedSpans(
+        docs.toDF("doc_id", "text"), col("doc_id"), col("text"),
+        spanTokens = 4)
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2)))
+      .toMap
+    // brute force: every 4-token window of every doc
+    val windows = docs.flatMap { case (id, text) =>
+      val t = text.split("\\s+")
+      t.sliding(4).filter(_.length == 4).map(w => (id, w.mkString(" ")))
+    }
+    val byDocs = windows.groupBy(_._2).view
+      .mapValues(ws => (ws.map(_._1).distinct.size.toLong, ws.size.toLong))
+      .filter(_._2._1 > 1).toMap
+    import java.security.MessageDigest
+    def md5hex(s: String): String =
+      MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+    val want = byDocs.map { case (w, v) => md5hex(w) -> v }
+    assert(got == want && got.nonEmpty)
+  }
+
   test("repeatedSpans finds an embedded 10-gram, ignores short docs") {
     val shared = (1 to 10).map(i => s"x$i").mkString(" ")
     val docs = Seq(
