@@ -156,6 +156,40 @@ object Stats {
       .agg(percentile(value, lit(lo)).as("p_lo"),
            percentile(value, lit(hi)).as("p_hi"))
 
+  /** Target-mixture resampling (the DoReMi/data-mixing step of a
+    * pretraining build): given target DOMAIN SHARES of a total token
+    * budget, compute each domain's keep rate
+    *   rate(d) = min(1, share(d)·budget / observedTokens(d))
+    * and apply it with the deterministic md5-bucket rule of
+    * [[stratifiedSample]] — the same rows survive on any engine and
+    * any re-run, so the mixture is reproducible corpus-wide. Domains
+    * whose corpus mass falls short of their target keep everything
+    * (rate capped at 1 — upsampling is a repeat-factor concern, out of
+    * scope here). The observed-token aggregate is #domains rows,
+    * broadcast; the decision is a narrow scan.
+    *
+    * The threshold is floor(rate·2³²) compared against the first 8 md5
+    * hex digits — floor, not a double→long cast, because engines
+    * disagree on cast rounding (DuckDB rounds, the JVM truncates). */
+  def mixtureSample(docs: DataFrame, id: Column, domain: Column,
+                    weight: Column, targetShares: Map[String, Double],
+                    budgetTokens: Long): DataFrame = {
+    val observed = docs.groupBy(domain.as("g"))
+      .agg(sum(weight.cast("long")).as("tok"))
+    val share = targetShares.foldLeft(lit(0.0)) { case (acc, (d, s)) =>
+      when(col("g") === d, lit(s)).otherwise(acc)
+    }
+    val rates = observed
+      .withColumn("rate",
+        least(lit(1.0), share * budgetTokens / col("tok")))
+      .withColumn("thr",
+        floor(col("rate") * lit(4294967296.0)).cast("long"))
+    docs.join(broadcast(rates), domain === col("g"))
+      .filter(conv(substring(md5(id.cast("string")), 1, 8), 16, 10)
+                .cast("long") < col("thr"))
+      .drop("g", "rate", "tok")
+  }
+
   /** Robust per-group outlier detection via MAD (median absolute
     * deviation): med = exact median of `value`, mad = exact median of
     * |value − med|, outlier ⇔ |value − med| > k · 1.4826 · mad (the

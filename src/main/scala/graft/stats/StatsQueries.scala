@@ -202,6 +202,35 @@ object StatsQueries {
         |FROM documents JOIN b ON source = g
         |GROUP BY source""".stripMargin)),
 
+    // Target-mixture resampling: resample the corpus toward a target
+    // language mix of a 60k-token budget. Rates derive from observed
+    // token mass in-query on both engines; en is downsampled hard,
+    // zh/de keep everything (rate capped at 1), so the gate exercises
+    // both regimes. The kept rows themselves are compared.
+    Q("q133_mixture_sample", { t =>
+        Stats.mixtureSample(
+          t.documents.select(col("doc_id"), col("lang"), col("n_chars")),
+          col("doc_id"), col("lang"), col("n_chars"),
+          targetShares = Map("en" -> 0.2, "zh" -> 0.4, "de" -> 0.4),
+          budgetTokens = 60000L)
+          .select("doc_id", "lang", "n_chars", "thr")
+      },
+      Some("""WITH obs AS (
+        |  SELECT lang AS g, CAST(SUM(n_chars) AS BIGINT) AS tok
+        |  FROM documents GROUP BY 1
+        |), rates AS (
+        |  SELECT g,
+        |    CAST(FLOOR(least(1.0,
+        |      (CASE g WHEN 'en' THEN 0.2 WHEN 'zh' THEN 0.4
+        |              WHEN 'de' THEN 0.4 ELSE 0.0 END) * 60000 / tok)
+        |      * 4294967296.0) AS BIGINT) AS thr
+        |  FROM obs
+        |)
+        |SELECT doc_id, lang, n_chars, thr
+        |FROM documents JOIN rates ON lang = g
+        |WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+        |        ::BIGINT < thr""".stripMargin)),
+
     // Robust MAD outlier detection per source (Hampel's rule at k=3):
     // median and MAD are exact interpolated percentiles on both
     // engines, the comparison is pure IEEE arithmetic — per-source
