@@ -294,8 +294,12 @@ object Ann {
     // to diverge.
     val proj = transform(sequence(lit(0), lit(outDim - 1)), k =>
       aggregate(
-        zip_with(emb, sequence(lit(0), size(emb) - 1),
-                 (x, d) => round(x.cast("double") * sign(d, k) /
+        // greatest-guard: sequence(0, -1) DESCENDS for an empty
+        // embedding; the zip's null padding then poisons the sum. An
+        // empty vector projects to zeros (the empty-sum convention).
+        zip_with(emb, sequence(lit(0), greatest(size(emb) - 1, lit(0))),
+                 (x, d) => round(coalesce(x.cast("double"), lit(0.0)) *
+                                   sign(d, k) /
                                    math.sqrt(outDim.toDouble), 6)
                    .cast("decimal(18,6)")),
         lit(java.math.BigDecimal.ZERO).cast("decimal(28,6)"),

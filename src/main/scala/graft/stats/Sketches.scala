@@ -118,6 +118,15 @@ object Sketches {
       .collect()
     def quantRow(sk: KllDoublesSketch): Seq[Double] =
       qs.map(q => sk.getQuantile(q, QuantileSearchCriteria.INCLUSIVE))
+    // DataSketches throws on quantiles of an EMPTY sketch — an empty
+    // input yields an empty result frame, not an exception
+    if (perGroup.isEmpty) {
+      val empty = Seq.empty[(String, Boolean, Seq[Double])]
+        .toDF("g", "is_total", "qv")
+      return qs.zipWithIndex.foldLeft(empty) { case (acc, (q, i)) =>
+        acc.withColumn(s"q${(q * 100).round}", col("qv")(i))
+      }.drop("qv")
+    }
     val globalSk = KllDoublesSketch.newHeapInstance(k)
     perGroup.foreach { case (_, bytes) =>
       globalSk.merge(KllDoublesSketch.heapify(Memory.wrap(bytes)))
