@@ -55,15 +55,21 @@ object Bench {
       }
       System.gc()
     }
-    // Heavy shuffle queries run twice. Two effects need separating:
-    // the cold-path tax (per-plan codegen + JIT, always in run 1) and
-    // random multi-second environmental stalls (measured hitting EITHER
-    // run — rep campaigns showed ~30s spikes on otherwise-13s queries).
-    // The reported number is therefore min(run1, run2) — the best
-    // estimate of intrinsic plan cost — with both raw timings emitted
-    // (queries_first_run / queries_second_run) so BENCH_r{N}.json keeps
-    // the full evidence. Beyond the static set, any query whose first
-    // run exceeds `heavyThresholdSec` is re-run adaptively.
+    // Heavy shuffle queries run THREE times and report the median.
+    // Three effects need separating: the cold-path tax (per-plan
+    // codegen + JIT, always in run 1), random multi-second
+    // environmental stalls (measured hitting ANY single run — rep
+    // campaigns showed ~30s spikes on otherwise-13s queries), and this
+    // box's measured 20-25% background-load drift (SURVEY §6). Best-of-N
+    // converges to an optimistic floor as N grows; the median of three
+    // absorbs one stalled run AND one cold run without flattering the
+    // result, so it is the defensible headline. All raw timings are
+    // emitted (queries_first/second/third_run) so BENCH_r{N}.json keeps
+    // the full evidence, and /proc/loadavg is sampled around each heavy
+    // query (load_before/load_after) so a drifted number can be
+    // attributed to machine load mechanically, not by prose. Beyond the
+    // static set, any query whose first run exceeds `heavyThresholdSec`
+    // is re-run adaptively.
     // q55 earned its slot with rep evidence: cold 5.8s / steady 2.9s —
     // a per-plan codegen tax just under the adaptive threshold, so the
     // static set must carry it or the reported number is the cold run.
@@ -81,7 +87,15 @@ object Bench {
       .filter(q => only.forall(_.contains(q.name)))
     val firstRun = scala.collection.mutable.LinkedHashMap[String, Double]()
     val secondRun = scala.collection.mutable.LinkedHashMap[String, Double]()
+    val thirdRun = scala.collection.mutable.LinkedHashMap[String, Double]()
     val medianRun = scala.collection.mutable.LinkedHashMap[String, Double]()
+    val loadBefore = scala.collection.mutable.LinkedHashMap[String, Double]()
+    val loadAfter = scala.collection.mutable.LinkedHashMap[String, Double]()
+    // 1-minute loadavg: the mechanical machine-vs-code discriminator
+    def loadavg(): Double =
+      try scala.io.Source.fromFile("/proc/loadavg").getLines()
+        .next().split(" ")(0).toDouble
+      catch { case _: Throwable => -1.0 }
     val results = selected.flatMap { q =>
       def once(): Double = {
         val t0 = System.nanoTime()
@@ -112,13 +126,19 @@ object Bench {
           runs.zipWithIndex.map { case (t, r) => s"${q.name}#$r" -> t }
         case None =>
           clearState()
+          val la0 = loadavg()
           val t1 = once()
           val t = if (heavy(q.name) || t1 > heavyThresholdSec) {
             firstRun(q.name) = t1
+            loadBefore(q.name) = la0
             clearState()
             val t2 = once()
             secondRun(q.name) = t2
-            math.min(t1, t2)
+            clearState()
+            val t3 = once()
+            thirdRun(q.name) = t3
+            loadAfter(q.name) = loadavg()
+            Seq(t1, t2, t3).sorted.apply(1) // median of three
           } else t1
           Seq(q.name -> t)
       }
@@ -128,7 +148,7 @@ object Bench {
     val qs = jmap(scala.collection.mutable.LinkedHashMap(results: _*))
     val total = results.map(_._2).sum
     val line =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"queries_first_run":${jmap(firstRun)},"queries_second_run":${jmap(secondRun)},"queries_median":${jmap(medianRun)},"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"queries_first_run":${jmap(firstRun)},"queries_second_run":${jmap(secondRun)},"queries_third_run":${jmap(thirdRun)},"queries_median":${jmap(medianRun)},"load_before":${jmap(loadBefore)},"load_after":${jmap(loadAfter)},"sf":"$sfDir"}"""
     println(line)
     // stdout tail capture can truncate the line (round-1 BENCH had
     // parsed=null); persist it to a known file as the durable copy

@@ -277,7 +277,10 @@ object Ann {
     *
     * Returns one row per (id, k) with the projected coordinate —
     * per-term round-to-6 + exact decimal accumulation, so the sum is
-    * order-independent and oracle-checkable bit-for-bit. */
+    * order-independent and oracle-checkable bit-for-bit. Empty
+    * embeddings are dropped (no coordinates → no projection rows),
+    * matching the UNNEST-based oracle, which also emits no rows for
+    * them. */
   def randomProjection(vectors: DataFrame, id: Column, emb: Column,
                        outDim: Int): DataFrame = {
     def sign(d: Column, k: Column): Column =
@@ -294,10 +297,7 @@ object Ann {
     // to diverge.
     val proj = transform(sequence(lit(0), lit(outDim - 1)), k =>
       aggregate(
-        // greatest-guard: sequence(0, -1) DESCENDS for an empty
-        // embedding; the zip's null padding then poisons the sum. An
-        // empty vector projects to zeros (the empty-sum convention).
-        zip_with(emb, sequence(lit(0), greatest(size(emb) - 1, lit(0))),
+        zip_with(emb, sequence(lit(0), size(emb) - 1),
                  (x, d) => round(coalesce(x.cast("double"), lit(0.0)) *
                                    sign(d, k) /
                                    math.sqrt(outDim.toDouble), 6)
@@ -308,6 +308,10 @@ object Ann {
         (acc, term) => (acc + term).cast("decimal(28,6)"))
         .cast("double"))
     vectors
+      // an empty embedding has no projection (sequence(0, -1) would
+      // DESCEND and null-poison the zip); the oracle's UNNEST likewise
+      // emits no rows for it, so the two engines agree by construction
+      .filter(size(emb) > 0)
       .select(id.as("id"), posexplode(proj).as(Seq("k", "pv")))
       .select(col("id"), col("k"), col("pv").as("v"))
   }

@@ -262,12 +262,17 @@ object AnnQueries {
 
     // Symmetric int8 quantization of the embedding table: per-vector
     // scale (max|x|/127, exact float→double arithmetic — no sums) and
-    // the quantized byte array. round() is half-away-from-zero in both
-    // engines, so the arrays compare exactly.
+    // the quantized bytes. round() is half-away-from-zero in both
+    // engines, so every byte compares exactly. The registered result
+    // explodes the byte array to (id, scale, d, qd) scalar rows — the
+    // oracle comparator sorts rows with pandas and cannot hash array
+    // cells (the round-trip fixture keeps the array form); same shape
+    // convention as q125.
     Q("q116_embedding_quantize",
       t => Ann.quantizeInt8(t.embeddings, col("vec_id"),
                             col("embedding"))
-        .select(col("id"), round(col("scale"), 9).as("scale"), col("q")),
+        .select(col("id"), round(col("scale"), 9).as("scale"),
+                posexplode(col("q")).as(Seq("d", "qd"))),
       Some("""WITH m AS (
         |  SELECT vec_id AS id, embedding,
         |    list_max(list_transform(embedding,
@@ -275,11 +280,12 @@ object AnnQueries {
         |  FROM embeddings
         |)
         |SELECT id, round(ma / 127.0, 9) AS scale,
-        |  list_transform(embedding, x ->
-        |    CAST(CASE WHEN ma = 0 THEN 0
-        |         ELSE round(CAST(x AS DOUBLE) / (ma / 127.0))
-        |         END AS TINYINT)) AS q
-        |FROM m""".stripMargin)),
+        |  CAST(i - 1 AS INT) AS d,
+        |  CAST(CASE WHEN ma = 0 THEN 0
+        |       ELSE round(CAST(embedding[CAST(i AS INT)] AS DOUBLE)
+        |                  / (ma / 127.0))
+        |       END AS TINYINT) AS qd
+        |FROM m, UNNEST(generate_series(1, len(embedding))) t(i)""".stripMargin)),
 
     // Johnson-Lindenstrauss random projection 64 -> 16 dims with the
     // deterministic md5-parity ±1 matrix: the dimensionality cut

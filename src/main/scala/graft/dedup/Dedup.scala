@@ -352,24 +352,6 @@ object Dedup {
       .distinct() // a pair may collide in several segments
   }
 
-  /** SemDeDup-style semantic deduplication over an embedding corpus
-    * (Abbas et al., "SemDeDup: Data-efficient learning at web-scale
-    * through semantic deduplication", arXiv:2303.09540): cluster the
-    * embeddings, compare pairs only WITHIN each cluster, and drop every
-    * vector whose cosine to a lower-id cluster-mate reaches `tau`
-    * (keep-smallest-id, the convention of [[exactDupGroups]]).
-    *
-    * The clustering is the quantizer of [[graft.ann.Ann.ivfCentroids]]
-    * — md5-hash-sampled centroids + nearest-centroid assignment — so
-    * the whole decision is a pure function of the data: deterministic
-    * across engines, which is what makes SEMANTIC dedup oracle-
-    * checkable at all. The cluster step is what bounds the quadratic:
-    * all-pairs over a 10⁹-doc corpus is 10¹⁸ comparisons, per-cell
-    * pairs are (n/k)² · k — the SemDeDup paper's own cost argument.
-    * Per-cell skew is data-dependent; the pair join shuffles on the
-    * cell key, so AQE's skew split handles a hot cell.
-    *
-    * Returns the SURVIVING (id, cell) rows. */
   /** Cross-document repeated-span detection — the exact-substring
     * deduplication primitive (Lee et al., "Deduplicating Training Data
     * Makes Language Models Better", ACL 2022, §3.1: repeated spans of
@@ -404,6 +386,24 @@ object Dedup {
       .filter(col("n_docs") > 1)
   }
 
+  /** SemDeDup-style semantic deduplication over an embedding corpus
+    * (Abbas et al., "SemDeDup: Data-efficient learning at web-scale
+    * through semantic deduplication", arXiv:2303.09540): cluster the
+    * embeddings, compare pairs only WITHIN each cluster, and drop every
+    * vector whose cosine to a lower-id cluster-mate reaches `tau`
+    * (keep-smallest-id, the convention of [[exactDupGroups]]).
+    *
+    * The clustering is the quantizer of [[graft.ann.Ann.ivfCentroids]]
+    * — md5-hash-sampled centroids + nearest-centroid assignment — so
+    * the whole decision is a pure function of the data: deterministic
+    * across engines, which is what makes SEMANTIC dedup oracle-
+    * checkable at all. The cluster step is what bounds the quadratic:
+    * all-pairs over a 10⁹-doc corpus is 10¹⁸ comparisons, per-cell
+    * pairs are (n/k)² · k — the SemDeDup paper's own cost argument.
+    * Per-cell skew is data-dependent; the pair join shuffles on the
+    * cell key, so AQE's skew split handles a hot cell.
+    *
+    * Returns the SURVIVING (id, cell) rows. */
   def semanticDedup(corpus: DataFrame, nCells: Int, tau: Double)
       : DataFrame = {
     import graft.ann.Ann

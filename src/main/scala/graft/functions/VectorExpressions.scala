@@ -14,20 +14,31 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType,
   *
   * `dot_product(a, b)`: sequential-order double-accumulated dot product
   * of two numeric arrays — semantically identical to
-  * `aggregate(zip_with(a, b, (x,y) -> double(x)*double(y)), 0d, +)`,
-  * but with whole-stage-codegen'd tight loops instead of per-element
-  * higher-order-function lambda dispatch. The summation order (index
-  * ascending) is preserved, so results are bit-identical to the HOF
-  * form.
+  * `aggregate(zip_with(a, b, (x,y) -> double(x)*double(y)), 0d, +)`
+  * for EVERY input, including the degenerate ones: a length mismatch
+  * returns NULL (zip_with null-pads the shorter array and the null
+  * product poisons the fold) and a null element anywhere returns NULL
+  * for the same reason. On the well-formed path (equal lengths, no
+  * null elements) it is the whole-stage-codegen'd tight loop instead
+  * of per-element higher-order-function lambda dispatch, with the same
+  * index-ascending summation order, so results are bit-identical to
+  * the HOF form — which is what lets [[graft.plans.RewriteHofDotProduct]]
+  * substitute it unconditionally.
   */
 case class DotProduct(left: Expression, right: Expression)
     extends BinaryExpression {
 
   override def dataType: DataType = DoubleType
-  override def nullable: Boolean = left.nullable || right.nullable
+
+  // NULL on ragged lengths / null elements is data-dependent, so the
+  // result is nullable even over non-nullable inputs.
+  override def nullable: Boolean = true
 
   private def elemType(e: Expression): DataType =
     e.dataType.asInstanceOf[ArrayType].elementType
+
+  private def elemNullable(e: Expression): Boolean =
+    e.dataType.asInstanceOf[ArrayType].containsNull
 
   override def checkInputDataTypes()
       : org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
@@ -46,24 +57,20 @@ case class DotProduct(left: Expression, right: Expression)
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
-    val n = math.min(x.numElements(), y.numElements())
+    val n = x.numElements()
+    if (n != y.numElements()) return null
+    val lt = elemType(left)
+    val rt = elemType(right)
     var sum = 0.0
     var k = 0
-    (elemType(left), elemType(right)) match {
-      case (FloatType, FloatType) =>
-        while (k < n) {
-          sum += x.getFloat(k).toDouble * y.getFloat(k).toDouble; k += 1
-        }
-      case (DoubleType, DoubleType) =>
-        while (k < n) { sum += x.getDouble(k) * y.getDouble(k); k += 1 }
-      case (FloatType, DoubleType) =>
-        while (k < n) {
-          sum += x.getFloat(k).toDouble * y.getDouble(k); k += 1
-        }
-      case (DoubleType, FloatType) =>
-        while (k < n) {
-          sum += x.getDouble(k) * y.getFloat(k).toDouble; k += 1
-        }
+    while (k < n) {
+      if (x.isNullAt(k) || y.isNullAt(k)) return null
+      val xv = if (lt == FloatType) x.getFloat(k).toDouble
+               else x.getDouble(k)
+      val yv = if (rt == FloatType) y.getFloat(k).toDouble
+               else y.getDouble(k)
+      sum += xv * yv
+      k += 1
     }
     sum
   }
@@ -80,13 +87,32 @@ case class DotProduct(left: Expression, right: Expression)
       val n = ctx.freshName("n")
       val k = ctx.freshName("k")
       val sum = ctx.freshName("sum")
+      // Element null checks compile away when the array type proves
+      // containsNull=false — the embedding hot path keeps its
+      // branch-free inner loop.
+      val nullChecks = Seq(
+        if (elemNullable(left)) Some(s"$a.isNullAt($k)") else None,
+        if (elemNullable(right)) Some(s"$b.isNullAt($k)") else None
+      ).flatten
+      val elemGuard =
+        if (nullChecks.isEmpty) ""
+        else s"""if (${nullChecks.mkString(" || ")}) {
+                |      ${ev.isNull} = true; break;
+                |    }""".stripMargin
       s"""
-         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
-         |double $sum = 0.0;
-         |for (int $k = 0; $k < $n; $k++) {
-         |  $sum += ${getter(lt, a, k)} * ${getter(rt, b, k)};
+         |if ($a.numElements() != $b.numElements()) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  int $n = $a.numElements();
+         |  double $sum = 0.0;
+         |  for (int $k = 0; $k < $n; $k++) {
+         |    $elemGuard
+         |    $sum += ${getter(lt, a, k)} * ${getter(rt, b, k)};
+         |  }
+         |  if (!${ev.isNull}) {
+         |    ${ev.value} = $sum;
+         |  }
          |}
-         |${ev.value} = $sum;
        """.stripMargin
     })
   }

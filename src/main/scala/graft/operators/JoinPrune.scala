@@ -2,7 +2,8 @@ package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
-import org.apache.spark.util.sketch.BloomFilter
+import org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain
+import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
 
 /** Bloom-filter join pruning (SURVEY.md §2.3 addendum; beyond-reference
   * scale operator).
@@ -17,51 +18,78 @@ import org.apache.spark.util.sketch.BloomFilter
   * value, so one build can prune MANY probe scans (the "filter once,
   * join everywhere" shape of iterative corpus curation).
   *
-  * Mechanics: one aggregate pass over the build side constructs an
-  * `org.apache.spark.util.sketch.BloomFilter` (`df.stat.bloomFilter`,
-  * mergeable per-partition sketches — no driver-side row collection);
-  * the filter is torrent-broadcast to executors, applied at the probe
-  * scan (a narrow per-row map BEFORE any exchange), and the survivors —
-  * matches plus an fpp-sized trickle of false positives — flow into the
-  * exact semi-join that removes the false positives. Result is therefore
-  * EXACTLY the plain semi-join (Bloom filters admit no false negatives);
-  * the shuffle volume is `|matches| + fpp·|probe|` rows instead of
-  * `|probe|`. At fpp=0.01 a 1%-selective semi-join moves ~2% of the
-  * corpus through the exchange — a 50× shuffle reduction.
+  * Mechanics: one aggregate pass over the build side constructs the
+  * filter with the native `bloom_filter_agg` expression (mergeable
+  * per-partition sketches — no driver-side row collection; only the
+  * serialized bitset reaches the driver); the probe applies the native
+  * `BloomFilterMightContain` predicate at the scan (a narrow per-row
+  * map BEFORE any exchange, INSIDE whole-stage codegen — the same
+  * expression pair Spark's automatic runtime filter injects), and the
+  * survivors — matches plus an fpp-sized trickle of false positives —
+  * flow into the exact semi-join that removes the false positives.
+  * Result is therefore EXACTLY the plain semi-join (Bloom filters admit
+  * no false negatives); the shuffle volume is `|matches| + fpp·|probe|`
+  * rows instead of `|probe|`. At fpp=0.01 a 1%-selective semi-join
+  * moves ~2% of the corpus through the exchange — a 50× shuffle
+  * reduction.
   */
 object JoinPrune {
 
-  /** Exact semi-join of `probe` against `build`, Bloom-pruned before the
-    * shuffle. `probeKey`/`buildKey` must be integral or string columns
-    * (the sketch hashes longs and UTF-8 strings).
+  /** Exact semi-join of `probe` against `build`, Bloom-pruned before
+    * the shuffle. Keys of any orderable type: both sides go through
+    * `xxhash64` (codegen'd, engine-side only) so the sketch always
+    * feeds on longs — a 64-bit hash collision can only ADD a false
+    * positive, which the exact confirm join removes like any other.
     *
     * `expectedItems` sizes the filter for the build side's distinct-key
     * count; overshooting costs bits (1.2 bytes/item at fpp 0.01),
-    * undershooting degrades fpp — never correctness. */
+    * undershooting degrades fpp — never correctness. Pass `0` to
+    * auto-size from `build.count()` — one cheap extra job (a count
+    * scan, no shuffle) against a filter that is never mis-sized. */
   def bloomSemiJoin(probe: DataFrame, build: DataFrame,
                     probeKey: String, buildKey: String,
                     expectedItems: Long, fpp: Double = 0.01)
       : DataFrame = {
     val spark = probe.sparkSession
-    // one distributed aggregate: per-partition BloomFilters OR-merged
-    // into one — the build side never leaves the executors as rows
-    val bloom: BloomFilter =
-      build.stat.bloomFilter(buildKey, expectedItems, fpp)
-    val bc = spark.sparkContext.broadcast(bloom)
-    val isString =
-      probe.schema(probeKey).dataType ==
-        org.apache.spark.sql.types.StringType
-    // Scala closure, not a codegen'd expression: mightContain is one
-    // hash + bitset probe per row, and it runs at the SCAN (pre-
-    // exchange), so the non-codegen boundary costs a row iterator, not
-    // a shuffle. The exact confirm join below keeps semantics.
-    val keep =
-      if (isString) udf((k: String) => k != null && bc.value.mightContainString(k))
-      else udf((k: Long) => bc.value.mightContainLong(k))
+    require(fpp > 0 && fpp < 1, s"fpp must be in (0,1): $fpp")
+    val items =
+      if (expectedItems > 0) expectedItems else math.max(1L, build.count())
+    // the standard optimal-bits formula: m = -n ln p / (ln 2)^2
+    val numBits = math.max(64L,
+      math.ceil(-items * math.log(fpp) / (math.log(2) * math.log(2))).toLong)
+    // Neither side of Spark's bloom expression pair is in the public
+    // FunctionRegistry (the optimizer's runtime-filter rule builds them
+    // directly), so register both as temp functions — the same pattern
+    // as graft.functions.VectorFunctions.
+    val registry = spark.sessionState.functionRegistry
+    registry.createOrReplaceTempFunction(
+      "graft_bloom_filter_agg",
+      exprs => new BloomFilterAggregate(exprs(0), exprs(1), exprs(2)),
+      "built-in")
+    registry.createOrReplaceTempFunction(
+      "graft_might_contain",
+      exprs => BloomFilterMightContain(exprs.head, exprs(1)),
+      "built-in")
+    // one distributed aggregate: per-partition bitsets OR-merged into
+    // one — the build side never leaves the executors as rows
+    val bytes = build
+      .select(call_function("graft_bloom_filter_agg",
+                            xxhash64(col(buildKey)),
+                            lit(items), lit(numBits)).as("bf"))
+      .head.getAs[Array[Byte]](0)
+    val confirm = build.select(col(buildKey).as(probeKey)).distinct()
+    // empty build side: the aggregate yields a null filter; the result
+    // is the (empty) exact semi-join, no probe needed
+    if (bytes == null)
+      return probe.join(confirm, Seq(probeKey), "left_semi")
+    // native might_contain: the serialized filter is a foldable binary
+    // literal (what checkInputDataTypes requires), the probe key the
+    // same xxhash64 — the whole predicate stays in codegen, no ScalaUDF
+    // row-iterator boundary at the scan
     probe
-      .filter(keep(col(probeKey).cast(if (isString) "string" else "long")))
-      .join(build.select(col(buildKey).as(probeKey)).distinct(),
-            Seq(probeKey), "left_semi")
+      .filter(call_function("graft_might_contain",
+                            lit(bytes), xxhash64(col(probeKey))))
+      .join(confirm, Seq(probeKey), "left_semi")
   }
 
   /** The un-pruned twin, for differential tests. */

@@ -24,9 +24,10 @@ import graft.functions.DotProduct
   *    `aggregate(zip_with(a, b, (x,y) -> double(x)*double(y)), 0d,
   *    (acc,z) -> acc+z)` — into the same native expression. A user
   *    (or generated SQL) can write the idiomatic HOF form and still
-  *    execute the tight codegen loop; summation order is identical,
-  *    so the rewrite is bit-exact, and it only fires on the exact
-  *    shape it can prove.
+  *    execute the tight codegen loop; summation order is identical
+  *    and [[DotProduct]] reproduces the HOF's degenerate semantics
+  *    too (NULL on ragged lengths or null elements), so the rewrite
+  *    is bit-exact for every input, not just well-formed vectors.
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
@@ -57,8 +58,11 @@ object GraftExtensions {
   * multiply of the two lambda variables (each optionally cast to
   * double), the zero exactly literal 0.0, the merge exactly
   * `acc + z`, the finish the identity, and both inputs float/double
-  * arrays — every shape DotProduct is proven bit-identical for. Any
-  * other aggregate/zip_with is left untouched. */
+  * arrays. The substitution needs no null/shape side-conditions:
+  * DotProduct returns NULL exactly where the HOF form does — ragged
+  * lengths (zip_with's null padding poisons the fold) and null
+  * elements — so data-dependent degenerate inputs cannot diverge.
+  * Any other aggregate/zip_with is left untouched. */
 object RewriteHofDotProduct extends Rule[LogicalPlan] {
 
   /** The lambda variable itself, or its cast to double. */

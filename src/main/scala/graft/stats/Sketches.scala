@@ -40,10 +40,20 @@ object Sketches {
     *     shuffle.
     *
     * The result is bit-identical to the naive full groupBy + HAVING —
-    * which is exactly what the DuckDB oracle runs. `maxMapSize` must
-    * keep the sketch's error bound `N/maxMapSize` below `minShare·N`,
-    * i.e. `maxMapSize > 1/minShare` (power of 2); the method asserts
-    * this so the no-false-negative guarantee is never silently voided.
+    * which is exactly what the DuckDB oracle runs. Two guards keep the
+    * no-false-negative guarantee from being silently voided:
+    * `maxMapSize > 1/minShare` statically (necessary even for a perfect
+    * counter), and — because the ItemsSketch's real epsilon is
+    * 3.5/maxMapSize, not 1/maxMapSize, and `getFrequentItems` clamps
+    * the threshold up to `getMaximumError()` — a post-merge assertion
+    * that the merged sketch's ACTUAL tracked error stayed below the
+    * threshold. The dynamic check is the authoritative one: the
+    * worst-case bound is pessimistic on skewed streams (a Zipf stream
+    * tracks far tighter than 3.5N/maxMapSize), so a static
+    * `maxMapSize > 3.5/minShare` would reject configurations that are
+    * provably fine for the data at hand; conversely, a stream that
+    * genuinely saturates the sketch now fails loudly instead of
+    * dropping true heavy hitters.
     */
   def heavyHitters(df: DataFrame, key: Column, minShare: Double,
                    maxMapSize: Int = 1024): DataFrame = {
@@ -68,10 +78,22 @@ object Sketches {
     }
     val total = parts.map(_._2).sum
     val threshold = math.ceil(minShare * total).toLong
+    // The recall proof: NO_FALSE_NEGATIVES keeps every item whose
+    // upper-bound estimate reaches the threshold, which covers every
+    // true heavy hitter ONLY while the sketch's tracked error is below
+    // the threshold (getFrequentItems silently clamps the threshold up
+    // to getMaximumError()). Assert it, don't assume it.
+    require(total == 0 || merged.getMaximumError < threshold,
+      s"sketch error ${merged.getMaximumError} >= threshold $threshold " +
+        s"(share=$minShare of $total rows): recall guarantee void — " +
+        s"raise maxMapSize above ${math.ceil(3.5 / minShare).toInt}")
     val candidates = merged
       .getFrequentItems(threshold, ErrorType.NO_FALSE_NEGATIVES)
       .map(_.getItem).toSeq
-    // pass 2: exact counts of the candidates only
+    // pass 2: exact counts of the candidates only. An all-unique stream
+    // can have zero candidates — that's an empty result, not an error.
+    if (candidates.isEmpty)
+      return keyed.groupBy("k").agg(count(lit(1)).as("n")).filter(lit(false))
     keyed
       .filter($"k".isInCollection(candidates))
       .groupBy("k")
@@ -91,8 +113,14 @@ object Sketches {
     *
     * Plan shape: map-side per-partition-per-group sketches
     * (`reduceByKey` with map-side combine — merge is associative), one
-    * shuffle of sketch bytes keyed by group, driver sees only the final
-    * per-group rows.
+    * shuffle of sketch bytes keyed by group, per-group quantiles
+    * evaluated EXECUTOR-side over the merged sketches. Nothing
+    * proportional to |groups| ever reaches the driver: a corpus-scale
+    * group axis (per-domain over millions of domains) streams through
+    * as rows, and the only driver materialization is the single merged
+    * global sketch (one ~3 KB value per upstream partition during the
+    * reduce). The global-row pass rereads the reduceByKey SHUFFLE
+    * output, not the input data — same shuffle dependency, no rescan.
     */
   def kllQuantiles(df: DataFrame, group: Column, value: Column,
                    qs: Seq[Double], k: Int = 200): DataFrame = {
@@ -101,7 +129,15 @@ object Sketches {
     val keyed = df.select(group.cast("string").as("g"),
                           value.cast("double").as("v"))
       .filter($"v".isNotNull)
-    val perGroup: Array[(String, Array[Byte])] = keyed.rdd
+    val qsLocal = qs.toIndexedSeq
+    def quantRow(sk: KllDoublesSketch): Seq[Double] =
+      qsLocal.map(q => sk.getQuantile(q, QuantileSearchCriteria.INCLUSIVE))
+    val mergeBytes = (a: Array[Byte], b: Array[Byte]) => {
+      val sa = KllDoublesSketch.heapify(Memory.wrap(a))
+      sa.merge(KllDoublesSketch.heapify(Memory.wrap(b)))
+      sa.toByteArray
+    }
+    val merged = keyed.rdd
       .mapPartitions { it =>
         val m = scala.collection.mutable.HashMap.empty[String, KllDoublesSketch]
         it.foreach { r =>
@@ -110,31 +146,25 @@ object Sketches {
         }
         m.iterator.map { case (g, sk) => (g, sk.toByteArray) }
       }
-      .reduceByKey { (a, b) =>
-        val sa = KllDoublesSketch.heapify(Memory.wrap(a))
-        sa.merge(KllDoublesSketch.heapify(Memory.wrap(b)))
-        sa.toByteArray
-      }
-      .collect()
-    def quantRow(sk: KllDoublesSketch): Seq[Double] =
-      qs.map(q => sk.getQuantile(q, QuantileSearchCriteria.INCLUSIVE))
+      .reduceByKey(mergeBytes)
     // DataSketches throws on quantiles of an EMPTY sketch — an empty
     // input yields an empty result frame, not an exception
-    if (perGroup.isEmpty) {
+    if (merged.isEmpty()) {
       val empty = Seq.empty[(String, Boolean, Seq[Double])]
         .toDF("g", "is_total", "qv")
       return qs.zipWithIndex.foldLeft(empty) { case (acc, (q, i)) =>
         acc.withColumn(s"q${(q * 100).round}", col("qv")(i))
       }.drop("qv")
     }
-    val globalSk = KllDoublesSketch.newHeapInstance(k)
-    perGroup.foreach { case (_, bytes) =>
-      globalSk.merge(KllDoublesSketch.heapify(Memory.wrap(bytes)))
-    }
-    val rows = perGroup.toSeq.map { case (g, bytes) =>
+    // global row: executor-side partial merges, ONE sketch to the driver
+    val globalQ = quantRow(KllDoublesSketch.heapify(
+      Memory.wrap(merged.values.reduce(mergeBytes))))
+    val groupRows = merged.map { case (g, bytes) =>
       (g, false, quantRow(KllDoublesSketch.heapify(Memory.wrap(bytes))))
-    } :+ ((null: String, true, quantRow(globalSk)))
-    val base = rows.toDF("g", "is_total", "qv")
+    }
+    val base = spark.createDataFrame(groupRows).toDF("g", "is_total", "qv")
+      .unionByName(Seq((null: String, true, globalQ))
+        .toDF("g", "is_total", "qv"))
     qs.zipWithIndex.foldLeft(base) { case (acc, (q, i)) =>
       acc.withColumn(s"q${(q * 100).round}", col("qv")(i))
     }.drop("qv")

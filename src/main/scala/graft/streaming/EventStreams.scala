@@ -113,11 +113,22 @@ object EventStreams {
             evs.toSeq.sortBy(e => (e.ts.getTime, e.eventType)).foreach { ev =>
               val ms = ev.ts.getTime
               open match {
-                case Some((s, e, n, v)) if ms - e <= gapMs =>
-                  open = Some((s, ms, n + 1, v + ev.value))
-                case Some((s, e, n, v)) =>
+                case Some((s, e, n, v)) if ms > e + gapMs =>
                   closed += SessionRecord(uid, s, e, n, v, "gap")
                   open = Some((ms, ms, 1L, ev.value))
+                case Some((s, e, n, v)) if ms < s - gapMs =>
+                  // a cross-batch late straggler more than a gap BEFORE
+                  // the open session: its own (already gap-closed)
+                  // session — merging it would bridge a real gap
+                  closed += SessionRecord(uid, ms, ms, 1L, ev.value, "gap")
+                case Some((s, e, n, v)) =>
+                  // within a gap of the open session on either side.
+                  // min/max, not end = ms: a late event inside the 2h
+                  // watermark whose ts precedes the open session's end
+                  // must never regress endTs (endTs < startTs emissions,
+                  // timeout timestamps moving backwards)
+                  open = Some((math.min(s, ms), math.max(e, ms),
+                               n + 1, v + ev.value))
                 case None =>
                   open = Some((ms, ms, 1L, ev.value))
               }

@@ -176,6 +176,42 @@ class SketchJoinSpec extends SparkSpec {
     assert(got == Set(1L)) // null never matches a semi-join key
   }
 
+  test("bloomSemiJoin probe stays in codegen: no UDF node, no Python") {
+    // a Range probe, not a local relation — ConvertToLocalRelation
+    // would evaluate (and erase) the probe filter at optimization time
+    val probe = spark.range(500)
+      .select(col("id").as("row_id"), (col("id") % 50).as("pk"))
+    val build = Seq(3L, 17L, 42L).toDF("bk")
+    val plan = JoinPrune.bloomSemiJoin(probe, build, "pk", "bk",
+                                       expectedItems = 100)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("ScalaUDF") && !plan.contains("BatchEvalPython"),
+           s"probe filter left codegen:\n$plan")
+    assert(plan.contains("might_contain"),
+           s"native bloom probe missing from the plan:\n$plan")
+  }
+
+  test("bloomSemiJoin auto-sizes from build.count when expectedItems=0") {
+    val rnd = new Random(13)
+    val probe = (0 until 2000).map(_ => rnd.nextInt(500).toLong)
+      .zipWithIndex.map { case (k, i) => (i.toLong, k) }
+      .toDF("row_id", "pk")
+    val build = (0 until 40).map(_ => rnd.nextInt(500).toLong).toDF("bk")
+    val got = JoinPrune.bloomSemiJoin(probe, build, "pk", "bk",
+                                      expectedItems = 0)
+      .select("row_id").as[Long].collect().sorted
+    val want = JoinPrune.plainSemiJoin(probe, build, "pk", "bk")
+      .select("row_id").as[Long].collect().sorted
+    assert(got.nonEmpty && got.sameElements(want))
+  }
+
+  test("bloomSemiJoin on an empty build side yields the empty join") {
+    val probe = Seq((1L, 5L), (2L, 6L)).toDF("row_id", "pk")
+    val build = Seq.empty[Long].toDF("bk")
+    assert(JoinPrune.bloomSemiJoin(probe, build, "pk", "bk",
+                                   expectedItems = 0).count() == 0)
+  }
+
   test("repeatedSpans matches a brute-force window count on random text") {
     val rnd = new Random(31)
     val vocab = Array("a", "b", "c", "d")

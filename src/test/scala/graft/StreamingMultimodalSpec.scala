@@ -83,6 +83,49 @@ class StreamingMultimodalSpec extends SparkSpec {
            byClose(1).sumValue == 4.0)
   }
 
+  test("late events inside the watermark never regress the open session") {
+    implicit val sqlCtx = spark.sqlContext
+    val stream = MemoryStream[Event]
+    val gap = 30 * 60 * 1000L
+    // batch 1: open session 10:00–10:20 (end = 10:20)
+    stream.addData(
+      Event(ts(0), 1, "click", 1.0), Event(ts(20), 1, "click", 2.0))
+    val sessions = EventStreams.sessionRecords(stream.toDS(), gapMs = gap)
+    val q = sessions.toDF().writeStream
+      .format("memory").queryName("sessrec_late_test")
+      .outputMode(OutputMode.Append()).start()
+    q.processAllAvailable()
+    // batch 2, both above the watermark (08:20): a late event at 10:10
+    // INSIDE the open session span (must merge via min/max — end may
+    // not regress to 10:10) and a straggler at 09:00, more than a gap
+    // BEFORE the session start (its own gap-closed singleton — merging
+    // it would bridge a real gap)
+    stream.addData(
+      Event(Timestamp.valueOf("2024-01-01 10:10:00"), 1, "click", 4.0),
+      Event(Timestamp.valueOf("2024-01-01 09:00:00"), 1, "click", 9.0))
+    q.processAllAvailable()
+    // batch 3: advance the watermark past end + gap → timeout flush
+    stream.addData(
+      Event(Timestamp.valueOf("2024-01-01 15:00:00"), 2, "view", 1.0))
+    q.processAllAvailable()
+    q.stop()
+    val recs = spark.table("sessrec_late_test")
+      .as[graft.streaming.EventStreams.SessionRecord].collect()
+      .filter(_.userId == 1L).sortBy(_.startTs)
+    recs.foreach(r => assert(r.endTs >= r.startTs,
+      s"session regressed: $r"))
+    assert(recs.length == 2)
+    val straggler = recs(0)
+    assert(straggler.closedBy == "gap" && straggler.nEvents == 1 &&
+           straggler.sumValue == 9.0 &&
+           straggler.startTs == straggler.endTs)
+    val merged = recs(1)
+    assert(merged.closedBy == "timeout" && merged.nEvents == 3 &&
+           merged.sumValue == 7.0 &&
+           merged.startTs == ts(0).getTime &&
+           merged.endTs == ts(20).getTime)
+  }
+
   test("stream-static enrichment joins the dimension per micro-batch") {
     implicit val sqlCtx = spark.sqlContext
     val stream = MemoryStream[Event]

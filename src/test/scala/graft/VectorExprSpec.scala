@@ -23,6 +23,34 @@ class VectorExprSpec extends SparkSpec {
     }
   }
 
+  test("dot_product matches the HOF on degenerate inputs (null parity)") {
+    // Ragged lengths, a null element, and a null array: the HOF form
+    // returns NULL for all three (zip_with null-padding / null product
+    // poisons the fold) — the native expression must agree so
+    // RewriteHofDotProduct is semantics-preserving on arbitrary data.
+    val df = Seq(
+      (Array[java.lang.Float](1.0f, 2.0f),
+       Array[java.lang.Float](3.0f)),                   // ragged
+      (Array[java.lang.Float](1.0f, null),
+       Array[java.lang.Float](3.0f, 4.0f)),             // null element
+      (null,
+       Array[java.lang.Float](1.0f)),                   // null array
+      (Array[java.lang.Float](1.0f, 2.0f),
+       Array[java.lang.Float](3.0f, 4.0f)))             // well-formed
+      .toDF("a", "b")
+    val rows = df.select(Ann.dot(col("a"), col("b")).as("native"),
+                         Ann.dotHof(col("a"), col("b")).as("hof"))
+      .collect()
+    rows.foreach { r =>
+      assert(r.isNullAt(0) == r.isNullAt(1),
+             s"null parity broken: native=${r.get(0)} hof=${r.get(1)}")
+      if (!r.isNullAt(0))
+        assert(java.lang.Double.doubleToLongBits(r.getDouble(0)) ==
+               java.lang.Double.doubleToLongBits(r.getDouble(1)))
+    }
+    assert(rows.count(_.isNullAt(0)) == 3)
+  }
+
   test("dot_product participates in codegen'd plans") {
     // non-foldable input so the projection survives into the physical plan
     val df = spark.range(3).select(
