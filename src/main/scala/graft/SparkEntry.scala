@@ -22,7 +22,8 @@ object SparkEntry {
     text.TextQueries.queries ++
     dedup.DedupQueries.queries ++
     ann.AnnQueries.queries ++
-    multimodal.MultimodalQueries.queries
+    multimodal.MultimodalQueries.queries ++
+    tuning.TuningQueries.queries
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

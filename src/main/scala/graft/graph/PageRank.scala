@@ -85,4 +85,71 @@ object PageRank {
     }
     p.withColumnRenamed("p", "rank12")
   }
+
+  /** [[fixedPoint]] with DANGLING-MASS REDISTRIBUTION — the textbook
+    * operator (Page et al. 1999; the stochasticity fix of Langville &
+    * Meyer, "Deeper Inside PageRank" §5): the rank held by nodes with
+    * no out-edges is spread uniformly over all nodes each iteration
+    * instead of being dropped, so total mass is conserved (up to the
+    * documented ≤1e-12·(N + in-edges) floor leak):
+    *
+    *   D      = Σ_{outdeg(j)=0} p(j)          (exact long sum)
+    *   p'(i)  = (15·10¹¹ div N) + (85 · (Σ contrib + D div N)) div 100
+    *
+    * One extra aggregation per iteration (an anti-join of the rank
+    * table against the out-degree table, reduced to a single long on
+    * the driver — a scalar per round, the connectedComponents loop
+    * convention; never a node-sized structure). Integer div and long
+    * sums keep every iteration bit-identical to the unrolled SQL twin.
+    * On a graph with NO dangling nodes the result equals
+    * [[fixedPoint]] exactly (D = 0 every round). */
+  def fixedPointRedistribute(edges0: DataFrame, iters: Int): DataFrame = {
+    val edges = graft.core.CacheScope.persist(
+      edges0.select(col("src").cast("long").as("src"),
+                    col("dst").cast("long").as("dst")))
+    val nodes = graft.core.CacheScope.persist(
+      edges.select(col("src").as("node"))
+        .unionByName(edges.select(col("dst").as("node")))
+        .distinct())
+    val n = nodes.count()
+    require(n > 0, "PageRank needs a non-empty edge list")
+    val spark = edges.sparkSession
+    val nParts = math.max(1L, math.min(
+      spark.sparkContext.defaultParallelism.toLong, n / 50000L)).toInt
+    val partedEdges = graft.core.CacheScope.persist(
+      edges.repartition(nParts, col("src")))
+    val outdeg = graft.core.CacheScope.persist(
+      partedEdges.groupBy("src").agg(count(lit(1)).as("d")))
+    val danglingNodes = graft.core.CacheScope.persist(
+      nodes.join(outdeg.withColumnRenamed("src", "node"),
+                 Seq("node"), "left_anti"))
+    val init = Unit12 / n
+    val teleport = (Unit12 * 15L / 100L) / n
+    var p = nodes.repartition(nParts, col("node"))
+      .withColumn("p", lit(init))
+    for (_ <- 0 until iters) {
+      // the dangling scalar forces p THIS round, and contribs consumes
+      // p again — eager-checkpoint once per round so the forced
+      // materialization is also the one the join reads (the lazy
+      // every-4th-round schedule of [[fixedPoint]] would recompute the
+      // whole round-k lineage twice here)
+      p = p.localCheckpoint(true)
+      val dMass = danglingNodes.join(p, "node")
+        .agg(coalesce(sum("p"), lit(0L))).head().getLong(0)
+      val dShare = dMass / n     // integer floor, identical both engines
+      val contribs = partedEdges
+        .join(p.withColumnRenamed("node", "src"), "src")
+        .join(outdeg, "src")
+        .select(col("dst").as("node"),
+                expr("p div d").as("c"))
+        .groupBy("node").agg(sum("c").as("inflow"))
+      p = nodes
+        .join(contribs, Seq("node"), "left")
+        .select(col("node"),
+                (lit(teleport) +
+                 expr(s"(85 * (coalesce(inflow, 0L) + $dShare)) div 100"))
+                  .as("p"))
+    }
+    p.withColumnRenamed("p", "rank12")
+  }
 }

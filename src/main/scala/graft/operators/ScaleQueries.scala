@@ -143,6 +143,54 @@ object ScaleQueries {
       t => Sketches.kllQuantiles(t.lineitem, col("l_returnflag"),
                                  col("l_extendedprice"),
                                  Seq(0.25, 0.5, 0.75)),
-      None)
+      None),
+
+    // Dangling-mass-redistributing PageRank (3 iterations) over a
+    // DIRECTED bipartite part->supplier graph, where every supplier
+    // node is dangling (no out-edges) — the redistribution term does
+    // real work on every iteration or the gate is vacuous. Same 1e-12
+    // fixed-point arithmetic as q128, so the per-round dangling share
+    // is bit-identical to the unrolled SQL twin.
+    Q("q136_pagerank_dangling", { t =>
+        val edges = t.lineitem.filter(col("l_partkey") < 300)
+          .select(col("l_partkey").cast("long").as("src"),
+                  (col("l_suppkey").cast("long") + 100000L).as("dst"))
+          .distinct()
+        graft.graph.PageRank.fixedPointRedistribute(edges, iters = 3)
+      },
+      Some {
+        val iter = (k: Int) => s"""dang$k AS (
+          |  SELECT COALESCE(SUM(p), 0) AS dm FROM p${k - 1}
+          |  WHERE node NOT IN (SELECT src FROM edges)
+          |), p$k AS (
+          |  SELECT n2.node,
+          |    CAST((150000000000 // nn.n)
+          |      + (85 * (COALESCE(c.inflow, 0)
+          |               + (SELECT dm FROM dang$k) // nn.n)) // 100
+          |      AS BIGINT) AS p
+          |  FROM nodes n2 CROSS JOIN nn
+          |  LEFT JOIN (
+          |    SELECT e.dst AS node, SUM(pp.p // deg.d) AS inflow
+          |    FROM edges e
+          |    JOIN p${k - 1} pp ON e.src = pp.node
+          |    JOIN deg ON e.src = deg.src
+          |    GROUP BY 1) c ON n2.node = c.node
+          |)""".stripMargin
+        s"""WITH edges AS (
+          |  SELECT DISTINCT CAST(l_partkey AS BIGINT) AS src,
+          |    CAST(l_suppkey AS BIGINT) + 100000 AS dst
+          |  FROM lineitem WHERE l_partkey < 300
+          |), nodes AS (
+          |  SELECT src AS node FROM edges
+          |  UNION SELECT dst FROM edges
+          |), deg AS (SELECT src, COUNT(*) AS d FROM edges GROUP BY 1),
+          |nn AS (SELECT COUNT(*) AS n FROM nodes),
+          |p0 AS (
+          |  SELECT node, CAST(1000000000000 // nn.n AS BIGINT) AS p
+          |  FROM nodes CROSS JOIN nn
+          |),
+          |${(1 to 3).map(iter).mkString(",\n")}
+          |SELECT node, p AS rank12 FROM p3""".stripMargin
+      })
   )
 }

@@ -110,6 +110,54 @@ object Similarity {
     !urm.groupBy("u").agg(count(lit(1)).as("n"))
       .filter(col("n") > threshold).isEmpty
 
+  /** Cosine-family similarity over a WEIGHTED URM (u, i, w) — the
+    * shape the reference's feature-weighted KNN runs (IR_feature_
+    * weighting.py applied before Compute_Similarity_Python.py:
+    * TF-IDF/BM25 weights replace the binary entries, dots become
+    * Σ wₐ·w_b and norms Σ w²). Same upper-triangle pair engine and
+    * broadcast-norm joins as [[itemSimilarity]]; only cosine-family
+    * measures are meaningful on weighted entries (the set measures —
+    * Jaccard/Dice/Tversky — are defined on binary supports, which is
+    * exactly why the reference skips feature weighting for them). */
+  def itemSimilarityWeighted(urm0: DataFrame, measure: Measure,
+                             shrink: Double = 0.0): DataFrame = {
+    require(measure match {
+      case Cosine | AsymmetricCosine(_) | Euclidean(_) => true
+      case _ => false
+    }, s"weighted similarity needs a dot-product measure, got $measure")
+    val urm = graft.core.CacheScope.persist(
+      urm0.select(col("u"), col("i"), col("w").cast("double").as("w")))
+    val a = urm.select(col("u"), col("i").as("i1"), col("w").as("wa"))
+    val b = urm.select(col("u"), col("i").as("i2"), col("w").as("wb"))
+    val dots = mirrorPairs(
+      a.join(b, "u")
+        .filter(col("i1") < col("i2"))
+        .groupBy(col("i1").as("i"), col("i2").as("j"))
+        .agg(sum(col("wa") * col("wb")).as("dot")),
+      "dot")
+    val norms = urm.groupBy(col("i")).agg(sum(col("w") * col("w")).as("n"))
+    val ni = norms.select(col("i").as("i"), col("n").as("ni"))
+    val nj = norms.select(col("i").as("j"), col("n").as("nj"))
+    val joined = dots.join(broadcast(ni), "i").join(broadcast(nj), "j")
+    val d = col("dot").cast("double")
+    val w: Column = measure match {
+      case Cosine =>
+        d / (sqrt(col("ni")) * sqrt(col("nj")) + lit(shrink))
+      case AsymmetricCosine(al) =>
+        d / (pow(col("nj"), al) * pow(col("ni"), 1.0 - al) + lit(shrink))
+      case Euclidean(transform) =>
+        val dist = sqrt((col("ni") + col("nj") - lit(2) * d).cast("double"))
+        transform match {
+          case "lin" => lit(1.0) / (dist + lit(shrink) + lit(1e-9))
+          case "log" => lit(1.0) / (log(dist + lit(1.0)) + lit(shrink) + lit(1e-9))
+          case "exp" => lit(1.0) / (exp(dist) + lit(shrink) + lit(1e-9))
+        }
+      case other =>
+        throw new IllegalArgumentException(other.toString)
+    }
+    joined.select(col("i"), col("j"), w.as("w"))
+  }
+
   /** Full similarity matrix as (i, j, w) triples for a binary URM.
     *
     * `saltWhenHeavy`: profile-size threshold above which the pair

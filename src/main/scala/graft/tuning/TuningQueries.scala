@@ -1,0 +1,106 @@
+package graft.tuning
+
+import org.apache.spark.sql.functions._
+import graft.Q
+import graft.etl.Urm
+
+/** Gated queries for the tuning module: the hyperparameter-space
+  * catalog (oracle-checked against a hand-transcribed VALUES table)
+  * and a smoke search driving one short surrogate search per algorithm
+  * over its declared space (rows-only — the metric values are
+  * model-tier).
+  */
+object TuningQueries {
+
+  def queries: Seq[Q] = Seq(
+
+    // The per-algorithm hyperparameter-space catalog, flattened to one
+    // row per dimension. The oracle is transcribed BY HAND from the
+    // same reference lines (run_parameter_search.py:180-710) the Scala
+    // catalog mirrors, so a transcription slip on either side is a red
+    // row — the catalog definition is pinned by the gate itself.
+    Q("q134_hp_space_catalog", { t =>
+        import t.spark.implicits._
+        Spaces.catalogRows
+          .toDF("algorithm", "param", "kind", "lo", "hi", "categories")
+      },
+      Some("""SELECT * FROM (VALUES
+        |  ('random', '(none)', 'none', CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE), CAST(NULL AS VARCHAR)),
+        |  ('top_pop', '(none)', 'none', NULL, NULL, NULL),
+        |  ('item_knn_cosine', 'topK', 'int', 5, 1000, NULL),
+        |  ('item_knn_cosine', 'shrink', 'int', 0, 1000, NULL),
+        |  ('item_knn_cosine', 'similarity', 'cat', NULL, NULL, 'cosine'),
+        |  ('item_knn_cosine', 'normalize', 'cat', NULL, NULL, 'true,false'),
+        |  ('item_knn_cosine', 'feature_weighting', 'cat', NULL, NULL, 'none,BM25,TF-IDF'),
+        |  ('item_knn_jaccard', 'topK', 'int', 5, 1000, NULL),
+        |  ('item_knn_jaccard', 'shrink', 'int', 0, 1000, NULL),
+        |  ('item_knn_jaccard', 'similarity', 'cat', NULL, NULL, 'jaccard'),
+        |  ('item_knn_jaccard', 'normalize', 'cat', NULL, NULL, 'true,false'),
+        |  ('item_knn_asymmetric', 'topK', 'int', 5, 1000, NULL),
+        |  ('item_knn_asymmetric', 'shrink', 'int', 0, 1000, NULL),
+        |  ('item_knn_asymmetric', 'similarity', 'cat', NULL, NULL, 'asymmetric'),
+        |  ('item_knn_asymmetric', 'normalize', 'cat', NULL, NULL, 'true'),
+        |  ('item_knn_asymmetric', 'asymmetric_alpha', 'real', 0, 2, NULL),
+        |  ('item_knn_asymmetric', 'feature_weighting', 'cat', NULL, NULL, 'none,BM25,TF-IDF'),
+        |  ('item_knn_dice', 'topK', 'int', 5, 1000, NULL),
+        |  ('item_knn_dice', 'shrink', 'int', 0, 1000, NULL),
+        |  ('item_knn_dice', 'similarity', 'cat', NULL, NULL, 'dice'),
+        |  ('item_knn_dice', 'normalize', 'cat', NULL, NULL, 'true,false'),
+        |  ('item_knn_tversky', 'topK', 'int', 5, 1000, NULL),
+        |  ('item_knn_tversky', 'shrink', 'int', 0, 1000, NULL),
+        |  ('item_knn_tversky', 'similarity', 'cat', NULL, NULL, 'tversky'),
+        |  ('item_knn_tversky', 'normalize', 'cat', NULL, NULL, 'true'),
+        |  ('item_knn_tversky', 'tversky_alpha', 'real', 0, 2, NULL),
+        |  ('item_knn_tversky', 'tversky_beta', 'real', 0, 2, NULL),
+        |  ('rp3beta', 'topK', 'int', 5, 1000, NULL),
+        |  ('rp3beta', 'alpha', 'real', 0, 2, NULL),
+        |  ('rp3beta', 'beta', 'real', 0, 2, NULL),
+        |  ('rp3beta', 'normalize_similarity', 'cat', NULL, NULL, 'true,false'),
+        |  ('pure_svd', 'num_factors', 'int', 1, 350, NULL),
+        |  ('mf_bpr_impressions', 'sgd_mode', 'cat', NULL, NULL, 'sgd,adagrad,adam'),
+        |  ('mf_bpr_impressions', 'epochs', 'cat', NULL, NULL, '1500'),
+        |  ('mf_bpr_impressions', 'num_factors', 'int', 1, 200, NULL),
+        |  ('mf_bpr_impressions', 'batch_size', 'cat', NULL, NULL, '1,2,4,8,16,32,64,128,256,512,1024'),
+        |  ('mf_bpr_impressions', 'positive_reg', 'real_log', 0.00001, 0.01, NULL),
+        |  ('mf_bpr_impressions', 'negative_reg', 'real_log', 0.00001, 0.01, NULL),
+        |  ('mf_bpr_impressions', 'learning_rate', 'real_log', 0.0001, 0.1, NULL),
+        |  ('mf_bpr_impressions', 'impression_sampling_mode', 'cat', NULL, NULL, 'none,inside,outside')
+        |) t(algorithm, param, kind, lo, hi, categories)""".stripMargin)),
+
+    // One short surrogate search per catalog algorithm, each trial a
+    // full distributed fit+evaluate over a hash-subsampled URM (the
+    // subsample and the rank/epoch caps bound smoke cost; the declared
+    // spaces carry the reference's real ranges). Parameterless
+    // algorithms run the reference's SearchSingleCase — one
+    // evaluation. Rows-only: one row per algorithm with the trial
+    // count and best MAP@10 (model-tier metric values).
+    Q("q135_hp_smoke_search", { t =>
+        import t.spark.implicits._
+        val urm = Urm.fromOrders(t).filter(pmod(col("u"), lit(13)) === 0)
+        val split = Urm.userWiseHoldout(urm, 0.8, seed = 11)
+        val train = split.filter(col("split") === "train").select("u", "i")
+        val valid = split.filter(col("split") === "test").select("u", "i")
+        graft.core.CacheScope.persist(train)
+        val rows = Spaces.catalog.zipWithIndex.map {
+          case ((alg, space), idx) =>
+            val eval = Spaces.evaluator(alg, t.spark, train, valid,
+                                        cutoff = 10)
+            val result =
+              if (space.dims.isEmpty) {
+                // SearchSingleCase: no parameters, one evaluation
+                val m = eval(Map.empty)
+                Search.SearchResult(
+                  Search.Trial(Map.empty, m),
+                  Seq(Search.Trial(Map.empty, m)))
+              } else Search.surrogate(
+                Spaces.unitRanges(space), nInit = 2, nTotal = 3,
+                candidatePool = 16, kappa = 1.0, seed = 31 + idx) { u =>
+                  eval(space.decode(u))
+                }
+            (alg, result.history.size, result.best.metric)
+        }
+        rows.toDF("algorithm", "n_trials", "best_map")
+          .filter(col("n_trials") > 0)
+      }, None)
+  )
+}

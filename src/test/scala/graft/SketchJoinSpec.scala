@@ -273,6 +273,32 @@ class SketchJoinSpec extends SparkSpec {
            total > graft.graph.PageRank.Unit12 - 1000000L)
   }
 
+  test("redistributing PageRank conserves dangling mass; equals the " +
+       "drop variant on dangling-free graphs") {
+    // chain with a sink: 0 -> 1 -> 2 -> 3, node 3 dangling
+    val chain = Seq((0L, 1L), (1L, 2L), (2L, 3L)).toDF("src", "dst")
+    val drop = graft.graph.PageRank.fixedPoint(chain, iters = 8)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val redist = graft.graph.PageRank
+      .fixedPointRedistribute(chain, iters = 8)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // the drop variant bleeds the sink's mass out of the system every
+    // round; redistribution keeps the total within the floor leak of 1
+    assert(drop.values.sum < graft.graph.PageRank.Unit12 * 60L / 100L)
+    assert(redist.values.sum > graft.graph.PageRank.Unit12 - 1000000L &&
+           redist.values.sum <= graft.graph.PageRank.Unit12)
+    // downstream nodes still accumulate more rank than the source
+    assert(redist(3L) > redist(0L))
+    // a dangling-free graph: both variants bit-identical (D = 0)
+    val star = ((1L to 6L).map(l => (l, 0L)) ++
+                (1L to 6L).map(l => (0L, l))).toDF("src", "dst")
+    val a = graft.graph.PageRank.fixedPoint(star, iters = 6)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sorted
+    val b = graft.graph.PageRank.fixedPointRedistribute(star, iters = 6)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sorted
+    assert(a.sameElements(b))
+  }
+
   test("tfidf keywords rank rare terms above ubiquitous ones") {
     val docs = Seq(
       (0L, "shared shared shared unicorn"),

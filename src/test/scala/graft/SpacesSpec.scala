@@ -1,0 +1,129 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.tuning.{Search, Spaces}
+import graft.tuning.Spaces._
+import graft.etl.Urm
+
+/** The hyperparameter-space catalog (reference:
+  * run_parameter_search.py:180-710) and the search strategies that
+  * consume it: definition pinning, unit-cube decode semantics, the
+  * kill-and-resume guarantee, and one end-to-end smoke evaluator.
+  */
+class SpacesSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("catalog pins the reference spaces (run_parameter_search.py)") {
+    val byAlg = Spaces.catalog.toMap
+    assert(Spaces.catalog.map(_._1) ==
+      Seq("random", "top_pop", "item_knn_cosine", "item_knn_jaccard",
+          "item_knn_asymmetric", "item_knn_dice", "item_knn_tversky",
+          "rp3beta", "pure_svd", "mf_bpr_impressions"))
+    assert(byAlg("random").dims.isEmpty && byAlg("top_pop").dims.isEmpty)
+    // ItemKNN base space: topK Integer(5,1000), shrink Integer(0,1000)
+    val cos = byAlg("item_knn_cosine").dims.toMap
+    assert(cos("topK") == IntDim(5, 1000) && cos("shrink") == IntDim(0, 1000))
+    assert(cos("normalize") == CatDim(Seq("true", "false")))
+    assert(cos("feature_weighting") ==
+      CatDim(Seq("none", "BM25", "TF-IDF")))
+    // asymmetric/tversky pin normalize=true and add their alphas
+    val asym = byAlg("item_knn_asymmetric").dims.toMap
+    assert(asym("normalize") == CatDim(Seq("true")))
+    assert(asym("asymmetric_alpha") == RealDim(0, 2))
+    val tv = byAlg("item_knn_tversky").dims.toMap
+    assert(tv("tversky_alpha") == RealDim(0, 2) &&
+           tv("tversky_beta") == RealDim(0, 2))
+    // set similarities take no feature weighting
+    assert(!byAlg("item_knn_jaccard").keys.contains("feature_weighting"))
+    assert(!byAlg("item_knn_tversky").keys.contains("feature_weighting"))
+    // graph/MF spaces
+    assert(byAlg("rp3beta").dims.toMap.apply("beta") == RealDim(0, 2))
+    assert(byAlg("pure_svd").dims == Seq("num_factors" -> IntDim(1, 350)))
+    val bpr = byAlg("mf_bpr_impressions").dims.toMap
+    assert(bpr("learning_rate") == RealDim(1e-4, 1e-1, logUniform = true))
+    assert(bpr("positive_reg") == RealDim(1e-5, 1e-2, logUniform = true))
+    assert(bpr("num_factors") == IntDim(1, 200))
+    assert(bpr("impression_sampling_mode") ==
+      CatDim(Seq("none", "inside", "outside")))
+    assert(bpr("batch_size") == CatDim(Seq("1", "2", "4", "8", "16",
+      "32", "64", "128", "256", "512", "1024")))
+  }
+
+  test("unit-cube decode matches skopt semantics at the boundaries") {
+    // Integer: inclusive bounds, u=1 stays at hi
+    assert(IntDim(5, 1000).decode(0.0) == PNum(5))
+    assert(IntDim(5, 1000).decode(1.0) == PNum(1000))
+    assert(IntDim(1, 2).decode(0.49) == PNum(1))
+    assert(IntDim(1, 2).decode(0.51) == PNum(2))
+    // Real log-uniform: endpoints exact, midpoint is the geometric mean
+    val lr = RealDim(1e-4, 1e-1, logUniform = true)
+    val PNum(lo) = lr.decode(0.0): @unchecked
+    val PNum(mid) = lr.decode(0.5): @unchecked
+    val PNum(hi) = lr.decode(1.0): @unchecked
+    assert(math.abs(lo - 1e-4) < 1e-12 && math.abs(hi - 1e-1) < 1e-12)
+    assert(math.abs(mid - math.sqrt(1e-4 * 1e-1)) < 1e-12)
+    // Categorical: uniform thirds, u=1 clamps to the last value
+    val cat = CatDim(Seq("none", "inside", "outside"))
+    assert(cat.decode(0.0) == PStr("none"))
+    assert(cat.decode(0.5) == PStr("inside"))
+    assert(cat.decode(1.0) == PStr("outside"))
+  }
+
+  test("surrogate kill-and-resume reproduces the uninterrupted search " +
+       "trial-for-trial") {
+    val ranges = Spaces.unitRanges(Spaces.rp3beta)
+    def metric(p: Map[String, Double]): Double = {
+      val d = Spaces.rp3beta.decode(p)
+      val a = d("alpha") match { case PNum(v) => v; case _ => 0.0 }
+      val b = d("beta") match { case PNum(v) => v; case _ => 0.0 }
+      -(a - 0.9) * (a - 0.9) - (b - 0.3) * (b - 0.3)
+    }
+    // the uninterrupted reference run
+    val full = Search.surrogate(ranges, nInit = 3, nTotal = 8,
+      candidatePool = 24, kappa = 1.0, seed = 99)(metric)
+    // the same search killed mid-flight at trial 5...
+    val state = java.nio.file.Files.createTempFile("resume", ".tsv")
+    java.nio.file.Files.delete(state)
+    var calls = 0
+    def budgeted(limit: Int): Map[String, Double] => Double =
+      Search.resumable(state) { p =>
+        calls += 1
+        if (calls > limit) sys.error("killed")
+        metric(p)
+      }
+    intercept[RuntimeException] {
+      Search.surrogate(ranges, nInit = 3, nTotal = 8,
+        candidatePool = 24, kappa = 1.0, seed = 99)(budgeted(5))
+    }
+    // ...then resumed: the 5 persisted trials replay from the state
+    // file (the evaluator is NOT called for them — calls stays at the
+    // resumed run's 3 fresh evaluations), and the trial sequence is
+    // identical to the uninterrupted one
+    calls = 0
+    val resumed = Search.surrogate(ranges, nInit = 3, nTotal = 8,
+      candidatePool = 24, kappa = 1.0, seed = 99)(budgeted(Int.MaxValue))
+    assert(calls == 3, s"resume re-evaluated persisted trials ($calls)")
+    assert(resumed.history.map(_.params) == full.history.map(_.params))
+    assert(resumed.history.map(_.metric) == full.history.map(_.metric))
+    assert(resumed.best == full.best)
+  }
+
+  test("smoke evaluators run end-to-end on a tiny URM") {
+    val urm = (for { u <- 0 until 30; i <- 0 until 20
+                     if (u * 7 + i * 3) % 4 != 0 } yield (u, i))
+      .toDF("u", "i")
+    val split = Urm.userWiseHoldout(urm, 0.8, seed = 5)
+    val train = split.filter(col("split") === "train").select("u", "i")
+    val valid = split.filter(col("split") === "test").select("u", "i")
+    // top_pop: parameterless, one evaluation
+    val mTop = Spaces.evaluator("top_pop", spark, train, valid, 5)(Map.empty)
+    assert(mTop >= 0.0 && mTop <= 1.0)
+    // item_knn_cosine at a decoded mid-cube point (exercises decode +
+    // weighted-similarity wiring: u=0.9 on feature_weighting → TF-IDF)
+    val space = Spaces.itemKnn("cosine")
+    val p = space.decode(space.keys.map(_ -> 0.9).toMap)
+    val mKnn = Spaces.evaluator("item_knn_cosine", spark, train, valid, 5)(p)
+    assert(mKnn >= 0.0 && mKnn <= 1.0)
+  }
+}
