@@ -424,4 +424,31 @@ object Dedup {
       .select(col("j").as("id")).distinct()
     v.join(dropped, Seq("id"), "left_anti").select("id", "cell")
   }
+
+  /** Canonical-survivor selection per duplicate cluster under the
+    * KEEP-LONGEST convention: resolve the near-dup pair list into
+    * transitive clusters ([[connectedComponents]]) and keep each
+    * cluster's longest member, ties broken on the smaller id. Practical
+    * curation keeps the most complete version of a duplicated document
+    * (near-dups are commonly truncations/excerpts of one another) —
+    * the complement of the keep-smallest-id convention of
+    * [[exactDupGroups]]/[[semanticDedup]], which is only meaningful
+    * when members are interchangeable.
+    *
+    * The per-cluster argmax is a window partitioned by cluster —
+    * bounded by the largest duplicate cluster, never a corpus axis.
+    * Docs absent from `pairs` are singletons (trivially canonical) and
+    * are not returned, the [[connectedComponents]] convention.
+    *
+    * Returns (doc_id, cluster, len, keep). */
+  def canonicalKeepLongest(docs: DataFrame, id: Column, text: Column,
+                           pairs: DataFrame): DataFrame = {
+    val cc = connectedComponents(pairs)
+    val lens = docs.select(id.as("doc_id"), length(text).as("len"))
+    val w = Window.partitionBy("cluster")
+      .orderBy(desc("len"), asc("doc_id"))
+    cc.withColumnRenamed("node", "doc_id")
+      .join(lens, "doc_id")
+      .withColumn("keep", (row_number().over(w) === 1).cast("int"))
+  }
 }

@@ -298,7 +298,7 @@ object Spaces {
         val rank = math.min(num(p, "num_factors").toInt, maxRank)
         val epochs = math.min(1500, maxEpochs)
         val (_, itf) = Models.mfBpr(spark, train, rank, epochs,
-          samplesPerEpoch = 2000, lr = num(p, "learning_rate"),
+          samplesPerEpoch = 1000, lr = num(p, "learning_rate"),
           reg = num(p, "positive_reg"), seed = 7,
           impressions = None,
           samplingMode = str(p, "impression_sampling_mode"))

@@ -76,29 +76,59 @@ object TuningQueries {
     // count and best MAP@10 (model-tier metric values).
     Q("q135_hp_smoke_search", { t =>
         import t.spark.implicits._
-        val urm = Urm.fromOrders(t).filter(pmod(col("u"), lit(13)) === 0)
+        // the smoke slice is deliberately small — ~3% of users and a
+        // bounded item range — because the query's job is to prove the
+        // catalog → decode → fit → evaluate → surrogate wiring end to
+        // end, not to produce meaningful metrics: 10 spaces × up to 2
+        // trials is ~18 distributed fit+evaluate pipelines per run
+        val urm = Urm.fromOrders(t)
+          .filter(pmod(col("u"), lit(31)) === 0 && col("i") < 1500)
         val split = Urm.userWiseHoldout(urm, 0.8, seed = 11)
         val train = split.filter(col("split") === "train").select("u", "i")
         val valid = split.filter(col("split") === "test").select("u", "i")
         graft.core.CacheScope.persist(train)
-        val rows = Spaces.catalog.zipWithIndex.map {
-          case ((alg, space), idx) =>
-            val eval = Spaces.evaluator(alg, t.spark, train, valid,
-                                        cutoff = 10)
-            val result =
-              if (space.dims.isEmpty) {
-                // SearchSingleCase: no parameters, one evaluation
-                val m = eval(Map.empty)
-                Search.SearchResult(
-                  Search.Trial(Map.empty, m),
-                  Seq(Search.Trial(Map.empty, m)))
-              } else Search.surrogate(
-                Spaces.unitRanges(space), nInit = 2, nTotal = 3,
-                candidatePool = 16, kappa = 1.0, seed = 31 + idx) { u =>
-                  eval(space.decode(u))
-                }
-            (alg, result.history.size, result.best.metric)
+        // The per-algorithm searches are independent, and each trial's
+        // jobs are tiny (a subsampled fit+evaluate leaves most of the
+        // cluster idle) — so the searches run CONCURRENTLY from driver
+        // threads, overlapping scheduling gaps; Spark schedules
+        // concurrent actions safely. Each search gets its own
+        // CacheScope so its persisted subtrees release the moment that
+        // algorithm finishes, not at query exit. Result order and all
+        // seeds are fixed, so the output is unaffected.
+        import scala.concurrent.{Await, Future}
+        import scala.concurrent.duration.Duration
+        // one thread per algorithm: every search starts immediately and
+        // the wall-clock is the longest single search chain
+        val pool = java.util.concurrent.Executors
+          .newFixedThreadPool(Spaces.catalog.size)
+        implicit val ec: scala.concurrent.ExecutionContext =
+          scala.concurrent.ExecutionContext.fromExecutorService(pool)
+        val futures = Spaces.catalog.zipWithIndex.map {
+          case ((alg, space), idx) => Future {
+            graft.core.CacheScope.scoped {
+              val eval = Spaces.evaluator(alg, t.spark, train, valid,
+                                          cutoff = 10)
+              val result =
+                if (space.dims.isEmpty) {
+                  // SearchSingleCase: no parameters, one evaluation
+                  val m = eval(Map.empty)
+                  Search.SearchResult(
+                    Search.Trial(Map.empty, m),
+                    Seq(Search.Trial(Map.empty, m)))
+                } else Search.surrogate(
+                  // 1 seeded random start + 1 surrogate-guided step:
+                  // the acquisition path runs, at minimum trial cost
+                  Spaces.unitRanges(space), nInit = 1, nTotal = 2,
+                  candidatePool = 16, kappa = 1.0, seed = 31 + idx) { u =>
+                    eval(space.decode(u))
+                  }
+              (alg, result.history.size, result.best.metric)
+            }
+          }
         }
+        val rows =
+          try Await.result(Future.sequence(futures), Duration.Inf)
+          finally pool.shutdown()
         rows.toDF("algorithm", "n_trials", "best_map")
           .filter(col("n_trials") > 0)
       }, None)

@@ -491,6 +491,26 @@ class DedupTextAnnSpec extends SparkSpec {
     assert(originals.forall { case (id, _) => kept.contains(id) })
   }
 
+  test("canonicalKeepLongest keeps the longest member, ties to min id") {
+    val docs = Seq(
+      (1L, "short text"),
+      (2L, "a much longer version of the short text body"),
+      (3L, "short text v3"),            // same length as doc 4
+      (4L, "short text v4"),            // tie -> smaller id 3 wins
+      (9L, "unrelated singleton"))      // not in pairs -> absent
+      .toDF("doc_id", "text")
+    // one transitive cluster {1,2} and one tied cluster {3,4}
+    val pairs = Seq((1L, 2L), (3L, 4L)).toDF("a", "b")
+    val got = graft.dedup.Dedup.canonicalKeepLongest(
+        docs, col("doc_id"), col("text"), pairs)
+      .collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getInt(3))).toMap
+    assert(got.keySet == Set(1L, 2L, 3L, 4L)) // singleton 9 absent
+    assert(got(2L)._2 == 1 && got(1L)._2 == 0) // longest wins in {1,2}
+    assert(got(3L)._2 == 1 && got(4L)._2 == 0) // tie -> min id in {3,4}
+    assert(got(1L)._1 == 1L && got(2L)._1 == 1L) // cluster = min node
+  }
+
   test("BPE merge learning matches an independent reference BPE") {
     // the ACL-2016 paper's own example corpus plus a multi-merge word
     val corpus = Map("low" -> 5L, "lower" -> 2L, "newest" -> 6L,
