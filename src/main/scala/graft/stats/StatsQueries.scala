@@ -90,6 +90,37 @@ object StatsQueries {
              |  COUNT(*) AS n_events
              |FROM flagged GROUP BY user_id""".stripMargin)),
 
+    // Per-session aggregates via the NATIVE session_window operator
+    // (the declarative twin of q28's gap sessionize and the streaming
+    // sessionRecords). Boundary semantics fixture-pinned: ADJACENT
+    // windows merge, so a successor exactly `gap` later continues the
+    // session (oracle breaks on strict >), and end = last event + gap;
+    // ms truncation on both sides makes the gap decision
+    // engine-identical.
+    Q("q138_session_window",
+      t => graft.streaming.EventStreams.sessionWindowAgg(
+        t.events, "user_id", "ts", "value", "30 minutes"),
+      Some(s"""WITH e AS (
+        |  SELECT user_id, epoch_ms(date_trunc('millisecond', ts)) AS ms,
+        |    value
+        |  FROM events
+        |), flagged AS (
+        |  SELECT user_id, ms, value,
+        |    CASE WHEN LAG(ms) OVER w IS NULL
+        |           OR ms - LAG(ms) OVER w > 1800000
+        |         THEN 1 ELSE 0 END AS brk
+        |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ms)
+        |), s AS (
+        |  SELECT user_id, ms, value,
+        |    SUM(brk) OVER (PARTITION BY user_id ORDER BY ms
+        |                   ROWS UNBOUNDED PRECEDING) AS sid
+        |  FROM flagged
+        |)
+        |SELECT user_id, MIN(ms) AS start_ms,
+        |  MAX(ms) + 1800000 AS end_ms,
+        |  COUNT(*) AS n_events, ${Qh.sqlDsum("value")} AS sum_value
+        |FROM s GROUP BY user_id, sid""".stripMargin)),
+
     // Tumbling 1-hour windowed aggregation — batch twin of the
     // Structured Streaming pipeline in graft.streaming.
     Q("q29_time_window",

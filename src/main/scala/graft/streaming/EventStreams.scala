@@ -143,6 +143,45 @@ object EventStreams {
       }
   }
 
+  /** Per-session aggregates via Spark's NATIVE `session_window`
+    * (3.2+) — the built-in twin of [[sessionRecords]]: when per-session
+    * aggregates are all that is needed, the declarative form needs no
+    * custom state function, merges overlapping sessions (late
+    * in-watermark events included) by construction, and executes the
+    * specialized UpdatingSessions/MergingSessions operators. Prefer
+    * this; [[sessionRecords]] stays for semantics the built-in cannot
+    * express (gap-vs-timeout close attribution, custom emission).
+    *
+    * Boundary semantics, fixture-pinned: a session window is
+    * [ts, ts+gap] for merging purposes — ADJACENT windows merge, so a
+    * successor exactly `gap` later CONTINUES the session (same
+    * convention as [[graft.stats.Stats.sessionize]]'s strict-> gap
+    * test; the q138 oracle uses the matching strict > break). Event
+    * times are truncated to milliseconds first so the gap decision is
+    * made on the same values in both engines.
+    *
+    * Same code runs on batch and streaming frames (the Spark idiom);
+    * for streaming Append mode pass `watermark` — it must attach to
+    * the SAME column the session groups on, which is why it is a
+    * parameter here rather than an upstream concern. Returns
+    * (userId, startMs, endMs, nEvents, sumValue) with
+    * end = last event + gap (the native convention). */
+  def sessionWindowAgg(events: DataFrame, userCol: String,
+                       tsCol: String, valueCol: String,
+                       gap: String,
+                       watermark: Option[String] = None): DataFrame = {
+    val truncated =
+      events.withColumn("_ts", date_trunc("millisecond", col(tsCol)))
+    watermark.fold(truncated)(w => truncated.withWatermark("_ts", w))
+      .groupBy(col(userCol), session_window(col("_ts"), gap))
+      .agg(count(lit(1)).as("n_events"),
+           graft.Qh.dsum(col(valueCol)).as("sum_value"))
+      .select(col(userCol),
+              unix_millis(col("session_window.start")).as("start_ms"),
+              unix_millis(col("session_window.end")).as("end_ms"),
+              col("n_events"), col("sum_value"))
+  }
+
   /** Streaming exact dedup: drop events whose content fingerprint was
     * already seen, with watermarked state so the seen-set is bounded to
     * the watermark horizon — the streaming twin of Dedup.exactDupGroups

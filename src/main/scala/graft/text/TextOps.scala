@@ -422,4 +422,32 @@ object TextOps {
       .select(col("doc_id"), col("tok"), col("tfidf"),
               col("rk").as("rank"))
   }
+
+  /** Per-document n-gram NOVELTY: the share of a document's distinct
+    * 3-gram shingles that appear in no other document (corpus
+    * document-frequency 1) — the "fraction of unique n-grams"
+    * diversity signal of corpus curation (the Gopher/C4 analyses use
+    * it to find boilerplate-heavy and template-generated text: low
+    * novelty = the document is assembled from corpus-common spans).
+    *
+    * Plan shape: one distinct-shingle build (per-doc window),
+    * one df aggregation keyed by shingle, one shuffle join back on
+    * the same shingle key (co-partitioned with the aggregation
+    * output — no second exchange on the big side), one per-doc
+    * aggregation. The df table is |distinct shingles|-sized and is
+    * NEVER broadcast or collected. Documents shorter than 3 tokens
+    * have no shingles and are absent from the result (the shingle
+    * convention; the oracle agrees by construction). */
+  def ngramNovelty(docs: DataFrame, id: Column, text: Column)
+      : DataFrame = {
+    val sh = graft.core.CacheScope.persist(
+      graft.dedup.Dedup.shingles(docs, id, text, 3))
+    val df = sh.groupBy("shingle").agg(count(lit(1)).as("df"))
+    sh.join(df, "shingle")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_shingles"),
+           sum((col("df") === 1).cast("long")).as("n_unique"))
+      .withColumn("novelty",
+                  round(col("n_unique") / col("n_shingles"), 6))
+  }
 }

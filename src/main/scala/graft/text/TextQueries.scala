@@ -533,6 +533,34 @@ object TextQueries {
         |  FROM tf JOIN dft USING (tok) CROSS JOIN n) x
         |WHERE rk <= 5""".stripMargin)),
 
+    // Per-document 3-gram novelty: the share of a doc's distinct
+    // shingles with corpus df=1 — the unique-n-gram diversity signal
+    // of corpus curation (low novelty = boilerplate/template text).
+    Q("q139_ngram_novelty",
+      t => TextOps.ngramNovelty(t.documents, col("doc_id"), col("text")),
+      Some("""WITH toks AS (
+        |  SELECT doc_id, i AS pos,
+        |    list_extract(string_split_regex(lower(text), '\s+'),
+        |                 CAST(i AS INT)) AS tok
+        |  FROM documents,
+        |    UNNEST(generate_series(1,
+        |      len(string_split_regex(lower(text), '\s+')))) t(i)
+        |), sh AS (
+        |  SELECT DISTINCT doc_id, tok || ' ' || t1 || ' ' || t2 AS shingle
+        |  FROM (
+        |    SELECT doc_id, tok,
+        |      LEAD(tok, 1) OVER w AS t1, LEAD(tok, 2) OVER w AS t2
+        |    FROM toks WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+        |  ) x WHERE t2 IS NOT NULL
+        |), dfs AS (SELECT shingle, COUNT(*) AS df FROM sh GROUP BY 1)
+        |SELECT doc_id, COUNT(*) AS n_shingles,
+        |  CAST(SUM(CASE WHEN df = 1 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_unique,
+        |  round(CAST(SUM(CASE WHEN df = 1 THEN 1 ELSE 0 END) AS DOUBLE)
+        |        / COUNT(*), 6) AS novelty
+        |FROM sh JOIN dfs USING (shingle)
+        |GROUP BY doc_id""".stripMargin)),
+
     // BPE vocabulary learning: 15 merges from the corpus word-
     // frequency table. Iterative argmax (driver sees one row per
     // round) has no SQL twin, so the gate is rows-only; exact merge-

@@ -33,6 +33,63 @@ class StreamingMultimodalSpec extends SparkSpec {
     assert(rows(("2024-01-01 11:00:00.0", "click")) == 1)
   }
 
+  test("native session_window merges late events and splits on the gap") {
+    implicit val sqlCtx = spark.sqlContext
+    val stream = MemoryStream[Event]
+    val gap = "30 minutes"
+    // batch 1: user 1 opens a session 10:00 + 10:20
+    stream.addData(
+      Event(ts(0), 1, "click", 1.0), Event(ts(20), 1, "click", 2.0))
+    val agg = EventStreams.sessionWindowAgg(
+      stream.toDF(), "userId", "ts", "value", gap,
+      watermark = Some("2 hours"))
+    val q = agg.writeStream.format("memory")
+      .queryName("native_session_test")
+      .outputMode(OutputMode.Append()).start()
+    q.processAllAvailable()
+    // batch 2: a LATE in-watermark event at 10:10 (merges into the open
+    // window) and a separate session at 11:30
+    stream.addData(
+      Event(ts(10), 1, "click", 4.0),
+      Event(Timestamp.valueOf("2024-01-01 11:30:00"), 1, "view", 8.0))
+    q.processAllAvailable()
+    // batch 3: advance the watermark far past everything → both close
+    stream.addData(
+      Event(Timestamp.valueOf("2024-01-01 16:00:00"), 2, "view", 1.0))
+    q.processAllAvailable()
+    q.stop()
+    val rows = spark.table("native_session_test")
+      .filter(col("userId") === 1L)
+      .collect()
+      .map(r => (r.getLong(1), r.getLong(2), r.getLong(3),
+                 r.getDouble(4)))
+      .sortBy(_._1)
+    assert(rows.length == 2)
+    // session 1: 10:00–10:20 events incl. the late 10:10 one; end =
+    // last event + gap
+    assert(rows(0) == ((ts(0).getTime, ts(20).getTime + 30 * 60 * 1000L,
+                        3L, 7.0)))
+    // session 2: the lone 11:30 event
+    val t1130 = Timestamp.valueOf("2024-01-01 11:30:00").getTime
+    assert(rows(1) == ((t1130, t1130 + 30 * 60 * 1000L, 1L, 8.0)))
+  }
+
+  test("session_window boundary: adjacent windows MERGE (exact-gap " +
+       "successor continues; the q138 oracle's strict-> convention)") {
+    val df = Seq(
+      (1L, ts(0), 1.0),
+      (1L, ts(30), 2.0),   // exactly 30min later: adjacent -> merges
+      (2L, ts(0), 1.0),
+      (2L, Timestamp.valueOf("2024-01-01 10:31:00"), 2.0)) // past gap
+      .toDF("userId", "ts", "value")
+    val rows = EventStreams.sessionWindowAgg(
+        df, "userId", "ts", "value", "30 minutes")
+      .collect()
+      .groupBy(_.getLong(0)).view.mapValues(_.length).toMap
+    assert(rows(1L) == 1, "exact-gap successor must merge (adjacent)")
+    assert(rows(2L) == 2, "past-gap successor must start a new session")
+  }
+
   test("stateful session counting splits on the gap") {
     implicit val sqlCtx = spark.sqlContext
     val stream = MemoryStream[Event]
