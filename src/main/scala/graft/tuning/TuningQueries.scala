@@ -107,7 +107,7 @@ object TuningQueries {
           case ((alg, space), idx) => Future {
             graft.core.CacheScope.scoped {
               val eval = Spaces.evaluator(alg, t.spark, train, valid,
-                                          cutoff = 10)
+                                          cutoff = 10, maxEpochs = 1)
               val result =
                 if (space.dims.isEmpty) {
                   // SearchSingleCase: no parameters, one evaluation

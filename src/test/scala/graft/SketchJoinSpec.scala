@@ -205,6 +205,33 @@ class SketchJoinSpec extends SparkSpec {
     assert(got.nonEmpty && got.sameElements(want))
   }
 
+  test("bloom expression pair is callable from plain SQL") {
+    // one bloomSemiJoin call registers the pair with the session (the
+    // same functions GraftExtensions injects for config-based setups);
+    // after that the build-once-probe-everywhere pattern is plain SQL,
+    // with the filter fed through a scalar subquery — the shape
+    // BloomFilterMightContain accepts besides a foldable literal
+    JoinPrune.bloomSemiJoin(
+      Seq((1L, 2L)).toDF("row_id", "pk"),
+      Seq(2L).toDF("bk"), "pk", "bk", expectedItems = 10)
+      .count()
+    spark.range(100).select((col("id") % 10).as("k"))
+      .createOrReplaceTempView("bloom_probe_t")
+    spark.sql("""SELECT graft_bloom_filter_agg(xxhash64(k),
+                          CAST(10 AS BIGINT), CAST(800 AS BIGINT)) AS bf
+                 FROM bloom_probe_t WHERE k < 3""")
+      .createOrReplaceTempView("bloom_build_t")
+    val survivors = spark.sql(
+      """SELECT k FROM bloom_probe_t
+         WHERE graft_might_contain((SELECT bf FROM bloom_build_t),
+                                   xxhash64(k))""")
+      .collect().map(_.getLong(0)).toSet
+    // no false negatives: every true member survives; at 800 bits for
+    // 3 keys false positives are unlikely but allowed, so assert
+    // containment from below plus the exact-member presence
+    assert(Set(0L, 1L, 2L).subsetOf(survivors))
+  }
+
   test("bloomSemiJoin on an empty build side yields the empty join") {
     val probe = Seq((1L, 5L), (2L, 6L)).toDF("row_id", "pk")
     val build = Seq.empty[Long].toDF("bk")
