@@ -38,23 +38,21 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // Spark's bloom expression pair is internal-only (the runtime
     // filter rule builds it directly); exposing it lets SQL users run
     // the build-once-probe-everywhere pattern of
-    // [[graft.operators.JoinPrune]] from plain SQL
+    // [[graft.operators.JoinPrune]] from plain SQL. The builders are
+    // SHARED with JoinPrune's runtime registration
+    // (graft.functions.BloomFunctions) so the two paths cannot diverge.
     ext.injectFunction((
       FunctionIdentifier("graft_bloom_filter_agg"),
       new ExpressionInfo(
         classOf[org.apache.spark.sql.catalyst.expressions.aggregate
           .BloomFilterAggregate].getName, "graft_bloom_filter_agg"),
-      (exprs: Seq[Expression]) =>
-        new org.apache.spark.sql.catalyst.expressions.aggregate
-          .BloomFilterAggregate(exprs(0), exprs(1), exprs(2))))
+      graft.functions.BloomFunctions.aggBuilder))
     ext.injectFunction((
       FunctionIdentifier("graft_might_contain"),
       new ExpressionInfo(
         classOf[org.apache.spark.sql.catalyst.expressions
           .BloomFilterMightContain].getName, "graft_might_contain"),
-      (exprs: Seq[Expression]) =>
-        org.apache.spark.sql.catalyst.expressions
-          .BloomFilterMightContain(exprs.head, exprs(1))))
+      graft.functions.BloomFunctions.probeBuilder))
     ext.injectOptimizerRule(_ => RewriteHofDotProduct)
   }
 }

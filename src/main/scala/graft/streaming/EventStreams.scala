@@ -109,29 +109,34 @@ object EventStreams {
           } else {
             val closed = scala.collection.mutable.ArrayBuffer
               .empty[SessionRecord]
-            var open = state.getOption
-            evs.toSeq.sortBy(e => (e.ts.getTime, e.eventType)).foreach { ev =>
-              val ms = ev.ts.getTime
-              open match {
-                case Some((s, e, n, v)) if ms > e + gapMs =>
-                  closed += SessionRecord(uid, s, e, n, v, "gap")
-                  open = Some((ms, ms, 1L, ev.value))
-                case Some((s, e, n, v)) if ms < s - gapMs =>
-                  // a cross-batch late straggler more than a gap BEFORE
-                  // the open session: its own (already gap-closed)
-                  // session — merging it would bridge a real gap
-                  closed += SessionRecord(uid, ms, ms, 1L, ev.value, "gap")
-                case Some((s, e, n, v)) =>
-                  // within a gap of the open session on either side.
-                  // min/max, not end = ms: a late event inside the 2h
-                  // watermark whose ts precedes the open session's end
-                  // must never regress endTs (endTs < startTs emissions,
-                  // timeout timestamps moving backwards)
-                  open = Some((math.min(s, ms), math.max(e, ms),
-                               n + 1, v + ev.value))
-                case None =>
-                  open = Some((ms, ms, 1L, ev.value))
-              }
+            // General INTERVAL MERGE over the batch's events plus the
+            // open-session interval, all sorted by start time: the
+            // per-case state machine this replaces mishandled MULTIPLE
+            // in-watermark stragglers before the open session (each
+            // was closed as its own singleton even when they fell
+            // within a gap of each other). Merging sorted intervals
+            // whenever the next start is within `gapMs` of the current
+            // end handles every arrival order uniformly — stragglers
+            // sessionize among themselves, bridge into the open
+            // session exactly when a real gap does not separate them,
+            // and endTs can never regress (end = max). The open
+            // session is just one more interval in the sweep.
+            val items: Seq[(Long, Long, Long, Double)] =
+              state.getOption.toSeq ++
+              evs.toSeq.sortBy(e => (e.ts.getTime, e.eventType))
+                .map(e => (e.ts.getTime, e.ts.getTime, 1L, e.value))
+            var open: Option[(Long, Long, Long, Double)] = None
+            items.sortBy(it => (it._1, it._2)).foreach {
+              case it @ (s2, e2, n2, v2) =>
+                open match {
+                  case Some((s, e, n, v)) if s2 <= e + gapMs =>
+                    open = Some((s, math.max(e, e2), n + n2, v + v2))
+                  case Some((s, e, n, v)) =>
+                    closed += SessionRecord(uid, s, e, n, v, "gap")
+                    open = Some(it)
+                  case None =>
+                    open = Some(it)
+                }
             }
             open.foreach { o =>
               state.update(o)

@@ -96,11 +96,17 @@ object TuningQueries {
         // algorithm finishes, not at query exit. Result order and all
         // seeds are fixed, so the output is unaffected.
         import scala.concurrent.{Await, Future}
-        import scala.concurrent.duration.Duration
-        // one thread per algorithm: every search starts immediately and
-        // the wall-clock is the longest single search chain
-        val pool = java.util.concurrent.Executors
-          .newFixedThreadPool(Spaces.catalog.size)
+        import scala.concurrent.duration.{Duration, MINUTES}
+        // one DAEMON thread per algorithm: every search starts
+        // immediately, the wall-clock is the longest single search
+        // chain, and a wedged thread can never keep the JVM alive
+        val pool = java.util.concurrent.Executors.newFixedThreadPool(
+          Spaces.catalog.size,
+          (r: Runnable) => {
+            val th = new Thread(r, "graft-hp-smoke")
+            th.setDaemon(true)
+            th
+          })
         implicit val ec: scala.concurrent.ExecutionContext =
           scala.concurrent.ExecutionContext.fromExecutorService(pool)
         val futures = Spaces.catalog.zipWithIndex.map {
@@ -126,8 +132,12 @@ object TuningQueries {
             }
           }
         }
+        // bounded wait: one hung Spark action fails THIS query with a
+        // TimeoutException (caught by the harness) instead of wedging
+        // the whole run forever
         val rows =
-          try Await.result(Future.sequence(futures), Duration.Inf)
+          try Await.result(Future.sequence(futures),
+                           Duration(30, MINUTES))
           finally pool.shutdown()
         rows.toDF("algorithm", "n_trials", "best_map")
           .filter(col("n_trials") > 0)

@@ -205,6 +205,34 @@ class SketchJoinSpec extends SparkSpec {
     assert(got.nonEmpty && got.sameElements(want))
   }
 
+  test("bloomSemiJoin matches the plain join across mixed key widths") {
+    // xxhash64 is physical-type-sensitive: an un-normalized INT probe
+    // against a BIGINT build would hash the same values differently
+    // and produce false NEGATIVES. The normalization must repair this.
+    val probe = (0 until 500).map(i => (i, i % 40)).toDF("row_id", "pk")
+    val build = Seq(3L, 17L, 25L).toDF("bk") // BIGINT vs probe's INT
+    val got = JoinPrune.bloomSemiJoin(probe, build, "pk", "bk",
+                                      expectedItems = 100)
+      .select("row_id").as[Int].collect().sorted
+    val want = JoinPrune.plainSemiJoin(probe, build, "pk", "bk")
+      .select("row_id").as[Int].collect().sorted
+    assert(got.nonEmpty && got.sameElements(want))
+  }
+
+  test("bloomSemiJoin restores the runtime bloom confs it raises") {
+    val itemsConf = "spark.sql.optimizer.runtime.bloomFilter.maxNumItems"
+    val before = spark.conf.getOption(itemsConf)
+    // request a filter LARGER than the 4M-item default clamp: the build
+    // must succeed un-clamped and the session conf must come back
+    JoinPrune.bloomSemiJoin(
+        Seq((1L, 5L)).toDF("row_id", "pk"),
+        Seq(5L, 6L).toDF("bk"), "pk", "bk",
+        expectedItems = 5000000L)
+      .count()
+    assert(spark.conf.getOption(itemsConf) == before,
+           "conf must be restored after the build")
+  }
+
   test("bloom expression pair is callable from plain SQL") {
     // one bloomSemiJoin call registers the pair with the session (the
     // same functions GraftExtensions injects for config-based setups);

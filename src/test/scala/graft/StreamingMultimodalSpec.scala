@@ -183,6 +183,45 @@ class StreamingMultimodalSpec extends SparkSpec {
            merged.endTs == ts(20).getTime)
   }
 
+  test("multiple late stragglers sessionize among themselves") {
+    implicit val sqlCtx = spark.sqlContext
+    val stream = MemoryStream[Event]
+    val gap = 30 * 60 * 1000L
+    // batch 1: open session at 10:00
+    stream.addData(Event(ts(0), 1, "click", 1.0))
+    val sessions = EventStreams.sessionRecords(stream.toDS(), gapMs = gap)
+    val q = sessions.toDF().writeStream
+      .format("memory").queryName("sessrec_multi_straggler")
+      .outputMode(OutputMode.Append()).start()
+    q.processAllAvailable()
+    // batch 2: two in-watermark stragglers 20min apart, both more than
+    // a gap before the open session — ONE merged straggler session,
+    // not two singletons
+    stream.addData(
+      Event(Timestamp.valueOf("2024-01-01 08:50:00"), 1, "click", 2.0),
+      Event(Timestamp.valueOf("2024-01-01 09:10:00"), 1, "click", 3.0))
+    q.processAllAvailable()
+    // batch 3: advance the watermark → timeout-flush the open session
+    stream.addData(
+      Event(Timestamp.valueOf("2024-01-01 15:00:00"), 2, "view", 1.0))
+    q.processAllAvailable()
+    q.stop()
+    val recs = spark.table("sessrec_multi_straggler")
+      .as[graft.streaming.EventStreams.SessionRecord].collect()
+      .filter(_.userId == 1L).sortBy(_.startTs)
+    assert(recs.length == 2)
+    val straggler = recs(0)
+    assert(straggler.closedBy == "gap" && straggler.nEvents == 2 &&
+           straggler.sumValue == 5.0 &&
+           straggler.startTs ==
+             Timestamp.valueOf("2024-01-01 08:50:00").getTime &&
+           straggler.endTs ==
+             Timestamp.valueOf("2024-01-01 09:10:00").getTime)
+    val main = recs(1)
+    assert(main.closedBy == "timeout" && main.nEvents == 1 &&
+           main.startTs == ts(0).getTime)
+  }
+
   test("stream-static enrichment joins the dimension per micro-batch") {
     implicit val sqlCtx = spark.sqlContext
     val stream = MemoryStream[Event]
