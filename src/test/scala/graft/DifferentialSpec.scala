@@ -96,4 +96,36 @@ class DifferentialSpec extends SparkSpec {
       assert(got.keySet == inGraph, "exactly the non-singleton nodes")
     }
   }
+
+  test("native session_window matches the batch sessionize on random " +
+       "event logs") {
+    // both operators use the same boundary convention (exactly-gap
+    // successor continues the session), so on any input their session
+    // partitions must be identical — compared here as per-user session
+    // count plus the multiset of per-session event counts
+    val rnd = new Random(47)
+    val base = java.sql.Timestamp.valueOf("2024-03-01 00:00:00").getTime
+    val gapMs = 15 * 60 * 1000L
+    val events = (0 until 3000).map { i =>
+      (rnd.nextInt(25).toLong,
+       new java.sql.Timestamp(base + rnd.nextInt(8 * 3600) * 1000L +
+                              rnd.nextInt(997)),
+       1.0, i.toLong)
+    }.toDF("userId", "ts", "value", "eid")
+    val native = graft.streaming.EventStreams.sessionWindowAgg(
+        events, "userId", "ts", "value", "15 minutes")
+      .select(col("userId"), col("n_events"))
+      .collect()
+      .groupBy(_.getLong(0))
+      .view.mapValues(_.map(_.getLong(1)).sorted.toSeq).toMap
+    val batch = graft.stats.Stats.sessionize(
+        events, col("userId"), col("ts"), col("eid"), gapMs)
+      .groupBy(col("userId"), col("session_id"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("userId"), col("n_events"))
+      .collect()
+      .groupBy(_.getLong(0))
+      .view.mapValues(_.map(_.getLong(1)).sorted.toSeq).toMap
+    assert(native == batch)
+  }
 }
