@@ -299,4 +299,50 @@ object Stats {
       .withColumn("session_id", sum("new_session").over(
         byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
   }
+
+  /** EXACT two-sample Kolmogorov–Smirnov distance between the `value`
+    * distributions of two frames — the distribution-drift monitor of a
+    * continuously rebuilt corpus (has the length/score/quality profile
+    * of this snapshot moved against the last one?).
+    *
+    *   D = sup_x |F_a(x) − F_b(x)|
+    *
+    * evaluated after each DISTINCT value (the tie-correct form: the
+    * ecdf step consumes every tied row before the comparison). Scale
+    * shape: one groupBy collapses the inputs to their distinct values
+    * with per-side counts, then ONE windowless two-pass global cumsum
+    * ([[graft.core.Ranking]]) sweeps the merged value axis — both side
+    * counts are packed into a single long (`ca·(n_b+1) + cb`, exact
+    * because cum_b ≤ n_b) so one pass carries both running totals; no
+    * single-reducer window, nothing value-axis-sized on the driver.
+    * Returns one row (ks, n_a, n_b), ks rounded to 6 decimals; empty
+    * when either side is empty (no distribution to compare). */
+  def ksDrift(a: DataFrame, b: DataFrame, value: Column): DataFrame = {
+    val spark = a.sparkSession
+    import spark.implicits._
+    def side(df: DataFrame, ca: Int, cb: Int): DataFrame =
+      df.select(value.cast("double").as("v"))
+        .filter($"v".isNotNull)
+        .withColumn("ca", lit(ca.toLong)).withColumn("cb", lit(cb.toLong))
+    val grouped = graft.core.CacheScope.persist(
+      side(a, 1, 0).unionByName(side(b, 0, 1))
+        .groupBy("v")
+        .agg(sum("ca").as("ca"), sum("cb").as("cb")))
+    val totals = grouped.agg(sum("ca"), sum("cb")).head()
+    if (totals.isNullAt(0) || totals.isNullAt(1) ||
+        totals.getLong(0) == 0L || totals.getLong(1) == 0L)
+      return Seq.empty[(Double, Long, Long)].toDF("ks", "n_a", "n_b")
+    val na = totals.getLong(0)
+    val nb = totals.getLong(1)
+    val big = nb + 1
+    val ranked = graft.core.Ranking.withGlobalRankAndCumSum(
+      grouped.withColumn("packed", col("ca") * big + col("cb")),
+      Seq(col("v")), col("packed"), "rk", "cum")
+    ranked
+      .select(max(abs(
+        expr(s"cum div $big").cast("double") / na -
+        (col("cum") % big).cast("double") / nb)).as("d"))
+      .select(round(col("d"), 6).as("ks"),
+              lit(na).as("n_a"), lit(nb).as("n_b"))
+  }
 }

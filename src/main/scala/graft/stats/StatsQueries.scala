@@ -121,6 +121,40 @@ object StatsQueries {
         |  COUNT(*) AS n_events, ${Qh.sqlDsum("value")} AS sum_value
         |FROM s GROUP BY user_id, sid""".stripMargin)),
 
+    // Exact two-sample KS distance between the doc-length
+    // distributions of two source cohorts — the distribution-drift
+    // monitor of a continuously rebuilt corpus. The engine sweeps the
+    // merged value axis with the windowless two-pass cumsum; the
+    // oracle uses plain SQL windows (tie-correct: ecdf evaluated per
+    // DISTINCT value).
+    Q("q140_ks_drift", { t =>
+        val docs = t.documents
+          .select(col("source"), length(col("text")).as("len"))
+        Stats.ksDrift(
+          docs.filter(length(col("source")) === 4),   // src0..src9
+          docs.filter(length(col("source")) === 5),   // src10..src19
+          col("len"))
+      },
+      Some("""WITH vals AS (
+        |  SELECT CAST(length(text) AS DOUBLE) AS v,
+        |    CASE WHEN length(source) = 4 THEN 1 ELSE 0 END AS ca,
+        |    CASE WHEN length(source) = 5 THEN 1 ELSE 0 END AS cb
+        |  FROM documents
+        |), g AS (
+        |  SELECT v, SUM(ca) AS ca, SUM(cb) AS cb FROM vals GROUP BY v
+        |), n AS (
+        |  SELECT SUM(ca) AS na, SUM(cb) AS nb FROM g
+        |), e AS (
+        |  SELECT
+        |    SUM(ca) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) AS cum_a,
+        |    SUM(cb) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) AS cum_b
+        |  FROM g
+        |)
+        |SELECT round(MAX(abs(CAST(cum_a AS DOUBLE) / na
+        |                     - CAST(cum_b AS DOUBLE) / nb)), 6) AS ks,
+        |  CAST(na AS BIGINT) AS n_a, CAST(nb AS BIGINT) AS n_b
+        |FROM e CROSS JOIN n GROUP BY na, nb""".stripMargin)),
+
     // Tumbling 1-hour windowed aggregation — batch twin of the
     // Structured Streaming pipeline in graft.streaming.
     Q("q29_time_window",

@@ -161,4 +161,19 @@ class StatsSpec extends SparkSpec {
       .head().getAs[Long]("n")
     assert(sess == 2)
   }
+
+  test("ksDrift: zero for identical, one for disjoint, hand value, " +
+       "empty-side convention") {
+    import graft.stats.Stats
+    def df(xs: Double*) = xs.toDF("v")
+    def ks(a: org.apache.spark.sql.DataFrame,
+           b: org.apache.spark.sql.DataFrame): Double =
+      Stats.ksDrift(a, b, col("v")).head().getDouble(0)
+    assert(ks(df(1, 2, 3), df(1, 2, 3)) == 0.0)
+    assert(ks(df(1, 2), df(10, 20)) == 1.0)
+    // a=[1,1,2,3], b=[2,3,3,4]: Fa=(.5,.75,1,1) Fb=(0,.25,.75,1) → .5
+    assert(ks(df(1, 1, 2, 3), df(2, 3, 3, 4)) == 0.5)
+    // an empty side has no distribution: empty result, not a throw
+    assert(Stats.ksDrift(df(1, 2), df(), col("v")).isEmpty)
+  }
 }
