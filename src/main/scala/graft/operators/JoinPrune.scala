@@ -2,7 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.StringType
+import org.apache.spark.sql.types._
 
 /** Bloom-filter join pruning (SURVEY.md §2.3 addendum; beyond-reference
   * scale operator).
@@ -34,64 +34,69 @@ import org.apache.spark.sql.types.StringType
   */
 object JoinPrune {
 
-  /** Exact semi-join of `probe` against `build`, Bloom-pruned before
-    * the shuffle. Keys of any orderable type: both sides are first
-    * NORMALIZED to one representation — string keys to string,
-    * numeric keys to bigint — and then hashed with `xxhash64`
-    * (codegen'd, engine-side only), so the sketch always feeds on
-    * longs. The normalization is load-bearing: `xxhash64` is
-    * physical-type-sensitive (an INT and a BIGINT holding the same
-    * value hash differently), so hashing un-normalized mixed-width
-    * keys would produce false NEGATIVES the confirm join cannot
-    * repair. After normalization a 64-bit hash collision can only ADD
-    * a false positive, which the exact confirm join removes like any
-    * other.
-    *
-    * `expectedItems` sizes the filter for the build side's distinct-key
-    * count; overshooting costs bits (1.2 bytes/item at fpp 0.01),
-    * undershooting degrades fpp — never correctness. Pass `0` to
-    * auto-size from `build.count()` — one cheap extra job (a count
-    * scan, no shuffle) against a filter that is never mis-sized.
-    * `BloomFilterAggregate` silently clamps its size to the session's
-    * `spark.sql.optimizer.runtime.bloomFilter.maxNumItems/maxNumBits`
-    * (defaults 4M items / 67M bits — a silent fpp→1 degradation for a
-    * corpus-scale build side), so the confs are raised to the
-    * requested size around the build and restored after. */
-  def bloomSemiJoin(probe: DataFrame, build: DataFrame,
-                    probeKey: String, buildKey: String,
-                    expectedItems: Long, fpp: Double = 0.01)
-      : DataFrame = {
-    val spark = probe.sparkSession
-    require(fpp > 0 && fpp < 1, s"fpp must be in (0,1): $fpp")
-    val items =
-      if (expectedItems > 0) expectedItems else math.max(1L, build.count())
-    // the standard optimal-bits formula: m = -n ln p / (ln 2)^2
-    val numBits = math.max(64L,
-      math.ceil(-items * math.log(fpp) / (math.log(2) * math.log(2))).toLong)
+  /** Serializes the conf-raise → build → conf-restore critical section:
+    * the runtime bloom clamp confs are SESSION-global, so two
+    * concurrent builds could otherwise restore the clamp mid-flight
+    * under each other (driver-thread concurrency is an established
+    * pattern here — see q135). Serializing the builds is the honest
+    * cost; the probe stages still run fully concurrent. */
+  private val confLock = new Object
+
+  /** The hashed key both bloom sides feed on, or None when no safe
+    * common representation exists. `xxhash64` is PHYSICAL-type
+    * sensitive (an INT and a BIGINT holding the same value hash
+    * differently), so the two sides must reach one physical type
+    * first:
+    *  - identical types hash natively (covers string/date/binary/
+    *    decimal/struct keys with zero cast risk);
+    *  - integral mixes widen to bigint;
+    *  - numeric mixes involving a fractional side widen to double
+    *    (Spark's own equi-join coercion — and hashing the double
+    *    keeps fractional keys distinct, where a bigint cast would
+    *    collapse every key sharing an integer part onto one hash);
+    *  - anything else (string vs numeric, date vs string, …) has
+    *    engine-specific join coercion this operator does not
+    *    replicate → None, and the caller falls back to the exact
+    *    un-pruned join rather than risk a false negative. */
+  private def commonHash(probeType: DataType, buildType: DataType)
+      : Option[Column => Column] = {
+    def integral(t: DataType) = t match {
+      case ByteType | ShortType | IntegerType | LongType => true
+      case _ => false
+    }
+    def numeric(t: DataType) = t.isInstanceOf[NumericType]
+    if (probeType == buildType) Some(c => xxhash64(c))
+    else if (integral(probeType) && integral(buildType))
+      Some(c => xxhash64(c.cast("bigint")))
+    else if (numeric(probeType) && numeric(buildType))
+      Some(c => xxhash64(c.cast("double")))
+    else None
+  }
+
+  /** Build the serialized filter over `hashed(buildKey)` — one
+    * distributed aggregate; only the bitset reaches the driver. The
+    * session's runtime-bloom clamp confs are raised to the requested
+    * size for the build and restored after (`BloomFilterAggregate`
+    * silently clamps to 4M items / 67M bits otherwise — an fpp→1
+    * degradation for a corpus-scale build side). Exposed package-
+    * private so the un-clamped size is testable. */
+  private[graft] def buildFilter(build: DataFrame, key: Column,
+                                 items: Long, numBits: Long)
+      : Array[Byte] = {
+    val spark = build.sparkSession
     graft.functions.BloomFunctions.register(spark)
-    // normalize both key sides to ONE physical type before hashing
-    val isString =
-      probe.schema(probeKey).dataType == StringType ||
-      build.schema(buildKey).dataType == StringType
-    def keyed(c: Column): Column =
-      xxhash64(c.cast(if (isString) "string" else "bigint"))
-    // one distributed aggregate: per-partition bitsets OR-merged into
-    // one — the build side never leaves the executors as rows. The
-    // aggregate clamps to the runtime-filter confs, so lift them to
-    // the requested size for the build and restore afterwards.
     val itemsConf = "spark.sql.optimizer.runtime.bloomFilter.maxNumItems"
     val bitsConf = "spark.sql.optimizer.runtime.bloomFilter.maxNumBits"
-    val oldItems = spark.conf.getOption(itemsConf)
-    val oldBits = spark.conf.getOption(bitsConf)
-    val bytes =
+    confLock.synchronized {
+      val oldItems = spark.conf.getOption(itemsConf)
+      val oldBits = spark.conf.getOption(bitsConf)
       try {
         spark.conf.set(itemsConf,
           math.max(items, spark.conf.get(itemsConf, "4000000").toLong))
         spark.conf.set(bitsConf,
           math.max(numBits, spark.conf.get(bitsConf, "67108864").toLong))
         build
-          .select(call_function("graft_bloom_filter_agg",
-                                keyed(col(buildKey)),
+          .select(call_function("graft_bloom_filter_agg", key,
                                 lit(items), lit(numBits)).as("bf"))
           .head.getAs[Array[Byte]](0)
       } finally {
@@ -100,7 +105,41 @@ object JoinPrune {
         restore(itemsConf, oldItems)
         restore(bitsConf, oldBits)
       }
+    }
+  }
+
+  /** Exact semi-join of `probe` against `build`, Bloom-pruned before
+    * the shuffle. Key pairs with a safe common hash representation
+    * (same type, integral mixes, numeric mixes — see [[commonHash]])
+    * are pruned; pairs whose equi-join coercion this operator cannot
+    * replicate (e.g. string vs numeric) fall back to the exact
+    * un-pruned semi-join — never a wrong result, only a lost
+    * optimization. After normalization a 64-bit hash collision can
+    * only ADD a false positive, which the exact confirm join removes
+    * like any other.
+    *
+    * `expectedItems` sizes the filter for the build side's distinct-key
+    * count; overshooting costs bits (1.2 bytes/item at fpp 0.01),
+    * undershooting degrades fpp — never correctness. Pass `0` to
+    * auto-size from `build.count()` — one cheap extra job (a count
+    * scan, no shuffle) against a filter that is never mis-sized. */
+  def bloomSemiJoin(probe: DataFrame, build: DataFrame,
+                    probeKey: String, buildKey: String,
+                    expectedItems: Long, fpp: Double = 0.01)
+      : DataFrame = {
+    require(fpp > 0 && fpp < 1, s"fpp must be in (0,1): $fpp")
+    val hash = commonHash(probe.schema(probeKey).dataType,
+                          build.schema(buildKey).dataType)
     val confirm = build.select(col(buildKey).as(probeKey)).distinct()
+    if (hash.isEmpty)
+      return probe.join(confirm, Seq(probeKey), "left_semi")
+    val keyed = hash.get
+    val items =
+      if (expectedItems > 0) expectedItems else math.max(1L, build.count())
+    // the standard optimal-bits formula: m = -n ln p / (ln 2)^2
+    val numBits = math.max(64L,
+      math.ceil(-items * math.log(fpp) / (math.log(2) * math.log(2))).toLong)
+    val bytes = buildFilter(build, keyed(col(buildKey)), items, numBits)
     // empty build side: the aggregate yields a null filter; the result
     // is the (empty) exact semi-join, no probe needed
     if (bytes == null)

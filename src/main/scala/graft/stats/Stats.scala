@@ -335,13 +335,26 @@ object Stats {
     val na = totals.getLong(0)
     val nb = totals.getLong(1)
     val big = nb + 1
-    val ranked = graft.core.Ranking.withGlobalRankAndCumSum(
-      grouped.withColumn("packed", col("ca") * big + col("cb")),
-      Seq(col("v")), col("packed"), "rk", "cum")
-    ranked
+    // the packed form needs na·(nb+1)+nb ≤ Long.Max; beyond that
+    // (≈3e9 rows PER SIDE) fall back to two cumsum sweeps — twice the
+    // range shuffles, exact at any scale, never a silent wraparound
+    val fitsPacked = na <= (Long.MaxValue - nb) / big
+    val withCums =
+      if (fitsPacked)
+        graft.core.Ranking.withGlobalRankAndCumSum(
+            grouped.withColumn("packed", col("ca") * big + col("cb")),
+            Seq(col("v")), col("packed"), "rk", "cum")
+          .withColumn("cum_a", expr(s"cum div $big"))
+          .withColumn("cum_b", col("cum") % big)
+      else
+        graft.core.Ranking.withGlobalRankAndCumSum(
+          graft.core.Ranking.withGlobalRankAndCumSum(
+            grouped, Seq(col("v")), col("ca"), "rk_a", "cum_a"),
+          Seq(col("v")), col("cb"), "rk_b", "cum_b")
+    withCums
       .select(max(abs(
-        expr(s"cum div $big").cast("double") / na -
-        (col("cum") % big).cast("double") / nb)).as("d"))
+        col("cum_a").cast("double") / na -
+        col("cum_b").cast("double") / nb)).as("d"))
       .select(round(col("d"), 6).as("ks"),
               lit(na).as("n_a"), lit(nb).as("n_b"))
   }

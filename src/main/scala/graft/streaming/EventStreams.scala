@@ -121,10 +121,12 @@ object EventStreams {
             // session exactly when a real gap does not separate them,
             // and endTs can never regress (end = max). The open
             // session is just one more interval in the sweep.
+            // no pre-sort of evs: the interval sweep below sorts the
+            // combined list, and the merge aggregates are
+            // order-insensitive (min/max/sum), so one sort suffices
             val items: Seq[(Long, Long, Long, Double)] =
               state.getOption.toSeq ++
-              evs.toSeq.sortBy(e => (e.ts.getTime, e.eventType))
-                .map(e => (e.ts.getTime, e.ts.getTime, 1L, e.value))
+              evs.map(e => (e.ts.getTime, e.ts.getTime, 1L, e.value)).toSeq
             var open: Option[(Long, Long, Long, Double)] = None
             items.sortBy(it => (it._1, it._2)).foreach {
               case it @ (s2, e2, n2, v2) =>

@@ -109,8 +109,14 @@ object TuningQueries {
           })
         implicit val ec: scala.concurrent.ExecutionContext =
           scala.concurrent.ExecutionContext.fromExecutorService(pool)
+        val jobGroup = "graft-hp-smoke-search"
         val futures = Spaces.catalog.zipWithIndex.map {
           case ((alg, space), idx) => Future {
+            // job group is thread-local: every Spark action this
+            // search submits is tagged, so the timeout path below can
+            // actually cancel in-flight work
+            t.spark.sparkContext.setJobGroup(
+              jobGroup, s"hp smoke search: $alg", true)
             graft.core.CacheScope.scoped {
               val eval = Spaces.evaluator(alg, t.spark, train, valid,
                                           cutoff = 10, maxEpochs = 1)
@@ -134,10 +140,19 @@ object TuningQueries {
         }
         // bounded wait: one hung Spark action fails THIS query with a
         // TimeoutException (caught by the harness) instead of wedging
-        // the whole run forever
+        // the whole run forever — and the timeout path CANCELS the
+        // tagged in-flight jobs and interrupts the workers, so the
+        // wedged searches stop consuming the cluster under whatever
+        // runs next (shutdown() alone would leave them running)
         val rows =
           try Await.result(Future.sequence(futures),
                            Duration(30, MINUTES))
+          catch {
+            case e: java.util.concurrent.TimeoutException =>
+              t.spark.sparkContext.cancelJobGroup(jobGroup)
+              pool.shutdownNow()
+              throw e
+          }
           finally pool.shutdown()
         rows.toDF("algorithm", "n_trials", "best_map")
           .filter(col("n_trials") > 0)
