@@ -155,6 +155,59 @@ object RecsysQueries {
         |FROM urm JOIN df ON urm.i = df.i JOIN len ON urm.u = len.u
         |CROSS JOIN g""".stripMargin)),
 
+    // L2+L4 — FEATURE-WEIGHTED cosine similarity: TF-IDF weights
+    // replace the binary entries before the pair engine (reference:
+    // run_parameter_search.py feature_weighting='TF-IDF' feeding
+    // Compute_Similarity_Python). Weights round to 9 decimals and
+    // accumulate as exact decimals inside itemSimilarityWeighted, so
+    // the weighted dots/norms — double sums in the naive form — are
+    // bit-identical across engines. Bounded item range keeps the pair
+    // fan-out moderate next to q33's full-URM run.
+    Q("q141_weighted_cosine_topk", { t =>
+        val urm = Urm.fromOrders(t).filter(col("i") < 2000)
+        val sim = Similarity.itemSimilarityWeighted(
+            Weighting.tfidf(urm.withColumn("v", lit(1))),
+            Similarity.Cosine)
+          // rank on the ROUNDED weight: dots/norms are exact decimals,
+          // but the final double division differs by 1 ulp between
+          // engines (measured), which would flip near-tie ranks;
+          // rounding first makes ties exact and the id tie-break total
+          .withColumn("w", round(col("w"), 6))
+        Similarity.topK(sim, 5)
+          .select(col("i"), col("j"), col("w"), col("rank"))
+      },
+      Some("""WITH urm AS (
+        |  SELECT DISTINCT o_custkey AS u, l_partkey AS i
+        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |  WHERE l_partkey < 2000
+        |), df AS (SELECT i, COUNT(*) AS df FROM urm GROUP BY 1),
+        |nu AS (SELECT COUNT(DISTINCT u) AS n_users FROM urm),
+        |wts AS (
+        |  SELECT u, urm.i AS i,
+        |    CAST(round(sqrt(1.0) * ln(CAST(n_users AS DOUBLE) / (df + 1)), 9)
+        |         AS DECIMAL(18,9)) AS w
+        |  FROM urm JOIN df ON urm.i = df.i CROSS JOIN nu
+        |), dots AS (
+        |  SELECT a.i AS i, b.i AS j, SUM(a.w * b.w) AS dot
+        |  FROM wts a JOIN wts b ON a.u = b.u AND a.i <> b.i
+        |  GROUP BY 1, 2
+        |), norms AS (SELECT i, SUM(w * w) AS n FROM wts GROUP BY 1),
+        |sim AS (
+        |  SELECT d.i, d.j,
+        |    CAST(d.dot AS DOUBLE)
+        |      / (sqrt(CAST(ni.n AS DOUBLE)) * sqrt(CAST(nj.n AS DOUBLE)))
+        |      AS w
+        |  FROM dots d
+        |  JOIN norms ni ON d.i = ni.i
+        |  JOIN norms nj ON d.j = nj.i
+        |)
+        |SELECT i, j, w, rank FROM (
+        |  SELECT i, j, round(w, 6) AS w,
+        |    ROW_NUMBER() OVER (PARTITION BY j
+        |      ORDER BY round(w, 6) DESC, i) AS rank
+        |  FROM sim) s
+        |WHERE rank <= 5""".stripMargin)),
+
     // L8 — TopPop: the 20 most popular items
     // (reference: Base/NonPersonalizedRecommender.py:27-47).
     Q("q37_toppop",

@@ -118,7 +118,13 @@ object Similarity {
     * broadcast-norm joins as [[itemSimilarity]]; only cosine-family
     * measures are meaningful on weighted entries (the set measures —
     * Jaccard/Dice/Tversky — are defined on binary supports, which is
-    * exactly why the reference skips feature weighting for them). */
+    * exactly why the reference skips feature weighting for them).
+    *
+    * Determinism: input weights are rounded to 9 decimals and
+    * accumulated as EXACT decimals (a double product sum is
+    * order-dependent — the `scoreBySimilarity` convention), so the
+    * whole similarity is bit-reproducible and oracle-checkable; the
+    * 1e-9 quantization is far below any weighting scheme's signal. */
   def itemSimilarityWeighted(urm0: DataFrame, measure: Measure,
                              shrink: Double = 0.0): DataFrame = {
     require(measure match {
@@ -126,9 +132,15 @@ object Similarity {
       case _ => false
     }, s"weighted similarity needs a dot-product measure, got $measure")
     val urm = graft.core.CacheScope.persist(
-      urm0.select(col("u"), col("i"), col("w").cast("double").as("w")))
+      urm0.select(col("u"), col("i"),
+                  round(col("w").cast("double"), 9)
+                    .cast("decimal(18,9)").as("w")))
     val a = urm.select(col("u"), col("i").as("i1"), col("w").as("wa"))
     val b = urm.select(col("u"), col("i").as("i2"), col("w").as("wb"))
+    // decimal(18,9) × decimal(18,9) → scale-18 decimal EXACT in both
+    // Spark (37,18) and DuckDB (36,18) — 19,9 would push Spark past
+    // precision 38 and round the 18th fractional digit; the sum stays
+    // decimal — associative, map-side-combine safe, engine-identical
     val dots = mirrorPairs(
       a.join(b, "u")
         .filter(col("i1") < col("i2"))
