@@ -93,8 +93,10 @@ object Bench {
     val loadAfter = scala.collection.mutable.LinkedHashMap[String, Double]()
     // 1-minute loadavg: the mechanical machine-vs-code discriminator
     def loadavg(): Double =
-      try scala.io.Source.fromFile("/proc/loadavg").getLines()
-        .next().split(" ")(0).toDouble
+      try scala.util.Using.resource(
+        scala.io.Source.fromFile("/proc/loadavg")) { src =>
+          src.getLines().next().split(" ")(0).toDouble
+        }
       catch { case _: Throwable => -1.0 }
     val results = selected.flatMap { q =>
       def once(): Double = {
@@ -149,19 +151,20 @@ object Bench {
     val total = results.map(_._2).sum
     val line =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"queries_first_run":${jmap(firstRun)},"queries_second_run":${jmap(secondRun)},"queries_third_run":${jmap(thirdRun)},"queries_median":${jmap(medianRun)},"load_before":${jmap(loadBefore)},"load_after":${jmap(loadAfter)},"sf":"$sfDir"}"""
-    println(line)
-    // stdout tail capture can truncate the line (round-1 BENCH had
-    // parsed=null); persist it to a known file as the durable copy
+    // ONE canonical artifact per round (VERDICT r7 bookkeeping): the
+    // full record — every raw rep, medians, load samples — goes ONLY
+    // to bench_out.json; stdout carries exactly one final JSON record
+    // (below), so BENCH_r{N}.json never embeds two totals again.
     val outFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT",
                                     "bench_out.json")
     java.nio.file.Files.write(java.nio.file.Paths.get(outFile),
       (line + "\n").getBytes("UTF-8"))
     // The harness keeps only the last ~2000 chars of stdout, and the
     // full per-query map is ~2300 chars — every prior round's tail cut
-    // the line mid-map and the structured parse failed. Emit a LAST
-    // line that is guaranteed to fit: total + the costliest queries,
-    // greedily added (by descending time) under a 1800-char budget,
-    // with the full map pointed at via "queries_full".
+    // the line mid-map and the structured parse failed. Emit a SINGLE
+    // final line that is guaranteed to fit: total + the costliest
+    // queries, greedily added (by descending time) under a 1800-char
+    // budget, with the full map pointed at via "queries_full".
     val byCost = results.sortBy(-_._2)
     val budget = 1800
     val head = s"""{"metric":"total","value":${math.round(total * 100) / 100.0},"unit":"sec","n_queries":${results.size},"queries_full":"$outFile","sf":"$sfDir","queries":{"""

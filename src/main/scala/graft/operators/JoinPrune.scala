@@ -47,13 +47,22 @@ object JoinPrune {
     * sensitive (an INT and a BIGINT holding the same value hash
     * differently), so the two sides must reach one physical type
     * first:
-    *  - identical types hash natively (covers string/date/binary/
-    *    decimal/struct keys with zero cast risk);
+    *  - identical non-floating types hash natively (covers string/
+    *    date/binary/decimal/struct keys with zero cast risk);
     *  - integral mixes widen to bigint;
-    *  - numeric mixes involving a fractional side widen to double
-    *    (Spark's own equi-join coercion — and hashing the double
-    *    keeps fractional keys distinct, where a bigint cast would
-    *    collapse every key sharing an integer part onto one hash);
+    *  - float/double keys — same-type or numeric mixes — widen to
+    *    double and add `+0.0` before hashing (Spark's own equi-join
+    *    coercion; hashing the double keeps fractional keys distinct,
+    *    where a bigint cast would collapse every key sharing an
+    *    integer part onto one hash). The `+0.0` is load-bearing:
+    *    join equality normalizes -0.0 == 0.0 (NormalizeFloatingNumbers)
+    *    but xxhash64 hashes the raw sign bit, so a -0.0 probe against
+    *    a 0.0 build would miss the filter — a FALSE NEGATIVE breaking
+    *    the exactly-the-semi-join contract. IEEE -0.0 + 0.0 = +0.0
+    *    canonicalizes the sign; NaN payloads are already canonical in
+    *    the hash (xxhash64 goes through doubleToLongBits, which maps
+    *    every NaN to one bit pattern — matching join-equality's
+    *    all-NaNs-equal);
     *  - anything else (string vs numeric, date vs string, …) has
     *    engine-specific join coercion this operator does not
     *    replicate → None, and the caller falls back to the exact
@@ -64,12 +73,16 @@ object JoinPrune {
       case ByteType | ShortType | IntegerType | LongType => true
       case _ => false
     }
+    def floating(t: DataType) = t == FloatType || t == DoubleType
     def numeric(t: DataType) = t.isInstanceOf[NumericType]
-    if (probeType == buildType) Some(c => xxhash64(c))
+    if (probeType == buildType && !floating(probeType))
+      Some(c => xxhash64(c))
     else if (integral(probeType) && integral(buildType))
       Some(c => xxhash64(c.cast("bigint")))
     else if (numeric(probeType) && numeric(buildType))
-      Some(c => xxhash64(c.cast("double")))
+      // the mix here necessarily involves a float/double side (the
+      // all-integral case matched above), so signed zero is in play
+      Some(c => xxhash64(c.cast("double") + lit(0.0)))
     else None
   }
 

@@ -195,7 +195,8 @@ object RecsysQueries {
         |sim AS (
         |  SELECT d.i, d.j,
         |    CAST(d.dot AS DOUBLE)
-        |      / (sqrt(CAST(ni.n AS DOUBLE)) * sqrt(CAST(nj.n AS DOUBLE)))
+        |      / (sqrt(CAST(ni.n AS DOUBLE)) * sqrt(CAST(nj.n AS DOUBLE))
+        |         + 1e-6)
         |      AS w
         |  FROM dots d
         |  JOIN norms ni ON d.i = ni.i

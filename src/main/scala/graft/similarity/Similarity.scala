@@ -32,8 +32,42 @@ object Similarity {
   /** reference: Compute_Similarity_Python.py:330-340. */
   final case class Tversky(alpha: Double, beta: Double) extends Measure
   /** ‖a‖² + ‖b‖² − 2a·b with lin/log/exp transform
-    * (reference: Compute_Similarity_Euclidean.py:196-205). */
-  final case class Euclidean(transform: String) extends Measure
+    * (reference: Compute_Similarity_Euclidean.py:196-205).
+    *
+    * `normalize` divides the SQUARED distance by √nᵢ·√nⱼ and
+    * `normalizeAvgRow` further divides it by the user count, both
+    * BEFORE the sqrt — the reference's order of operations
+    * (Compute_Similarity_Euclidean.py:188-196: `item_distance /=
+    * sumOfSquared[col] * sumOfSquared`, then `/= self.n_rows`, then
+    * `np.sqrt`). These are the euclidean KNN space's own dimensions
+    * (run_parameter_search.py:196-199). */
+  final case class Euclidean(transform: String,
+                             normalize: Boolean = false,
+                             normalizeAvgRow: Boolean = false)
+      extends Measure
+
+  /** The euclidean similarity column shared by the binary and weighted
+    * engines: squared distance → optional normalize divides → sqrt →
+    * lin/log/exp transform with the reference's shrink + 1e-9 floor
+    * (Compute_Similarity_Euclidean.py:188-205). `nRows` is only
+    * consulted when `normalizeAvgRow` is set. */
+  private def euclideanWeight(e: Euclidean, ni: Column, nj: Column,
+                              d: Column, shrink: Double,
+                              nRows: Column): Column = {
+    val sq0 = (ni + nj - lit(2) * d).cast("double")
+    val sq1 = if (e.normalize) sq0 / (sqrt(ni) * sqrt(nj)) else sq0
+    val sq2 = if (e.normalizeAvgRow) sq1 / nRows else sq1
+    val dist = sqrt(sq2)
+    e.transform match {
+      case "lin" => lit(1.0) / (dist + lit(shrink) + lit(1e-9))
+      case "log" =>
+        lit(1.0) / (log(dist + lit(1.0)) + lit(shrink) + lit(1e-9))
+      case "exp" => lit(1.0) / (exp(dist) + lit(shrink) + lit(1e-9))
+      case other =>
+        throw new IllegalArgumentException(
+          s"similarity_from_distance_mode must be lin|log|exp: $other")
+    }
+  }
 
   /** Explode each upper-triangle pair row (i < j, value v) into both
     * orientations — a narrow per-row map, so the expensive aggregation
@@ -110,6 +144,36 @@ object Similarity {
     !urm.groupBy("u").agg(count(lit(1)).as("n"))
       .filter(col("n") > threshold).isEmpty
 
+  /** Quantize a weighted URM's entries to exact decimal(18,9) — the
+    * determinism device shared by every weighted-engine path: input
+    * weights round to 9 decimals (far below any weighting scheme's
+    * signal) and accumulate as exact decimals, so weighted dots are
+    * bit-reproducible cross-engine. Persisted: the frame feeds both
+    * self-join sides plus the norm aggregation. */
+  private[graft] def quantizeWeights(urm0: DataFrame): DataFrame =
+    graft.core.CacheScope.persist(
+      urm0.select(col("u"), col("i"),
+                  round(col("w").cast("double"), 9)
+                    .cast("decimal(18,9)").as("w")))
+
+  /** Upper-triangle weighted pair dot-products over a
+    * [[quantizeWeights]]-prepared URM, mirrored to both orientations —
+    * the weighted twin of [[pairDots]]. decimal(18,9) × decimal(18,9)
+    * → scale-18 decimal EXACT in both Spark (37,18) and DuckDB
+    * (36,18) — 19,9 would push Spark past precision 38 and round the
+    * 18th fractional digit; the sum stays decimal — associative,
+    * map-side-combine safe, engine-identical. */
+  private[graft] def pairDotsWeightedFrom(urm: DataFrame): DataFrame = {
+    val a = urm.select(col("u"), col("i").as("i1"), col("w").as("wa"))
+    val b = urm.select(col("u"), col("i").as("i2"), col("w").as("wb"))
+    mirrorPairs(
+      a.join(b, "u")
+        .filter(col("i1") < col("i2"))
+        .groupBy(col("i1").as("i"), col("i2").as("j"))
+        .agg(sum(col("wa") * col("wb")).as("dot")),
+      "dot")
+  }
+
   /** Cosine-family similarity over a WEIGHTED URM (u, i, w) — the
     * shape the reference's feature-weighted KNN runs (IR_feature_
     * weighting.py applied before Compute_Similarity_Python.py:
@@ -128,46 +192,45 @@ object Similarity {
   def itemSimilarityWeighted(urm0: DataFrame, measure: Measure,
                              shrink: Double = 0.0): DataFrame = {
     require(measure match {
-      case Cosine | AsymmetricCosine(_) | Euclidean(_) => true
+      case Cosine | AsymmetricCosine(_) | Euclidean(_, _, _) => true
       case _ => false
     }, s"weighted similarity needs a dot-product measure, got $measure")
-    val urm = graft.core.CacheScope.persist(
-      urm0.select(col("u"), col("i"),
-                  round(col("w").cast("double"), 9)
-                    .cast("decimal(18,9)").as("w")))
-    val a = urm.select(col("u"), col("i").as("i1"), col("w").as("wa"))
-    val b = urm.select(col("u"), col("i").as("i2"), col("w").as("wb"))
-    // decimal(18,9) × decimal(18,9) → scale-18 decimal EXACT in both
-    // Spark (37,18) and DuckDB (36,18) — 19,9 would push Spark past
-    // precision 38 and round the 18th fractional digit; the sum stays
-    // decimal — associative, map-side-combine safe, engine-identical
-    val dots = mirrorPairs(
-      a.join(b, "u")
-        .filter(col("i1") < col("i2"))
-        .groupBy(col("i1").as("i"), col("i2").as("j"))
-        .agg(sum(col("wa") * col("wb")).as("dot")),
-      "dot")
+    val urm = quantizeWeights(urm0)
+    val dots = pairDotsWeightedFrom(urm)
     val norms = urm.groupBy(col("i")).agg(sum(col("w") * col("w")).as("n"))
     val ni = norms.select(col("i").as("i"), col("n").as("ni"))
     val nj = norms.select(col("i").as("j"), col("n").as("nj"))
     val joined = dots.join(broadcast(ni), "i").join(broadcast(nj), "j")
     val d = col("dot").cast("double")
     val w: Column = measure match {
+      // the reference adds a 1e-6 stabilizer to every normalized
+      // denominator (Compute_Similarity_Python.py:316-318) — on
+      // WEIGHTED entries it is load-bearing: a TF-IDF weight can be
+      // exactly 0 (df = n_users - 1 under the df+1 idf), making a
+      // zero-norm item, and without the epsilon shrink=0 yields
+      // 0/0 = NaN or x/0 = Inf where the reference returns finite
+      // values. (The binary [[itemSimilarity]] keeps shrink-only
+      // denominators: every URM item has n >= 1 interaction, so its
+      // denominators are bounded away from 0 and its long-green
+      // oracle gates pin that form.)
       case Cosine =>
-        d / (sqrt(col("ni")) * sqrt(col("nj")) + lit(shrink))
+        d / (sqrt(col("ni")) * sqrt(col("nj")) + lit(shrink) + lit(1e-6))
       case AsymmetricCosine(al) =>
-        d / (pow(col("nj"), al) * pow(col("ni"), 1.0 - al) + lit(shrink))
-      case Euclidean(transform) =>
-        val dist = sqrt((col("ni") + col("nj") - lit(2) * d).cast("double"))
-        transform match {
-          case "lin" => lit(1.0) / (dist + lit(shrink) + lit(1e-9))
-          case "log" => lit(1.0) / (log(dist + lit(1.0)) + lit(shrink) + lit(1e-9))
-          case "exp" => lit(1.0) / (exp(dist) + lit(shrink) + lit(1e-9))
-        }
+        d / (pow(col("nj"), al) * pow(col("ni"), 1.0 - al)
+             + lit(shrink) + lit(1e-6))
+      case e: Euclidean =>
+        euclideanWeight(e, col("ni"), col("nj"), d, shrink,
+                        col("n_rows"))
       case other =>
         throw new IllegalArgumentException(other.toString)
     }
-    joined.select(col("i"), col("j"), w.as("w"))
+    val withRows = measure match {
+      case Euclidean(_, _, true) =>
+        joined.crossJoin(broadcast(
+          urm.select(countDistinct(col("u")).as("n_rows"))))
+      case _ => joined.withColumn("n_rows", lit(null).cast("long"))
+    }
+    withRows.select(col("i"), col("j"), w.as("w"))
   }
 
   /** Full similarity matrix as (i, j, w) triples for a binary URM.
@@ -205,16 +268,20 @@ object Similarity {
         //  sumOfSquared[columnIndex] carries tversky_alpha)
         d / (d + (col("nj") - col("dot")) * a +
              (col("ni") - col("dot")) * b + lit(shrink))
-      case Euclidean(transform) =>
-        val sq = col("ni") + col("nj") - lit(2) * col("dot")
-        val dist = sqrt(sq.cast("double"))
-        transform match {
-          case "lin" => lit(1.0) / (dist + lit(shrink) + lit(1e-9))
-          case "log" => lit(1.0) / (log(dist + lit(1.0)) + lit(shrink) + lit(1e-9))
-          case "exp" => lit(1.0) / (exp(dist) + lit(shrink) + lit(1e-9))
-        }
+      case e: Euclidean =>
+        euclideanWeight(e, col("ni"), col("nj"), d, shrink,
+                        col("n_rows"))
     }
-    joined.select(col("i"), col("j"), w.as("w"))
+    // normalize_avg_row needs the user count — a broadcast scalar
+    // cross-join keeps the plan lazy (no driver count action) and
+    // costs one one-row exchange only when that dimension is on
+    val withRows = measure match {
+      case Euclidean(_, _, true) =>
+        joined.crossJoin(broadcast(
+          urm.select(countDistinct(col("u")).as("n_rows"))))
+      case _ => joined.withColumn("n_rows", lit(null).cast("long"))
+    }
+    withRows.select(col("i"), col("j"), w.as("w"))
   }
 
   /** L28/T4 — column-wise top-K sparsification

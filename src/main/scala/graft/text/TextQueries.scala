@@ -79,19 +79,79 @@ object TextQueries {
         |    '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]+')) AS INT) AS n_bpe_tokens
         |FROM documents""".stripMargin)),
 
-    // F9 — Porter stemming of document tokens (reference:
-    // TagPreprocessing.py:41-62). The stemmer is a Scala UDF (no SQL
-    // twin exists in DuckDB), so the check is rows-only; exact
-    // per-word parity is pinned by the 60-word fixture in
-    // DedupTextAnnSpec.
-    Q("q87_porter_stem",
-      t => t.documents
-        .select(col("doc_id"),
-                concat_ws(" ",
-                  TextOps.stemPorter(TextOps.tokens(col("text"))))
-                  .as("stemmed"))
-        .filter(length(col("stemmed")) > 0),
-      None),
+    // F9 — Porter stemming (reference: TagPreprocessing.py:41-62),
+    // ORACLE-GATED (r7 verdict task 4): stemming is deterministic
+    // math, so the gate is the q134 convention — the engine stems a
+    // fixed vocabulary covering every algorithm step (plurals, ed/ing,
+    // y→i, the NLTK irregular pool, the step-2..5 suffix chains) and
+    // the oracle is a hand-transcribed VALUES table of the expected
+    // nltk-PorterStemmer outputs, traced through the published
+    // algorithm + documented NLTK extensions. A transcription slip on
+    // either side is a red row. Corpus-scale stemming stays exercised
+    // by q130's prep pipeline and the DedupTextAnnSpec fixtures.
+    Q("q87_porter_stem", { t =>
+        import t.spark.implicits._
+        Seq("caresses", "ponies", "ties", "dies", "caress", "cats",
+            "studies", "feed", "agreed", "plastered", "bled", "motoring",
+            "sing", "conflated", "troubled", "sized", "hopping", "tanned",
+            "falling", "hissing", "fizzed", "failing", "filing", "died",
+            "studied", "happy", "crying", "saying", "sky", "skies",
+            "dying", "lying", "tying", "news", "innings", "proceed",
+            "exceed", "succeed", "relational", "conditional", "rational",
+            "valenci", "hesitanci", "digitizer", "differently",
+            "analogously", "vietnamization", "predication", "operator",
+            "feudalism", "decisiveness", "hopefulness", "callousness",
+            "formaliti", "sensitiviti", "sensibiliti", "triplicate",
+            "formative", "formalize", "electriciti", "hopeful",
+            "goodness", "revival", "allowance", "inference", "airliner",
+            "gyroscopic", "adjustable", "defensible", "irritant",
+            "replacement", "adjustment", "dependent", "adoption",
+            "communism", "activate", "angulariti", "homologous",
+            "effective", "bowdlerize", "probate", "rate", "cease",
+            "controll", "roll")
+          .toDF("word")
+          .select(col("word"),
+                  element_at(TextOps.stemPorter(array(col("word"))), 1)
+                    .as("stem"))
+      },
+      Some("""SELECT * FROM (VALUES
+        |  ('caresses','caress'), ('ponies','poni'), ('ties','tie'),
+        |  ('dies','die'), ('caress','caress'), ('cats','cat'),
+        |  ('studies','studi'), ('feed','feed'), ('agreed','agre'),
+        |  ('plastered','plaster'), ('bled','bled'), ('motoring','motor'),
+        |  ('sing','sing'), ('conflated','conflat'), ('troubled','troubl'),
+        |  ('sized','size'), ('hopping','hop'), ('tanned','tan'),
+        |  ('falling','fall'), ('hissing','hiss'), ('fizzed','fizz'),
+        |  ('failing','fail'), ('filing','file'), ('died','die'),
+        |  ('studied','studi'), ('happy','happi'), ('crying','cri'),
+        |  ('saying','say'), ('sky','sky'), ('skies','sky'),
+        |  ('dying','die'), ('lying','lie'), ('tying','tie'),
+        |  ('news','news'), ('innings','inning'), ('proceed','proceed'),
+        |  ('exceed','exceed'), ('succeed','succeed'),
+        |  ('relational','relat'), ('conditional','condit'),
+        |  ('rational','ration'), ('valenci','valenc'),
+        |  ('hesitanci','hesit'), ('digitizer','digit'),
+        |  ('differently','differ'), ('analogously','analog'),
+        |  ('vietnamization','vietnam'), ('predication','predic'),
+        |  ('operator','oper'), ('feudalism','feudal'),
+        |  ('decisiveness','decis'), ('hopefulness','hope'),
+        |  ('callousness','callous'), ('formaliti','formal'),
+        |  ('sensitiviti','sensit'), ('sensibiliti','sensibl'),
+        |  ('triplicate','triplic'), ('formative','form'),
+        |  ('formalize','formal'), ('electriciti','electr'),
+        |  ('hopeful','hope'), ('goodness','good'),
+        |  ('revival','reviv'), ('allowance','allow'),
+        |  ('inference','infer'), ('airliner','airlin'),
+        |  ('gyroscopic','gyroscop'), ('adjustable','adjust'),
+        |  ('defensible','defens'), ('irritant','irrit'),
+        |  ('replacement','replac'), ('adjustment','adjust'),
+        |  ('dependent','depend'), ('adoption','adopt'),
+        |  ('communism','commun'), ('activate','activ'),
+        |  ('angulariti','angular'), ('homologous','homolog'),
+        |  ('effective','effect'), ('bowdlerize','bowdler'),
+        |  ('probate','probat'), ('rate','rate'), ('cease','ceas'),
+        |  ('controll','control'), ('roll','roll')
+        |) t(word, stem)""".stripMargin)),
 
     // Within-document repetition ratio (duplicate 3-gram share) — the
     // repetitive-text quality filter for LLM corpora. The corpus is

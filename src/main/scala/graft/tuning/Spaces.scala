@@ -87,7 +87,11 @@ object Spaces {
     Set("tversky", "dice", "jaccard", "tanimoto")
 
   /** reference: run_parameter_search.py:179-205
-    * (run_KNNRecommender_on_similarity_type). */
+    * (run_KNNRecommender_on_similarity_type), including the euclidean
+    * branch at :196-199 — `normalize` stays two-valued there and the
+    * space gains `normalize_avg_row` and
+    * `similarity_from_distance_mode` (the reference overwrites the
+    * dict entry in place, so `normalize` keeps its declaration slot). */
   def itemKnn(similarityType: String): ParamSpace = {
     val base = Seq(
       "topK" -> IntDim(5, 1000),
@@ -103,6 +107,10 @@ object Spaces {
       case "tversky" =>
         Seq("tversky_alpha" -> RealDim(0, 2),
             "tversky_beta" -> RealDim(0, 2))
+      case "euclidean" =>
+        Seq("normalize_avg_row" -> CatDim(Seq("true", "false")),
+            "similarity_from_distance_mode" ->
+              CatDim(Seq("lin", "log", "exp")))
       case _ => Nil
     }
     val weighting =
@@ -145,10 +153,14 @@ object Spaces {
 
   /** The six tuned algorithms of run_hyperparameter_tuning.py:101-108,
     * ItemKNN expanded per similarity type exactly as the reference's
-    * KNN dispatch does. */
+    * KNN dispatch does — plus the euclidean KNN space its dispatch
+    * defines but the default type list omits
+    * (run_parameter_search.py:196-199 vs :435), so a user sweeping
+    * the full KNN surface has every branch cataloged. */
   val catalog: Seq[(String, ParamSpace)] =
     Seq("random" -> random, "top_pop" -> topPop) ++
-    knnSimilarityTypes.map(t => s"item_knn_$t" -> itemKnn(t)) ++
+    (knnSimilarityTypes :+ "euclidean")
+      .map(t => s"item_knn_$t" -> itemKnn(t)) ++
     Seq("rp3beta" -> rp3beta,
         "pure_svd" -> pureSvd,
         "mf_bpr_impressions" -> mfBprImpressions)
@@ -240,32 +252,66 @@ object Spaces {
         val weighting = p.get("feature_weighting")
           .map { case PStr(s) => s; case PNum(v) => v.toString }
           .getOrElse("none")
-        val measure: Similarity.Measure = simType match {
-          case "cosine" => Similarity.Cosine
-          case "jaccard" => Similarity.Jaccard
-          case "dice" => Similarity.Dice
-          case "asymmetric" =>
-            Similarity.AsymmetricCosine(num(p, "asymmetric_alpha"))
-          case "tversky" =>
-            Similarity.Tversky(num(p, "tversky_alpha"),
-                               num(p, "tversky_beta"))
+        // the reference applies TF-IDF/BM25 to the URM in the
+        // similarity constructor BEFORE any normalize branching
+        // (Compute_Similarity_Python.py applies it to dataMatrix
+        // itself), so the weighted entries feed every branch below —
+        // including normalize=false, whose dots are weighted too
+        def weightedUrm: DataFrame =
+          if (weighting == "BM25")
+            Weighting.bm25(train.withColumn("v", lit(1.0)))
+          else Weighting.tfidf(train.withColumn("v", lit(1.0)))
+        val sim = simType match {
+          // euclidean: normalize/normalize_avg_row are the measure's
+          // OWN divides on the squared distance (Compute_Similarity_
+          // Euclidean.py:188-196), not the denominator=1 toggle of the
+          // dot-product family
+          case "euclidean" =>
+            val measure = Similarity.Euclidean(
+              str(p, "similarity_from_distance_mode"),
+              normalize,
+              str(p, "normalize_avg_row") == "true")
+            if (weighting == "none")
+              Similarity.itemSimilarity(train, measure, shrink)
+            else Similarity.itemSimilarityWeighted(weightedUrm, measure,
+                                                   shrink)
+          case _ =>
+            val measure: Similarity.Measure = simType match {
+              case "cosine" => Similarity.Cosine
+              case "jaccard" => Similarity.Jaccard
+              case "dice" => Similarity.Dice
+              case "asymmetric" =>
+                Similarity.AsymmetricCosine(num(p, "asymmetric_alpha"))
+              case "tversky" =>
+                Similarity.Tversky(num(p, "tversky_alpha"),
+                                   num(p, "tversky_beta"))
+            }
+            if (!normalize) {
+              // reference normalize=False: no denominator — raw
+              // (weighted) dots, divided by shrink when shrink != 0
+              // (Compute_Similarity_Python.py:338-340 `elif
+              // self.shrink != 0: weights / shrink`); feature
+              // weighting still applies (see weightedUrm note)
+              val dots =
+                if (weighting == "none")
+                  Similarity.pairDots(train)
+                    .select(col("i"), col("j"),
+                            col("dot").cast("double").as("w"))
+                else
+                  Similarity.pairDotsWeightedFrom(
+                      Similarity.quantizeWeights(weightedUrm))
+                    .select(col("i"), col("j"),
+                            col("dot").cast("double").as("w"))
+              if (shrink != 0.0)
+                dots.withColumn("w", col("w") / lit(shrink))
+              else dots
+            }
+            else if (weighting == "none")
+              Similarity.itemSimilarity(train, measure, shrink)
+            else
+              Similarity.itemSimilarityWeighted(weightedUrm, measure,
+                                                shrink)
         }
-        val sim =
-          if (!normalize)
-            // reference normalize=False: the denominator is 1 — raw
-            // co-occurrence dots (Compute_Similarity_Python.py:375-377)
-            Similarity.pairDots(train)
-              .select(col("i"), col("j"),
-                      (col("dot").cast("double") + lit(0.0)).as("w"))
-          else if (weighting == "none")
-            Similarity.itemSimilarity(train, measure, shrink)
-          else {
-            val w =
-              if (weighting == "BM25")
-                Weighting.bm25(train.withColumn("v", lit(1.0)))
-              else Weighting.tfidf(train.withColumn("v", lit(1.0)))
-            Similarity.itemSimilarityWeighted(w, measure, shrink)
-          }
         fromSim(Similarity.topK(sim, topK))
       }
       case "rp3beta" => p => {

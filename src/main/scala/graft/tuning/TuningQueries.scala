@@ -52,6 +52,13 @@ object TuningQueries {
         |  ('item_knn_tversky', 'normalize', 'cat', NULL, NULL, 'true'),
         |  ('item_knn_tversky', 'tversky_alpha', 'real', 0, 2, NULL),
         |  ('item_knn_tversky', 'tversky_beta', 'real', 0, 2, NULL),
+        |  ('item_knn_euclidean', 'topK', 'int', 5, 1000, NULL),
+        |  ('item_knn_euclidean', 'shrink', 'int', 0, 1000, NULL),
+        |  ('item_knn_euclidean', 'similarity', 'cat', NULL, NULL, 'euclidean'),
+        |  ('item_knn_euclidean', 'normalize', 'cat', NULL, NULL, 'true,false'),
+        |  ('item_knn_euclidean', 'normalize_avg_row', 'cat', NULL, NULL, 'true,false'),
+        |  ('item_knn_euclidean', 'similarity_from_distance_mode', 'cat', NULL, NULL, 'lin,log,exp'),
+        |  ('item_knn_euclidean', 'feature_weighting', 'cat', NULL, NULL, 'none,BM25,TF-IDF'),
         |  ('rp3beta', 'topK', 'int', 5, 1000, NULL),
         |  ('rp3beta', 'alpha', 'real', 0, 2, NULL),
         |  ('rp3beta', 'beta', 'real', 0, 2, NULL),

@@ -61,6 +61,36 @@ class SimilaritySpec extends SparkSpec {
     assert(math.abs(tv((0, 1)) - 1.0 / 3) < 1e-12)
   }
 
+  test("euclidean normalize / normalize_avg_row match hand-computed " +
+       "values (Compute_Similarity_Euclidean.py:188-205 order)") {
+    def w(m: Similarity.Euclidean): Double =
+      Similarity.itemSimilarity(urm, m)
+        .filter(col("i") === 0 && col("j") === 1).head().getDouble(2)
+    // pair (0,1): n0=2, n1=2, dot=1, n_rows(users)=3
+    // raw: sq = 2+2-2 = 2, lin → 1/(√2 + 1e-9)
+    assert(math.abs(w(Similarity.Euclidean("lin"))
+      - 1.0 / (math.sqrt(2) + 1e-9)) < 1e-12)
+    // normalize divides the SQUARED distance by √n0·√n1 = 2 → sq = 1,
+    // dist = 1; lin → 1/(1+1e-9), log → 1/(ln 2 + 1e-9),
+    // exp → 1/(e + 1e-9)
+    assert(math.abs(w(Similarity.Euclidean("lin", normalize = true))
+      - 1.0 / (1.0 + 1e-9)) < 1e-12)
+    assert(math.abs(w(Similarity.Euclidean("log", normalize = true))
+      - 1.0 / (math.log(2.0) + 1e-9)) < 1e-12)
+    assert(math.abs(w(Similarity.Euclidean("exp", normalize = true))
+      - 1.0 / (math.exp(1.0) + 1e-9)) < 1e-12)
+    // avg-row further divides by n_rows BEFORE the sqrt:
+    // sq = 1/3 → dist = √(1/3)
+    assert(math.abs(
+      w(Similarity.Euclidean("lin", normalize = true,
+                             normalizeAvgRow = true))
+      - 1.0 / (math.sqrt(1.0 / 3.0) + 1e-9)) < 1e-12)
+    // avg-row alone: sq = 2/3
+    assert(math.abs(
+      w(Similarity.Euclidean("lin", normalizeAvgRow = true))
+      - 1.0 / (math.sqrt(2.0 / 3.0) + 1e-9)) < 1e-12)
+  }
+
   test("shrink dampens the weight") {
     val plain = Similarity.itemSimilarity(urm, Similarity.Cosine)
       .filter(col("i") === 1 && col("j") === 3).head().getDouble(2)

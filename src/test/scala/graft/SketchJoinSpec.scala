@@ -282,6 +282,34 @@ class SketchJoinSpec extends SparkSpec {
     assert(sgot.sameElements(swant))
   }
 
+  test("bloomSemiJoin signed zero: -0.0 probe keys match 0.0 build " +
+       "keys exactly like the join (r7 ADVICE false-negative)") {
+    // join equality normalizes -0.0 == 0.0 (NormalizeFloatingNumbers);
+    // the hash must agree or the bloom stage drops a true match. Cover
+    // both directions and both float widths (same-type double,
+    // same-type float, float-vs-double mix).
+    val dprobe = Seq((1L, -0.0), (2L, 0.0), (3L, 1.5), (4L, -1.5))
+      .toDF("row_id", "pk")
+    val dbuild = Seq(0.0, 1.5).toDF("bk")
+    assert(JoinPrune.bloomSemiJoin(dprobe, dbuild, "pk", "bk",
+                                   expectedItems = 10)
+      .select("row_id").as[Long].collect().sorted.toSeq == Seq(1L, 2L, 3L))
+    val dbuildNeg = Seq(-0.0).toDF("bk")
+    assert(JoinPrune.bloomSemiJoin(dprobe, dbuildNeg, "pk", "bk",
+                                   expectedItems = 10)
+      .select("row_id").as[Long].collect().sorted.toSeq == Seq(1L, 2L))
+    val fprobe = Seq((1L, -0.0f), (2L, 0.0f), (3L, 2.5f))
+      .toDF("row_id", "pk")
+    val fbuild = Seq(0.0f).toDF("bk")
+    assert(JoinPrune.bloomSemiJoin(fprobe, fbuild, "pk", "bk",
+                                   expectedItems = 10)
+      .select("row_id").as[Long].collect().sorted.toSeq == Seq(1L, 2L))
+    val mixBuild = Seq(0.0).toDF("bk")
+    assert(JoinPrune.bloomSemiJoin(fprobe, mixBuild, "pk", "bk",
+                                   expectedItems = 10)
+      .select("row_id").as[Long].collect().sorted.toSeq == Seq(1L, 2L))
+  }
+
   test("bloom expression pair is callable from plain SQL") {
     // one bloomSemiJoin call registers the pair with the session (the
     // same functions GraftExtensions injects for config-based setups);

@@ -19,6 +19,7 @@ class SpacesSpec extends SparkSpec {
     assert(Spaces.catalog.map(_._1) ==
       Seq("random", "top_pop", "item_knn_cosine", "item_knn_jaccard",
           "item_knn_asymmetric", "item_knn_dice", "item_knn_tversky",
+          "item_knn_euclidean",
           "rp3beta", "pure_svd", "mf_bpr_impressions"))
     assert(byAlg("random").dims.isEmpty && byAlg("top_pop").dims.isEmpty)
     // ItemKNN base space: topK Integer(5,1000), shrink Integer(0,1000)
@@ -37,6 +38,19 @@ class SpacesSpec extends SparkSpec {
     // set similarities take no feature weighting
     assert(!byAlg("item_knn_jaccard").keys.contains("feature_weighting"))
     assert(!byAlg("item_knn_tversky").keys.contains("feature_weighting"))
+    // euclidean branch (run_parameter_search.py:196-199): normalize
+    // stays two-valued, gains avg-row + distance-mode dims, and keeps
+    // feature weighting (not a set similarity)
+    val euc = byAlg("item_knn_euclidean").dims.toMap
+    assert(euc("normalize") == CatDim(Seq("true", "false")))
+    assert(euc("normalize_avg_row") == CatDim(Seq("true", "false")))
+    assert(euc("similarity_from_distance_mode") ==
+      CatDim(Seq("lin", "log", "exp")))
+    assert(euc("feature_weighting") == CatDim(Seq("none", "BM25", "TF-IDF")))
+    assert(byAlg("item_knn_euclidean").keys ==
+      Seq("topK", "shrink", "similarity", "normalize",
+          "normalize_avg_row", "similarity_from_distance_mode",
+          "feature_weighting"))
     // graph/MF spaces
     assert(byAlg("rp3beta").dims.toMap.apply("beta") == RealDim(0, 2))
     assert(byAlg("pure_svd").dims == Seq("num_factors" -> IntDim(1, 350)))
@@ -125,5 +139,24 @@ class SpacesSpec extends SparkSpec {
     val p = space.decode(space.keys.map(_ -> 0.9).toMap)
     val mKnn = Spaces.evaluator("item_knn_cosine", spark, train, valid, 5)(p)
     assert(mKnn >= 0.0 && mKnn <= 1.0)
+    // euclidean decode: u=0.6 → normalize=false, normalize_avg_row=
+    // false, mode=log, feature_weighting=BM25 — exercises the
+    // euclidean measure dispatch plus the weighted engine underneath
+    val eucSpace = Spaces.itemKnn("euclidean")
+    val pe = eucSpace.decode(eucSpace.keys.map(_ -> 0.6).toMap)
+    assert(pe("similarity") == PStr("euclidean"))
+    val mEuc =
+      Spaces.evaluator("item_knn_euclidean", spark, train, valid, 5)(pe)
+    assert(mEuc >= 0.0 && mEuc <= 1.0)
+    // normalize=false cosine with TF-IDF weighting and nonzero shrink:
+    // the searched weighting/shrink dims must reach the weights (the
+    // r7 ADVICE inert-dims finding) — raw-dot form divided by shrink
+    val pRaw = space.decode(Map("topK" -> 0.5, "shrink" -> 0.9,
+      "similarity" -> 0.0, "normalize" -> 0.9,
+      "feature_weighting" -> 0.99).withDefaultValue(0.5))
+    assert(pRaw("normalize") == PStr("false"))
+    assert(pRaw("feature_weighting") == PStr("TF-IDF"))
+    val mRaw = Spaces.evaluator("item_knn_cosine", spark, train, valid, 5)(pRaw)
+    assert(mRaw >= 0.0 && mRaw <= 1.0)
   }
 }
