@@ -24,13 +24,26 @@ final case class Tables(spark: SparkSession, dir: String) {
   def part: DataFrame       = t("part")
   def orders: DataFrame     = t("orders")
   def lineitem: DataFrame   = t("lineitem")
-  /** events.parquet carries TIMESTAMP(NANOS) which Spark has no native type
-    * for (PARQUET_TYPE_ILLEGAL): read the raw int64 nanos and convert to a
-    * µs-precision timestamp (truncation, matching Spark's own ns handling).
-    */
+  /** events.parquet's `ts` column has shipped in two physical layouts
+    * across driver testdata generations: TIMESTAMP(NANOS), which Spark
+    * has no native type for (PARQUET_TYPE_ILLEGAL — read the raw int64
+    * nanos and truncate to a µs timestamp, matching Spark's own ns
+    * handling), and native TIMESTAMP(MICROS), which needs no
+    * conversion. Dispatch on the loaded schema so both layouts present
+    * the same µs-timestamp `ts`. */
   def events: DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    t("events").withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val raw = t("events")
+    raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case _ =>
+        // native layout infers as TIMESTAMP_NTZ; cast to the session-UTC
+        // TimestampType every downstream operator was written against
+        // (identity on values under the UTC session zone)
+        raw.withColumn("ts",
+          col("ts").cast(org.apache.spark.sql.types.TimestampType))
+    }
   }
   def documents: DataFrame  = t("documents")
   def embeddings: DataFrame = t("embeddings")

@@ -34,6 +34,42 @@ object ScaleQueries {
         |  SELECT o_orderkey FROM orders
         |  WHERE o_orderpriority = '1-URGENT')""".stripMargin)),
 
+    // SQL-surface gate for the injected bloom pair (VERDICT r7 polish
+    // #7): the same graft_bloom_filter_agg / graft_might_contain
+    // builders the bloomSemiJoin operator uses (BloomFunctions is the
+    // single home), driven end-to-end FROM SQL TEXT — build the filter
+    // over BUILDING customers in a one-row CTE, probe the orders scan
+    // with might_contain (stays in whole-stage codegen; the CTE join
+    // is a broadcast scalar), and confirm with an exact IN-subquery
+    // semi-join so bloom false positives vanish. The oracle is the
+    // plain DuckDB semi-join — identical rows required. Pins that a
+    // pure-SQL session user gets the operator without the Scala API.
+    // Int keys only in the projection: no cross-engine float compare.
+    Q("q143_bloom_semijoin_sql", { t =>
+        graft.functions.BloomFunctions.register(t.spark)
+        t.orders.createOrReplaceTempView("graft_q143_orders")
+        t.customer.createOrReplaceTempView("graft_q143_customer")
+        t.spark.sql("""
+          WITH bf AS (
+            SELECT graft_bloom_filter_agg(xxhash64(c_custkey),
+                     CAST(65536 AS BIGINT), CAST(524288 AS BIGINT)) AS f
+            FROM graft_q143_customer
+            WHERE c_mktsegment = 'BUILDING'
+          )
+          SELECT o.o_orderkey, o.o_custkey
+          FROM graft_q143_orders o
+          WHERE graft_might_contain((SELECT f FROM bf),
+                                    xxhash64(o.o_custkey))
+            AND o.o_custkey IN (
+              SELECT c_custkey FROM graft_q143_customer
+              WHERE c_mktsegment = 'BUILDING')""")
+      },
+      Some("""SELECT o_orderkey, o_custkey
+        |FROM orders
+        |WHERE o_custkey IN (
+        |  SELECT c_custkey FROM customer
+        |  WHERE c_mktsegment = 'BUILDING')""".stripMargin)),
+
     // Sketch-guided EXACT heavy hitters: every token bigram holding
     // >= 0.1% of the corpus' bigram mass, with its exact count. The
     // oracle runs the naive full GROUP BY + HAVING; the engine runs

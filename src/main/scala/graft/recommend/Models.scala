@@ -213,6 +213,17 @@ object Models {
     *    impressions (fall back to uniform when the user has none);
     *  - outside: uniform over items neither seen nor shown.
     *
+    * The searched SGD surface is threaded through in full
+    * (run_parameter_search.py:238-245): `sgdMode` selects the
+    * reference's update rule (pyx:905-943 adaptive_gradient — sgd /
+    * adagrad / rmsprop / adam with bias correction), `batchSize`
+    * accumulates gradients over a mini-batch and applies them once
+    * per batch divided by the configured size (pyx:627-718 batch loop,
+    * :838-899 _apply_minibatch_updates_to_latent_factors), and
+    * `negativeReg`/`userReg` split the regularization per role
+    * (pyx:700-703; both default to `reg`, preserving the historical
+    * single-knob behavior; the reference's search leaves user_reg 0).
+    *
     * Spark-first split: triple sampling (u, i⁺) is a distributed seeded
     * query per epoch; the SGD update runs on the driver over the
     * collected epoch sample, mirroring the reference's in-process
@@ -220,10 +231,17 @@ object Models {
   def mfBpr(spark: SparkSession, urm: DataFrame, rank: Int,
             epochs: Int, samplesPerEpoch: Int, lr: Double, reg: Double,
             seed: Long, impressions: Option[DataFrame] = None,
-            samplingMode: String = "none")
+            samplingMode: String = "none", sgdMode: String = "sgd",
+            negativeReg: Option[Double] = None,
+            userReg: Option[Double] = None, batchSize: Int = 1)
       : (Map[Int, Array[Double]], Map[Int, Array[Double]]) = {
     import spark.implicits._
     require(Seq("none", "inside", "outside").contains(samplingMode))
+    require(Seq("sgd", "adagrad", "rmsprop", "adam").contains(sgdMode))
+    require(batchSize >= 1, "batchSize must be >= 1")
+    val negReg = negativeReg.getOrElse(reg)
+    val uReg = userReg.getOrElse(reg)
+    val adapt = new AdaptiveGrad(sgdMode, rank)
     val items = urm.select(col("i").cast("int")).distinct()
       .as[Int].collect().sorted
     val rng = new scala.util.Random(seed)
@@ -276,27 +294,113 @@ object Models {
         .sample(withReplacement = false, frac, seed + ep)
         .as[(Int, Int)].collect()
         .take(samplesPerEpoch)
-      sample.foreach { case (u, ipos) =>
-        val s = seen(u)
-        drawNegative(u, s).foreach { jneg =>
-        val wu = fac(uf, u); val hi = fac(itf, ipos); val hj = fac(itf, jneg)
-        var xuij = 0.0
-        var f = 0
-        while (f < rank) { xuij += wu(f) * (hi(f) - hj(f)); f += 1 }
-        val sig = 1.0 / (1.0 + math.exp(xuij))
-        f = 0
-        while (f < rank) {
-          val du = sig * (hi(f) - hj(f)) - reg * wu(f)
-          val di = sig * wu(f) - reg * hi(f)
-          val dj = -sig * wu(f) - reg * hj(f)
-          wu(f) += lr * du; hi(f) += lr * di; hj(f) += lr * dj
-          f += 1
+      // mini-batch loop (pyx:662-718): gradients ACCUMULATE over the
+      // batch against batch-start factor values, then apply once,
+      // divided by the configured batch size (even for a ragged final
+      // batch — pyx:846 divides by self.batch_size unconditionally)
+      sample.grouped(batchSize).foreach { batch =>
+        // LinkedHashMap: deterministic application order
+        val acc = scala.collection.mutable
+          .LinkedHashMap[(Int, Int), Array[Double]]() // (kind 0=u 1=i, id)
+        def accFor(kind: Int, id: Int): Array[Double] =
+          acc.getOrElseUpdate((kind, id), new Array[Double](rank))
+        batch.foreach { case (u, ipos) =>
+          val s = seen(u)
+          drawNegative(u, s).foreach { jneg =>
+            val wu = fac(uf, u); val hi = fac(itf, ipos)
+            val hj = fac(itf, jneg)
+            var xuij = 0.0
+            var f = 0
+            while (f < rank) { xuij += wu(f) * (hi(f) - hj(f)); f += 1 }
+            val sig = 1.0 / (1.0 + math.exp(xuij))
+            val au = accFor(0, u); val ai = accFor(1, ipos)
+            val aj = accFor(1, jneg)
+            f = 0
+            while (f < rank) {
+              ai(f) += sig * wu(f) - reg * hi(f)
+              aj(f) += -sig * wu(f) - negReg * hj(f)
+              au(f) += sig * (hi(f) - hj(f)) - uReg * wu(f)
+              f += 1
+            }
+          }
         }
+        acc.foreach { case ((kind, id), g) =>
+          val fvec = if (kind == 0) fac(uf, id) else fac(itf, id)
+          var f = 0
+          while (f < rank) {
+            fvec(f) += lr * adapt.update(kind, id, f, g(f) / batchSize)
+            f += 1
+          }
         }
+        adapt.advance()
       }
     }
     (uf.toMap, itf.toMap)
   }
+
+  /** The reference's adaptive_gradient kernel
+    * (MatrixFactorizationImpressions_Cython_Epoch.pyx:905-943 +
+    * _init_adaptive_gradient_cache :238-313): per entity-factor squared
+    * cache for adagrad/rmsprop, first/second moments with bias
+    * correction for adam; the β powers exponentiate once per
+    * mini-batch (pyx:719-723). Constants are the reference's defaults
+    * (gamma=0.995, beta_1=0.9, beta_2=0.999, eps=1e-8). */
+  private final class AdaptiveGrad(sgdMode: String, rank: Int) {
+    private val useAdaGrad = sgdMode == "adagrad"
+    private val useRmsprop = sgdMode == "rmsprop"
+    private val useAdam = sgdMode == "adam"
+    private val gamma = 0.995
+    private val beta1 = 0.9
+    private val beta2 = 0.999
+    private var b1p = beta1
+    private var b2p = beta2
+    private val cache =
+      scala.collection.mutable.Map[(Int, Int), Array[Double]]()
+    private val mom1 =
+      scala.collection.mutable.Map[(Int, Int), Array[Double]]()
+    private val mom2 =
+      scala.collection.mutable.Map[(Int, Int), Array[Double]]()
+    private def arr(m: scala.collection.mutable.Map[(Int, Int),
+                                                    Array[Double]],
+                    k: (Int, Int)): Array[Double] =
+      m.getOrElseUpdate(k, new Array[Double](rank))
+    def update(kind: Int, id: Int, f: Int, g: Double): Double =
+      if (useAdaGrad) {
+        val c = arr(cache, (kind, id))
+        c(f) += g * g
+        g / (math.sqrt(c(f)) + 1e-8)
+      } else if (useRmsprop) {
+        val c = arr(cache, (kind, id))
+        c(f) = c(f) * gamma + (1 - gamma) * g * g
+        g / (math.sqrt(c(f)) + 1e-8)
+      } else if (useAdam) {
+        val a = arr(mom1, (kind, id)); val b = arr(mom2, (kind, id))
+        a(f) = a(f) * beta1 + (1 - beta1) * g
+        b(f) = b(f) * beta2 + (1 - beta2) * g * g
+        (a(f) / (1 - b1p)) / (math.sqrt(b(f) / (1 - b2p)) + 1e-8)
+      } else g
+    def advance(): Unit = if (useAdam) { b1p *= beta1; b2p *= beta2 }
+  }
+
+  /** Per-entity distributed trainer cell: the factor vector plus the
+    * adaptive-gradient caches that sgd_mode needs (empty for plain
+    * sgd; `c1` = squared-gradient cache for adagrad/rmsprop; `c1`/`c2`
+    * = first/second moments for adam — the distributed analog of the
+    * reference's sgd_cache arrays, pyx:238-313). Caches live WITH the
+    * factors in the partitioned state so an update round stays one
+    * narrow co-partitioned join at any |U|. */
+  final case class BprFac(f: Array[Double], c1: Array[Double],
+                          c2: Array[Double])
+
+  /** Knobs of one distributed BPR update round — the searched SGD
+    * surface (run_parameter_search.py:238-245) plus impression-aware
+    * negative sampling (impression_sampling_mode, :233-237). `shown`
+    * is the distinct (u, i) impression table, persisted by the caller
+    * once per training run. */
+  final case class BprOpts(
+      samplingMode: String = "none", sgdMode: String = "sgd",
+      negativeReg: Option[Double] = None, userReg: Option[Double] = None,
+      shown: Option[DataFrame] = None)
 
   /** L21 at scale — distributed MF-BPR trainer state: both factor
     * matrices live as keyed RDDs, never on the driver. Both carry the
@@ -305,34 +409,130 @@ object Models {
     * averaged updates is a narrow co-partitioned join — the ml.ALS
     * co-location strategy. */
   final case class BprState(
-      userFactors: org.apache.spark.rdd.RDD[(Int, Array[Double])],
-      itemFactors: org.apache.spark.rdd.RDD[(Int, Array[Double])],
+      userFactors: org.apache.spark.rdd.RDD[(Int, BprFac)],
+      itemFactors: org.apache.spark.rdd.RDD[(Int, BprFac)],
       partitioner: org.apache.spark.HashPartitioner)
 
-  /** One distributed BPR epoch over keyed factor RDDs (the ml.ALS
-    * shape — VERDICT r3 #4):
+  /** Hash-initialized partitioned trainer state; adaptive caches are
+    * allocated only for the modes that read them. */
+  private[recommend] def bprInitState(spark: SparkSession,
+                                      triplesBase: DataFrame, rank: Int,
+                                      sgdMode: String, seed: Long,
+                                      part: org.apache.spark.HashPartitioner,
+                                      extraItems: Option[DataFrame] = None)
+      : BprState = {
+    import spark.implicits._
+    val needC1 = sgdMode != "sgd"
+    val needC2 = sgdMode == "adam"
+    // inside-mode negatives come from the impression log and may name
+    // items the URM never saw — they need factor cells too, or the
+    // epoch's factor join would silently drop those triples
+    val itemIds = extraItems match {
+      case Some(extra) =>
+        triplesBase.select("i").union(extra.select("i")).distinct()
+      case None => triplesBase.select("i").distinct()
+    }
+    BprState(
+      graft.core.CacheScope.persistRdd(
+        triplesBase.select("u").distinct().as[Int].rdd
+          .map(u => (u, bprInitFac(rank, u, 1, seed, needC1, needC2)))
+          .partitionBy(part)),
+      graft.core.CacheScope.persistRdd(
+        itemIds.as[Int].rdd
+          .map(i => (i, bprInitFac(rank, i, 2, seed, needC1, needC2)))
+          .partitionBy(part)),
+      part)
+  }
+
+  /** One initialized trainer cell (static helper — a nested def here
+    * would capture the enclosing object into the task closure). */
+  private[recommend] def bprInitFac(rank: Int, id: Int, salt: Int,
+                                    seed: Long, needC1: Boolean,
+                                    needC2: Boolean): BprFac = BprFac(
+    bprInitVec(rank, id, salt, seed),
+    if (needC1) new Array[Double](rank) else Array.empty[Double],
+    if (needC2) new Array[Double](rank) else Array.empty[Double])
+
+  /** Executor-side mini-batch update: the reference's
+    * adaptive_gradient (pyx:905-943) applied to one entity's mean
+    * gradient. `b1p`/`b2p` are adam's β powers at the current global
+    * batch step (exponentiated once per merge round, pyx:719-723).
+    * Pure function on immutable inputs — safe under task retries. */
+  private[recommend] def bprApplyUpdate(fac: BprFac, g: Array[Double],
+                                        rank: Int, sgdMode: String,
+                                        lr: Double, b1p: Double,
+                                        b2p: Double): BprFac = {
+    val f2 = fac.f.clone()
+    var f = 0
+    sgdMode match {
+      case "adagrad" =>
+        val c = fac.c1.clone()
+        while (f < rank) {
+          c(f) += g(f) * g(f)
+          f2(f) += lr * (g(f) / (math.sqrt(c(f)) + 1e-8))
+          f += 1
+        }
+        BprFac(f2, c, fac.c2)
+      case "rmsprop" =>
+        val gamma = 0.995
+        val c = fac.c1.clone()
+        while (f < rank) {
+          c(f) = c(f) * gamma + (1 - gamma) * g(f) * g(f)
+          f2(f) += lr * (g(f) / (math.sqrt(c(f)) + 1e-8))
+          f += 1
+        }
+        BprFac(f2, c, fac.c2)
+      case "adam" =>
+        val beta1 = 0.9; val beta2 = 0.999
+        val m1 = fac.c1.clone(); val m2 = fac.c2.clone()
+        while (f < rank) {
+          m1(f) = m1(f) * beta1 + (1 - beta1) * g(f)
+          m2(f) = m2(f) * beta2 + (1 - beta2) * g(f) * g(f)
+          f2(f) += lr * ((m1(f) / (1 - b1p)) /
+                         (math.sqrt(m2(f) / (1 - b2p)) + 1e-8))
+          f += 1
+        }
+        BprFac(f2, m1, m2)
+      case _ =>
+        while (f < rank) { f2(f) += lr * g(f); f += 1 }
+        BprFac(f2, fac.c1, fac.c2)
+    }
+  }
+
+  /** One distributed BPR merge round over keyed factor RDDs (the
+    * ml.ALS shape — VERDICT r3 #4):
     *  1. a distributed seeded query samples (u, i⁺, j⁻) triples —
-    *     positives from the URM, negatives by rand-pick + anti-join
-    *     rejection (no driver-side sampling); positive-draw and
-    *     negative-pick seeds live in disjoint ranges so the two rand
-    *     streams never coincide;
+    *     positives from the URM, negatives per the sampling mode:
+    *     `none` rand-pick + anti-join rejection, `inside` a
+    *     deterministic-hash pick from the user's shown-but-unclicked
+    *     impressions via one join + group-argmax (uniform fallback
+    *     when a user has none), `outside` rand-pick anti-joined
+    *     against seen AND shown (pyx:1010-1084 sampler, distributed);
+    *     positive-draw / negative-pick / inside-pick seeds live in
+    *     disjoint ranges so the rand streams never coincide;
     *  2. the triples JOIN the factor partitions (u, then i⁺, then j⁻)
     *     to assemble each triple's three factor vectors — shuffles on
     *     the factor keys, the same co-location ml.ALS uses;
-    *  3. each triple takes one BPR gradient step against its joined
-    *     epoch-start snapshot; the stepped vectors are averaged per id
-    *     with reduceByKey (parameter averaging / mini-batch SGD — the
-    *     standard distributed compromise; exact sequential semantics
-    *     are impossible to distribute, SURVEY §7.4) and merged into the
-    *     factor RDDs with an outer join.
+    *  3. each triple computes its raw BPR gradients (regularization
+    *     included, pyx:700-703) against the round-start snapshot; the
+    *     gradients are MEAN-reduced per entity with reduceByKey
+    *     (parameter averaging / mini-batch SGD — the standard
+    *     distributed compromise; exact sequential semantics are
+    *     impossible to distribute, SURVEY §7.4) and applied through
+    *     the sgd_mode's adaptive rule in a narrow co-partitioned
+    *     outer join ([[bprApplyUpdate]]). For plain sgd this is
+    *     algebraically the previous stepped-vector averaging:
+    *     mean(f₀ + lr·gₖ) = f₀ + lr·mean(gₖ).
     * NOTHING proportional to |U| ever reaches the driver: no collect,
     * no factor broadcast — only the item-ID array for negative
     * sampling (catalog axis, the bounded dimension the reference
-    * itself keeps dense). */
+    * itself keeps dense). `step` is the 1-based global batch counter
+    * feeding adam's bias correction. */
   def bprEpoch(spark: SparkSession, triplesBase: DataFrame,
                state: BprState, items: Array[Int], total: Long,
                rank: Int, samplesPerEpoch: Int, lr: Double, reg: Double,
-               seed: Long, ep: Int): BprState = {
+               seed: Long, ep: Int, opts: BprOpts = BprOpts(),
+               step: Int = 1): BprState = {
     import spark.implicits._
     val nItems = items.length
     // 1. linear Bernoulli sample (no per-epoch global sort), 25%
@@ -340,13 +540,41 @@ object Models {
     val frac = math.min(1.0, 1.25 * samplesPerEpoch / math.max(1L, total))
     val sample = triplesBase
       .sample(withReplacement = false, frac, seed + ep)
-      .withColumn("jneg",
-        element_at(typedLit(items),
-                   (floor(rand(seed + 1000003 + ep) * nItems) + 1)
-                     .cast("int")))
-    val valid = sample.join(
+    val uniformPick =
+      element_at(typedLit(items),
+                 (floor(rand(seed + 1000003 + ep) * nItems) + 1)
+                   .cast("int"))
+    val withNeg = opts.samplingMode match {
+      case "inside" if opts.shown.isDefined =>
+        // candidates = shown(u) minus seen(u); one deterministic-hash
+        // argmax per sampled (u, i⁺) row picks uniformly-by-hash among
+        // them — no per-user arrays ever leave the executors
+        val cand = sample
+          .join(opts.shown.get.select(col("u"), col("i").as("cand")), "u")
+          .join(triplesBase.select(col("u"), col("i").as("cand")),
+                Seq("u", "cand"), "left_anti")
+          .withColumn("r", xxhash64(col("u"), col("cand"),
+                                    lit(seed + 2000003 + ep)))
+        val picked = cand.groupBy("u", "i")
+          .agg(max_by(col("cand"), col("r")).as("jneg_in"))
+        sample.join(picked, Seq("u", "i"), "left")
+          .withColumn("jneg", coalesce(col("jneg_in"), uniformPick))
+          .drop("jneg_in")
+      case _ => sample.withColumn("jneg", uniformPick)
+    }
+    // rejection: a negative must be unseen (and, for `outside`, also
+    // un-shown); inside-mode picks pass by construction, only their
+    // uniform fallbacks can be rejected here
+    val afterSeen = withNeg.join(
       triplesBase.select(col("u"), col("i").as("jneg")),
       Seq("u", "jneg"), "left_anti")
+    val valid = opts.samplingMode match {
+      case "outside" if opts.shown.isDefined =>
+        afterSeen.join(
+          opts.shown.get.select(col("u"), col("i").as("jneg")),
+          Seq("u", "jneg"), "left_anti")
+      case _ => afterSeen
+    }
     // 2. assemble factor vectors by joining the factor partitions —
     //    the factor RDDs are pre-partitioned, so each join shuffles
     //    only the (sampled, bounded) triple side
@@ -355,31 +583,35 @@ object Models {
     val joined = triples
       .map { case (u, i, j) => (u, (i, j)) }
       .join(state.userFactors, part)
-      .map { case (u, ((i, j), wu)) => (i, (u, j, wu)) }
+      .map { case (u, ((i, j), wu)) => (i, (u, j, wu.f)) }
       .join(state.itemFactors, part)
-      .map { case (i, ((u, j, wu), hi)) => (j, (u, i, wu, hi)) }
+      .map { case (i, ((u, j, wu), hi)) => (j, (u, i, wu, hi.f)) }
       .join(state.itemFactors, part)
-    // 3. one gradient step per triple vs the snapshot; average per id
-    val stepped = joined.flatMap { case (j, ((u, i, wu0, hi0), hj0)) =>
-      val wu = wu0.clone(); val hi = hi0.clone(); val hj = hj0.clone()
+    // 3. raw gradients per triple vs the snapshot; mean per entity
+    val negReg = opts.negativeReg.getOrElse(reg)
+    val uReg = opts.userReg.getOrElse(reg)
+    val grads = joined.flatMap { case (j, ((u, i, wu, hi), hjFac)) =>
+      val hj = hjFac.f
       var x = 0.0
       var f = 0
       while (f < rank) { x += wu(f) * (hi(f) - hj(f)); f += 1 }
       val sig = 1.0 / (1.0 + math.exp(x))
+      val gu = new Array[Double](rank)
+      val gi = new Array[Double](rank)
+      val gj = new Array[Double](rank)
       f = 0
       while (f < rank) {
-        val du = sig * (hi(f) - hj(f)) - reg * wu(f)
-        val di = sig * wu(f) - reg * hi(f)
-        val dj = -sig * wu(f) - reg * hj(f)
-        wu(f) += lr * du; hi(f) += lr * di; hj(f) += lr * dj
+        gi(f) = sig * wu(f) - reg * hi(f)
+        gj(f) = -sig * wu(f) - negReg * hj(f)
+        gu(f) = sig * (hi(f) - hj(f)) - uReg * wu(f)
         f += 1
       }
-      Iterator((("u", u), wu), (("i", i), hi), (("i", j), hj))
+      Iterator((("u", u), gu), (("i", i), gi), (("i", j), gj))
     }
-    // persisted: `averaged` feeds BOTH the user and item update
-    // branches — without it each branch re-executes the whole epoch
-    // lineage (sample, three joins, SGD flatMap, reduceByKey)
-    val averaged = stepped
+    // persisted: `meanGrad` feeds BOTH the user and item update
+    // branches — without it each branch re-executes the whole round
+    // lineage (sample, three joins, gradient flatMap, reduceByKey)
+    val meanGrad = grads
       .mapValues(v => (v, 1))
       .reduceByKey((x: (Array[Double], Int), y: (Array[Double], Int)) => {
         val s = x._1.clone()
@@ -389,20 +621,31 @@ object Models {
       })
       .mapValues(sn => sn._1.map(_ / sn._2))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val avgU = averaged.collect { case (("u", id), v) => (id, v) }
+    val avgU = meanGrad.collect { case (("u", id), v) => (id, v) }
       .partitionBy(part)
-    val avgI = averaged.collect { case (("i", id), v) => (id, v) }
+    val avgI = meanGrad.collect { case (("i", id), v) => (id, v) }
       .partitionBy(part)
-    // merge: touched ids take the averaged vector, others keep theirs —
-    // co-partitioned, so the outer join is narrow (no factor shuffle)
+    // merge: touched ids step through the adaptive rule, others keep
+    // their cell — co-partitioned, so the outer join is narrow (no
+    // factor shuffle); adam's β powers are scalars computed here from
+    // the global step, not state shipped around
+    val sgdMode = opts.sgdMode
+    val b1p = math.pow(0.9, step)
+    val b2p = math.pow(0.999, step)
     val newU = graft.core.CacheScope.persistRdd(
       state.userFactors.leftOuterJoin(avgU, part)
-        .mapValues { case (old, upd) => upd.getOrElse(old) })
+        .mapValues { case (old, upd) =>
+          upd.map(g => bprApplyUpdate(old, g, rank, sgdMode, lr, b1p, b2p))
+            .getOrElse(old)
+        })
     val newI = graft.core.CacheScope.persistRdd(
       state.itemFactors.leftOuterJoin(avgI, part)
-        .mapValues { case (old, upd) => upd.getOrElse(old) })
+        .mapValues { case (old, upd) =>
+          upd.map(g => bprApplyUpdate(old, g, rank, sgdMode, lr, b1p, b2p))
+            .getOrElse(old)
+        })
     newU.count(); newI.count() // materialize before releasing parents
-    averaged.unpersist(false)
+    meanGrad.unpersist(false)
     state.userFactors.unpersist(false)
     state.itemFactors.unpersist(false)
     BprState(newU, newI, part)
@@ -439,37 +682,67 @@ object Models {
     }
 
   /** L21 at scale — distributed MF-BPR: [[bprEpoch]] iterated from
-    * hash-initialized factor RDDs. Returns (u, factors) and
-    * (i, factors) DataFrames — still distributed; callers that need
-    * local maps (tests) collect explicitly. */
+    * hash-initialized factor RDDs, with the full searched SGD surface
+    * threaded through (run_parameter_search.py:238-245): sgd_mode,
+    * split negative/user regularization, impression-aware sampling
+    * modes, and batch_size. `batchSize` maps to UPDATE FREQUENCY: each
+    * epoch runs ceil(samplesPerEpoch / batchSize) sequential merge
+    * rounds of `batchSize` sampled triples each (one round = one
+    * mini-batch, exactly the reference's batch loop shape,
+    * pyx:662-727), capped by `maxBatchesPerEpoch` so a smoke-tier
+    * caller can bound per-trial scheduling cost; `batchSize <= 0`
+    * keeps the historical one-round-per-epoch behavior. Returns
+    * (u, factors) and (i, factors) DataFrames — still distributed;
+    * callers that need local maps (tests) collect explicitly. */
   def mfBprDistributed(spark: SparkSession, urm: DataFrame, rank: Int,
                        epochs: Int, samplesPerEpoch: Int, lr: Double,
-                       reg: Double, seed: Long)
+                       reg: Double, seed: Long,
+                       impressions: Option[DataFrame] = None,
+                       samplingMode: String = "none",
+                       sgdMode: String = "sgd",
+                       negativeReg: Option[Double] = None,
+                       userReg: Option[Double] = None,
+                       batchSize: Int = 0,
+                       maxBatchesPerEpoch: Int = Int.MaxValue)
       : (DataFrame, DataFrame) = {
     import spark.implicits._
+    require(Seq("none", "inside", "outside").contains(samplingMode))
+    require(Seq("sgd", "adagrad", "rmsprop", "adam").contains(sgdMode))
     val triplesBase = graft.core.CacheScope.persist(
       urm.select(col("u").cast("int").as("u"),
                  col("i").cast("int").as("i")))
+    val shown = impressions.map { imp =>
+      graft.core.CacheScope.persist(
+        imp.select(col("u").cast("int").as("u"),
+                   col("i").cast("int").as("i")).distinct())
+    }
     val items = triplesBase.select("i").distinct().as[Int].collect().sorted
     val total = triplesBase.count()
     val nUsers = triplesBase.select("u").distinct().count()
     val part = bprPartitioner(spark, nUsers + items.length, rank)
-    var state = BprState(
-      graft.core.CacheScope.persistRdd(
-        triplesBase.select("u").distinct().as[Int].rdd
-          .map(u => (u, bprInitVec(rank, u, 1, seed)))
-          .partitionBy(part)),
-      graft.core.CacheScope.persistRdd(
-        triplesBase.select("i").distinct().as[Int].rdd
-          .map(i => (i, bprInitVec(rank, i, 2, seed)))
-          .partitionBy(part)),
-      part)
-    (0 until epochs).foreach { ep =>
-      state = bprEpoch(spark, triplesBase, state, items, total, rank,
-                       samplesPerEpoch, lr, reg, seed, ep)
+    var state = bprInitState(spark, triplesBase, rank, sgdMode, seed,
+                             part, extraItems = shown)
+    val opts = BprOpts(samplingMode, sgdMode, negativeReg, userReg, shown)
+    val (roundsPerEpoch, perRound) =
+      if (batchSize <= 0 || batchSize >= samplesPerEpoch)
+        (1, samplesPerEpoch)
+      else (math.min(maxBatchesPerEpoch,
+                     math.ceil(samplesPerEpoch.toDouble / batchSize).toInt),
+            batchSize)
+    // `step` numbers merge rounds globally (adam bias correction); it
+    // also serves as the per-round seed offset — sequential, so the
+    // disjoint seed ranges inside bprEpoch stay disjoint, and for the
+    // default one-round-per-epoch path it equals the historical `ep`
+    var step = 0
+    (0 until epochs).foreach { _ =>
+      (0 until roundsPerEpoch).foreach { _ =>
+        step += 1
+        state = bprEpoch(spark, triplesBase, state, items, total, rank,
+                         perRound, lr, reg, seed, step - 1, opts, step)
+      }
     }
-    (state.userFactors.toDF("u", "factors"),
-     state.itemFactors.toDF("i", "factors"))
+    (state.userFactors.mapValues(_.f).toDF("u", "factors"),
+     state.itemFactors.mapValues(_.f).toDF("i", "factors"))
   }
 
   /** L22 result: factor matrices, bias terms, and the per-epoch train
@@ -878,19 +1151,10 @@ object Models {
     val total = train.count()
     val nUsers = train.select("u").distinct().count()
     val part = bprPartitioner(spark, nUsers + items.length, rank)
-    var state = BprState(
-      graft.core.CacheScope.persistRdd(
-        train.select("u").distinct().as[Int].rdd
-          .map(u => (u, bprInitVec(rank, u, 1, seed)))
-          .partitionBy(part)),
-      graft.core.CacheScope.persistRdd(
-        train.select("i").distinct().as[Int].rdd
-          .map(i => (i, bprInitVec(rank, i, 2, seed)))
-          .partitionBy(part)),
-      part)
+    var state = bprInitState(spark, train, rank, "sgd", seed, part)
     def validate(): Double = {
-      val scores = state.userFactors.toDF("u", "ufac")
-        .crossJoin(state.itemFactors.toDF("item", "ifac"))
+      val scores = state.userFactors.mapValues(_.f).toDF("u", "ufac")
+        .crossJoin(state.itemFactors.mapValues(_.f).toDF("item", "ifac"))
         .select(col("u"), col("item"),
                 graft.functions.VectorFunctions
                   .dot_product(col("ufac"), col("ifac")).as("score"))

@@ -29,14 +29,23 @@ object EventStreams {
   def readEventStream(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.types._
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // the file-source schema must match the parquet's physical layout,
+    // which has shipped both as TIMESTAMP(NANOS) (→ raw int64 under
+    // the legacy conf) and native TIMESTAMP(MICROS): probe the footer
+    // with a one-off batch read and declare ts accordingly (same
+    // dual-layout dispatch as the batch reader, core.Tables.events)
+    val tsType = spark.read.parquet(s"$dir/events.parquet")
+      .schema("ts").dataType
     val schema = StructType(Seq(
-      StructField("event_id", LongType), StructField("ts", LongType),
+      StructField("event_id", LongType), StructField("ts", tsType),
       StructField("user_id", LongType), StructField("event_type", StringType),
       StructField("value", DoubleType), StructField("props", StringType)))
-    spark.readStream.schema(schema)
+    val raw = spark.readStream.schema(schema)
       .option("pathGlobFilter", "events.parquet")
       .parquet(dir)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    (if (tsType == LongType)
+       raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+     else raw.withColumn("ts", col("ts").cast(TimestampType)))
       .withColumnRenamed("event_type", "eventType")
   }
 

@@ -131,30 +131,60 @@ object Search {
   }
 
   /** Resume-from-saved-state wrapper (reference:
-    * ParameterTuning/SearchBayesianSkopt.py:21-135 resume_from_saved):
-    * completed trials append to a tab-separated state file as they
-    * finish; parameter sets already recorded short-circuit to the
-    * saved metric, so an interrupted search — or a re-run of the same
-    * grid after a crash — re-evaluates nothing. Wrap any strategy's
-    * `evaluate` with this. */
+    * ParameterTuning/SearchBayesianSkopt.py:72-135 _resume_from_saved,
+    * which reloads the metadata dict's `hyperparameters_list` /
+    * `result_on_validation_list` / best-so-far and replays them into
+    * the skopt loop as x0/y0): completed trials append to a
+    * JSON-lines state file as they finish — one record per trial,
+    * `{"params": {...}, "metric": m, "best_so_far": b}`, the same
+    * three facts the reference persists per model_counter. Parameter
+    * sets already recorded short-circuit to the saved metric, so an
+    * interrupted search — or a re-run of the same grid after a
+    * crash — re-evaluates nothing; and because [[surrogate]] refits
+    * its model from the FULL replayed history deterministically, the
+    * resumed run reconstructs the surrogate state too, trial for
+    * trial (the SpacesSpec kill-and-resume fixture pins this), not
+    * just the skip-list. Wrap any strategy's `evaluate` with this.
+    *
+    * Doubles are emitted via `Double.toString` (round-trips exactly)
+    * and parsed with Jackson (on Spark's classpath), so replayed
+    * metrics are bit-identical to evaluated ones. */
   def resumable(stateFile: java.nio.file.Path)
                (evaluate: Map[String, Double] => Double)
       : Map[String, Double] => Double = {
-    val seen = scala.collection.mutable.Map[String, Double]()
-    if (java.nio.file.Files.exists(stateFile))
-      scala.io.Source.fromFile(stateFile.toFile).getLines()
-        .filter(_.nonEmpty).foreach { line =>
-          val cut = line.lastIndexOf('\t')
-          seen(line.substring(0, cut)) = line.substring(cut + 1).toDouble
-        }
+    import scala.jdk.CollectionConverters._
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    // a diverged trial can legitimately record NaN/-Infinity
+    mapper.configure(com.fasterxml.jackson.core.JsonParser.Feature
+                       .ALLOW_NON_NUMERIC_NUMBERS, true)
+    def jstr(s: String): String =
+      "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
     def key(p: Map[String, Double]): String =
       p.toSeq.sortBy(_._1).map { case (k, v) => s"$k=$v" }.mkString(",")
+    val seen = scala.collection.mutable.Map[String, Double]()
+    var best = Double.NegativeInfinity
+    if (java.nio.file.Files.exists(stateFile))
+      java.nio.file.Files.readAllLines(stateFile).asScala
+        .filter(_.nonEmpty).foreach { line =>
+          val node = mapper.readTree(line)
+          val pn = node.get("params")
+          val p = pn.fieldNames.asScala
+            .map(k => k -> pn.get(k).asDouble()).toMap
+          seen(key(p)) = node.get("metric").asDouble()
+          best = math.max(best, node.get("best_so_far").asDouble())
+        }
     (p: Map[String, Double]) => {
       val k = key(p)
       seen.getOrElse(k, {
         val m = evaluate(p)
+        best = math.max(best, m)
+        val paramsJson = p.toSeq.sortBy(_._1)
+          .map { case (name, v) => s"${jstr(name)}: $v" }
+          .mkString("{", ", ", "}")
+        val record =
+          s"""{"params": $paramsJson, "metric": $m, "best_so_far": $best}"""
         java.nio.file.Files.write(stateFile,
-          s"$k\t$m\n".getBytes("UTF-8"),
+          (record + "\n").getBytes("UTF-8"),
           java.nio.file.StandardOpenOption.CREATE,
           java.nio.file.StandardOpenOption.APPEND)
         seen(k) = m

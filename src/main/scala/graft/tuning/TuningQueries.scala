@@ -94,6 +94,19 @@ object TuningQueries {
         val train = split.filter(col("split") === "train").select("u", "i")
         val valid = split.filter(col("split") === "test").select("u", "i")
         graft.core.CacheScope.persist(train)
+        // a deterministic shown-but-unclicked impression table so
+        // impression_sampling_mode is LIVE in the mf_bpr trials
+        // (inside draws from it, outside avoids it): ~12% of the
+        // bounded smoke user×item grid, minus seen pairs. The
+        // crossJoin is the bounded smoke-slice device (≤200 users ×
+        // ≤1500 items), not a scale path — a production search feeds
+        // the real impression log (etl.Impressions).
+        val shown = train.select("u").distinct()
+          .crossJoin(train.select("i").distinct())
+          .filter(pmod(xxhash64(col("u"), col("i"), lit(99)),
+                       lit(17)) < 2)
+          .join(train, Seq("u", "i"), "left_anti")
+        graft.core.CacheScope.persist(shown)
         // The per-algorithm searches are independent, and each trial's
         // jobs are tiny (a subsampled fit+evaluate leaves most of the
         // cluster idle) — so the searches run CONCURRENTLY from driver
@@ -126,7 +139,8 @@ object TuningQueries {
               jobGroup, s"hp smoke search: $alg", true)
             graft.core.CacheScope.scoped {
               val eval = Spaces.evaluator(alg, t.spark, train, valid,
-                                          cutoff = 10, maxEpochs = 1)
+                                          cutoff = 10, maxEpochs = 1,
+                                          impressions = Some(shown))
               val result =
                 if (space.dims.isEmpty) {
                   // SearchSingleCase: no parameters, one evaluation
@@ -163,6 +177,50 @@ object TuningQueries {
           finally pool.shutdown()
         rows.toDF("algorithm", "n_trials", "best_map")
           .filter(col("n_trials") > 0)
+      }, None),
+
+    // §3.2 lifecycle close-out (VERDICT r7 missing #1) — the
+    // reference's final-test retrain: search on (train, validation),
+    // refit the best configuration on train+validation
+    // (URM_train_last_test, run_hyperparameter_tuning.py:62), evaluate
+    // ONCE on the held-out test split at cutoffs 5/10/20
+    // (SearchAbstractClass.py:310-364 _evaluate_on_test_with_data_last
+    // + the evaluator_test construction at run_hyperparameter_tuning
+    // .py:47-58). One parameterless algorithm (SearchSingleCase path)
+    // and one real searched space. Rows-only: the metrics are
+    // model-tier; LifecycleSpec pins the retrain-uses-train+val and
+    // test-untouched-until-final-step ordering with a recording
+    // harness.
+    Q("q142_final_test_retrain", { t =>
+        import t.spark.implicits._
+        val urm = Urm.fromOrders(t)
+          .filter(pmod(col("u"), lit(31)) === 0 && col("i") < 1500)
+        // train/validation/test via two user-wise holdouts — the
+        // reference's three-split layout (run_generate_splits.py)
+        val s1 = Urm.userWiseHoldout(urm, 0.8, seed = 17)
+        val trainVal = s1.filter(col("split") === "train").select("u", "i")
+        val test = graft.core.CacheScope.persist(
+          s1.filter(col("split") === "test").select("u", "i"))
+        val s2 = Urm.userWiseHoldout(trainVal, 0.75, seed = 18)
+        val train = graft.core.CacheScope.persist(
+          s2.filter(col("split") === "train").select("u", "i"))
+        val valid = graft.core.CacheScope.persist(
+          s2.filter(col("split") === "test").select("u", "i"))
+        val spaces = Spaces.catalog.toMap
+        val rows = Seq("top_pop", "item_knn_cosine").map { alg =>
+          val res = Lifecycle.searchThenFinalTest(
+            alg, spaces(alg), train, valid, test,
+            Spaces.recommender(alg, t.spark, maxEpochs = 1),
+            nTotal = 2, seed = 47)
+          val mapPerCutoff = res.testMetrics.select("cutoff", "map")
+            .as[(Int, Double)].collect().toMap // three scalar rows
+          val bestStr = res.best.toSeq.sortBy(_._1)
+            .map { case (k, v) => s"$k=${v.render}" }.mkString(",")
+          (alg, bestStr, res.nTrials, res.bestValidationMetric,
+           mapPerCutoff(5), mapPerCutoff(10), mapPerCutoff(20))
+        }
+        rows.toDF("algorithm", "best_params", "n_trials", "valid_map",
+                  "test_map_5", "test_map_10", "test_map_20")
       }, None)
   )
 }

@@ -1,0 +1,88 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.tuning.{Lifecycle, Spaces}
+
+/** The final-test retrain lifecycle (reference:
+  * SearchAbstractClass.py:310-364 _evaluate_on_test_with_data_last +
+  * run_hyperparameter_tuning.py:62 URM_train_last_test): the search
+  * fits on train only, the LAST fit refits on train+validation, and
+  * the test split is untouched until that final evaluation.
+  */
+class LifecycleSpec extends SparkSpec {
+  import spark.implicits._
+
+  // 40 users × items 0..19: user u saw items u%7, u%7+1, u%7+2 (train
+  // slice is deterministic here; the split frames are handcrafted so
+  // their row counts are distinguishable: |train|=120, |valid|=40,
+  // |test|=40)
+  private def mkSplit(): (DataFrame, DataFrame, DataFrame) = {
+    val train = (0 until 40).flatMap(u =>
+      Seq((u, u % 7), (u, u % 7 + 1), (u, u % 7 + 2))).toDF("u", "i")
+    val valid = (0 until 40).map(u => (u, u % 7 + 3)).toDF("u", "i")
+    val test = (0 until 40).map(u => (u, u % 7 + 4)).toDF("u", "i")
+    (train, valid, test)
+  }
+
+  test("retrain uses train+validation; test forced once, only at the end") {
+    val (train, valid, test) = mkSplit()
+    val nTrain = train.count()
+    val nTrainVal = nTrain + valid.count()
+
+    // recording harness: log the training-set row count of every fit,
+    // and count forcings of the by-name test argument
+    val fitLog = scala.collection.mutable.ArrayBuffer[Long]()
+    var testForced = 0
+    val inner = Spaces.recommender("top_pop", spark)
+    val recording: (DataFrame, Map[String, Spaces.PValue], Int) => DataFrame =
+      (tr, p, cutoff) => { fitLog += tr.count(); inner(tr, p, cutoff) }
+    def testSplit: DataFrame = {
+      testForced += 1
+      // every fit must precede the first (and only) forcing of test
+      assert(fitLog.nonEmpty && fitLog.last == nTrainVal,
+             "test split was forced before the final retrain completed")
+      test
+    }
+
+    val res = Lifecycle.searchThenFinalTest(
+      "top_pop", Spaces.catalog.toMap.apply("top_pop"),
+      train, valid, testSplit, recording)
+
+    // search fit(s) saw train ONLY; the single final fit saw train+val
+    assert(fitLog.init.forall(_ == nTrain),
+           s"search-phase fits must train on train only, got $fitLog")
+    assert(fitLog.last == nTrainVal,
+           s"final fit must train on train+validation, got ${fitLog.last}")
+    assert(testForced == 1, s"test forced $testForced times, expected 1")
+    assert(res.nTrials == 1) // parameterless → SearchSingleCase
+    // one metric row per cutoff, reference order 5/10/20
+    val cutoffs = res.testMetrics.select("cutoff").as[Int].collect().sorted
+    assert(cutoffs.toSeq == Seq(5, 10, 20))
+  }
+
+  test("searched space: best config is refit, metrics finite") {
+    val (train, valid, test) = mkSplit()
+    val fitParams =
+      scala.collection.mutable.ArrayBuffer[Map[String, Spaces.PValue]]()
+    val inner = Spaces.recommender("item_knn_cosine", spark)
+    val recording: (DataFrame, Map[String, Spaces.PValue], Int) => DataFrame =
+      (tr, p, cutoff) => { fitParams += p; inner(tr, p, cutoff) }
+
+    val res = Lifecycle.searchThenFinalTest(
+      "item_knn_cosine", Spaces.catalog.toMap.apply("item_knn_cosine"),
+      train, valid, test, recording, nTotal = 2, seed = 5)
+
+    assert(res.nTrials == 2)
+    // the retrain (last fit) used exactly the decoded best config
+    assert(fitParams.last == res.best,
+           "final fit must use hyperparameters_best")
+    assert(res.best.contains("topK") && res.best.contains("shrink"))
+    val maps = res.testMetrics.select("map").as[Double].collect()
+    assert(maps.length == 3 && maps.forall(m => m >= 0.0 && m <= 1.0))
+    // validation metric belongs to [0, 1] too (MAP)
+    assert(res.bestValidationMetric >= 0.0 &&
+           res.bestValidationMetric <= 1.0)
+  }
+}

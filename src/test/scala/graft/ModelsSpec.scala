@@ -127,6 +127,89 @@ class ModelsSpec extends SparkSpec {
            "outside-mode negatives must avoid impression items")
   }
 
+  test("BPR sgd_mode selects distinct adaptive rules (driver + distributed)") {
+    // driver kernel: same seed, different update rule → different
+    // factors, all finite (pyx:905-943 adaptive_gradient)
+    def driverRun(mode: String) =
+      Models.mfBpr(spark, urm, rank = 4, epochs = 3,
+        samplesPerEpoch = 500, lr = 0.05, reg = 0.01, seed = 9,
+        sgdMode = mode)._2
+    val dSgd = driverRun("sgd"); val dAda = driverRun("adagrad")
+    val dAdam = driverRun("adam")
+    for (m <- Seq(dSgd, dAda, dAdam); v <- m.values; x <- v)
+      assert(!x.isNaN && !x.isInfinite)
+    def flat(m: Map[Int, Array[Double]]): Seq[Double] =
+      m.toSeq.sortBy(_._1).flatMap(_._2.toSeq)
+    assert(flat(dSgd) != flat(dAda), "adagrad must differ from sgd")
+    assert(flat(dAda) != flat(dAdam), "adam must differ from adagrad")
+    // distributed path: same property through the partitioned state
+    def distRun(mode: String): Seq[Double] =
+      Models.mfBprDistributed(spark, urm, rank = 4, epochs = 2,
+          samplesPerEpoch = 500, lr = 0.05, reg = 0.01, seed = 9,
+          sgdMode = mode)._2
+        .as[(Int, Array[Double])].collect().sortBy(_._1)
+        .flatMap(_._2.toSeq).toSeq
+    val sSgd = distRun("sgd"); val sAdam = distRun("adam")
+    assert(sSgd.forall(x => !x.isNaN && !x.isInfinite))
+    assert(sAdam.forall(x => !x.isNaN && !x.isInfinite))
+    assert(sSgd != sAdam, "distributed adam must differ from sgd")
+  }
+
+  test("BPR batch_size changes update frequency, not stability") {
+    // driver kernel: batched accumulation divides by the configured
+    // batch size (pyx:846) — different trajectory, still finite
+    val b1 = Models.mfBpr(spark, urm, rank = 4, epochs = 3,
+      samplesPerEpoch = 500, lr = 0.05, reg = 0.01, seed = 9,
+      batchSize = 1)._2
+    val b64 = Models.mfBpr(spark, urm, rank = 4, epochs = 3,
+      samplesPerEpoch = 500, lr = 0.05, reg = 0.01, seed = 9,
+      batchSize = 64)._2
+    def flat(m: Map[Int, Array[Double]]): Seq[Double] =
+      m.toSeq.sortBy(_._1).flatMap(_._2.toSeq)
+    assert(flat(b1) != flat(b64))
+    assert(flat(b64).forall(x => !x.isNaN && !x.isInfinite))
+    // distributed: batchSize=300 with 600 samples/epoch → two merge
+    // rounds per epoch; the cap bounds it at one
+    val (_, itf) = Models.mfBprDistributed(spark, urm, rank = 4,
+      epochs = 2, samplesPerEpoch = 600, lr = 0.05, reg = 0.01,
+      seed = 9, batchSize = 300)
+    val vals = itf.as[(Int, Array[Double])].collect()
+    assert(vals.nonEmpty &&
+           vals.forall(_._2.forall(x => !x.isNaN && !x.isInfinite)))
+  }
+
+  test("distributed MF-BPR impression modes draw from the right pools") {
+    // user 0 sees items 0..4; impressions show items 5..9 (never in
+    // the URM); user 1 anchors extra URM items
+    val mini = ((0 until 5).map(i => (0, i)) ++ Seq((1, 10), (1, 11)))
+      .toDF("u", "i")
+    val imp = (5 until 10).map(i => (0, i)).toDF("u", "i")
+    // zero-epoch run = the hash-initialized state, via the public API
+    val initFac = Models.mfBprDistributed(spark, mini, rank = 4,
+      epochs = 0, samplesPerEpoch = 400, lr = 0.05, reg = 0.01,
+      seed = 3, impressions = Some(imp), samplingMode = "inside")._2
+      .as[(Int, Array[Double])].collect().toMap
+    def initOf(i: Int): Seq[Double] = initFac(i).toSeq
+    // inside: negatives for user 0 come FROM the impression pool —
+    // those items' factor cells must move off their hash init
+    val (_, itfIn) = Models.mfBprDistributed(spark, mini, rank = 4,
+      epochs = 6, samplesPerEpoch = 400, lr = 0.05, reg = 0.01,
+      seed = 3, impressions = Some(imp), samplingMode = "inside")
+    val inFac = itfIn.as[(Int, Array[Double])].collect().toMap
+    assert((5 until 10).exists(i =>
+             inFac.contains(i) && inFac(i).toSeq != initOf(i)),
+           "inside mode must train impression-item factors")
+    // outside: negatives avoid seen AND shown — impression items'
+    // cells never receive a gradient
+    val (_, itfOut) = Models.mfBprDistributed(spark, mini, rank = 4,
+      epochs = 6, samplesPerEpoch = 400, lr = 0.05, reg = 0.01,
+      seed = 3, impressions = Some(imp), samplingMode = "outside")
+    val outFac = itfOut.as[(Int, Array[Double])].collect().toMap
+    assert((5 until 10).forall(i =>
+             outFac.get(i).forall(_.toSeq == initOf(i))),
+           "outside mode must never touch impression items")
+  }
+
   test("FunkSVD SGD: train MSE decreases; biases move toward the mean") {
     val m = Models.funkSvdSgd(spark, urm, rank = 6, epochs = 6,
       samplesPerEpoch = 1500, lr = 0.05, reg = 0.01, biasReg = 0.01,

@@ -97,7 +97,7 @@ class SpacesSpec extends SparkSpec {
     val full = Search.surrogate(ranges, nInit = 3, nTotal = 8,
       candidatePool = 24, kappa = 1.0, seed = 99)(metric)
     // the same search killed mid-flight at trial 5...
-    val state = java.nio.file.Files.createTempFile("resume", ".tsv")
+    val state = java.nio.file.Files.createTempFile("resume", ".jsonl")
     java.nio.file.Files.delete(state)
     var calls = 0
     def budgeted(limit: Int): Map[String, Double] => Double =
@@ -121,6 +121,21 @@ class SpacesSpec extends SparkSpec {
     assert(resumed.history.map(_.params) == full.history.map(_.params))
     assert(resumed.history.map(_.metric) == full.history.map(_.metric))
     assert(resumed.best == full.best)
+    // the state file is the reference's metadata shape (JSON records
+    // with params / metric / best-so-far, SearchBayesianSkopt.py:
+    // 72-135): every line parses, best_so_far is the running max
+    import scala.jdk.CollectionConverters._
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    val records = java.nio.file.Files.readAllLines(state).asScala
+      .filter(_.nonEmpty).map(mapper.readTree)
+    assert(records.size == 8, s"8 trials persisted, got ${records.size}")
+    val metrics = records.map(_.get("metric").asDouble()).toSeq
+    val bests = records.map(_.get("best_so_far").asDouble()).toSeq
+    assert(metrics == full.history.map(_.metric))
+    assert(bests == metrics.scanLeft(Double.NegativeInfinity)(math.max)
+             .tail, "best_so_far must be the running maximum")
+    assert(records.forall(r => r.get("params").fieldNames.asScala.toSet
+             == Set("alpha", "beta", "topK", "normalize_similarity")))
   }
 
   test("smoke evaluators run end-to-end on a tiny URM") {
