@@ -1138,7 +1138,8 @@ object Models {
   def bprEarlyStopped(spark: SparkSession, split: DataFrame, rank: Int,
                       maxEpochs: Int, validateEvery: Int, patience: Int,
                       samplesPerEpoch: Int, lr: Double, reg: Double,
-                      seed: Long, cutoff: Int): DataFrame = {
+                      seed: Long, cutoff: Int,
+                      opts: BprOpts = BprOpts()): DataFrame = {
     import spark.implicits._
     import graft.eval.Evaluation
     val train = graft.core.CacheScope.persist(
@@ -1151,7 +1152,8 @@ object Models {
     val total = train.count()
     val nUsers = train.select("u").distinct().count()
     val part = bprPartitioner(spark, nUsers + items.length, rank)
-    var state = bprInitState(spark, train, rank, "sgd", seed, part)
+    var state = bprInitState(spark, train, rank, opts.sgdMode, seed, part,
+                             extraItems = opts.shown)
     def validate(): Double = {
       val scores = state.userFactors.mapValues(_.f).toDF("u", "ufac")
         .crossJoin(state.itemFactors.mapValues(_.f).toDF("item", "ifac"))
@@ -1165,7 +1167,8 @@ object Models {
     val (bestEpoch, bestMap, history) =
       trainWithEarlyStopping(maxEpochs, validateEvery, patience) { ep =>
         state = bprEpoch(spark, train, state, items, total, rank,
-                         samplesPerEpoch, lr, reg, seed, ep)
+                         samplesPerEpoch, lr, reg, seed, ep, opts,
+                         step = ep + 1)
       } { () => validate() }
     history.toDF("epoch", "map")
       .withColumn("best_epoch", lit(bestEpoch))

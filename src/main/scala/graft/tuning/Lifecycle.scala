@@ -56,34 +56,125 @@ object Lifecycle {
       validationCutoff: Int = 10,
       testCutoffs: Seq[Int] = Seq(5, 10, 20),
       nInit: Int = 1, nTotal: Int = 2, seed: Long = 31)
+      : FinalTestResult =
+    searchThenFinalTestAdjusted(
+      algorithm, space, train, validation, test,
+      trial = (tr, p, c) =>
+        (Spaces.mapAt(recsFor(tr, p, c), validation, c), p),
+      finalFit = recsFor,
+      validationCutoff = validationCutoff, testCutoffs = testCutoffs,
+      nInit = nInit, nTotal = nTotal, seed = seed)
+
+  /** The general lifecycle, with the reference's early-stopping epoch
+    * capture (SearchAbstractClass.py:366-390 _objective_function: when
+    * a trial trains with early stopping, the SELECTED epoch count
+    * overwrites the epoch hyperparameter in that trial's recorded
+    * configuration, so `hyperparameters_best` carries it and the final
+    * retrain — which has no validation set left to monitor — fits for
+    * exactly that many epochs).
+    *
+    * `trial` fits one configuration on a training set and returns
+    * (validation metric, ADJUSTED configuration) — for most algorithms
+    * the adjustment is the identity; an early-stopped trial returns
+    * the config with `epochs` replaced by the selected epoch.
+    * `finalFit` refits an (adjusted) configuration on a training set
+    * and returns top-`cutoff` recommendations. */
+  def searchThenFinalTestAdjusted(
+      algorithm: String, space: Spaces.ParamSpace,
+      train: DataFrame, validation: DataFrame, test: => DataFrame,
+      trial: (DataFrame, Map[String, Spaces.PValue], Int)
+               => (Double, Map[String, Spaces.PValue]),
+      finalFit: (DataFrame, Map[String, Spaces.PValue], Int) => DataFrame,
+      validationCutoff: Int = 10,
+      testCutoffs: Seq[Int] = Seq(5, 10, 20),
+      nInit: Int = 1, nTotal: Int = 2, seed: Long = 31,
+      trialState: Option[java.nio.file.Path] = None)
       : FinalTestResult = {
     require(testCutoffs.nonEmpty)
+    // adjusted configurations recorded per unit-cube point, keyed the
+    // same way Search.resumable keys trials. With `trialState`, each
+    // completed trial appends a JSON record carrying BOTH the metric
+    // and the adjusted configuration — the reference metadata dict
+    // stores the adjusted config per model_counter exactly so a
+    // resumed search can replay it (SearchBayesianSkopt.py:94-135
+    // re-projects saved configs, intercepting values early stopping
+    // wrote outside the declared space); a resumed lifecycle here
+    // replays metric AND adjustment without re-fitting.
+    def key(u: Map[String, Double]): String =
+      u.toSeq.sortBy(_._1).map { case (k, v) => s"$k=$v" }.mkString(",")
+    val adjusted =
+      scala.collection.mutable.Map[String, Map[String, Spaces.PValue]]()
+    val savedMetrics = scala.collection.mutable.Map[String, Double]()
+    trialState.filter(java.nio.file.Files.exists(_)).foreach { path =>
+      import scala.jdk.CollectionConverters._
+      val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+      mapper.configure(com.fasterxml.jackson.core.JsonParser.Feature
+                         .ALLOW_NON_NUMERIC_NUMBERS, true)
+      java.nio.file.Files.readAllLines(path).asScala
+        .filter(_.nonEmpty).foreach { line =>
+          val node = mapper.readTree(line)
+          val pn = node.get("params")
+          val u = pn.fieldNames.asScala
+            .map(k => k -> pn.get(k).asDouble()).toMap
+          val an = node.get("adjusted")
+          val adj = an.fieldNames.asScala.map { k =>
+            val v = an.get(k)
+            val pv: Spaces.PValue =
+              if (v.isNumber) Spaces.PNum(v.asDouble())
+              else Spaces.PStr(v.asText())
+            k -> pv
+          }.toMap
+          savedMetrics(key(u)) = node.get("metric").asDouble()
+          adjusted(key(u)) = adj
+        }
+    }
+    def persistTrial(u: Map[String, Double], m: Double,
+                     adj: Map[String, Spaces.PValue]): Unit =
+      trialState.foreach { path =>
+        def jstr(s: String): String =
+          "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
+        val pJson = u.toSeq.sortBy(_._1)
+          .map { case (k, v) => s"${jstr(k)}: $v" }
+          .mkString("{", ", ", "}")
+        val aJson = adj.toSeq.sortBy(_._1).map {
+          case (k, Spaces.PNum(v)) => s"${jstr(k)}: $v"
+          case (k, Spaces.PStr(v)) => s"${jstr(k)}: ${jstr(v)}"
+        }.mkString("{", ", ", "}")
+        val rec =
+          s"""{"params": $pJson, "metric": $m, "adjusted": $aJson}"""
+        java.nio.file.Files.write(path, (rec + "\n").getBytes("UTF-8"),
+          java.nio.file.StandardOpenOption.CREATE,
+          java.nio.file.StandardOpenOption.APPEND)
+      }
+    def runTrial(u: Map[String, Double],
+                 decoded: Map[String, Spaces.PValue]): Double =
+      savedMetrics.getOrElse(key(u), {
+        val (m, adj) = trial(train, decoded, validationCutoff)
+        adjusted(key(u)) = adj
+        savedMetrics(key(u)) = m
+        persistTrial(u, m, adj)
+        m
+      })
     val searchResult =
       if (space.dims.isEmpty) {
         // SearchSingleCase: no dimensions, one fit+evaluate
-        val m = Spaces.mapAt(
-          recsFor(train, Map.empty, validationCutoff),
-          validation, validationCutoff)
+        val m = runTrial(Map.empty, Map.empty)
         Search.SearchResult(Search.Trial(Map.empty, m),
                             Seq(Search.Trial(Map.empty, m)))
       } else Search.surrogate(
         Spaces.unitRanges(space), nInit = nInit, nTotal = nTotal,
         candidatePool = 16, kappa = 1.0, seed = seed) { u =>
-          Spaces.mapAt(
-            recsFor(train, space.decode(u), validationCutoff),
-            validation, validationCutoff)
+          runTrial(u, space.decode(u))
         }
-    val bestDecoded: Map[String, Spaces.PValue] =
-      if (space.dims.isEmpty) Map.empty
-      else space.decode(searchResult.best.params)
+    val bestAdjusted = adjusted(key(searchResult.best.params))
     // URM_train_last_test = URM_train + URM_validation — built AFTER
     // the search completes, from the same two frames the search saw
     val lastTrain = train.unionByName(validation)
-    val recs = recsFor(lastTrain, bestDecoded, testCutoffs.max)
+    val recs = finalFit(lastTrain, bestAdjusted, testCutoffs.max)
     // `test` is forced here, and only here
     val metrics = Evaluation.accuracyMetricsAtCutoffs(
       Evaluation.hitTable(recs, test), testCutoffs)
-    FinalTestResult(algorithm, bestDecoded, searchResult.best.metric,
+    FinalTestResult(algorithm, bestAdjusted, searchResult.best.metric,
                     searchResult.history.size, metrics)
   }
 }

@@ -352,7 +352,11 @@ object Spaces {
         // reference's search leaves user_reg at its 0.0 default
         // (run_parameter_search.py:238-245), mirrored here.
         val rank = math.min(num(p, "num_factors").toInt, maxRank)
-        val epochs = math.min(1500, maxEpochs)
+        // epochs is READ FROM THE CONFIGURATION (not a constant): the
+        // declared space pins 1500, but an early-stopped trial's
+        // adjusted config (Lifecycle) carries the SELECTED epoch count
+        // and the final retrain must honor it
+        val epochs = math.min(num(p, "epochs").toInt, maxEpochs)
         val (_, itf) = Models.mfBprDistributed(spark, train, rank,
           epochs, samplesPerEpoch = 1000,
           lr = num(p, "learning_rate"),
@@ -363,7 +367,10 @@ object Spaces {
           negativeReg = Some(num(p, "negative_reg")),
           userReg = Some(0.0),
           batchSize = num(p, "batch_size").toInt,
-          maxBatchesPerEpoch = 4)
+          // 2 merge rounds/epoch keeps batch_size live at smoke tier
+          // (≥512 → 1 round, else 2 rounds of batch_size samples)
+          // without paying 4 rounds of pure job scheduling per trial
+          maxBatchesPerEpoch = 2)
         fromFactors(train, itf, cutoff)
       }
       case other =>
@@ -394,5 +401,54 @@ object Spaces {
       Evaluation.hitTable(recs, relevant), cutoff)
     val row = m.select("map").collect()
     if (row.isEmpty) 0.0 else row.head.getDouble(0)
+  }
+
+  /** An EARLY-STOPPED mf_bpr trial for [[Lifecycle
+    * .searchThenFinalTestAdjusted]]: trains distributed BPR epochs
+    * monitored by MAP@cutoff on `validation` (the reference's
+    * evaluator_validation_earlystopping — the same evaluator the
+    * search optimizes, run_hyperparameter_tuning.py:101-108), stops
+    * after `patience` non-improving validations, and returns the best
+    * validation metric plus the configuration with `epochs` REPLACED
+    * by the selected epoch — the reference's
+    * get_early_stopping_final_epochs_dict capture
+    * (SearchAbstractClass.py:378-390). The final retrain then fits
+    * for exactly that many epochs with no validation monitor, like
+    * the reference's last-test refit. `maxEpochs` caps the smoke
+    * budget (the declared space pins 1500). */
+  def earlyStoppedBprTrial(spark: SparkSession, validation: DataFrame,
+                           maxRank: Int = 16, maxEpochs: Int = 3,
+                           patience: Int = 1,
+                           impressions: Option[DataFrame] = None)
+      : (DataFrame, Map[String, PValue], Int)
+          => (Double, Map[String, PValue]) = {
+    def num(p: Map[String, PValue], k: String): Double =
+      p(k) match { case PNum(v) => v; case PStr(s) => s.toDouble }
+    def str(p: Map[String, PValue], k: String): String =
+      p(k) match { case PStr(s) => s; case PNum(v) => v.toString }
+    (train, p, cutoff) => {
+      val rank = math.min(num(p, "num_factors").toInt, maxRank)
+      val split = train.select("u", "i")
+        .withColumn("split", lit("train"))
+        .unionByName(validation.select("u", "i")
+          .withColumn("split", lit("validation")))
+      val shown = impressions.map(imp =>
+        graft.core.CacheScope.persist(
+          imp.select(col("u").cast("int").as("u"),
+                     col("i").cast("int").as("i")).distinct()))
+      val summary = Models.bprEarlyStopped(spark, split, rank,
+        maxEpochs = maxEpochs, validateEvery = 1, patience = patience,
+        samplesPerEpoch = 1000, lr = num(p, "learning_rate"),
+        reg = num(p, "positive_reg"), seed = 7, cutoff = cutoff,
+        opts = Models.BprOpts(
+          samplingMode = str(p, "impression_sampling_mode"),
+          sgdMode = str(p, "sgd_mode"),
+          negativeReg = Some(num(p, "negative_reg")),
+          userReg = Some(0.0), shown = shown)).head()
+      // row: (epoch, map, best_epoch, best_map, max_epochs)
+      val bestEpoch = summary.getInt(2)
+      val bestMap = summary.getDouble(3)
+      (bestMap, p + ("epochs" -> PNum(bestEpoch)))
+    }
   }
 }

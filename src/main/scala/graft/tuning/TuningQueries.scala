@@ -221,6 +221,59 @@ object TuningQueries {
         }
         rows.toDF("algorithm", "best_params", "n_trials", "valid_map",
                   "test_map_5", "test_map_10", "test_map_20")
+      }, None),
+
+    // Early stopping composed with the SEARCH lifecycle (reference:
+    // SearchAbstractClass.py:366-390 — a trial that trains with early
+    // stopping overwrites the epoch hyperparameter in its recorded
+    // config with the SELECTED epoch, so hyperparameters_best carries
+    // it and the final retrain, which has no validation left to
+    // monitor, fits exactly that many epochs). Each mf_bpr trial here
+    // is the distributed early-stopped trainer (q94's operator)
+    // monitored by validation MAP@10; the best config's selected epoch
+    // is surfaced as its own column and honored by the final refit
+    // (Spaces.recommender reads epochs from the configuration).
+    // Rows-only: model-tier metrics; LifecycleSpec pins the
+    // adjusted-config mechanism deterministically.
+    Q("q144_early_stop_search_retrain", { t =>
+        import t.spark.implicits._
+        // smaller smoke slice than q135/q142 (~1.5% of users): each
+        // early-stopped trial pays up to 3 epoch-train + 3 validation
+        // pipelines, so the per-trial job count is triple a q142 trial
+        val urm = Urm.fromOrders(t)
+          .filter(pmod(col("u"), lit(61)) === 0 && col("i") < 1500)
+        val s1 = Urm.userWiseHoldout(urm, 0.8, seed = 23)
+        val trainVal = s1.filter(col("split") === "train").select("u", "i")
+        val test = graft.core.CacheScope.persist(
+          s1.filter(col("split") === "test").select("u", "i"))
+        val s2 = Urm.userWiseHoldout(trainVal, 0.75, seed = 24)
+        val train = graft.core.CacheScope.persist(
+          s2.filter(col("split") === "train").select("u", "i"))
+        val valid = graft.core.CacheScope.persist(
+          s2.filter(col("split") === "test").select("u", "i"))
+        val res = Lifecycle.searchThenFinalTestAdjusted(
+          "mf_bpr_impressions",
+          Spaces.catalog.toMap.apply("mf_bpr_impressions"),
+          train, valid, test,
+          trial = Spaces.earlyStoppedBprTrial(t.spark, valid,
+                                              maxEpochs = 3),
+          finalFit = Spaces.recommender("mf_bpr_impressions", t.spark,
+                                        maxEpochs = 3),
+          nTotal = 2, seed = 53)
+        val mapPerCutoff = res.testMetrics.select("cutoff", "map")
+          .as[(Int, Double)].collect().toMap
+        val bestStr = res.best.toSeq.sortBy(_._1)
+          .map { case (k, v) => s"$k=${v.render}" }.mkString(",")
+        val selEpochs = res.best("epochs") match {
+          case Spaces.PNum(v) => v.toInt
+          case _ => -1
+        }
+        Seq((res.algorithm, bestStr, selEpochs, res.nTrials,
+             res.bestValidationMetric, mapPerCutoff(5),
+             mapPerCutoff(10), mapPerCutoff(20)))
+          .toDF("algorithm", "best_params", "selected_epochs",
+                "n_trials", "valid_map", "test_map_5", "test_map_10",
+                "test_map_20")
       }, None)
   )
 }

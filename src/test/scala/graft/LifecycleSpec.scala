@@ -62,6 +62,67 @@ class LifecycleSpec extends SparkSpec {
     assert(cutoffs.toSeq == Seq(5, 10, 20))
   }
 
+  test("early-stopped epochs flow into the final retrain config") {
+    // the reference overwrites the epoch hyperparameter with the
+    // early-stopping selection before recording the trial
+    // (SearchAbstractClass.py:378-390); the retrain must receive it
+    val (train, valid, test) = mkSplit()
+    var finalEpochs = -1
+    val topPop = Spaces.recommender("top_pop", spark)
+    val res = Lifecycle.searchThenFinalTestAdjusted(
+      "fake_early_stop", Spaces.catalog.toMap.apply("pure_svd"),
+      train, valid, test,
+      trial = (_, p, _) => (0.5, p + ("epochs" -> Spaces.PNum(2))),
+      finalFit = (tr, p, cutoff) => {
+        finalEpochs = p("epochs") match {
+          case Spaces.PNum(v) => v.toInt
+          case _ => -1
+        }
+        topPop(tr, Map.empty, cutoff)
+      },
+      nTotal = 2, seed = 7)
+    assert(finalEpochs == 2,
+           "final fit must receive the early-stopped epoch count")
+    assert(res.best("epochs") == Spaces.PNum(2))
+  }
+
+  test("lifecycle trial state resumes metrics AND adjusted configs") {
+    // the reference metadata dict stores the ADJUSTED config per trial
+    // (it contains early-stopping epochs the declared space doesn't),
+    // so a resumed search replays both facts without re-fitting
+    // (SearchBayesianSkopt.py:94-135)
+    val (train, valid, test) = mkSplit()
+    val state = java.nio.file.Files.createTempFile("lifecycle", ".jsonl")
+    java.nio.file.Files.delete(state)
+    var fits = 0
+    val topPop = Spaces.recommender("top_pop", spark)
+    val trial: (DataFrame, Map[String, Spaces.PValue], Int)
+        => (Double, Map[String, Spaces.PValue]) = (_, p, _) => {
+      fits += 1
+      val a = p("alpha") match { case Spaces.PNum(v) => v; case _ => 0.0 }
+      (1.0 - math.abs(a - 0.5), p + ("epochs" -> Spaces.PNum(2)))
+    }
+    var lastFinalConfig: Map[String, Spaces.PValue] = Map.empty
+    def run(): graft.tuning.Lifecycle.FinalTestResult =
+      Lifecycle.searchThenFinalTestAdjusted(
+        "rp3beta_fake", Spaces.catalog.toMap.apply("rp3beta"),
+        train, valid, test, trial,
+        finalFit = (tr, p, cutoff) => {
+          lastFinalConfig = p; topPop(tr, Map.empty, cutoff)
+        },
+        nTotal = 3, seed = 13, trialState = Some(state))
+    val first = run()
+    assert(fits == 3)
+    assert(first.best("epochs") == Spaces.PNum(2))
+    // resume: zero re-fits, identical best (metric and adjustment),
+    // the final fit again receives the replayed adjusted config
+    val resumed = run()
+    assert(fits == 3, s"resume must not re-fit (ran ${fits - 3} extra)")
+    assert(resumed.best == first.best)
+    assert(resumed.bestValidationMetric == first.bestValidationMetric)
+    assert(lastFinalConfig("epochs") == Spaces.PNum(2))
+  }
+
   test("searched space: best config is refit, metrics finite") {
     val (train, valid, test) = mkSplit()
     val fitParams =
