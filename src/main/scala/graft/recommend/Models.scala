@@ -661,9 +661,18 @@ object Models {
     * tax; at 1B users × rank 8 the byte term takes over (~1000
     * partitions before the parallelism floor). */
   private[recommend] def bprPartitioner(spark: SparkSession,
-                                        nEntities: Long, rank: Int)
+                                        nEntities: Long, rank: Int,
+                                        sgdMode: String = "sgd")
       : org.apache.spark.HashPartitioner = {
-    val bytes = nEntities * rank * 8L
+    // adaptive modes carry 1 (adagrad/rmsprop) or 2 (adam) cache
+    // vectors per entity alongside the factors — size for the real
+    // per-partition state, not just the factor bytes
+    val vectorsPerEntity = sgdMode match {
+      case "adam" => 3
+      case "adagrad" | "rmsprop" => 2
+      case _ => 1
+    }
+    val bytes = nEntities * rank * 8L * vectorsPerEntity
     val bySize = math.ceil(bytes / (64.0 * 1024 * 1024)).toInt
     val byParallelism = math.min(
       spark.sparkContext.defaultParallelism.toLong, nEntities / 50000L)
@@ -719,7 +728,7 @@ object Models {
     val items = triplesBase.select("i").distinct().as[Int].collect().sorted
     val total = triplesBase.count()
     val nUsers = triplesBase.select("u").distinct().count()
-    val part = bprPartitioner(spark, nUsers + items.length, rank)
+    val part = bprPartitioner(spark, nUsers + items.length, rank, sgdMode)
     var state = bprInitState(spark, triplesBase, rank, sgdMode, seed,
                              part, extraItems = shown)
     val opts = BprOpts(samplingMode, sgdMode, negativeReg, userReg, shown)
@@ -1151,7 +1160,8 @@ object Models {
     val items = train.select("i").distinct().as[Int].collect().sorted
     val total = train.count()
     val nUsers = train.select("u").distinct().count()
-    val part = bprPartitioner(spark, nUsers + items.length, rank)
+    val part = bprPartitioner(spark, nUsers + items.length, rank,
+                              opts.sgdMode)
     var state = bprInitState(spark, train, rank, opts.sgdMode, seed, part,
                              extraItems = opts.shown)
     def validate(): Double = {
