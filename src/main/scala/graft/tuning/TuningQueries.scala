@@ -274,6 +274,119 @@ object TuningQueries {
           .toDF("algorithm", "best_params", "selected_epochs",
                 "n_trials", "valid_map", "test_map_5", "test_map_10",
                 "test_map_20")
-      }, None)
+      }, None),
+
+    // The ORACLE-GATED final-test lifecycle: q142 proves the flow on a
+    // searched space but is rows-only (userWiseHoldout draws rand());
+    // here every stochastic ingredient is replaced by its
+    // deterministic twin — two modular-hash splits DuckDB replicates
+    // exactly, and the parameterless TopPop recommender — so the
+    // ENTIRE final-test semantics (retrain popularity over
+    // train∪validation, exclude train∪validation seen, rank with the
+    // deterministic tie order, evaluate at cutoffs 5/10/20 with the
+    // reference's metric formulas) is hash-checked end to end. A
+    // retrain that buggily used train-only, leaked test rows, or
+    // evaluated one cutoff wrong is a red row here. The query still
+    // flows through Lifecycle.searchThenFinalTest (search phase
+    // included: SearchSingleCase on the empty top_pop space).
+    Q("q145_final_test_gated", { t =>
+        val urm = Urm.fromOrders(t).select("u", "i")
+        val mark1 = pmod(col("u") * 31 + col("i"), lit(10)) < 8
+        val mark2 = pmod(col("u") * 17 + col("i"), lit(10)) < 7
+        val train = urm.filter(mark1 && mark2)
+        val valid = urm.filter(mark1 && !mark2)
+        val test = urm.filter(!mark1)
+        Lifecycle.searchThenFinalTest(
+          "top_pop", Spaces.topPop, train, valid, test,
+          Spaces.recommender("top_pop", t.spark)).testMetrics
+      },
+      Some("""WITH urm AS (
+        |  SELECT DISTINCT o_custkey AS u, l_partkey AS i
+        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |),
+        |-- URM_train_last_test = train + validation = the m1 stratum;
+        |-- the m2 sub-split only routes the engine's search phase
+        |lasttrain AS (SELECT u, i FROM urm WHERE (u*31 + i) % 10 < 8),
+        |test AS (SELECT u, i FROM urm WHERE (u*31 + i) % 10 >= 8),
+        |pop AS (SELECT i, COUNT(*) AS pop FROM lasttrain GROUP BY 1),
+        |users AS (SELECT DISTINCT u FROM lasttrain),
+        |scores AS (
+        |  SELECT users.u AS u, pop.i AS item, CAST(pop AS DOUBLE) AS score
+        |  FROM users CROSS JOIN pop
+        |), recs AS (
+        |  SELECT u, item, rank FROM (
+        |    SELECT s.u, s.item,
+        |      ROW_NUMBER() OVER (PARTITION BY s.u
+        |        ORDER BY s.score DESC, s.item) AS rank
+        |    FROM scores s
+        |    WHERE NOT EXISTS (SELECT 1 FROM lasttrain t2
+        |                      WHERE t2.u = s.u AND t2.i = s.item)) r
+        |  WHERE rank <= 20
+        |), relc AS (SELECT u, COUNT(*) AS n_rel FROM test GROUP BY 1),
+        |hits AS (
+        |  SELECT recs.u, recs.rank,
+        |    CASE WHEN test.i IS NOT NULL THEN 1 ELSE 0 END AS hit,
+        |    relc.n_rel
+        |  FROM recs
+        |  JOIN relc ON recs.u = relc.u
+        |  LEFT JOIN test ON recs.u = test.u AND recs.item = test.i
+        |), cutoffs AS (SELECT UNNEST([5, 10, 20]) AS cutoff),
+        |cum AS (
+        |  SELECT c.cutoff, h.u, h.rank, h.hit, h.n_rel,
+        |    SUM(h.hit) OVER (PARTITION BY c.cutoff, h.u ORDER BY h.rank
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_hits,
+        |    SUM(h.hit) OVER (PARTITION BY c.cutoff, h.u) AS tot_hits
+        |  FROM hits h JOIN cutoffs c ON h.rank <= c.cutoff
+        |), per_user AS (
+        |  SELECT cutoff, u,
+        |    CAST(SUM(hit) AS BIGINT) AS n_hits,
+        |    ANY_VALUE(n_rel) AS n_rel,
+        |    SUM(CASE WHEN hit = 1
+        |        THEN CAST(cum_hits AS DOUBLE) / rank ELSE 0.0 END) AS ap_num,
+        |    MIN(CASE WHEN hit = 1 THEN rank END) AS first_hit,
+        |    SUM(CASE WHEN hit = 1
+        |        THEN 1.0 / log2(rank + 1) ELSE 0.0 END) AS dcg,
+        |    SUM(CASE WHEN hit = 1 THEN 1.0 / rank ELSE 0.0 END) AS arhr_num,
+        |    CAST(SUM(CASE WHEN hit = 1
+        |        THEN (cutoff - rank) - (tot_hits - cum_hits)
+        |        ELSE 0 END) AS BIGINT) AS auc_num
+        |  FROM cum GROUP BY cutoff, u
+        |), idcg_tab AS (
+        |  SELECT m, SUM(1.0 / log2(x + 1)) AS idcg
+        |  FROM generate_series(1, 20) ms(m), generate_series(1, 20) g(x)
+        |  WHERE x <= m GROUP BY m
+        |), scored AS (
+        |  SELECT cutoff, u,
+        |    CAST(n_hits AS DOUBLE) / cutoff AS prec,
+        |    CAST(n_hits AS DOUBLE) / n_rel AS rec,
+        |    CAST(n_hits AS DOUBLE) / LEAST(n_rel, cutoff) AS prec_min_den,
+        |    ap_num / LEAST(n_rel, cutoff) AS ap,
+        |    COALESCE(1.0 / first_hit, 0.0) AS rr,
+        |    arhr_num,
+        |    dcg / idcg AS ndcg,
+        |    CASE WHEN n_hits = 0 OR n_hits = cutoff THEN 0.0
+        |         ELSE CAST(auc_num AS DOUBLE) / (n_hits * (cutoff - n_hits))
+        |    END AS auc,
+        |    CASE WHEN n_hits > 0 THEN 1 ELSE 0 END AS is_hit
+        |  FROM per_user
+        |  JOIN idcg_tab ON idcg_tab.m = LEAST(n_rel, cutoff)
+        |)
+        |SELECT cutoff,
+        |  round(SUM(prec) / COUNT(*), 6) AS precision,
+        |  round(SUM(rec) / COUNT(*), 6) AS recall,
+        |  round(SUM(prec_min_den) / COUNT(*), 6)
+        |    AS precision_recall_min_den,
+        |  round(SUM(ap) / COUNT(*), 6) AS map,
+        |  round(SUM(rr) / COUNT(*), 6) AS mrr,
+        |  round(SUM(arhr_num) / COUNT(*), 6) AS arhr,
+        |  round(SUM(ndcg) / COUNT(*), 6) AS ndcg,
+        |  round(SUM(auc) / COUNT(*), 6) AS roc_auc,
+        |  round(CAST(SUM(is_hit) AS DOUBLE) / COUNT(*), 6) AS hit_rate,
+        |  round(CASE WHEN SUM(prec) + SUM(rec) > 0
+        |        THEN 2.0 * (SUM(prec) / COUNT(*)) * (SUM(rec) / COUNT(*))
+        |             / (SUM(prec) / COUNT(*) + SUM(rec) / COUNT(*))
+        |        ELSE 0.0 END, 6) AS f1,
+        |  COUNT(*) AS n_users
+        |FROM scored GROUP BY cutoff""".stripMargin))
   )
 }
