@@ -358,4 +358,53 @@ object Stats {
       .select(round(col("d"), 6).as("ks"),
               lit(na).as("n_a"), lit(nb).as("n_b"))
   }
+
+  /** Population stability index between two snapshots over `bins`
+    * equal-width bins of [lo, hi) — the industry-standard BINNED drift
+    * score ([[ksDrift]] is its exact unbinned complement; PSI is what
+    * production monitors threshold at 0.1/0.25):
+    *
+    *   PSI = Σ_b (p_b − q_b) · ln(p_b / q_b)
+    *
+    * with ε-smoothed shares (p = share_a + ε, q = share_b + ε) so a
+    * bin populated on only one side stays finite. Out-of-range values
+    * clamp into the edge bins (min/max capture); nulls drop. Scale
+    * shape: both inputs collapse in ONE union-tagged groupBy to a
+    * bins-sized frame (the ksDrift trick), so nothing value-axis-sized
+    * exists anywhere and the final reduction is over `bins` rows. A
+    * bin empty on BOTH sides contributes (ε−ε)·ln(1) = 0, so absent
+    * bins need no densification. Returns one row (psi, n_a, n_b), psi
+    * rounded to 6 decimals; empty when either side is empty. */
+  def psiDrift(a: DataFrame, b: DataFrame, value: Column, bins: Int,
+               lo: Double, hi: Double, eps: Double = 1e-6): DataFrame = {
+    require(bins >= 2, s"need >= 2 bins, got $bins")
+    require(hi > lo, s"need hi > lo, got [$lo, $hi)")
+    require(eps > 0, "eps must be positive")
+    val spark = a.sparkSession
+    import spark.implicits._
+    val width = (hi - lo) / bins
+    def side(df: DataFrame, ca: Int, cb: Int): DataFrame =
+      df.select(value.cast("double").as("v"))
+        .filter($"v".isNotNull)
+        .select(least(lit(bins - 1), greatest(lit(0),
+            floor((col("v") - lit(lo)) / lit(width)).cast("int")))
+          .as("bin"))
+        .withColumn("ca", lit(ca.toLong)).withColumn("cb", lit(cb.toLong))
+    val grouped = graft.core.CacheScope.persist(
+      side(a, 1, 0).unionByName(side(b, 0, 1))
+        .groupBy("bin")
+        .agg(sum("ca").as("ca"), sum("cb").as("cb")))
+    val totals = grouped.agg(sum("ca"), sum("cb")).head()
+    if (totals.isNullAt(0) || totals.isNullAt(1) ||
+        totals.getLong(0) == 0L || totals.getLong(1) == 0L)
+      return Seq.empty[(Double, Long, Long)].toDF("psi", "n_a", "n_b")
+    val na = totals.getLong(0)
+    val nb = totals.getLong(1)
+    val p = col("ca").cast("double") / na + eps
+    val q = col("cb").cast("double") / nb + eps
+    grouped
+      .select(((p - q) * log(p / q)).as("term"))
+      .agg(round(sum("term"), 6).as("psi"))
+      .select(col("psi"), lit(na).as("n_a"), lit(nb).as("n_b"))
+  }
 }

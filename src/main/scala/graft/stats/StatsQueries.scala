@@ -155,6 +155,39 @@ object StatsQueries {
         |  CAST(na AS BIGINT) AS n_a, CAST(nb AS BIGINT) AS n_b
         |FROM e CROSS JOIN n GROUP BY na, nb""".stripMargin)),
 
+    // PSI drift between the same two cohorts — the BINNED drift score
+    // production monitors threshold (0.1 warn / 0.25 act), next to
+    // q140's exact KS. ε-smoothed shares over 16 equal-width length
+    // bins; both sides collapse in one union-tagged groupBy to a
+    // 16-row frame, so the oracle is a bin-for-bin arithmetic twin.
+    Q("q146_psi_drift", { t =>
+        val docs = t.documents
+          .select(col("source"), length(col("text")).as("len"))
+        Stats.psiDrift(
+          docs.filter(length(col("source")) === 4),
+          docs.filter(length(col("source")) === 5),
+          col("len"), bins = 16, lo = 0.0, hi = 4000.0)
+      },
+      Some("""WITH vals AS (
+        |  SELECT LEAST(15, GREATEST(0, CAST(floor(
+        |           CAST(length(text) AS DOUBLE) / 250.0) AS INT))) AS bin,
+        |    CASE WHEN length(source) = 4 THEN 1 ELSE 0 END AS ca,
+        |    CASE WHEN length(source) = 5 THEN 1 ELSE 0 END AS cb
+        |  FROM documents
+        |  WHERE length(source) IN (4, 5)
+        |), g AS (
+        |  SELECT bin, SUM(ca) AS ca, SUM(cb) AS cb FROM vals GROUP BY bin
+        |), n AS (
+        |  SELECT SUM(ca) AS na, SUM(cb) AS nb FROM g
+        |)
+        |SELECT round(SUM(((CAST(ca AS DOUBLE) / na + 1e-6)
+        |                  - (CAST(cb AS DOUBLE) / nb + 1e-6))
+        |                 * ln((CAST(ca AS DOUBLE) / na + 1e-6)
+        |                      / (CAST(cb AS DOUBLE) / nb + 1e-6))), 6)
+        |    AS psi,
+        |  CAST(na AS BIGINT) AS n_a, CAST(nb AS BIGINT) AS n_b
+        |FROM g CROSS JOIN n GROUP BY na, nb""".stripMargin)),
+
     // Tumbling 1-hour windowed aggregation — batch twin of the
     // Structured Streaming pipeline in graft.streaming.
     Q("q29_time_window",

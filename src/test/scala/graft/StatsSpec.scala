@@ -176,4 +176,29 @@ class StatsSpec extends SparkSpec {
     // an empty side has no distribution: empty result, not a throw
     assert(Stats.ksDrift(df(1, 2), df(), col("v")).isEmpty)
   }
+
+  test("psiDrift: zero for identical, hand value, clamping, empty side") {
+    import graft.stats.Stats
+    def df(xs: Double*) = xs.toDF("v")
+    def psi(a: org.apache.spark.sql.DataFrame,
+            b: org.apache.spark.sql.DataFrame): Double =
+      Stats.psiDrift(a, b, col("v"), bins = 4, lo = 0.0, hi = 4.0)
+        .head().getDouble(0)
+    // identical distributions: every (p - q) is exactly 0
+    assert(psi(df(0.5, 1.5, 2.5), df(0.5, 1.5, 2.5)) == 0.0)
+    // hand value: a all in bin 0, b all in bin 1, ε = 1e-6 →
+    // term0 = (1+ε − ε)·ln((1+ε)/ε), term1 = (ε − (1+ε))·ln(ε/(1+ε))
+    // = 2·ln((1+1e-6)/1e-6) ≈ 27.631636
+    val expected = BigDecimal(2.0 * math.log((1.0 + 1e-6) / 1e-6))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(psi(df(0.1, 0.2), df(1.1, 1.2)) == expected)
+    // out-of-range values clamp into the edge bins: -5 → bin 0,
+    // 99 → bin 3; identical after clamping → 0
+    assert(psi(df(-5.0, 99.0), df(0.5, 3.5)) == 0.0)
+    // PSI is order-sensitive in sign terms but symmetric in value
+    assert(psi(df(0.5, 0.5, 1.5), df(1.5, 1.5, 0.5)) ==
+           psi(df(1.5, 1.5, 0.5), df(0.5, 0.5, 1.5)))
+    // empty side: empty result, not a throw
+    assert(Stats.psiDrift(df(1.0), df(), col("v"), 4, 0.0, 4.0).isEmpty)
+  }
 }
