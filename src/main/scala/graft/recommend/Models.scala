@@ -553,7 +553,11 @@ object Models {
           .join(opts.shown.get.select(col("u"), col("i").as("cand")), "u")
           .join(triplesBase.select(col("u"), col("i").as("cand")),
                 Seq("u", "cand"), "left_anti")
-          .withColumn("r", xxhash64(col("u"), col("cand"),
+          // the hash includes the POSITIVE item i, so two triples of
+          // the same user in one round draw independent negatives
+          // (hashing only (u, cand) would give every triple of a user
+          // the same argmax pick)
+          .withColumn("r", xxhash64(col("u"), col("i"), col("cand"),
                                     lit(seed + 2000003 + ep)))
         val picked = cand.groupBy("u", "i")
           .agg(max_by(col("cand"), col("r")).as("jneg_in"))
@@ -694,13 +698,16 @@ object Models {
     * hash-initialized factor RDDs, with the full searched SGD surface
     * threaded through (run_parameter_search.py:238-245): sgd_mode,
     * split negative/user regularization, impression-aware sampling
-    * modes, and batch_size. `batchSize` maps to UPDATE FREQUENCY: each
-    * epoch runs ceil(samplesPerEpoch / batchSize) sequential merge
-    * rounds of `batchSize` sampled triples each (one round = one
-    * mini-batch, exactly the reference's batch loop shape,
-    * pyx:662-727), capped by `maxBatchesPerEpoch` so a smoke-tier
-    * caller can bound per-trial scheduling cost; `batchSize <= 0`
-    * keeps the historical one-round-per-epoch behavior. Returns
+    * modes, and batch_size. `batchSize` maps to UPDATE FREQUENCY at a
+    * CONSTANT per-epoch sample budget: each epoch runs
+    * ceil(samplesPerEpoch / batchSize) sequential merge rounds (one
+    * round = one mini-batch, exactly the reference's batch loop shape,
+    * pyx:662-727) with the epoch budget spread evenly across them;
+    * `maxBatchesPerEpoch` caps the round count so a smoke-tier caller
+    * can bound per-trial scheduling cost (the budget re-spreads over
+    * the capped rounds — budget never varies with batch size);
+    * `batchSize <= 0` keeps the historical one-round-per-epoch
+    * behavior. Returns
     * (u, factors) and (i, factors) DataFrames — still distributed;
     * callers that need local maps (tests) collect explicitly. */
   def mfBprDistributed(spark: SparkSession, urm: DataFrame, rank: Int,
@@ -732,12 +739,23 @@ object Models {
     var state = bprInitState(spark, triplesBase, rank, sgdMode, seed,
                              part, extraItems = shown)
     val opts = BprOpts(samplingMode, sgdMode, negativeReg, userReg, shown)
+    // batch_size sets UPDATE FREQUENCY at a CONSTANT per-epoch sample
+    // budget (the reference trains n samples per epoch in n/batch
+    // batches — budget never varies with batch size): rounds =
+    // ceil(samples / batch), capped for smoke tiers, and the budget
+    // re-spreads over the capped rounds. Tying perRound to batchSize
+    // directly would turn the searched dimension into a sample-budget
+    // knob (batch=1 → 2 samples/epoch under a cap of 2) and bias the
+    // search toward large batches on budget alone.
     val (roundsPerEpoch, perRound) =
       if (batchSize <= 0 || batchSize >= samplesPerEpoch)
         (1, samplesPerEpoch)
-      else (math.min(maxBatchesPerEpoch,
-                     math.ceil(samplesPerEpoch.toDouble / batchSize).toInt),
-            batchSize)
+      else {
+        val r = math.min(maxBatchesPerEpoch,
+                         math.ceil(samplesPerEpoch.toDouble / batchSize)
+                           .toInt)
+        (r, math.ceil(samplesPerEpoch.toDouble / r).toInt)
+      }
     // `step` numbers merge rounds globally (adam bias correction); it
     // also serves as the per-round seed offset — sequential, so the
     // disjoint seed ranges inside bprEpoch stay disjoint, and for the

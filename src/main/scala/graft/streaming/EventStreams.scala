@@ -33,9 +33,14 @@ object EventStreams {
     // which has shipped both as TIMESTAMP(NANOS) (→ raw int64 under
     // the legacy conf) and native TIMESTAMP(MICROS): probe the footer
     // with a one-off batch read and declare ts accordingly (same
-    // dual-layout dispatch as the batch reader, core.Tables.events)
-    val tsType = spark.read.parquet(s"$dir/events.parquet")
-      .schema("ts").dataType
+    // dual-layout dispatch as the batch reader, core.Tables.events).
+    // When the file has not landed yet — the standard reason a
+    // file-source stream takes a user-declared schema — the probe
+    // cannot run; default to the current generation's native layout
+    // rather than failing stream construction.
+    val tsType = scala.util.Try(
+        spark.read.parquet(s"$dir/events.parquet").schema("ts").dataType)
+      .getOrElse(TimestampNTZType)
     val schema = StructType(Seq(
       StructField("event_id", LongType), StructField("ts", tsType),
       StructField("user_id", LongType), StructField("event_type", StringType),

@@ -100,51 +100,41 @@ object Lifecycle {
     // re-projects saved configs, intercepting values early stopping
     // wrote outside the declared space); a resumed lifecycle here
     // replays metric AND adjustment without re-fitting.
-    def key(u: Map[String, Double]): String =
-      u.toSeq.sortBy(_._1).map { case (k, v) => s"$k=$v" }.mkString(",")
+    import TrialState.{jsonNumber, jstr, key}
     val adjusted =
       scala.collection.mutable.Map[String, Map[String, Spaces.PValue]]()
     val savedMetrics = scala.collection.mutable.Map[String, Double]()
-    trialState.filter(java.nio.file.Files.exists(_)).foreach { path =>
+    trialState.foreach { path =>
       import scala.jdk.CollectionConverters._
-      val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
-      mapper.configure(com.fasterxml.jackson.core.JsonParser.Feature
-                         .ALLOW_NON_NUMERIC_NUMBERS, true)
-      java.nio.file.Files.readAllLines(path).asScala
-        .filter(_.nonEmpty).foreach { line =>
-          val node = mapper.readTree(line)
-          val pn = node.get("params")
-          val u = pn.fieldNames.asScala
-            .map(k => k -> pn.get(k).asDouble()).toMap
-          val an = node.get("adjusted")
-          val adj = an.fieldNames.asScala.map { k =>
-            val v = an.get(k)
-            val pv: Spaces.PValue =
-              if (v.isNumber) Spaces.PNum(v.asDouble())
-              else Spaces.PStr(v.asText())
-            k -> pv
-          }.toMap
-          savedMetrics(key(u)) = node.get("metric").asDouble()
-          adjusted(key(u)) = adj
-        }
+      TrialState.readRecords(path).foreach { node =>
+        val pn = node.get("params")
+        val u = pn.fieldNames.asScala
+          .map(k => k -> pn.get(k).asDouble()).toMap
+        val an = node.get("adjusted")
+        val adj = an.fieldNames.asScala.map { k =>
+          val v = an.get(k)
+          val pv: Spaces.PValue =
+            if (v.isNumber) Spaces.PNum(v.asDouble())
+            else Spaces.PStr(v.asText())
+          k -> pv
+        }.toMap
+        savedMetrics(key(u)) = node.get("metric").asDouble()
+        adjusted(key(u)) = adj
+      }
     }
     def persistTrial(u: Map[String, Double], m: Double,
                      adj: Map[String, Spaces.PValue]): Unit =
       trialState.foreach { path =>
-        def jstr(s: String): String =
-          "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
         val pJson = u.toSeq.sortBy(_._1)
-          .map { case (k, v) => s"${jstr(k)}: $v" }
+          .map { case (k, v) => s"${jstr(k)}: ${jsonNumber(v)}" }
           .mkString("{", ", ", "}")
         val aJson = adj.toSeq.sortBy(_._1).map {
-          case (k, Spaces.PNum(v)) => s"${jstr(k)}: $v"
+          case (k, Spaces.PNum(v)) => s"${jstr(k)}: ${jsonNumber(v)}"
           case (k, Spaces.PStr(v)) => s"${jstr(k)}: ${jstr(v)}"
         }.mkString("{", ", ", "}")
-        val rec =
-          s"""{"params": $pJson, "metric": $m, "adjusted": $aJson}"""
-        java.nio.file.Files.write(path, (rec + "\n").getBytes("UTF-8"),
-          java.nio.file.StandardOpenOption.CREATE,
-          java.nio.file.StandardOpenOption.APPEND)
+        TrialState.appendLine(path,
+          s"""{"params": $pJson, "metric": ${jsonNumber(m)}, """ +
+            s""""adjusted": $aJson}""")
       }
     def runTrial(u: Map[String, Double],
                  decoded: Map[String, Spaces.PValue]): Double =

@@ -153,43 +153,82 @@ object Search {
                (evaluate: Map[String, Double] => Double)
       : Map[String, Double] => Double = {
     import scala.jdk.CollectionConverters._
-    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
-    // a diverged trial can legitimately record NaN/-Infinity
-    mapper.configure(com.fasterxml.jackson.core.JsonParser.Feature
-                       .ALLOW_NON_NUMERIC_NUMBERS, true)
-    def jstr(s: String): String =
-      "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
-    def key(p: Map[String, Double]): String =
-      p.toSeq.sortBy(_._1).map { case (k, v) => s"$k=$v" }.mkString(",")
+    import TrialState.{jsonNumber, jstr, key}
     val seen = scala.collection.mutable.Map[String, Double]()
     var best = Double.NegativeInfinity
-    if (java.nio.file.Files.exists(stateFile))
-      java.nio.file.Files.readAllLines(stateFile).asScala
-        .filter(_.nonEmpty).foreach { line =>
-          val node = mapper.readTree(line)
-          val pn = node.get("params")
-          val p = pn.fieldNames.asScala
-            .map(k => k -> pn.get(k).asDouble()).toMap
-          seen(key(p)) = node.get("metric").asDouble()
-          best = math.max(best, node.get("best_so_far").asDouble())
-        }
+    TrialState.readRecords(stateFile).foreach { node =>
+      val pn = node.get("params")
+      val p = pn.fieldNames.asScala
+        .map(k => k -> pn.get(k).asDouble()).toMap
+      seen(key(p)) = node.get("metric").asDouble()
+      val b = node.get("best_so_far").asDouble()
+      if (!b.isNaN) best = math.max(best, b)
+    }
     (p: Map[String, Double]) => {
       val k = key(p)
       seen.getOrElse(k, {
         val m = evaluate(p)
-        best = math.max(best, m)
+        // a diverged trial may record NaN; it must not poison the
+        // running best (math.max(NaN, x) is NaN forever after)
+        if (!m.isNaN) best = math.max(best, m)
         val paramsJson = p.toSeq.sortBy(_._1)
-          .map { case (name, v) => s"${jstr(name)}: $v" }
+          .map { case (name, v) => s"${jstr(name)}: ${jsonNumber(v)}" }
           .mkString("{", ", ", "}")
-        val record =
-          s"""{"params": $paramsJson, "metric": $m, "best_so_far": $best}"""
-        java.nio.file.Files.write(stateFile,
-          (record + "\n").getBytes("UTF-8"),
-          java.nio.file.StandardOpenOption.CREATE,
-          java.nio.file.StandardOpenOption.APPEND)
+        val record = s"""{"params": $paramsJson, """ +
+          s""""metric": ${jsonNumber(m)}, """ +
+          s""""best_so_far": ${jsonNumber(best)}}"""
+        TrialState.appendLine(stateFile, record)
         seen(k) = m
         m
       })
     }
   }
+}
+
+/** Shared primitives for the on-disk trial-state files both
+  * [[Search.resumable]] and [[Lifecycle.searchThenFinalTestAdjusted]]
+  * write — one definition of the record encoding, the params key
+  * canonicalization, and the tolerant reader, so the two surfaces
+  * cannot drift apart. */
+private[tuning] object TrialState {
+
+  /** Canonical memo key for a parameter point. */
+  def key(p: Map[String, Double]): String =
+    p.toSeq.sortBy(_._1).map { case (k, v) => s"$k=$v" }.mkString(",")
+
+  /** Minimal JSON string escape (param names and categorical values). */
+  def jstr(s: String): String =
+    "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
+
+  /** Doubles via Double.toString (round-trips exactly); NaN/Infinity
+    * emit as bare words, which the tolerant reader accepts. */
+  def jsonNumber(v: Double): String = v.toString
+
+  private def newMapper = {
+    val m = new com.fasterxml.jackson.databind.ObjectMapper()
+    // a diverged trial can legitimately record NaN/-Infinity
+    m.configure(com.fasterxml.jackson.core.JsonParser.Feature
+                  .ALLOW_NON_NUMERIC_NUMBERS, true)
+    m
+  }
+
+  /** Parse the state file's records, skipping blank lines and lines
+    * that are not JSON objects (e.g. a pre-JSONL tab-separated state
+    * from an older build — those trials simply re-evaluate rather
+    * than crashing the resume they were recorded to enable). */
+  def readRecords(stateFile: java.nio.file.Path)
+      : Seq[com.fasterxml.jackson.databind.JsonNode] = {
+    import scala.jdk.CollectionConverters._
+    if (!java.nio.file.Files.exists(stateFile)) return Seq.empty
+    val mapper = newMapper
+    java.nio.file.Files.readAllLines(stateFile).asScala.toSeq
+      .filter(l => l.nonEmpty && l.startsWith("{"))
+      .flatMap(l => scala.util.Try(mapper.readTree(l)).toOption)
+  }
+
+  /** Append one record line (CREATE + APPEND). */
+  def appendLine(stateFile: java.nio.file.Path, line: String): Unit =
+    java.nio.file.Files.write(stateFile, (line + "\n").getBytes("UTF-8"),
+      java.nio.file.StandardOpenOption.CREATE,
+      java.nio.file.StandardOpenOption.APPEND)
 }

@@ -251,14 +251,21 @@ object TuningQueries {
           s2.filter(col("split") === "train").select("u", "i"))
         val valid = graft.core.CacheScope.persist(
           s2.filter(col("split") === "test").select("u", "i"))
+        // the early-stopped trainer runs ONE merge round per epoch
+        // (no batching), so batch_size is inert in this query's
+        // trials — the retrain pins batch_size=0 to fit on exactly
+        // the schedule the early stopper selected its epoch on
+        // (q135 exercises the batch_size dimension live instead)
+        val rec = Spaces.recommender("mf_bpr_impressions", t.spark,
+                                     maxEpochs = 3)
         val res = Lifecycle.searchThenFinalTestAdjusted(
           "mf_bpr_impressions",
           Spaces.catalog.toMap.apply("mf_bpr_impressions"),
           train, valid, test,
           trial = Spaces.earlyStoppedBprTrial(t.spark, valid,
                                               maxEpochs = 3),
-          finalFit = Spaces.recommender("mf_bpr_impressions", t.spark,
-                                        maxEpochs = 3),
+          finalFit = (tr, p, c) =>
+            rec(tr, p + ("batch_size" -> Spaces.PNum(0)), c),
           nTotal = 2, seed = 53)
         val mapPerCutoff = res.testMetrics.select("cutoff", "map")
           .as[(Int, Double)].collect().toMap
