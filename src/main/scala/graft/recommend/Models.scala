@@ -761,11 +761,27 @@ object Models {
     // disjoint seed ranges inside bprEpoch stay disjoint, and for the
     // default one-round-per-epoch path it equals the historical `ep`
     var step = 0
+    val totalRounds = epochs.toLong * roundsPerEpoch
     (0 until epochs).foreach { _ =>
       (0 until roundsPerEpoch).foreach { _ =>
         step += 1
         state = bprEpoch(spark, triplesBase, state, items, total, rank,
                          perRound, lr, reg, seed, step - 1, opts, step)
+        // lineage truncation every 16 merge rounds (the PageRank
+        // device): each round's outer join references the previous
+        // state once, so the DAG grows linearly — at the reference's
+        // 1500-epoch budget the un-truncated chain would dominate
+        // task-closure serialization and eventually overflow plan
+        // analysis. localCheckpoint reuses the MEMORY_AND_DISK blocks
+        // the round already materialized; never the FINAL state, whose
+        // lineage callers may still need after the training scope's
+        // caches release.
+        if (step % 16 == 0 && step < totalRounds) {
+          state.userFactors.localCheckpoint()
+          state.itemFactors.localCheckpoint()
+          state.userFactors.count()
+          state.itemFactors.count()
+        }
       }
     }
     (state.userFactors.mapValues(_.f).toDF("u", "factors"),
@@ -1197,6 +1213,15 @@ object Models {
         state = bprEpoch(spark, train, state, items, total, rank,
                          samplesPerEpoch, lr, reg, seed, ep, opts,
                          step = ep + 1)
+        // same lineage truncation as mfBprDistributed; safe on ANY
+        // epoch here because only the driver-local validation history
+        // leaves this method, never the factor state
+        if ((ep + 1) % 16 == 0) {
+          state.userFactors.localCheckpoint()
+          state.itemFactors.localCheckpoint()
+          state.userFactors.count()
+          state.itemFactors.count()
+        }
       } { () => validate() }
     history.toDF("epoch", "map")
       .withColumn("best_epoch", lit(bestEpoch))

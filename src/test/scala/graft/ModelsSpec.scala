@@ -178,6 +178,19 @@ class ModelsSpec extends SparkSpec {
            vals.forall(_._2.forall(x => !x.isNaN && !x.isInfinite)))
   }
 
+  test("distributed MF-BPR survives the 16-round lineage checkpoint") {
+    // 20 merge rounds cross the localCheckpoint boundary at 16; the
+    // returned factors must still be consumable (finite, complete)
+    val mini = (for { u <- 0 until 10; i <- 0 until 8 if (u + i) % 2 == 0 }
+      yield (u, i)).toDF("u", "i")
+    val (uf, itf) = Models.mfBprDistributed(spark, mini, rank = 2,
+      epochs = 20, samplesPerEpoch = 50, lr = 0.05, reg = 0.01, seed = 5)
+    val u = uf.as[(Int, Array[Double])].collect()
+    val it = itf.as[(Int, Array[Double])].collect()
+    assert(u.length == 10 && it.length == 8)
+    assert((u ++ it).forall(_._2.forall(x => !x.isNaN && !x.isInfinite)))
+  }
+
   test("distributed MF-BPR impression modes draw from the right pools") {
     // user 0 sees items 0..4; impressions show items 5..9 (never in
     // the URM); user 1 anchors extra URM items
