@@ -29,6 +29,14 @@ import graft.eval.Evaluation
   */
 object Lifecycle {
 
+  /** The failed-trial sentinel: the reference penalizes a crashed
+    * configuration with np.finfo(np.float16).max = 65504 on its
+    * minimized cost (SearchAbstractClass.py:118, :477); this engine
+    * maximizes the metric, so the sentinel is its negation. Large but
+    * FINITE — it steers the surrogate away without breaking the ridge
+    * solve the way −∞/NaN would. */
+  val InvalidConfigValue: Double = -65504.0
+
   /** Outcome of one full search-then-final-test run: the decoded best
     * configuration, its validation metric, the trial count, and the
     * test-split metric table (one row per cutoff, the reference's
@@ -139,7 +147,19 @@ object Lifecycle {
     def runTrial(u: Map[String, Double],
                  decoded: Map[String, Spaces.PValue]): Double =
       savedMetrics.getOrElse(key(u), {
-        val (m, adj) = trial(train, decoded, validationCutoff)
+        // a failing configuration records the invalid sentinel and the
+        // search CONTINUES — the reference's exception_list behavior
+        // (SearchAbstractClass.py:465-477: traceback recorded, cost =
+        // +INVALID_CONFIG_VALUE); the sentinel region looks maximally
+        // bad to the surrogate, steering the acquisition away from it
+        val (m, adj) =
+          try trial(train, decoded, validationCutoff)
+          catch {
+            case scala.util.control.NonFatal(e) =>
+              (Lifecycle.InvalidConfigValue,
+               decoded + ("_exception" ->
+                 (Spaces.PStr(e.toString.take(200)): Spaces.PValue)))
+          }
         adjusted(key(u)) = adj
         savedMetrics(key(u)) = m
         persistTrial(u, m, adj)
@@ -156,6 +176,12 @@ object Lifecycle {
         candidatePool = 16, kappa = 1.0, seed = seed) { u =>
           runTrial(u, space.decode(u))
         }
+    // the reference asserts hyperparameters_best exists before the
+    // last-test refit (SearchAbstractClass.py:335); with every trial
+    // failed there is nothing valid to retrain
+    require(searchResult.best.metric > InvalidConfigValue,
+      s"$algorithm: every searched configuration failed; no valid " +
+        "best to retrain")
     val bestAdjusted = adjusted(key(searchResult.best.params))
     // URM_train_last_test = URM_train + URM_validation — built AFTER
     // the search completes, from the same two frames the search saw

@@ -123,6 +123,40 @@ class LifecycleSpec extends SparkSpec {
     assert(lastFinalConfig("epochs") == Spaces.PNum(2))
   }
 
+  test("a crashing trial records the invalid sentinel; search continues") {
+    // reference: exception recorded, cost = INVALID_CONFIG_VALUE,
+    // search proceeds (SearchAbstractClass.py:465-477)
+    val (train, valid, test) = mkSplit()
+    val topPop = Spaces.recommender("top_pop", spark)
+    var calls = 0
+    val res = Lifecycle.searchThenFinalTestAdjusted(
+      "flaky", Spaces.catalog.toMap.apply("rp3beta"),
+      train, valid, test,
+      trial = (_, p, _) => {
+        calls += 1
+        val a = p("alpha") match { case Spaces.PNum(v) => v; case _ => 0.0 }
+        if (calls == 1) sys.error("simulated trial crash")
+        (1.0 - math.abs(a - 0.5), p)
+      },
+      finalFit = (tr, _, cutoff) => topPop(tr, Map.empty, cutoff),
+      nTotal = 3, seed = 19)
+    assert(calls == 3, "the crash must not abort the remaining trials")
+    assert(res.bestValidationMetric > Lifecycle.InvalidConfigValue)
+    assert(!res.best.contains("_exception"),
+           "a failed trial must never be selected as best")
+    // all-fail: nothing valid to retrain — reject like the reference's
+    // hyperparameters_best assertion
+    val ex = intercept[IllegalArgumentException] {
+      Lifecycle.searchThenFinalTestAdjusted(
+        "always_fails", Spaces.catalog.toMap.apply("rp3beta"),
+        train, valid, test,
+        trial = (_, _, _) => sys.error("boom"),
+        finalFit = (tr, _, cutoff) => topPop(tr, Map.empty, cutoff),
+        nTotal = 2, seed = 19)
+    }
+    assert(ex.getMessage.contains("no valid"))
+  }
+
   test("searched space: best config is refit, metrics finite") {
     val (train, valid, test) = mkSplit()
     val fitParams =
