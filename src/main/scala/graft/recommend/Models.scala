@@ -444,6 +444,24 @@ object Models {
       part)
   }
 
+  /** Reliable-checkpoint both factor RDDs to truncate their lineage.
+    * Ensures a checkpoint dir exists (a JVM-temp fallback for local
+    * runs; clusters set their own durable dir); the write job reads
+    * the already-persisted blocks, and the checkpoint files — unlike
+    * localCheckpoint's executor blocks — survive a later unpersist,
+    * so a downstream recompute falls back to disk instead of failing
+    * on truncated lineage. */
+  private[recommend] def bprCheckpoint(spark: SparkSession,
+                                       state: BprState): Unit = {
+    if (spark.sparkContext.getCheckpointDir.isEmpty)
+      spark.sparkContext.setCheckpointDir(
+        java.nio.file.Files.createTempDirectory("graft-ckpt").toString)
+    state.userFactors.checkpoint()
+    state.itemFactors.checkpoint()
+    state.userFactors.count()
+    state.itemFactors.count()
+  }
+
   /** One initialized trainer cell (static helper — a nested def here
     * would capture the enclosing object into the task closure). */
   private[recommend] def bprInitFac(rank: Int, id: Int, salt: Int,
@@ -772,15 +790,15 @@ object Models {
         // state once, so the DAG grows linearly — at the reference's
         // 1500-epoch budget the un-truncated chain would dominate
         // task-closure serialization and eventually overflow plan
-        // analysis. localCheckpoint reuses the MEMORY_AND_DISK blocks
-        // the round already materialized; never the FINAL state, whose
-        // lineage callers may still need after the training scope's
-        // caches release.
+        // analysis. RELIABLE checkpoint (not localCheckpoint): the
+        // files survive unpersist, so CacheScope.release keeps its
+        // "unpersist is always safe, Spark recomputes" contract even
+        // for results consumed lazily after the training scope closes;
+        // the write job reads the MEMORY_AND_DISK blocks the round
+        // already materialized. Skipped for the final state (no
+        // truncation needed after the last round).
         if (step % 16 == 0 && step < totalRounds) {
-          state.userFactors.localCheckpoint()
-          state.itemFactors.localCheckpoint()
-          state.userFactors.count()
-          state.itemFactors.count()
+          bprCheckpoint(spark, state)
         }
       }
     }
@@ -1213,15 +1231,8 @@ object Models {
         state = bprEpoch(spark, train, state, items, total, rank,
                          samplesPerEpoch, lr, reg, seed, ep, opts,
                          step = ep + 1)
-        // same lineage truncation as mfBprDistributed; safe on ANY
-        // epoch here because only the driver-local validation history
-        // leaves this method, never the factor state
-        if ((ep + 1) % 16 == 0) {
-          state.userFactors.localCheckpoint()
-          state.itemFactors.localCheckpoint()
-          state.userFactors.count()
-          state.itemFactors.count()
-        }
+        // same lineage truncation as mfBprDistributed
+        if ((ep + 1) % 16 == 0) bprCheckpoint(spark, state)
       } { () => validate() }
     history.toDF("epoch", "map")
       .withColumn("best_epoch", lit(bestEpoch))

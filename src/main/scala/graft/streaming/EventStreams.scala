@@ -37,10 +37,14 @@ object EventStreams {
     // When the file has not landed yet — the standard reason a
     // file-source stream takes a user-declared schema — the probe
     // cannot run; default to the current generation's native layout
-    // rather than failing stream construction.
-    val tsType = scala.util.Try(
-        spark.read.parquet(s"$dir/events.parquet").schema("ts").dataType)
-      .getOrElse(TimestampNTZType)
+    // rather than failing stream construction. Only the path-missing
+    // case falls back: a probe failure on an EXISTING file (corrupt
+    // footer, mid-write) still fails fast here, not as a schema
+    // mismatch on every later micro-batch.
+    val tsType =
+      if (new java.io.File(s"$dir/events.parquet").exists())
+        spark.read.parquet(s"$dir/events.parquet").schema("ts").dataType
+      else TimestampNTZType
     val schema = StructType(Seq(
       StructField("event_id", LongType), StructField("ts", tsType),
       StructField("user_id", LongType), StructField("event_type", StringType),

@@ -114,7 +114,8 @@ object Lifecycle {
     val savedMetrics = scala.collection.mutable.Map[String, Double]()
     trialState.foreach { path =>
       import scala.jdk.CollectionConverters._
-      TrialState.readRecords(path).foreach { node =>
+      TrialState.readRecords(path,
+          Seq("params", "metric", "adjusted")).foreach { node =>
         val pn = node.get("params")
         val u = pn.fieldNames.asScala
           .map(k => k -> pn.get(k).asDouble()).toMap
@@ -152,7 +153,7 @@ object Lifecycle {
         // (SearchAbstractClass.py:465-477: traceback recorded, cost =
         // +INVALID_CONFIG_VALUE); the sentinel region looks maximally
         // bad to the surrogate, steering the acquisition away from it
-        val (m, adj) =
+        val (m0, adj) =
           try trial(train, decoded, validationCutoff)
           catch {
             case scala.util.control.NonFatal(e) =>
@@ -160,6 +161,10 @@ object Lifecycle {
                decoded + ("_exception" ->
                  (Spaces.PStr(e.toString.take(200)): Spaces.PValue)))
           }
+        // a trial that RETURNS NaN is as failed as one that throws —
+        // and must not reach maxBy, where Scala's total ordering ranks
+        // NaN above every real metric
+        val m = if (m0.isNaN) Lifecycle.InvalidConfigValue else m0
         adjusted(key(u)) = adj
         savedMetrics(key(u)) = m
         persistTrial(u, m, adj)

@@ -98,7 +98,22 @@ object Search {
     }
     while (history.size < nTotal) {
       val xs = history.map(t => feats(norm(t.params)))
-      val ys = history.map(_.metric)
+      // STANDARDIZE the targets before the ridge solve (skopt's
+      // normalize_y): the fit must compare configurations on the
+      // spread of OBSERVED metrics, not their absolute scale — one
+      // failed-trial sentinel at -65504 among [0,1] metrics would
+      // otherwise dominate the least-squares objective and the
+      // acquisition would chase fit artifacts instead of data. It
+      // also puts the surrogate mean on a unit scale, so kappa's
+      // exploration weight means the same thing for a MAP-valued
+      // search and an RMSE-valued one.
+      val ysRaw = history.map(_.metric)
+      val yMean = ysRaw.sum / ysRaw.size
+      val yStd = math.sqrt(
+        ysRaw.map(y => (y - yMean) * (y - yMean)).sum / ysRaw.size)
+      val ys =
+        if (yStd > 0) ysRaw.map(y => (y - yMean) / yStd)
+        else ysRaw.map(_ => 0.0)
       val d = xs.head.length
       val xtx = BDM.eye[Double](d) * 1e-6 // ridge
       val xty = BDV.zeros[Double](d)
@@ -156,7 +171,8 @@ object Search {
     import TrialState.{jsonNumber, jstr, key}
     val seen = scala.collection.mutable.Map[String, Double]()
     var best = Double.NegativeInfinity
-    TrialState.readRecords(stateFile).foreach { node =>
+    TrialState.readRecords(stateFile,
+        Seq("params", "metric", "best_so_far")).foreach { node =>
       val pn = node.get("params")
       val p = pn.fieldNames.asScala
         .map(k => k -> pn.get(k).asDouble()).toMap
@@ -196,9 +212,21 @@ private[tuning] object TrialState {
   def key(p: Map[String, Double]): String =
     p.toSeq.sortBy(_._1).map { case (k, v) => s"$k=$v" }.mkString(",")
 
-  /** Minimal JSON string escape (param names and categorical values). */
+  /** JSON string escape covering backslash, quote, and ALL control
+    * characters — exception texts routinely carry newlines (a Spark
+    * AnalysisException embeds the plan), and a raw newline would split
+    * the record across physical lines, breaking the resume it was
+    * recorded to enable. */
   def jstr(s: String): String =
-    "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
+    "\"" + s.flatMap {
+      case '"'  => "\\\""
+      case '\\' => "\\\\"
+      case '\n' => "\\n"
+      case '\r' => "\\r"
+      case '\t' => "\\t"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"
+      case c => c.toString
+    } + "\""
 
   /** Doubles via Double.toString (round-trips exactly); NaN/Infinity
     * emit as bare words, which the tolerant reader accepts. */
@@ -212,11 +240,14 @@ private[tuning] object TrialState {
     m
   }
 
-  /** Parse the state file's records, skipping blank lines and lines
-    * that are not JSON objects (e.g. a pre-JSONL tab-separated state
-    * from an older build — those trials simply re-evaluate rather
-    * than crashing the resume they were recorded to enable). */
-  def readRecords(stateFile: java.nio.file.Path)
+  /** Parse the state file's records, skipping blank lines, lines that
+    * are not JSON objects (e.g. a pre-JSONL tab-separated state from
+    * an older build), and records missing any of `requiredFields`
+    * (e.g. a file written by the OTHER state surface, or a truncated
+    * final line after a crash) — a skipped trial simply re-evaluates
+    * rather than crashing the resume it was recorded to enable. */
+  def readRecords(stateFile: java.nio.file.Path,
+                  requiredFields: Seq[String])
       : Seq[com.fasterxml.jackson.databind.JsonNode] = {
     import scala.jdk.CollectionConverters._
     if (!java.nio.file.Files.exists(stateFile)) return Seq.empty
@@ -224,6 +255,7 @@ private[tuning] object TrialState {
     java.nio.file.Files.readAllLines(stateFile).asScala.toSeq
       .filter(l => l.nonEmpty && l.startsWith("{"))
       .flatMap(l => scala.util.Try(mapper.readTree(l)).toOption)
+      .filter(n => requiredFields.forall(f => n.get(f) != null))
   }
 
   /** Append one record line (CREATE + APPEND). */

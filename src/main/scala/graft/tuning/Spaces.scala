@@ -343,13 +343,16 @@ object Spaces {
         // DISTRIBUTED trial body (VERDICT r7 "what's wrong" #1): the
         // searched path is the scale path — no collect() of URM pairs;
         // the driver-local Models.mfBpr kernel remains covered by the
-        // ModelsSpec parity fixtures. Every searched dimension is
-        // live: sgd_mode picks the adaptive rule, negative_reg splits
-        // the regularization, batch_size sets the merge-round update
-        // frequency (capped at 4 rounds/epoch at smoke tier), and
-        // impression_sampling_mode routes the negative sampler
-        // (inert only when no impressions table is supplied). The
-        // reference's search leaves user_reg at its 0.0 default
+        // ModelsSpec parity fixtures. sgd_mode picks the adaptive
+        // rule, negative_reg splits the regularization,
+        // impression_sampling_mode routes the negative sampler (inert
+        // only when no impressions table is supplied), and batch_size
+        // sets update frequency at constant budget — COARSENED at
+        // smoke tier: under the 3-round cap the 11 catalog values
+        // collapse to three schedules (1024 → 1×1000, 512 → 2×500,
+        // ≤256 → 3×334); a production search lifts the cap and gets
+        // the full ceil(n/batch)-round resolution. The reference's
+        // search leaves user_reg at its 0.0 default
         // (run_parameter_search.py:238-245), mirrored here.
         val rank = math.min(num(p, "num_factors").toInt, maxRank)
         // epochs is READ FROM THE CONFIGURATION (not a constant): the
@@ -367,10 +370,9 @@ object Spaces {
           negativeReg = Some(num(p, "negative_reg")),
           userReg = Some(0.0),
           batchSize = num(p, "batch_size").toInt,
-          // 2 merge rounds/epoch keeps batch_size live at smoke tier
-          // (≥512 → 1 round, else 2 rounds of batch_size samples)
-          // without paying 4 rounds of pure job scheduling per trial
-          maxBatchesPerEpoch = 2)
+          // 3-round cap: three distinguishable schedules (see the
+          // block comment above) at a bounded per-trial job count
+          maxBatchesPerEpoch = 3)
         fromFactors(train, itf, cutoff)
       }
       case other =>
