@@ -157,6 +157,43 @@ class LifecycleSpec extends SparkSpec {
     assert(ex.getMessage.contains("no valid"))
   }
 
+  test("trial-state resume tolerates hostile exception text and " +
+       "foreign lines") {
+    // a crashing trial's record replays on resume: the re-run must
+    // not re-execute the failed fit — even when the exception text
+    // carries control characters, and the state file holds lines from
+    // other formats
+    val hostile = "boom\nline2\t\"quoted\"\\back\r"
+    val (train, valid, test) = mkSplit()
+    val state = java.nio.file.Files.createTempFile("crash", ".jsonl")
+    // foreign/corrupt lines a resume must tolerate: legacy TSV, a
+    // Search.resumable-shaped record (missing "adjusted"), truncation
+    java.nio.file.Files.write(state,
+      ("alpha=0.5\t0.42\n" +
+       """{"params": {"z": 0.1}, "metric": 0.3, "best_so_far": 0.3}""" +
+       "\n" +
+       """{"params": {"q": 0.2}, "metr""" + "\n").getBytes("UTF-8"))
+    var crashes = 0
+    val topPop = graft.tuning.Spaces.recommender("top_pop", spark)
+    def run() = Lifecycle.searchThenFinalTestAdjusted(
+      "crashy", graft.tuning.Spaces.catalog.toMap.apply("rp3beta"),
+      train, valid, test,
+      trial = (_, p, _) => {
+        val a = p("alpha") match { case Spaces.PNum(v) => v; case _ => 0.0 }
+        if (a > 1.0) { crashes += 1; sys.error(hostile) }
+        (1.0 - math.abs(a - 0.5), p)
+      },
+      finalFit = (tr, _, c) => topPop(tr, Map.empty, c),
+      nTotal = 4, seed = 3, trialState = Some(state))
+    val first = run()
+    val crashesFirst = crashes
+    val resumed = run()
+    assert(crashes == crashesFirst,
+           "resume must replay failed trials from state, not re-crash")
+    assert(resumed.best == first.best)
+    assert(resumed.bestValidationMetric == first.bestValidationMetric)
+  }
+
   test("searched space: best config is refit, metrics finite") {
     val (train, valid, test) = mkSplit()
     val fitParams =
