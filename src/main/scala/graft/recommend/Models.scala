@@ -444,22 +444,54 @@ object Models {
       part)
   }
 
-  /** Reliable-checkpoint both factor RDDs to truncate their lineage.
-    * Ensures a checkpoint dir exists (a JVM-temp fallback for local
-    * runs; clusters set their own durable dir); the write job reads
-    * the already-persisted blocks, and the checkpoint files — unlike
-    * localCheckpoint's executor blocks — survive a later unpersist,
-    * so a downstream recompute falls back to disk instead of failing
-    * on truncated lineage. */
-  private[recommend] def bprCheckpoint(spark: SparkSession,
-                                       state: BprState): Unit = {
-    if (spark.sparkContext.getCheckpointDir.isEmpty)
-      spark.sparkContext.setCheckpointDir(
+  /** Checkpoint both factor RDDs to truncate their lineage.
+    *
+    * RELIABLE checkpoint when a checkpoint dir is available — the
+    * files survive unpersist, preserving CacheScope's unpersist-is-
+    * always-safe recompute contract; a JVM-temp dir is auto-created
+    * ONLY in local mode (on a cluster a driver-local temp path would
+    * scatter partitions across executor-local disks and lose them on
+    * any cross-executor read). On a cluster with no configured
+    * checkpoint dir, fall back to localCheckpoint: lineage still
+    * truncates, with the documented caveat that post-release lazy
+    * recomputes need the returned frames consumed in-scope.
+    *
+    * Returns the newly checkpointed pair when reliable; the CALLER
+    * deletes the previous generation's files after this one
+    * materializes (the new checkpoint is the nearest reliable source
+    * for every later state, so the old files are unreachable — left
+    * in place they accumulate one full factor snapshot per truncation
+    * for the life of a 1500-epoch job). */
+  private[recommend] def bprCheckpoint(
+      spark: SparkSession, state: BprState,
+      prev: Option[(org.apache.spark.rdd.RDD[(Int, BprFac)],
+                    org.apache.spark.rdd.RDD[(Int, BprFac)])])
+      : Option[(org.apache.spark.rdd.RDD[(Int, BprFac)],
+                org.apache.spark.rdd.RDD[(Int, BprFac)])] = {
+    val sc = spark.sparkContext
+    if (sc.getCheckpointDir.isEmpty && sc.isLocal)
+      sc.setCheckpointDir(
         java.nio.file.Files.createTempDirectory("graft-ckpt").toString)
-    state.userFactors.checkpoint()
-    state.itemFactors.checkpoint()
+    val reliable = sc.getCheckpointDir.isDefined
+    if (reliable) {
+      state.userFactors.checkpoint()
+      state.itemFactors.checkpoint()
+    } else {
+      state.userFactors.localCheckpoint()
+      state.itemFactors.localCheckpoint()
+    }
     state.userFactors.count()
     state.itemFactors.count()
+    if (reliable) {
+      val conf = spark.sessionState.newHadoopConf()
+      prev.foreach { case (u, i) =>
+        Seq(u, i).foreach(_.getCheckpointFile.foreach { f =>
+          val p = new org.apache.hadoop.fs.Path(f)
+          scala.util.Try(p.getFileSystem(conf).delete(p, true))
+        })
+      }
+      Some((state.userFactors, state.itemFactors))
+    } else None
   }
 
   /** One initialized trainer cell (static helper — a nested def here
@@ -780,6 +812,8 @@ object Models {
     // default one-round-per-epoch path it equals the historical `ep`
     var step = 0
     val totalRounds = epochs.toLong * roundsPerEpoch
+    var lastCkpt: Option[(org.apache.spark.rdd.RDD[(Int, BprFac)],
+                          org.apache.spark.rdd.RDD[(Int, BprFac)])] = None
     (0 until epochs).foreach { _ =>
       (0 until roundsPerEpoch).foreach { _ =>
         step += 1
@@ -790,16 +824,11 @@ object Models {
         // state once, so the DAG grows linearly — at the reference's
         // 1500-epoch budget the un-truncated chain would dominate
         // task-closure serialization and eventually overflow plan
-        // analysis. RELIABLE checkpoint (not localCheckpoint): the
-        // files survive unpersist, so CacheScope.release keeps its
-        // "unpersist is always safe, Spark recomputes" contract even
-        // for results consumed lazily after the training scope closes;
-        // the write job reads the MEMORY_AND_DISK blocks the round
-        // already materialized. Skipped for the final state (no
-        // truncation needed after the last round).
-        if (step % 16 == 0 && step < totalRounds) {
-          bprCheckpoint(spark, state)
-        }
+        // analysis. See bprCheckpoint for the reliable-vs-local mode
+        // choice and old-generation cleanup. Skipped for the final
+        // state (no truncation needed after the last round).
+        if (step % 16 == 0 && step < totalRounds)
+          lastCkpt = bprCheckpoint(spark, state, lastCkpt)
       }
     }
     (state.userFactors.mapValues(_.f).toDF("u", "factors"),
@@ -1226,13 +1255,16 @@ object Models {
       Evaluation.accuracyMetrics(Evaluation.hitTable(recs, heldOut), cutoff)
         .select("map").head().getDouble(0)
     }
+    var esCkpt: Option[(org.apache.spark.rdd.RDD[(Int, BprFac)],
+                        org.apache.spark.rdd.RDD[(Int, BprFac)])] = None
     val (bestEpoch, bestMap, history) =
       trainWithEarlyStopping(maxEpochs, validateEvery, patience) { ep =>
         state = bprEpoch(spark, train, state, items, total, rank,
                          samplesPerEpoch, lr, reg, seed, ep, opts,
                          step = ep + 1)
         // same lineage truncation as mfBprDistributed
-        if ((ep + 1) % 16 == 0) bprCheckpoint(spark, state)
+        if ((ep + 1) % 16 == 0)
+          esCkpt = bprCheckpoint(spark, state, esCkpt)
       } { () => validate() }
     history.toDF("epoch", "map")
       .withColumn("best_epoch", lit(bestEpoch))

@@ -40,9 +40,16 @@ object EventStreams {
     // rather than failing stream construction. Only the path-missing
     // case falls back: a probe failure on an EXISTING file (corrupt
     // footer, mid-write) still fails fast here, not as a schema
-    // mismatch on every later micro-batch.
+    // mismatch on every later micro-batch. Existence goes through the
+    // Hadoop filesystem of the path, so hdfs:///s3a:// dirs probe
+    // correctly (java.io.File would report false for any scheme-
+    // qualified path and silently skip the probe).
+    val probePath = new org.apache.hadoop.fs.Path(s"$dir/events.parquet")
+    val probeExists = scala.util.Try(
+      probePath.getFileSystem(spark.sessionState.newHadoopConf())
+        .exists(probePath)).getOrElse(false)
     val tsType =
-      if (new java.io.File(s"$dir/events.parquet").exists())
+      if (probeExists)
         spark.read.parquet(s"$dir/events.parquet").schema("ts").dataType
       else TimestampNTZType
     val schema = StructType(Seq(

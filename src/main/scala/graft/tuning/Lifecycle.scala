@@ -127,7 +127,12 @@ object Lifecycle {
             else Spaces.PStr(v.asText())
           k -> pv
         }.toMap
-        savedMetrics(key(u)) = node.get("metric").asDouble()
+        // replayed metrics pass through the same non-finite coercion
+        // as fresh ones (a pre-sanitization state file may carry NaN)
+        val replayed = node.get("metric").asDouble()
+        savedMetrics(key(u)) =
+          if (java.lang.Double.isFinite(replayed)) replayed
+          else Lifecycle.InvalidConfigValue
         adjusted(key(u)) = adj
       }
     }
@@ -161,10 +166,13 @@ object Lifecycle {
                decoded + ("_exception" ->
                  (Spaces.PStr(e.toString.take(200)): Spaces.PValue)))
           }
-        // a trial that RETURNS NaN is as failed as one that throws —
-        // and must not reach maxBy, where Scala's total ordering ranks
-        // NaN above every real metric
-        val m = if (m0.isNaN) Lifecycle.InvalidConfigValue else m0
+        // a trial that RETURNS a non-finite metric is as failed as one
+        // that throws: NaN must not reach maxBy (Scala's total
+        // ordering ranks it above every real metric) and ±Infinity
+        // would collapse the surrogate's target standardization
+        val m =
+          if (java.lang.Double.isFinite(m0)) m0
+          else Lifecycle.InvalidConfigValue
         adjusted(key(u)) = adj
         savedMetrics(key(u)) = m
         persistTrial(u, m, adj)

@@ -18,6 +18,15 @@ object Search {
   final case class Trial(params: Map[String, Double], metric: Double)
   final case class SearchResult(best: Trial, history: Seq[Trial])
 
+  /** Best trial with NaN metrics excluded — Scala 2.13's total
+    * ordering ranks NaN above every real value, so a single diverged
+    * trial would otherwise win maxBy; an all-NaN history falls back
+    * to the first trial. */
+  private def bestTrial(history: Seq[Trial]): Trial = {
+    val finite = history.filterNot(_.metric.isNaN)
+    if (finite.isEmpty) history.head else finite.maxBy(_.metric)
+  }
+
   /** Evaluate one ItemKNN-cosine configuration: similarity(shrink) →
     * topK prune → score → recommend@cutoff → MAP (the reference's
     * optimization target, run_hyperparameter_tuning.py:110-113). */
@@ -40,7 +49,7 @@ object Search {
   def grid(paramGrid: Seq[Map[String, Double]])
           (evaluate: Map[String, Double] => Double): SearchResult = {
     val history = paramGrid.map(p => Trial(p, evaluate(p)))
-    SearchResult(history.maxBy(_.metric), history)
+    SearchResult(bestTrial(history), history)
   }
 
   /** Seeded random search over ranges: `n` draws from uniform ranges
@@ -54,7 +63,7 @@ object Search {
       }
       Trial(p, evaluate(p))
     }
-    SearchResult(history.maxBy(_.metric), history)
+    SearchResult(bestTrial(history), history)
   }
 
   /** Surrogate-guided search — the engine's stand-in for the
@@ -142,7 +151,7 @@ object Search {
       val next = scored.maxBy(_._2)._1
       history += Trial(next, evaluate(next))
     }
-    SearchResult(history.maxBy(_.metric), history.toSeq)
+    SearchResult(bestTrial(history.toSeq), history.toSeq)
   }
 
   /** Resume-from-saved-state wrapper (reference:
@@ -255,7 +264,9 @@ private[tuning] object TrialState {
     java.nio.file.Files.readAllLines(stateFile).asScala.toSeq
       .filter(l => l.nonEmpty && l.startsWith("{"))
       .flatMap(l => scala.util.Try(mapper.readTree(l)).toOption)
-      .filter(n => requiredFields.forall(f => n.get(f) != null))
+      // hasNonNull: an explicit JSON null must not pass (get returns
+      // NullNode, never null — asDouble on it fabricates 0.0)
+      .filter(n => requiredFields.forall(n.hasNonNull))
   }
 
   /** Append one record line (CREATE + APPEND). */

@@ -41,6 +41,9 @@ class TrialStateSpec extends AnyFunSuite {
       ("\n" +
        "alpha=0.5\t0.42\n" + // legacy TSV
        """{"params": {"a": 1.0}, "metric": 0.5}""" + "\n" + // missing field
+       """{"params": {"a": 1.0}, "metric": null, "extra": 1}""" + "\n" +
+       // ^ explicit JSON null: NullNode must not pass (asDouble on it
+       //   would fabricate metric 0.0)
        """{"params": {"a": 1.0}, "metric": 0.5, "extra": 1}""" + "\n" +
        """{"params": {"q": 0.2}, "metr""" + "\n" // truncated
       ).getBytes("UTF-8"))
@@ -52,5 +55,18 @@ class TrialStateSpec extends AnyFunSuite {
   test("key canonicalizes parameter order") {
     assert(TrialState.key(Map("b" -> 2.0, "a" -> 1.0)) ==
            TrialState.key(Map("a" -> 1.0, "b" -> 2.0)))
+  }
+
+  test("search strategies never select a NaN trial as best") {
+    // Scala 2.13's total ordering ranks NaN above every real value
+    val r = Search.grid(Seq(Map("a" -> 1.0), Map("a" -> 2.0),
+                            Map("a" -> 3.0))) { p =>
+      if (p("a") == 2.0) Double.NaN else p("a") / 10.0
+    }
+    assert(r.best.metric == 0.3)
+    assert(r.history.size == 3)
+    // all-NaN history still yields a result (first trial), not a crash
+    val allNaN = Search.grid(Seq(Map("a" -> 1.0)))(_ => Double.NaN)
+    assert(allNaN.best.metric.isNaN)
   }
 }
