@@ -1,5 +1,6 @@
 package graft.operators
 
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.Q
 import graft.stats.Sketches
@@ -180,6 +181,57 @@ object ScaleQueries {
                                  col("l_extendedprice"),
                                  Seq(0.25, 0.5, 0.75)),
       None),
+
+    // KLL exact-regime STRICT gate: the same sketch pipeline as q123
+    // (per-group sketches, reduceByKey merge, merged global row) run in
+    // the regime where KLL is provably exact — a KllDoublesSketch at
+    // k=200 retains every item until the 201st update, and merging
+    // exact sketches whose combined weight stays <= k performs no
+    // compaction, so per-group (n=60) and merged-global (n=180)
+    // quantiles are order statistics: with INCLUSIVE search criteria,
+    // quantile(q) over n items = the value at sorted position
+    // ceil(q*n). The oracle computes exactly those positions with
+    // ROW_NUMBER, so a sketch code path that compacts, mis-merges, or
+    // shifts rank semantics is a red hash row (q123 stays the
+    // approximate at-scale demo; this pins its machinery bit-exactly).
+    // The 60-row-per-group subset is deterministic: smallest prices
+    // with (orderkey, linenumber) breaking price ties identically in
+    // both engines.
+    Q("q147_kll_exact_gate", { t =>
+        val w = Window.partitionBy(col("l_returnflag"))
+          .orderBy(col("l_extendedprice"), col("l_orderkey"),
+                   col("l_linenumber"))
+        val sub = t.lineitem
+          .withColumn("rn", row_number().over(w))
+          .filter(col("rn") <= 60)
+        Sketches.kllQuantiles(sub, col("l_returnflag"),
+                              col("l_extendedprice"),
+                              Seq(0.25, 0.5, 0.75))
+      },
+      Some("""WITH sub AS (
+        |  SELECT l_returnflag AS g, l_extendedprice AS v,
+        |    ROW_NUMBER() OVER (PARTITION BY l_returnflag
+        |      ORDER BY l_extendedprice, l_orderkey, l_linenumber) AS rn
+        |  FROM lineitem
+        |), s AS (SELECT g, v FROM sub WHERE rn <= 60),
+        |grp AS (
+        |  SELECT g, FALSE AS is_total,
+        |    MAX(CASE WHEN r = 15 THEN v END) AS q25,
+        |    MAX(CASE WHEN r = 30 THEN v END) AS q50,
+        |    MAX(CASE WHEN r = 45 THEN v END) AS q75
+        |  FROM (SELECT g, v,
+        |          ROW_NUMBER() OVER (PARTITION BY g ORDER BY v) AS r
+        |        FROM s) t
+        |  GROUP BY g
+        |), tot AS (
+        |  SELECT CAST(NULL AS VARCHAR) AS g, TRUE AS is_total,
+        |    MAX(CASE WHEN r = 45 THEN v END) AS q25,
+        |    MAX(CASE WHEN r = 90 THEN v END) AS q50,
+        |    MAX(CASE WHEN r = 135 THEN v END) AS q75
+        |  FROM (SELECT v, ROW_NUMBER() OVER (ORDER BY v) AS r
+        |        FROM s) t
+        |)
+        |SELECT * FROM grp UNION ALL SELECT * FROM tot""".stripMargin)),
 
     // Dangling-mass-redistributing PageRank (3 iterations) over a
     // DIRECTED bipartite part->supplier graph, where every supplier

@@ -264,6 +264,99 @@ object ModelQueries {
           .select(col("i").as("id"), col("factors").as("embedding"))
         Ann.bruteForceCosineTopK(factors.filter(col("id") % 10 === 0),
                                  factors, 5)
-      }, None)
+      }, None),
+
+    // L25 STRICT gate — EASE^R is a CLOSED FORM (G = AᵀA + λI,
+    // P = G⁻¹, B = −P/diag(P)), i.e. deterministic, so it does not
+    // belong in the stochastic no_oracle tier: this runs the exact
+    // q66 code path (distributed pair-dot Gram, driver Breeze inverse)
+    // on an inline 4-user × 3-item URM whose answer was derived
+    // INDEPENDENTLY with exact rational arithmetic — G+λI at λ=1/2 has
+    // det 89/8 and the six off-diagonal weights are the rationals
+    // 12/31, 20/31, 12/19, −2/19, 20/33, −2/33 (hand-checkable from
+    // the adjugate), transcribed below at 6 decimals (every value
+    // ≥ 4·10⁻⁷ away from its rounding boundary, so the float64
+    // LAPACK/Breeze inverse cannot flip a digit). A wrong Gram mirror,
+    // a dropped λ, or a transposed −P/diag(P) is a red hash row; q66
+    // stays the at-scale demo.
+    Q("q150_ease_values_gate", { t =>
+        import t.spark.implicits._
+        val urm = Seq((0, 0), (0, 1), (1, 0), (1, 1), (1, 2), (2, 0),
+                      (2, 2), (3, 1))
+          .toDF("u", "i")
+        Models.easeR(t.spark, urm, l2 = 0.5, maxItems = 10)
+          .select(col("i"), col("j"), round(col("w"), 6).as("w"))
+      },
+      Some("""SELECT * FROM (VALUES
+        |  (1, 0, CAST(0.387097 AS DOUBLE)), (2, 0, 0.645161),
+        |  (0, 1, 0.631579), (2, 1, -0.105263),
+        |  (0, 2, 0.606061), (1, 2, -0.060606)
+        |) t(i, j, w)""".stripMargin)),
+
+    // L18/L26 STRICT gate — PureSVD's eigensolve has a per-eigenvector
+    // SIGN ambiguity, but the factor Gram W = F·Fᵀ = V_k Σ² V_kᵀ is
+    // sign-invariant and unique whenever the kept eigenvalues are
+    // separated from the dropped ones: this runs the exact q64 code
+    // path (distributed Gram, driver eigSym, σ-scaled factors) on an
+    // inline 5-user × 4-item URM with eigenvalues {7.54, 2.62 | 1.46,
+    // 0.38} (top-2 kept, gap ≈ 1.16), and hashes all 16 factor dot
+    // products against a numpy-SVD-derived VALUES table at 6 decimals
+    // (independent implementation; every value ≥ 5·10⁻² of a 6th-digit
+    // unit away from its rounding boundary, so cross-LAPACK 1e-13
+    // drift cannot flip a digit). A mis-ordered eigenvalue, a missing
+    // σ scaling, or a broken Gram is a red hash row; q64/q69 stay the
+    // at-scale demos.
+    Q("q151_puresvd_values_gate", { t =>
+        import t.spark.implicits._
+        val urm = Seq((0, 0), (0, 1), (1, 0), (1, 1), (1, 2), (2, 2),
+                      (2, 3), (3, 0), (3, 3), (4, 1), (4, 2), (4, 3))
+          .toDF("u", "i").withColumn("v", lit(1.0))
+        val f = Models.pureSvdItemFactors(t.spark, urm, 2, nItems = 4)
+        val a = f.select(col("i"), col("factors").as("fa"))
+        val b = f.select(col("i").as("j"), col("factors").as("fb"))
+        a.crossJoin(b)
+          .select(col("i"), col("j"),
+                  round(expr("aggregate(zip_with(fa, fb, (x, y) -> x*y)," +
+                             " 0d, (acc, x) -> acc + x)"), 6).as("w"))
+      },
+      Some("""SELECT * FROM (VALUES
+        |  (0, 0, CAST(2.52261 AS DOUBLE)), (0, 1, 2.445103),
+        |  (0, 2, 1.274283),
+        |  (0, 3, 0.628183),  (1, 0, 2.445103), (1, 1, 2.557098),
+        |  (1, 2, 1.833491),  (1, 3, 1.274283), (2, 0, 1.274283),
+        |  (2, 1, 1.833491),  (2, 2, 2.557098), (2, 3, 2.445103),
+        |  (3, 0, 0.628183),  (3, 1, 1.274283), (3, 2, 2.445103),
+        |  (3, 3, 2.52261)
+        |) t(i, j, w)""".stripMargin)),
+
+    // L23 STRICT gate — SLIM ElasticNet's CONVERGED solution is unique
+    // (the per-target objective ½‖y − Xw‖² + l1·Σwⱼ + ½l2·‖w‖², w ≥ 0,
+    // is strictly convex at l2 > 0), so at convergence the solver's
+    // sweep order and iteration count drop out and the optimum is
+    // derivable INDEPENDENTLY of coordinate descent: KKT active-set
+    // enumeration with exact rational arithmetic on the q151 inline
+    // URM (G = [[3,2,1,1],[2,3,2,1],[1,2,3,2],[1,1,2,3]], l1 = l2 = ½)
+    // gives the eight weights {19/45, 1/45, 1/3} below (the mirrored
+    // target pairs 0↔3 and 1↔2 reflect G's persymmetry — a built-in
+    // sanity check). 400 CD sweeps over a 3-variable problem converge
+    // far past the 6-decimal transcription (geometric rate), and every
+    // value is ≥ 0.16 of a 6th-digit unit from its rounding boundary.
+    // A wrong soft-threshold, a mis-scaled denominator, or a dropped
+    // positivity clamp is a red hash row; q67 stays the at-scale demo.
+    Q("q152_slim_values_gate", { t =>
+        import t.spark.implicits._
+        val urm = Seq((0, 0), (0, 1), (1, 0), (1, 1), (1, 2), (2, 2),
+                      (2, 3), (3, 0), (3, 3), (4, 1), (4, 2), (4, 3))
+          .toDF("u", "i")
+        Models.slimElasticNet(t.spark, urm, l1Reg = 0.5, l2Reg = 0.5,
+                              topK = 10, iters = 400)
+          .select(col("i"), col("j"), round(col("w"), 6).as("w"))
+      },
+      Some("""SELECT * FROM (VALUES
+        |  (1, 0, CAST(0.422222 AS DOUBLE)), (3, 0, 0.022222),
+        |  (0, 1, 0.333333), (2, 1, 0.333333),
+        |  (1, 2, 0.333333), (3, 2, 0.333333),
+        |  (0, 3, 0.022222), (2, 3, 0.422222)
+        |) t(i, j, w)""".stripMargin))
   )
 }

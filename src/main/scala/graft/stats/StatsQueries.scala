@@ -251,6 +251,41 @@ object StatsQueries {
                                 col("user_id")),
       None),
 
+    // HLL accuracy STRICT gate: the same sketch pipeline as q114 (per-
+    // group HLL aggregation + the sketch-UNION global row) judged
+    // against an exact-distinct yardstick computed alongside it. The
+    // hashed output carries the exact counts plus a boolean derived
+    // from the sketch estimate (|est − exact| ≤ 5%·exact — well above
+    // the ~1.6% rel. std. error of the default lgK=12 sketch), so a
+    // sketch path that drifts past its error budget, drops a group, or
+    // mis-unions flips a row red. The exact countDistinct is the
+    // gate's yardstick only — q114 remains the at-scale query and
+    // never pays it.
+    Q("q149_hll_error_gate", { t =>
+        val sk = Stats.distinctSketch(t.events, col("event_type"),
+                                      col("user_id"))
+        val exact = t.events
+          .groupBy(col("event_type").as("ge"))
+          .agg(countDistinct(col("user_id")).as("n_exact"))
+          .select(col("ge"), lit(false).as("te"), col("n_exact"))
+          .unionByName(t.events
+            .agg(countDistinct(col("user_id")).as("n_exact"))
+            .select(lit(null).cast("string").as("ge"),
+                    lit(true).as("te"), col("n_exact")))
+        sk.join(exact, col("g") <=> col("ge") &&
+                       col("is_total") === col("te"))
+          .select(col("g"), col("is_total"), col("n_exact"),
+                  (abs(col("est") - col("n_exact")) <=
+                     lit(0.05) * col("n_exact")).as("within_5pct"))
+      },
+      Some("""SELECT event_type AS g, FALSE AS is_total,
+        |  COUNT(DISTINCT user_id) AS n_exact, TRUE AS within_5pct
+        |FROM events GROUP BY 1
+        |UNION ALL
+        |SELECT CAST(NULL AS VARCHAR), TRUE,
+        |  COUNT(DISTINCT user_id), TRUE
+        |FROM events""".stripMargin)),
+
     // Equi-depth histogram: document lengths quantile-binned into 4
     // equal-mass buckets (exact interpolated edges; bin = #edges below
     // the value, so edge ties resolve identically in both engines).

@@ -633,6 +633,31 @@ object TextQueries {
           .groupBy("w").agg(count(lit(1)).as("f"))
         Bpe.learnMerges(words, col("w"), col("f"), nMerges = 15)
       },
-      None)
+      None),
+
+    // BPE STRICT gate: the same distributed learner (pair aggregation,
+    // deterministic argmax, greedy HOF merge application) run on the
+    // Sennrich et al. 2016 worked example — a corpus small enough that
+    // the full merge sequence is hand-derivable. The learner's
+    // tie-break is total (pair_freq desc, then left asc, right asc), so
+    // the 5-merge table below is THE unique answer: round 1 ties
+    // (e,s)/(s,t)/(t,</w>) at 9 and lexicographic order picks (e,s);
+    // the oracle is the hand-transcribed VALUES table (the q87/q134
+    // convention). q121 stays the corpus-scale demo; this pins the
+    // merge machinery bit-exactly — a wrong pair count, a broken
+    // tie-break, or a faulty greedy application is a red hash row.
+    Q("q148_bpe_values_gate", { t =>
+        import t.spark.implicits._
+        val words = Seq(("low", 5L), ("lower", 2L),
+                        ("newest", 6L), ("widest", 3L)).toDF("word", "f")
+        Bpe.learnMerges(words, col("word"), col("f"), nMerges = 5)
+      },
+      Some("""SELECT * FROM (VALUES
+        |  (0, 'e', 's', 'es', CAST(9 AS BIGINT)),
+        |  (1, 'es', 't', 'est', 9),
+        |  (2, 'est', '</w>', 'est</w>', 9),
+        |  (3, 'l', 'o', 'lo', 7),
+        |  (4, 'lo', 'w', 'low', 7)
+        |) t(round, "left", "right", merged, pair_freq)""".stripMargin))
   )
 }

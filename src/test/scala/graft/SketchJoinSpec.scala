@@ -108,6 +108,36 @@ class SketchJoinSpec extends SparkSpec {
     assert(got.contains("__total__"))
   }
 
+  test("kllQuantiles is EXACT (order statistics) while n <= k, " +
+       "including the merged global row") {
+    // the q147 gate's premise: a k=200 KLL sketch retains every item
+    // until the 201st update, and merging exact sketches whose
+    // combined weight stays <= k performs no compaction — so
+    // quantile(q, INCLUSIVE) over n items is the value at sorted
+    // position ceil(q*n), bit-exactly. 3 groups x 60 values (global
+    // 180 <= 200) mirrors the gate's subset shape.
+    val rnd = new Random(16)
+    val rows = for (g <- Seq("a", "b", "c"); _ <- 0 until 60)
+      yield (g, (rnd.nextInt(100000) / 4.0))
+    val qs = Seq(0.25, 0.5, 0.75)
+    val got = Sketches.kllQuantiles(rows.toDF("g", "v"),
+                                    col("g"), col("v"), qs)
+      .collect()
+      .map(r => (Option(r.getString(0)).getOrElse("__total__"),
+                 Seq(r.getDouble(2), r.getDouble(3), r.getDouble(4))))
+      .toMap
+    def orderStat(vs: Seq[Double], q: Double): Double = {
+      val s = vs.sorted
+      s(math.max(0, math.ceil(q * s.size).toInt - 1))
+    }
+    val groups = rows.groupBy(_._1).view
+      .mapValues(_.map(_._2).toSeq).toMap +
+      ("__total__" -> rows.map(_._2))
+    for ((g, vs) <- groups; (q, i) <- qs.zipWithIndex)
+      assert(got(g)(i) == orderStat(vs, q),
+        s"group $g q$q: ${got(g)(i)} != exact ${orderStat(vs, q)}")
+  }
+
   test("random projection roughly preserves pairwise distances (JL)") {
     val rnd = new Random(15)
     val vecs = (0L until 30L)
