@@ -7,10 +7,14 @@ import graft.similarity.{ContentSimilarity, Similarity}
 import graft.ann.Ann
 
 /** Queries for the content-based, hybrid, and model-fitting operators.
-  * CBF/hybrid/user-KNN are oracle-checked; the iterative/factorization
-  * models (SVD, ALS, EASE, SLIM, BPR) get the driver's rows-only check
-  * and are validated against hand-computed fixtures in ScalaTest —
-  * mirroring SURVEY §5's plan (an SQL oracle can't run SGD).
+  * CBF/hybrid/user-KNN are oracle-checked. The model tier splits by
+  * determinism: EASE^R, PureSVD, and converged SLIM are deterministic,
+  * so each at-scale rows-only query (q66/q64/q67) has a STRICT
+  * VALUES-oracle twin (q150/q151/q152) running the same code path on
+  * an inline URM against an independently derived answer; the
+  * genuinely stochastic SGD/seeded models (ALS, BPR, FunkSVD, NMF)
+  * get the driver's rows-only check plus hand-computed ScalaTest
+  * fixtures — mirroring SURVEY §5's plan (an SQL oracle can't run SGD).
   */
 object ModelQueries {
 
