@@ -161,39 +161,57 @@ object Urm {
   /** X7 — negative item sampling: n unobserved items per user, seeded
     * (reference: split_functions/split_train_validation.py:141-260).
     *
+    * Definition: per user, the n candidates with the smallest
+    * md5("seed:u:i") draw (ties → smaller i) among items the user has
+    * not interacted with — the engine's deterministic-randomness
+    * convention ([[graft.stats.Stats.weightedSample]]), so the sample
+    * is reproducible on any engine and independent of partitioning
+    * (Spark's `rand(seed)` is neither).
+    *
     * Scale path: the dense user×item candidate build is |U|·|I|-sized,
-    * so candidates are Bernoulli-pruned to ~4n per user BEFORE the
-    * anti-join and ranking window; a second exact pass tops up the rare
-    * users left short by the prune (a user must end with exactly n
-    * negatives — the reference asserts this). When 4n covers the whole
-    * item list the prune is skipped and the dense path runs directly. */
+    * so candidates are pruned to draw < frac (~4n expected per user)
+    * BEFORE the anti-join and ranking window; a second pass tops up the
+    * rare users the prune left short from the draw ≥ frac remainder.
+    * Because the prune and the ranking use the SAME draw, the two-pass
+    * result is exactly the dense definition: a user with ≥ n candidates
+    * below the cut has their n smallest draws all below it, and a short
+    * user's top-n is everything below the cut plus the (n−got) smallest
+    * above it. */
   def negativeSample(urm0: DataFrame, items0: DataFrame, nPerUser: Int,
                      seed: Long): DataFrame = {
-    val urm = urm0.select("u", "i")
-    val items = broadcast(items0.select("i"))
+    // both inputs are read 2–4 times (candidate build, anti-joins, the
+    // nItems count) — persist once so an expensive upstream (a join, a
+    // sorted limit) is not re-executed per consumer
+    val urm = graft.core.CacheScope.persist(urm0.select("u", "i"))
+    val items = broadcast(
+      graft.core.CacheScope.persist(items0.select("i")))
     val users = urm.select("u").distinct()
-    val nItems = items0.select("i").distinct().count()
+    val nItems = items.distinct().count()
     val frac = math.min(1.0, 4.0 * nPerUser / math.max(1L, nItems))
-    def rankAndTake(cands: DataFrame, n: Column, seedOff: Long)
-        : DataFrame = {
-      val w = Window.partitionBy("u").orderBy(rand(seed + seedOff))
-      cands.withColumn("rn", row_number().over(w))
-        .filter(col("rn") <= n).drop("rn")
+    // first 52 bits of md5 as a long — ordering on the raw integer is
+    // ordering on the uniform (k + ½)/2⁵², no division needed
+    def ord = conv(substring(md5(concat_ws(":", lit(seed),
+        col("u").cast("string"), col("i").cast("string"))), 1, 13),
+      16, 10).cast("bigint")
+    def topN(cands: DataFrame, n: Column): DataFrame = {
+      val w = Window.partitionBy("u").orderBy(col("_ord"), col("i"))
+      cands.withColumn("_ord", ord)
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= n).drop("rn", "_ord")
     }
     val dense = users.join(items)
     if (frac >= 1.0) {
-      rankAndTake(dense.join(urm, Seq("u", "i"), "left_anti"),
-                  lit(nPerUser), 0L)
+      topN(dense.join(urm, Seq("u", "i"), "left_anti"), lit(nPerUser))
     } else {
-      val pruned = dense.filter(rand(seed + 7) < frac)
+      val cut = (frac * 4503599627370496.0).toLong // floor(frac·2⁵²)
+      val pruned = dense.filter(ord < cut)
         .join(urm, Seq("u", "i"), "left_anti")
       val first = graft.core.CacheScope.persist(
-        rankAndTake(pruned, lit(nPerUser), 0L))
+        topN(pruned, lit(nPerUser)))
       // exact top-up for users the prune left short — in the common case
-      // nobody is short, so the three-anti-join top-up plan is gated on a
-      // cheap isEmpty probe against the already-persisted first pass
-      // (round 2 ran the top-up unconditionally and it cost ~half the
-      // operator's runtime)
+      // nobody is short, so the top-up plan is gated on a cheap isEmpty
+      // probe against the already-persisted first pass (round 2 ran the
+      // top-up unconditionally and it cost ~half the operator's runtime)
       val got = first.groupBy("u").agg(count(lit(1)).as("got"))
       val short = graft.core.CacheScope.persist(
         users.join(got, Seq("u"), "left")
@@ -201,10 +219,11 @@ object Urm {
           .filter(col("got") < nPerUser))
       if (short.isEmpty) first.select("u", "i")
       else {
-        val rest = short.join(items)
+        // draw ≥ cut is disjoint from the first pass by construction,
+        // so no dedup join is needed
+        val rest = short.join(items).filter(ord >= cut)
           .join(urm, Seq("u", "i"), "left_anti")
-          .join(first, Seq("u", "i"), "left_anti")
-        val extra = rankAndTake(rest, lit(nPerUser) - col("got"), 13L)
+        val extra = topN(rest, lit(nPerUser) - col("got"))
           .select("u", "i")
         first.select("u", "i").unionByName(extra)
       }

@@ -98,22 +98,47 @@ object ExtraQueries {
         |WHERE NOT EXISTS (SELECT 1 FROM lineitem
         |                  WHERE l_partkey = p_partkey)""".stripMargin)),
 
-    // X7 — negative sampling (seeded rand; membership is engine RNG, so
-    // the check is rows-only; per-user counts asserted in ScalaTest).
+    // X7 — negative sampling. The md5-draw definition is engine-
+    // independent (see Urm.negativeSample), so the sample itself is
+    // hash-checked: the oracle ranks the dense anti-joined candidate
+    // set while Spark runs the pruned two-pass scale path — their exact
+    // equality IS the gate.
     Q("q72_negative_sampling", { t =>
         val urm = Urm.fromOrders(t).filter(col("u") < 2000)
-        val items = urm.select("i").distinct().limit(500)
+        val items = urm.select("i").distinct().orderBy("i").limit(500)
         Urm.negativeSample(urm, items, nPerUser = 5, seed = 42)
-      }, None),
+      },
+      Some(urmCte + """,
+        |u2 AS (SELECT u, i FROM urm WHERE u < 2000),
+        |its AS (SELECT DISTINCT i FROM u2 ORDER BY i LIMIT 500),
+        |cand AS (
+        |  SELECT us.u, its.i,
+        |    ('0x' || substr(md5(42 || ':' || us.u || ':' || its.i), 1, 13))
+        |      ::BIGINT AS ord
+        |  FROM (SELECT DISTINCT u FROM u2) us CROSS JOIN its
+        |  WHERE NOT EXISTS (SELECT 1 FROM u2
+        |                    WHERE u2.u = us.u AND u2.i = its.i)
+        |)
+        |SELECT u, i FROM (
+        |  SELECT u, i, ROW_NUMBER() OVER (PARTITION BY u
+        |    ORDER BY ord, i) AS rk FROM cand) t
+        |WHERE rk <= 5""".stripMargin)),
 
-    // L10 — seeded Random recommender scores (rows-only; rand(seed)
-    // streams differ per engine by design, SURVEY §4).
+    // L10 — Random recommender scores: md5-uniform per (u, i) (see
+    // Recommenders.randomScores), bit-reproducible → hash-gated.
     Q("q73_random_scores", { t =>
         val urm = Urm.fromOrders(t)
         Recommenders.randomScores(
-          urm.select("u").distinct().limit(50),
-          urm.select("i").distinct().limit(100), seed = 42)
-      }, None),
+          urm.select("u").distinct().orderBy("u").limit(50),
+          urm.select("i").distinct().orderBy("i").limit(100), seed = 42)
+      },
+      Some(urmCte + """,
+        |us AS (SELECT DISTINCT u FROM urm ORDER BY u LIMIT 50),
+        |its AS (SELECT DISTINCT i FROM urm ORDER BY i LIMIT 100)
+        |SELECT us.u, its.i,
+        |  round((('0x' || substr(md5(42 || ':' || us.u || ':' || its.i),
+        |          1, 13))::BIGINT + 0.5) / 4503599627370496.0, 6) AS score
+        |FROM us CROSS JOIN its""".stripMargin)),
 
     // L22 — FunkSVD-analog: EXPLICIT-feedback ALS over mean quantities —
     // ratings are regression labels for the same squared-error objective

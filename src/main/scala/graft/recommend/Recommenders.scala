@@ -45,10 +45,22 @@ object Recommenders {
   }
 
   /** L10 — seeded random scorer
-    * (reference: Base/NonPersonalizedRecommender.py:155-180). */
+    * (reference: Base/NonPersonalizedRecommender.py:155-180).
+    *
+    * The uniform draw is md5("seed:u:i") — the engine's deterministic-
+    * randomness convention ([[graft.stats.Stats.weightedSample]]) —
+    * rather than Spark's `rand(seed)`, whose values depend on the
+    * partitioning of the moment: at cluster scale a repartition or AQE
+    * re-plan would silently change every score. u = (first 52 hash
+    * bits + ½)/2⁵², rounded to 6 decimals so any engine reproduces the
+    * scores bit-for-bit. */
   def randomScores(users: DataFrame, items: DataFrame, seed: Long)
-      : DataFrame =
-    users.crossJoin(items).withColumn("score", rand(seed))
+      : DataFrame = {
+    val u = (conv(substring(md5(concat_ws(":", lit(seed),
+               col("u").cast("string"), col("i").cast("string"))), 1, 13),
+             16, 10).cast("double") + 0.5) / 4503599627370496.0 // 2^52
+    users.crossJoin(items).withColumn("score", round(u, 6))
+  }
 
   /** L16 — P3alpha random-walk similarity
     * (reference: GraphBased/P3alphaRecommender.py:33-141):

@@ -74,4 +74,41 @@ class IoSpec extends SparkSpec {
     assert(perUser.forall(_.getLong(1) == 4))
     assert(neg.join(urm, Seq("u", "i"), "left_semi").count() == 0)
   }
+
+  test("negative sampling: pruned scale path equals the dense definition") {
+    import org.apache.spark.sql.expressions.Window
+    // nPerUser=1 over 200 items → frac = 4/200 = 0.02, so the pruned
+    // two-pass path runs; with a ~2 % cut some of the 40 users have no
+    // candidate draw below it (md5 draws are fixed, so which users are
+    // short is deterministic across runs) — the top-up branch is
+    // exercised, not just the happy path.
+    val urm = (for { u <- 0 until 40; i <- 0 until 5 } yield (u, i * 7))
+      .toDF("u", "i")
+    val items = (0 until 200).map(Tuple1(_)).toDF("i")
+    val got = Urm.negativeSample(urm, items, nPerUser = 1, seed = 4)
+      .collect().map(r => (r.getInt(0), r.getInt(1))).toSet
+    // dense definition, computed independently: global per-user top-n
+    // by (md5 draw, i) over the full anti-joined candidate set
+    val ord = conv(substring(md5(concat_ws(":", lit(4L),
+        col("u").cast("string"), col("i").cast("string"))), 1, 13),
+      16, 10).cast("bigint")
+    val dense = urm.select("u").distinct().join(items)
+      .join(urm, Seq("u", "i"), "left_anti")
+      .withColumn("_o", ord)
+      .withColumn("rk", row_number().over(
+        Window.partitionBy("u").orderBy(col("_o"), col("i"))))
+      .filter(col("rk") <= 1)
+      .collect().map(r => (r.getInt(0), r.getInt(1))).toSet
+    assert(got == dense,
+      "pruned+top-up result must be bit-identical to the dense ranking")
+    // and the premise of the comment above: the cut actually left some
+    // user short (otherwise this test silently stops covering the
+    // top-up branch)
+    val cut = (0.02 * 4503599627370496.0).toLong
+    val nBelowCut = urm.select("u").distinct().join(items)
+      .join(urm, Seq("u", "i"), "left_anti")
+      .filter(ord < cut).groupBy("u").count().count()
+    assert(nBelowCut < 40, "expected at least one user with zero " +
+      "candidates below the prune cut so the top-up branch runs")
+  }
 }
