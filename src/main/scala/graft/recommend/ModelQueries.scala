@@ -361,6 +361,45 @@ object ModelQueries {
         |  (0, 1, 0.333333), (2, 1, 0.333333),
         |  (1, 2, 0.333333), (3, 2, 0.333333),
         |  (0, 3, 0.022222), (2, 3, 0.422222)
-        |) t(i, j, w)""".stripMargin))
+        |) t(i, j, w)""".stripMargin)),
+
+    // L19 STRICT gate — NMF's Lee–Seung multiplicative updates are a
+    // DETERMINISTIC map given the init: this runs the exact q84 update
+    // machinery (distributed V·Hᵀ / VᵀW join-aggregations, k×k Grams,
+    // W-step against pre-update H's Gram, H-step against post-update
+    // W's Gram) from an injected rational init vec(id,salt)[f] =
+    // (1 + id + 2f + salt)/4 on an inline 3×3 URM, 2 iterations. The
+    // 12 expected factor values were derived independently with exact
+    // rational arithmetic (Python fractions replay of the MU rule) and
+    // transcribed at 6 decimals — every value ≥ 6.8·10⁻⁸ from its
+    // rounding boundary, so partition-order float summation (~1e-13)
+    // cannot flip a digit. A transposed Gram, a swapped update order,
+    // or an eps-clamped denominator is a red hash row; q84 (hash-seeded
+    // init, sf-scale) stays the at-scale demo.
+    Q("q153_nmf_values_gate", { t =>
+        import t.spark.implicits._
+        val urm = Seq((0, 0, 1), (0, 1, 2), (0, 2, 1), (1, 0, 3),
+                      (1, 2, 1), (2, 0, 2), (2, 1, 1), (2, 2, 2))
+          .toDF("u", "i", "v")
+        def init(id: Int, salt: Int): Array[Double] =
+          Array.tabulate(2)(f => (1.0 + id + 2 * f + salt) / 4.0)
+        val (w, h) = Models.nmfFrom(t.spark, urm, rank = 2, iters = 2,
+                                    initVec = init)
+        val wr = w.select(lit("w").as("kind"), col("u").as("id"),
+                          posexplode(col("factors")).as(Seq("f", "value")))
+        val hr = h.select(lit("h").as("kind"), col("i").as("id"),
+                          posexplode(col("factors")).as(Seq("f", "value")))
+        wr.unionByName(hr)
+          .select(col("kind"), col("id"), col("f"),
+                  round(col("value"), 6).as("value"))
+      },
+      Some("""SELECT * FROM (VALUES
+        |  ('w', 0, 0, CAST(0.273269 AS DOUBLE)), ('w', 0, 1, 0.549508),
+        |  ('w', 1, 0, 0.398453), ('w', 1, 1, 0.720236),
+        |  ('w', 2, 0, 0.485378), ('w', 2, 1, 0.725643),
+        |  ('h', 0, 0, 1.375562), ('h', 0, 1, 2.280331),
+        |  ('h', 1, 0, 0.600398), ('h', 1, 1, 0.988522),
+        |  ('h', 2, 0, 1.061761), ('h', 2, 1, 1.413298)
+        |) t(kind, id, f, value)""".stripMargin))
   )
 }

@@ -1137,18 +1137,29 @@ object Models {
     * layout. Returns (userFactors, itemFactors) as (id, factors). */
   def nmf(spark: SparkSession, urm: DataFrame, rank: Int, iters: Int,
           seed: Long): (DataFrame, DataFrame) = {
-    import spark.implicits._
-    val eps = 1e-9
-    val triples = graft.core.CacheScope.persistRdd(
-      urm.select(col("u").cast("int"), col("i").cast("int"),
-                 col("v").cast("double"))
-        .as[(Int, Int, Double)].rdd)
     def initVec(id: Int, salt: Int): Array[Double] =
       Array.tabulate(rank) { f =>
         val h = scala.util.hashing.MurmurHash3
           .productHash((id, f, salt, seed))
         0.1 + ((h & 0x7fffffff) % 1000) / 1000.0
       }
+    nmfFrom(spark, urm, rank, iters, initVec)
+  }
+
+  /** [[nmf]] core with an injectable factor init `(id, salt) → vec`
+    * (salt 1 = user rows, 2 = item rows). The q153 values gate runs the
+    * exact update machinery from a rational init so the converged
+    * values are hand-derivable; [[nmf]] passes the hash-seeded init. */
+  private[graft] def nmfFrom(spark: SparkSession, urm: DataFrame,
+                             rank: Int, iters: Int,
+                             initVec: (Int, Int) => Array[Double])
+      : (DataFrame, DataFrame) = {
+    import spark.implicits._
+    val eps = 1e-9
+    val triples = graft.core.CacheScope.persistRdd(
+      urm.select(col("u").cast("int"), col("i").cast("int"),
+                 col("v").cast("double"))
+        .as[(Int, Int, Double)].rdd)
     var w = triples.map(_._1).distinct().map(u => (u, initVec(u, 1)))
     var h = triples.map(_._2).distinct().map(i => (i, initVec(i, 2)))
     def gram(m: org.apache.spark.rdd.RDD[(Int, Array[Double])])
