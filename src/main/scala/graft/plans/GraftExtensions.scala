@@ -53,6 +53,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         classOf[org.apache.spark.sql.catalyst.expressions
           .BloomFilterMightContain].getName, "graft_might_contain"),
       graft.functions.BloomFunctions.probeBuilder))
+    // Codegen'd Unicode normalization (shared builder with the runtime
+    // registration in graft.functions.StringFunctions).
+    ext.injectFunction((
+      FunctionIdentifier("unicode_normalize"),
+      new ExpressionInfo(
+        classOf[graft.functions.UnicodeNormalize].getName,
+        "unicode_normalize"),
+      graft.functions.StringFunctions.builder))
     ext.injectOptimizerRule(_ => RewriteHofDotProduct)
   }
 }
@@ -62,6 +70,7 @@ object GraftExtensions {
     * `experimental.extraOptimizations` (idempotent). */
   def install(spark: SparkSession): Unit = {
     graft.functions.VectorFunctions.register(spark)
+    graft.functions.StringFunctions.register(spark)
     val extra = spark.experimental.extraOptimizations
     if (!extra.contains(RewriteHofDotProduct))
       spark.experimental.extraOptimizations =

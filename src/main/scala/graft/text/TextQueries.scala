@@ -658,6 +658,35 @@ object TextQueries {
         |  (2, 'est', '</w>', 'est</w>', 9),
         |  (3, 'l', 'o', 'lo', 7),
         |  (4, 'lo', 'w', 'low', 7)
-        |) t(round, "left", "right", merged, pair_freq)""".stripMargin))
+        |) t(round, "left", "right", merged, pair_freq)""".stripMargin)),
+
+    // Unicode NFC normalization at scan speed — the canonicalization
+    // pre-pass of corpus dedup/fingerprinting (é as U+00E9 vs
+    // e+U+0301 must hash identically). The corpus text is ASCII, so
+    // the query manufactures decomposed input: every 'e' becomes
+    // e+COMBINING ACUTE (U+0301), which NFC recomposes to the single
+    // codepoint é — per-doc codepoint counts shrink back and the
+    // normalized strings themselves hash-match DuckDB's independent
+    // nfc_normalize. Both the counts and a text prefix are gated, so
+    // a normalizer that returns its input unchanged (the ASCII fast
+    // path misfiring on non-ASCII) or over-normalizes is a red row.
+    // NFKC compatibility folding is pinned in StringExprSpec (DuckDB
+    // has no NFKC twin).
+    Q("q154_unicode_nfc", { t =>
+        import graft.functions.StringFunctions.unicode_normalize
+        val dec = regexp_replace(col("text"), "e", "e\u0301")
+        t.documents.select(col("doc_id"), dec.as("d"))
+          .select(col("doc_id"),
+                  length(col("d")).as("n_decomposed"),
+                  length(unicode_normalize(col("d"), "NFC")).as("n_nfc"),
+                  substring(unicode_normalize(col("d"), "NFC"), 1, 80)
+                    .as("prefix"))
+      },
+      Some("""SELECT doc_id,
+        |  CAST(length(d) AS INT) AS n_decomposed,
+        |  CAST(length(nfc_normalize(d)) AS INT) AS n_nfc,
+        |  substr(nfc_normalize(d), 1, 80) AS prefix
+        |FROM (SELECT doc_id, replace(text, 'e', 'e' || chr(769)) AS d
+        |      FROM documents)""".stripMargin))
   )
 }
