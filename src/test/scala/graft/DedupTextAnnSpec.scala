@@ -570,4 +570,23 @@ class DedupTextAnnSpec extends SparkSpec {
         case (syms, (l, r)) => applyM(syms, l, r)
       }
   }
+
+  test("LSH calibration picks the sharpest banding and is S-curve-sane") {
+    val cal = Dedup.lshCalibrate(spark, numHashes = 128, threshold = 0.8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2),
+                           r.getDouble(3), r.getDouble(4), r.getBoolean(5)))
+    assert(cal.length == 8) // the 8 divisor pairs of 128
+    assert(cal.forall { case (b, r, _, _, _, _) => b * r == 128 })
+    // the known optimum for 128 hashes at tau = 0.8, weights 0.5/0.5
+    val chosen = cal.filter(_._6)
+    assert(chosen.length == 1 && chosen.head._1 == 8 &&
+           chosen.head._2 == 16)
+    // S-curve direction: more bands (fewer rows/band) -> looser filter
+    // -> more false positives below the threshold, fewer false negatives
+    val byB = cal.sortBy(_._1)
+    assert(byB.map(_._3).sliding(2).forall(p => p(0) <= p(1)),
+      "fp must be monotone nondecreasing in b")
+    assert(byB.map(_._4).sliding(2).forall(p => p(0) >= p(1)),
+      "fn must be monotone nonincreasing in b")
+  }
 }
