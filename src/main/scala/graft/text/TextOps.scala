@@ -239,6 +239,62 @@ object TextOps {
               (count(lit(1)) * first(col("n_corpus")))).as("avg_prob"))
   }
 
+  /** CCNet-style perplexity bucketing (Wenzek et al. 2020, the
+    * filtering recipe behind CCNet/LLaMA web corpora): score TARGET
+    * documents under a unigram LM trained on a separate REFERENCE
+    * corpus — add-1 smoothing p(tok) = (c+1)/(N+V) keeps
+    * out-of-vocabulary tokens finite (c = 0, a LEFT join against the
+    * reference counts) — then split the score distribution into
+    * head / middle / tail terciles, the buckets the recipe keeps,
+    * subsamples, and drops respectively.
+    *
+    * Differs from [[unigramLogProb]] exactly where the production
+    * recipe does: the LM is trained on held-out data (scoring its own
+    * training corpus underestimates perplexity), OOV mass exists, and
+    * the output is the actionable bucket, not just a score.
+    *
+    * Scale: reference counts join the target tokens co-partitioned by
+    * token (the count frame is |vocab|-sized, never collected); the
+    * tercile cuts are one exact-percentile aggregate broadcast as two
+    * scalars. Determinism: per-token −log2 rounded to 6 then summed as
+    * exact decimals (the engine's transcendental-aggregate
+    * convention); the cuts are exact linear-interpolation percentiles
+    * (= SQL quantile_cont), and a tercile cut never coincides with a
+    * data point it could misclassify — interpolation lands strictly
+    * between adjacent distinct order stats, and collapses exactly onto
+    * them when they tie. */
+  def perplexityBuckets(refDocs: DataFrame, targetDocs: DataFrame,
+                        id: Column, text: Column): DataFrame = {
+    val refToks = graft.core.CacheScope.persist(
+      refDocs.select(explode(tokens(text)).as("tok")))
+    val counts = refToks.groupBy("tok").agg(count(lit(1)).as("c"))
+    val stats = refToks.agg(count(lit(1)).as("n_ref"),
+                            countDistinct(col("tok")).as("v_ref"))
+    val tToks = targetDocs.select(id.as("doc_id"),
+                                  explode(tokens(text)).as("tok"))
+    val scored = graft.core.CacheScope.persist(
+      tToks.join(counts, Seq("tok"), "left")
+        .na.fill(0L, Seq("c"))
+        .crossJoin(broadcast(stats))
+        .withColumn("nlogp",
+          round(-log2((col("c") + 1).cast("double") /
+                        (col("n_ref") + col("v_ref"))), 6)
+            .cast("decimal(18,6)"))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_tokens"),
+             round(sum(col("nlogp")).cast("double") / count(lit(1)), 6)
+               .as("score")))
+    val cuts = scored.agg(
+      percentile(col("score"), lit(1.0 / 3)).as("p33"),
+      percentile(col("score"), lit(2.0 / 3)).as("p67"))
+    scored.crossJoin(broadcast(cuts))
+      .withColumn("bucket",
+        when(col("score") <= col("p33"), "head")
+          .when(col("score") <= col("p67"), "middle")
+          .otherwise("tail"))
+      .select("doc_id", "n_tokens", "score", "bucket")
+  }
+
   /** Corpus-bigram LM quality score with add-1 smoothing: per document,
     * the average log2 of p(w2|w1) = (c(w1,w2)+1)/(c(w1)+V) over its
     * bigrams — the stronger perplexity proxy next to

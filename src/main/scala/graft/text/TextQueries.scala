@@ -687,6 +687,48 @@ object TextQueries {
         |  CAST(length(nfc_normalize(d)) AS INT) AS n_nfc,
         |  substr(nfc_normalize(d), 1, 80) AS prefix
         |FROM (SELECT doc_id, replace(text, 'e', 'e' || chr(769)) AS d
-        |      FROM documents)""".stripMargin))
+        |      FROM documents)""".stripMargin)),
+
+    // CCNet-style perplexity bucketing: unigram LM trained on the even
+    // half of the corpus scores the odd half (held-out, the production
+    // shape), with a planted per-doc ' zzq<id>' token so the OOV add-1
+    // path is provably exercised (those tokens cannot exist in the
+    // reference half). head/middle/tail terciles gated too — a drifted
+    // percentile or a flipped comparison is a red row.
+    Q("q156_perplexity_buckets", { t =>
+        val ref = t.documents.filter(col("doc_id") % 2 === 0)
+        val target = t.documents.filter(col("doc_id") % 2 === 1)
+          .select(col("doc_id"),
+                  concat(col("text"), lit(" zzq"),
+                         col("doc_id").cast("string")).as("text"))
+        TextOps.perplexityBuckets(ref, target, col("doc_id"), col("text"))
+      },
+      Some("""WITH ref AS (
+        |  SELECT unnest(string_split_regex(lower(text), '\s+')) AS tok
+        |  FROM documents WHERE doc_id % 2 = 0
+        |), counts AS (SELECT tok, COUNT(*) AS c FROM ref GROUP BY 1),
+        |stats AS (SELECT COUNT(*) AS n_ref, COUNT(DISTINCT tok) AS v_ref
+        |          FROM ref),
+        |tt AS (
+        |  SELECT doc_id,
+        |    unnest(string_split_regex(lower(text || ' zzq' || doc_id),
+        |                              '\s+')) AS tok
+        |  FROM documents WHERE doc_id % 2 = 1
+        |), sc AS (
+        |  SELECT doc_id, COUNT(*) AS n_tokens,
+        |    round(CAST(SUM(CAST(round(-log2((coalesce(c, 0) + 1)
+        |            / CAST(n_ref + v_ref AS DOUBLE)), 6)
+        |          AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*), 6) AS score
+        |  FROM tt LEFT JOIN counts USING (tok) CROSS JOIN stats
+        |  GROUP BY doc_id
+        |), cuts AS (
+        |  SELECT quantile_cont(score, 1.0/3) AS p33,
+        |         quantile_cont(score, 2.0/3) AS p67 FROM sc
+        |)
+        |SELECT doc_id, n_tokens, score,
+        |  CASE WHEN score <= p33 THEN 'head'
+        |       WHEN score <= p67 THEN 'middle'
+        |       ELSE 'tail' END AS bucket
+        |FROM sc CROSS JOIN cuts""".stripMargin))
   )
 }
