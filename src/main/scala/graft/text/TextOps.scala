@@ -239,6 +239,51 @@ object TextOps {
               (count(lit(1)) * first(col("n_corpus")))).as("avg_prob"))
   }
 
+  /** Classifier-based quality scoring, trained and applied in one
+    * distributed plan — the GPT-3-recipe shape (train a classifier
+    * with a curated corpus as the positive class and raw web as the
+    * negative, score everything, keep high scorers). The
+    * SQL-expressible twin of that logistic/fasttext classifier is
+    * smoothed naive-Bayes log-odds (Monroe et al. 2008 "Fightin'
+    * Words"): per token,
+    *   w(t) = log2( ((c⁺+α)/(N⁺+αV)) / ((c⁻+α)/(N⁻+αV)) ),
+    * and a document scores the mean w over its tokens; sign ⇒
+    * predicted class.
+    *
+    * Training is one token-keyed aggregate (class counts per token) +
+    * one 3-scalar broadcast; inference joins the |vocab|-bounded
+    * weight frame back to the token stream co-partitioned by token —
+    * nothing is collected, both phases are the same shuffle axis.
+    * Determinism: per-token weights rounded to 6 then summed as exact
+    * decimals (the transcendental-aggregate convention). */
+  def logOddsQuality(docs: DataFrame, id: Column, text: Column,
+                     positive: Column, alpha: Double = 0.5)
+      : DataFrame = {
+    val toks = graft.core.CacheScope.persist(
+      docs.select(id.as("doc_id"), positive.as("pos"),
+                  explode(tokens(text)).as("tok")))
+    val perTok = toks.groupBy("tok").agg(
+      sum(when(col("pos"), 1L).otherwise(0L)).as("cpos"),
+      sum(when(col("pos"), 0L).otherwise(1L)).as("cneg"))
+    val tot = perTok.agg(sum("cpos").as("npos"), sum("cneg").as("nneg"),
+                         count(lit(1)).as("v"))
+    val weights = perTok.crossJoin(broadcast(tot))
+      .withColumn("w",
+        round(log2(((col("cpos") + alpha) /
+                      (col("npos") + col("v") * alpha)) /
+                   ((col("cneg") + alpha) /
+                      (col("nneg") + col("v") * alpha))), 6)
+          .cast("decimal(18,6)"))
+      .select("tok", "w")
+    toks.join(weights, "tok")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_tokens"),
+           round(sum(col("w")).cast("double") / count(lit(1)), 6)
+             .as("score"))
+      .withColumn("predicted",
+        when(col("score") > 0, lit("positive")).otherwise(lit("negative")))
+  }
+
   /** CCNet-style perplexity bucketing (Wenzek et al. 2020, the
     * filtering recipe behind CCNet/LLaMA web corpora): score TARGET
     * documents under a unigram LM trained on a separate REFERENCE

@@ -729,6 +729,38 @@ object TextQueries {
         |  CASE WHEN score <= p33 THEN 'head'
         |       WHEN score <= p67 THEN 'middle'
         |       ELSE 'tail' END AS bucket
-        |FROM sc CROSS JOIN cuts""".stripMargin))
+        |FROM sc CROSS JOIN cuts""".stripMargin)),
+
+    // Quality classifier trained + applied in one plan: smoothed
+    // log-odds with lang='en' as the positive class (the GPT-3 recipe
+    // with naive-Bayes weights — the SQL-expressible classifier twin).
+    Q("q157_quality_classifier",
+      t => TextOps.logOddsQuality(t.documents, col("doc_id"),
+                                  col("text"), col("lang") === "en"),
+      Some("""WITH toks AS (
+        |  SELECT doc_id, (lang = 'en') AS pos,
+        |    unnest(string_split_regex(lower(text), '\s+')) AS tok
+        |  FROM documents
+        |), pt AS (
+        |  SELECT tok,
+        |    SUM(CASE WHEN pos THEN 1 ELSE 0 END) AS cpos,
+        |    SUM(CASE WHEN pos THEN 0 ELSE 1 END) AS cneg
+        |  FROM toks GROUP BY tok
+        |), tot AS (
+        |  SELECT SUM(cpos) AS npos, SUM(cneg) AS nneg, COUNT(*) AS v
+        |  FROM pt
+        |), w AS (
+        |  SELECT tok,
+        |    CAST(round(log2(((cpos + 0.5) / (npos + 0.5 * v))
+        |                    / ((cneg + 0.5) / (nneg + 0.5 * v))), 6)
+        |         AS DECIMAL(18,6)) AS w
+        |  FROM pt CROSS JOIN tot
+        |)
+        |SELECT doc_id, COUNT(*) AS n_tokens,
+        |  round(CAST(SUM(w) AS DOUBLE) / COUNT(*), 6) AS score,
+        |  CASE WHEN round(CAST(SUM(w) AS DOUBLE) / COUNT(*), 6) > 0
+        |       THEN 'positive' ELSE 'negative' END AS predicted
+        |FROM toks JOIN w USING (tok)
+        |GROUP BY doc_id""".stripMargin))
   )
 }
