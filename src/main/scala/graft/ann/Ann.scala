@@ -315,4 +315,23 @@ object Ann {
       .select(id.as("id"), posexplode(proj).as(Seq("k", "pv")))
       .select(col("id"), col("k"), col("pv").as("v"))
   }
+
+  /** ANN quality gate: per-query recall@k of an approximate top-k
+    * result against the exact (brute-force) top-k — the acceptance
+    * metric every index build runs before it replaces brute force.
+    * `exact` defines the query universe, so a query whose candidates
+    * the index lost entirely still appears (n_hits = 0) instead of
+    * silently vanishing from the average. One left-semi join on
+    * (qid, vid) + one per-query count; both sides are top-k frames, so
+    * the join is k·|queries|-sized regardless of corpus size. */
+  def recallAtK(approx: DataFrame, exact: DataFrame, k: Int)
+      : DataFrame = {
+    val hits = approx.select("qid", "vid")
+      .join(exact.select("qid", "vid"), Seq("qid", "vid"), "left_semi")
+      .groupBy("qid").agg(count(lit(1)).as("n_hits"))
+    exact.select("qid").distinct()
+      .join(hits, Seq("qid"), "left")
+      .na.fill(0L, Seq("n_hits"))
+      .withColumn("recall", col("n_hits").cast("double") / k)
+  }
 }

@@ -358,6 +358,83 @@ object AnnQueries {
         |SELECT assign.cell, ev.d, COUNT(*) AS n,
         |  round(AVG(v), 6) AS mean_v
         |FROM assign JOIN ev ON ev.vec_id = assign.vid
-        |GROUP BY 1, 2""".stripMargin))
+        |GROUP BY 1, 2""".stripMargin)),
+
+    // ANN acceptance metric: per-query recall@3 of single-probe LSH
+    // (q59's index) against the exact brute-force top-3. The exact
+    // side defines the query universe, so queries the index lost
+    // entirely appear with n_hits = 0 rather than vanishing. The
+    // oracle recomputes BOTH retrievals and the overlap independently.
+    Q("q158_ann_recall", { t =>
+        val emb = t.embeddings.select(col("vec_id").as("id"),
+                                      col("embedding"))
+        val queries = emb.filter(col("id") % 20 === 0)
+        val planes = Ann.planeTable(t.spark, 8, 64)
+        val approx = Ann.lshCosineTopK(queries, emb, planes, 3)
+        val exact = Ann.bruteForceCosineTopK(queries, emb, 3)
+        Ann.recallAtK(approx, exact, 3)
+      },
+      Some(evCte + """,
+        |pl AS (
+        |  SELECT p, d,
+        |    ((('0x' || substr(md5(p || ':' || d), 1, 15))::BIGINT % 2) * 2
+        |     - 1) AS c
+        |  FROM UNNEST(generate_series(0, 7)) pp(p),
+        |       UNNEST(generate_series(0, 63)) dd(d)
+        |), proj AS (
+        |  SELECT vec_id, p, SUM(c * v) AS proj
+        |  FROM ev JOIN pl USING (d) GROUP BY 1, 2
+        |), bk AS (
+        |  SELECT vec_id,
+        |    CAST(SUM(CASE WHEN proj > 0
+        |         THEN (CAST(1 AS BIGINT) << CAST(p AS INT))
+        |         ELSE 0 END) AS BIGINT) AS bucket
+        |  FROM proj GROUP BY 1
+        |), cand AS (
+        |  SELECT q.vec_id AS qid, c.vec_id AS vid
+        |  FROM bk q JOIN bk c ON q.bucket = c.bucket
+        |    AND q.vec_id % 20 = 0 AND q.vec_id <> c.vec_id
+        |), ldots AS (
+        |  SELECT qid, vid, SUM(a.v * b.v) AS dot
+        |  FROM cand
+        |  JOIN ev a ON a.vec_id = qid
+        |  JOIN ev b ON b.vec_id = vid AND a.d = b.d
+        |  GROUP BY 1, 2
+        |), lcos AS (
+        |  SELECT qid, vid, round(dot / sqrt(na.nn * nb.nn), 6) AS cos
+        |  FROM ldots
+        |  JOIN norms na ON qid = na.vec_id
+        |  JOIN norms nb ON vid = nb.vec_id
+        |), approx AS (
+        |  SELECT qid, vid FROM (
+        |    SELECT qid, vid,
+        |      ROW_NUMBER() OVER (PARTITION BY qid
+        |        ORDER BY cos DESC, vid) AS rank
+        |    FROM lcos) r
+        |  WHERE rank <= 3
+        |), bdots AS (
+        |  SELECT a.vec_id AS qid, b.vec_id AS vid, SUM(a.v * b.v) AS dot
+        |  FROM ev a JOIN ev b ON a.d = b.d
+        |    AND a.vec_id % 20 = 0 AND a.vec_id <> b.vec_id
+        |  GROUP BY 1, 2
+        |), bcos AS (
+        |  SELECT qid, vid, round(dot / sqrt(na.nn * nb.nn), 6) AS cos
+        |  FROM bdots
+        |  JOIN norms na ON qid = na.vec_id
+        |  JOIN norms nb ON vid = nb.vec_id
+        |), exact AS (
+        |  SELECT qid, vid FROM (
+        |    SELECT qid, vid,
+        |      ROW_NUMBER() OVER (PARTITION BY qid
+        |        ORDER BY cos DESC, vid) AS rank
+        |    FROM bcos) r
+        |  WHERE rank <= 3
+        |)
+        |SELECT e.qid, COUNT(a.vid) AS n_hits,
+        |  CAST(COUNT(a.vid) AS DOUBLE) / 3 AS recall
+        |FROM (SELECT DISTINCT qid FROM exact) e
+        |LEFT JOIN exact x ON x.qid = e.qid
+        |LEFT JOIN approx a ON a.qid = x.qid AND a.vid = x.vid
+        |GROUP BY e.qid""".stripMargin))
   )
 }
