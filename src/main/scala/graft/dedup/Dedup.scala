@@ -452,6 +452,21 @@ object Dedup {
       .withColumn("keep", (row_number().over(w) === 1).cast("int"))
   }
 
+  /** Exact-duplicate removal keeping the first (smallest-id) copy of
+    * each distinct text — the inline form of [[exactDupGroups]] for
+    * pipeline use: one md5 per row, one hash-keyed min aggregate, one
+    * semi-join; survivors stream through with all their columns.
+    * Unlike a `dropDuplicates(text)`, the survivor choice is
+    * DETERMINISTIC (min id), so reruns and engines agree row-for-row. */
+  def keepFirstExact(docs: DataFrame, id: Column, text: Column)
+      : DataFrame = {
+    val withH = docs.withColumn("_h", md5(text))
+      .withColumn("_id", id)
+    val firsts = withH.groupBy("_h").agg(min(col("_id")).as("_id"))
+    withH.join(firsts, Seq("_h", "_id"), "left_semi")
+      .drop("_h", "_id")
+  }
+
   /** MinHash-LSH parameter calibration: pick the (bands, rowsPerBand)
     * factorization of `numHashes` that best approximates a sharp
     * Jaccard cutoff at `threshold` before running

@@ -761,6 +761,87 @@ object TextQueries {
         |  CASE WHEN round(CAST(SUM(w) AS DOUBLE) / COUNT(*), 6) > 0
         |       THEN 'positive' ELSE 'negative' END AS predicted
         |FROM toks JOIN w USING (tok)
-        |GROUP BY doc_id""".stripMargin))
+        |GROUP BY doc_id""".stripMargin)),
+
+    // Modern curation chain gated END-TO-END (the q110/q130
+    // convention): NFC normalize → log-odds classifier keeps predicted-
+    // positive docs → exact dedup keeps the first copy (duplicates
+    // planted in-query: every 25th doc re-enters under id+10000, so the
+    // dedup stage provably removes rows) → sequence packing of the
+    // survivors. Classifier training sees the planted corpus too —
+    // both engines train on identical data.
+    Q("q159_curation_pipeline", { t =>
+        import graft.functions.StringFunctions.unicode_normalize
+        import graft.dedup.Dedup
+        val base0 = t.documents.select(col("doc_id"), col("lang"),
+                                       col("text"))
+        val planted = base0.filter(col("doc_id") % 25 === 0)
+          .withColumn("doc_id", col("doc_id") + 10000)
+        val base = graft.core.CacheScope.persist(
+          base0.unionByName(planted)
+            .select(col("doc_id"), col("lang"),
+                    unicode_normalize(col("text"), "NFC").as("text")))
+        val kept = TextOps.logOddsQuality(base, col("doc_id"),
+            col("text"), col("lang") === "en")
+          .filter(col("predicted") === "positive").select("doc_id")
+        val deduped = Dedup.keepFirstExact(
+          base.join(kept, "doc_id"), col("doc_id"), col("text"))
+        TextOps.packSequences(deduped, col("doc_id"), col("text"),
+                              budget = 256L)
+      },
+      Some("""WITH base AS (
+        |  SELECT doc_id, lang, nfc_normalize(text) AS text
+        |  FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 10000, lang, nfc_normalize(text)
+        |  FROM documents WHERE doc_id % 25 = 0
+        |), toks AS (
+        |  SELECT doc_id, (lang = 'en') AS pos,
+        |    unnest(string_split_regex(lower(text), '\s+')) AS tok
+        |  FROM base
+        |), pt AS (
+        |  SELECT tok,
+        |    SUM(CASE WHEN pos THEN 1 ELSE 0 END) AS cpos,
+        |    SUM(CASE WHEN pos THEN 0 ELSE 1 END) AS cneg
+        |  FROM toks GROUP BY tok
+        |), tot AS (
+        |  SELECT SUM(cpos) AS npos, SUM(cneg) AS nneg, COUNT(*) AS v
+        |  FROM pt
+        |), w AS (
+        |  SELECT tok,
+        |    CAST(round(log2(((cpos + 0.5) / (npos + 0.5 * v))
+        |                    / ((cneg + 0.5) / (nneg + 0.5 * v))), 6)
+        |         AS DECIMAL(18,6)) AS w
+        |  FROM pt CROSS JOIN tot
+        |), sc AS (
+        |  SELECT doc_id,
+        |    round(CAST(SUM(w) AS DOUBLE) / COUNT(*), 6) AS score
+        |  FROM toks JOIN w USING (tok) GROUP BY doc_id
+        |), srv AS (
+        |  SELECT b.doc_id, b.text FROM base b
+        |  JOIN sc ON sc.doc_id = b.doc_id AND sc.score > 0
+        |), firsts AS (
+        |  SELECT md5(text) AS h, MIN(doc_id) AS keep_id
+        |  FROM srv GROUP BY 1
+        |), ded AS (
+        |  SELECT s.doc_id, s.text FROM srv s
+        |  JOIN firsts f ON md5(s.text) = f.h AND s.doc_id = f.keep_id
+        |), counted AS (
+        |  SELECT doc_id,
+        |    len(string_split_regex(lower(text), '\s+')) AS n_tokens,
+        |    md5(CAST(doc_id AS VARCHAR)) AS h
+        |  FROM ded
+        |), ordered AS (
+        |  SELECT doc_id, CAST(n_tokens AS INT) AS n_tokens,
+        |    CAST(ROW_NUMBER() OVER w AS BIGINT) AS pos,
+        |    CAST(SUM(n_tokens) OVER w AS BIGINT) AS cum
+        |  FROM counted WINDOW w AS (ORDER BY h, doc_id)
+        |)
+        |SELECT doc_id, n_tokens, pos,
+        |  CAST(FLOOR((cum - n_tokens) / 256.0) AS BIGINT) AS seq_id,
+        |  (cum - n_tokens)
+        |    - CAST(FLOOR((cum - n_tokens) / 256.0) AS BIGINT) * 256
+        |    AS offset
+        |FROM ordered""".stripMargin))
   )
 }

@@ -589,4 +589,16 @@ class DedupTextAnnSpec extends SparkSpec {
     assert(byB.map(_._4).sliding(2).forall(p => p(0) >= p(1)),
       "fn must be monotone nonincreasing in b")
   }
+
+  test("keepFirstExact keeps the smallest id per distinct text") {
+    import spark.implicits._
+    val docs = Seq((5, "aaa", "x"), (2, "aaa", "y"), (9, "bbb", "z"),
+                   (1, "ccc", "w"))
+      .toDF("doc_id", "text", "extra")
+    val kept = Dedup.keepFirstExact(docs, col("doc_id"), col("text"))
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getString(2)))
+      .toSet
+    // survivor per text is the min id, other columns ride along intact
+    assert(kept == Set((2, "aaa", "y"), (9, "bbb", "z"), (1, "ccc", "w")))
+  }
 }
