@@ -316,22 +316,28 @@ object Ann {
       .select(col("id"), col("k"), col("pv").as("v"))
   }
 
-  /** ANN quality gate: per-query recall@k of an approximate top-k
-    * result against the exact (brute-force) top-k — the acceptance
-    * metric every index build runs before it replaces brute force.
+  /** ANN quality gate: per-query recall of an approximate top-k result
+    * against the exact (brute-force) top-k — the acceptance metric
+    * every index build runs before it replaces brute force.
     * `exact` defines the query universe, so a query whose candidates
     * the index lost entirely still appears (n_hits = 0) instead of
-    * silently vanishing from the average. One left-semi join on
-    * (qid, vid) + one per-query count; both sides are top-k frames, so
-    * the join is k·|queries|-sized regardless of corpus size. */
-  def recallAtK(approx: DataFrame, exact: DataFrame, k: Int)
-      : DataFrame = {
-    val hits = approx.select("qid", "vid")
-      .join(exact.select("qid", "vid"), Seq("qid", "vid"), "left_semi")
+    * silently vanishing from the average. The denominator is each
+    * query's ACTUAL exact-neighbor count, not a fixed k — a query with
+    * only 4 true neighbors scored perfectly reports 1.0, not 4/k — and
+    * both sides are de-duplicated first so a malformed input (repeated
+    * (qid, vid) rows) cannot push recall past 1. One semi-join +
+    * per-query counts; all frames are ≤ k·|queries|-sized regardless
+    * of corpus size. */
+  def recallAtK(approx: DataFrame, exact: DataFrame): DataFrame = {
+    val ex = exact.select("qid", "vid").distinct()
+    val hits = approx.select("qid", "vid").distinct()
+      .join(ex, Seq("qid", "vid"), "left_semi")
       .groupBy("qid").agg(count(lit(1)).as("n_hits"))
-    exact.select("qid").distinct()
+    ex.groupBy("qid").agg(count(lit(1)).as("n_exact"))
       .join(hits, Seq("qid"), "left")
       .na.fill(0L, Seq("n_hits"))
-      .withColumn("recall", col("n_hits").cast("double") / k)
+      .withColumn("recall",
+        col("n_hits").cast("double") / col("n_exact"))
+      .select("qid", "n_hits", "n_exact", "recall")
   }
 }

@@ -372,7 +372,7 @@ object AnnQueries {
         val planes = Ann.planeTable(t.spark, 8, 64)
         val approx = Ann.lshCosineTopK(queries, emb, planes, 3)
         val exact = Ann.bruteForceCosineTopK(queries, emb, 3)
-        Ann.recallAtK(approx, exact, 3)
+        Ann.recallAtK(approx, exact)
       },
       Some(evCte + """,
         |pl AS (
@@ -431,7 +431,8 @@ object AnnQueries {
         |  WHERE rank <= 3
         |)
         |SELECT e.qid, COUNT(a.vid) AS n_hits,
-        |  CAST(COUNT(a.vid) AS DOUBLE) / 3 AS recall
+        |  COUNT(x.vid) AS n_exact,
+        |  CAST(COUNT(a.vid) AS DOUBLE) / COUNT(x.vid) AS recall
         |FROM (SELECT DISTINCT qid FROM exact) e
         |LEFT JOIN exact x ON x.qid = e.qid
         |LEFT JOIN approx a ON a.qid = x.qid AND a.vid = x.vid

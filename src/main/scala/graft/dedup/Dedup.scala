@@ -460,11 +460,18 @@ object Dedup {
     * DETERMINISTIC (min id), so reruns and engines agree row-for-row. */
   def keepFirstExact(docs: DataFrame, id: Column, text: Column)
       : DataFrame = {
-    val withH = docs.withColumn("_h", md5(text))
+    // NULL-text rows dedup as their own group rather than silently
+    // vanishing (md5(NULL) = NULL never equi-joins): the group key is
+    // (md5(coalesce(text, '')), isnull(text)), so null and
+    // empty-string texts stay distinct groups. A null id would still
+    // be unrankable — ids are required non-null, as everywhere in the
+    // dedup suite.
+    val withH = docs.withColumn("_h", md5(coalesce(text, lit(""))))
+      .withColumn("_n", text.isNull)
       .withColumn("_id", id)
-    val firsts = withH.groupBy("_h").agg(min(col("_id")).as("_id"))
-    withH.join(firsts, Seq("_h", "_id"), "left_semi")
-      .drop("_h", "_id")
+    val firsts = withH.groupBy("_h", "_n").agg(min(col("_id")).as("_id"))
+    withH.join(firsts, Seq("_h", "_n", "_id"), "left_semi")
+      .drop("_h", "_n", "_id")
   }
 
   /** MinHash-LSH parameter calibration: pick the (bands, rowsPerBand)

@@ -188,11 +188,10 @@ object Urm {
     val users = urm.select("u").distinct()
     val nItems = items.distinct().count()
     val frac = math.min(1.0, 4.0 * nPerUser / math.max(1L, nItems))
-    // first 52 bits of md5 as a long — ordering on the raw integer is
-    // ordering on the uniform (k + ½)/2⁵², no division needed
-    def ord = conv(substring(md5(concat_ws(":", lit(seed),
-        col("u").cast("string"), col("i").cast("string"))), 1, 13),
-      16, 10).cast("bigint")
+    // first 52 bits of md5 as a long (the shared sampling-family
+    // convention) — ordering on the raw integer is ordering on the
+    // uniform (k + ½)/2⁵², no division needed
+    def ord = graft.stats.Stats.md5Bits52(lit(seed), col("u"), col("i"))
     def topN(cands: DataFrame, n: Column): DataFrame = {
       val w = Window.partitionBy("u").orderBy(col("_ord"), col("i"))
       cands.withColumn("_ord", ord)

@@ -84,6 +84,10 @@ object UnicodeNormalizeUtil {
 
 object StringFunctions {
   private def build(exprs: Seq[Expression]): Expression = {
+    if (exprs.length != 2)
+      throw new IllegalArgumentException(
+        s"unicode_normalize(str, form) expects exactly 2 arguments, " +
+          s"got ${exprs.length}")
     val form = exprs(1) match {
       case e if e.foldable && e.dataType.isInstanceOf[StringType] =>
         e.eval() match {

@@ -47,19 +47,26 @@ object Recommenders {
   /** L10 — seeded random scorer
     * (reference: Base/NonPersonalizedRecommender.py:155-180).
     *
-    * The uniform draw is md5("seed:u:i") — the engine's deterministic-
-    * randomness convention ([[graft.stats.Stats.weightedSample]]) —
-    * rather than Spark's `rand(seed)`, whose values depend on the
-    * partitioning of the moment: at cluster scale a repartition or AQE
-    * re-plan would silently change every score. u = (first 52 hash
-    * bits + ½)/2⁵², rounded to 6 decimals so any engine reproduces the
-    * scores bit-for-bit. */
+    * The uniform draw is md5("seed:user:item") — the engine's
+    * deterministic-randomness convention
+    * ([[graft.stats.Stats.md5Uniform]]) — rather than Spark's
+    * `rand(seed)`, whose values depend on the partitioning of the
+    * moment: at cluster scale a repartition or AQE re-plan would
+    * silently change every score. Rounded to 6 decimals so any engine
+    * reproduces the scores bit-for-bit.
+    *
+    * `users` and `items` are single-key frames; the key is each
+    * frame's FIRST column (whatever its name), and the two names must
+    * differ so the cross join keeps both. */
   def randomScores(users: DataFrame, items: DataFrame, seed: Long)
       : DataFrame = {
-    val u = (conv(substring(md5(concat_ws(":", lit(seed),
-               col("u").cast("string"), col("i").cast("string"))), 1, 13),
-             16, 10).cast("double") + 0.5) / 4503599627370496.0 // 2^52
-    users.crossJoin(items).withColumn("score", round(u, 6))
+    val uKey = users.columns.head
+    val iKey = items.columns.head
+    require(uKey != iKey,
+      s"user and item key columns must have distinct names, got '$uKey'")
+    users.crossJoin(items).withColumn("score",
+      round(graft.stats.Stats.md5Uniform(lit(seed), col(uKey), col(iKey)),
+            6))
   }
 
   /** L16 — P3alpha random-walk similarity

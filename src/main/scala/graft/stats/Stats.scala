@@ -122,6 +122,23 @@ object Stats {
   /** A sampling rate as an exact 32-bit integer threshold. */
   def rateThreshold(rate: Double): Long = (rate * 4294967296.0).toLong
 
+  /** The engine's deterministic-randomness convention, shared by the
+    * whole sampling family ([[weightedSample]],
+    * [[graft.recommend.Recommenders.randomScores]],
+    * [[graft.etl.Urm.negativeSample]]): the first 52 bits of
+    * md5(parts joined by ":") as a long. Ordering on it is ordering on
+    * the uniform draw; [[md5Uniform]] is the scaled (0,1) form. Any
+    * change here (substring width, separator) changes every consumer
+    * at once instead of silently forking the convention. */
+  def md5Bits52(parts: Column*): Column =
+    conv(substring(md5(concat_ws(":", parts.map(_.cast("string")): _*)),
+                   1, 13), 16, 10).cast("long")
+
+  /** (first 52 md5 bits + ½) / 2⁵² — a uniform draw in (0, 1), exactly
+    * reproducible on any engine. */
+  def md5Uniform(parts: Column*): Column =
+    (md5Bits52(parts: _*).cast("double") + 0.5) / 4503599627370496.0
+
   /** Weighted sampling WITHOUT replacement, k per stratum — the
     * Efraimidis–Spirakis A-Res scheme: each row draws u ∈ (0,1) and the
     * k rows with the largest u^(1/w) win, which selects with
@@ -135,8 +152,7 @@ object Stats {
     * so any engine ranks identically. */
   def weightedSample(df: DataFrame, id: Column, stratum: Column,
                      weight: Column, k: Int): DataFrame = {
-    val u = (conv(substring(md5(id.cast("string")), 1, 13), 16, 10)
-               .cast("double") + 0.5) / 4503599627370496.0 // 2^52
+    val u = md5Uniform(id) // md5(id) — single-part, no seed, as documented
     val key = round(log(u) / weight, 6)
     val w = Window.partitionBy(stratum).orderBy(col("_key").desc, id)
     df.withColumn("_key", key)

@@ -600,5 +600,31 @@ class DedupTextAnnSpec extends SparkSpec {
       .toSet
     // survivor per text is the min id, other columns ride along intact
     assert(kept == Set((2, "aaa", "y"), (9, "bbb", "z"), (1, "ccc", "w")))
+    // null and empty-string texts are DISTINCT groups, and null-text
+    // rows dedup rather than silently vanishing
+    val withNulls = Seq((3, Option("" )), (7, Option.empty[String]),
+                        (4, Option.empty[String]), (8, Option("")))
+      .toDF("doc_id", "text")
+    val keptN = Dedup.keepFirstExact(withNulls, col("doc_id"),
+                                     col("text"))
+      .collect().map(r => (r.getInt(0), Option(r.getString(1)))).toSet
+    assert(keptN == Set((3, Some("")), (4, None)))
+  }
+
+  test("recallAtK divides by the per-query exact count, dedups inputs") {
+    import spark.implicits._
+    // query 1: 4 exact neighbors, approx finds all 4 (some duplicated);
+    // query 2: 2 exact neighbors, approx finds 1 of them + noise;
+    // query 3: exact only - index lost it entirely
+    val exact = Seq((1, 10), (1, 11), (1, 12), (1, 13), (2, 20),
+                    (2, 21), (3, 30)).toDF("qid", "vid")
+    val approx = Seq((1, 10), (1, 10), (1, 11), (1, 12), (1, 13),
+                     (2, 20), (2, 99)).toDF("qid", "vid")
+    val r = Ann.recallAtK(approx, exact)
+      .collect().map(x => (x.getInt(0), (x.getLong(1), x.getLong(2),
+                                         x.getDouble(3)))).toMap
+    assert(r(1) == ((4L, 4L, 1.0)), "full recall despite dup rows")
+    assert(r(2) == ((1L, 2L, 0.5)))
+    assert(r(3) == ((0L, 1L, 0.0)), "lost query surfaces as zero")
   }
 }

@@ -73,6 +73,20 @@ class StringExprSpec extends SparkSpec {
            e.getMessage.contains("normalization"))
   }
 
+  test("wrong arity is a build-time error naming the signature") {
+    StringFunctions.register(spark)
+    val e = intercept[Exception] {
+      spark.sql("SELECT unicode_normalize('a')").collect()
+    }
+    assert(e.getMessage.contains("2 arguments") ||
+           e.getMessage.contains("unicode_normalize"))
+    val e3 = intercept[Exception] {
+      spark.sql("SELECT unicode_normalize('a', 'NFC', 'junk')").collect()
+    }
+    assert(e3.getMessage.contains("2 arguments") ||
+           e3.getMessage.contains("unicode_normalize"))
+  }
+
   test("interpreted eval matches codegen") {
     // nullSafeEval path (interpreted) vs the DataFrame (codegen) path
     val expr = graft.functions.UnicodeNormalize(
