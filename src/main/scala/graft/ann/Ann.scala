@@ -340,4 +340,83 @@ object Ann {
         col("n_hits").cast("double") / col("n_exact"))
       .select("qid", "n_hits", "n_exact", "recall")
   }
+
+  /** Each vector split into `m` contiguous subvectors of `subDim` dims:
+    * (id, s, sub) rows, one codegen'd slice fan-out, no shuffle. */
+  def pqSubvectors(vectors: DataFrame, m: Int, subDim: Int): DataFrame =
+    vectors.select(col("id"),
+      posexplode(transform(sequence(lit(0), lit(m - 1)),
+          s => slice(col("embedding"), s * subDim + 1, lit(subDim))))
+        .as(Seq("s", "sub")))
+
+  /** Product-quantization codebooks (Jégou et al. 2011): per subspace
+    * `s`, `nCodes` centroids taken from the subvectors of the
+    * hash-sampled rows — the [[ivfCentroids]] convention, deterministic
+    * and oracle-checkable (a Lloyd refinement per subspace would
+    * mirror [[ivfCentroidsLloyd]] and, like it, trades the oracle for
+    * recall). Output (s, cid, cent): m·nCodes rows — broadcastable at
+    * any corpus size. */
+  def pqCodebooks(corpus: DataFrame, m: Int, subDim: Int,
+                  nCodes: Int): DataFrame = {
+    val sampled = corpus
+      .select(col("id"), col("embedding"),
+              md5(col("id").cast("string")).as("h"))
+      .orderBy(col("h"), col("id")).limit(nCodes).drop("h")
+    pqSubvectors(sampled, m, subDim)
+      .select(col("s"), col("id").as("cid"), col("sub").as("cent"))
+  }
+
+  /** PQ encoding: each (vector, subspace) maps to its nearest-L2
+    * codebook entry — codes are m small ints per vector, the 8-byte
+    * stand-in for a 256-byte float32 embedding. d² is rounded to 6
+    * before the argmin (cid tie-break) so the code assignment is
+    * engine-stable; `qerr` keeps the per-subspace quantization error
+    * the encode is accepted on. One broadcast join + per-(id, s)
+    * argmax window, partitioned by the corpus axis. */
+  def pqEncode(corpus: DataFrame, codebooks: DataFrame, m: Int,
+               subDim: Int): DataFrame = {
+    val subs = pqSubvectors(corpus, m, subDim)
+    val scored = subs.join(broadcast(codebooks), "s")
+      .withColumn("d2", round(
+        norm2(col("sub")) + norm2(col("cent"))
+          - lit(2.0) * dot(col("sub"), col("cent")), 6))
+    val w = Window.partitionBy("id", "s").orderBy(asc("d2"), asc("cid"))
+    scored.withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("id"), col("s"), col("cid").as("code"),
+              col("d2").as("qerr"))
+  }
+
+  /** Asymmetric-distance top-k over PQ codes: the query stays float,
+    * the corpus is its codes — per query a (s, cid) → d² lookup table
+    * of m·nCodes entries is computed once, and every corpus vector's
+    * approximate distance is the SUM of m table entries joined on its
+    * codes (ADC, Jégou et al. 2011). Per-entry d² is rounded to 6 and
+    * the sum accumulates as exact decimals, so ranking is
+    * engine-stable. The codes join is co-partitioned on (s, cid);
+    * at 100 TB this scores a candidate set (IVF cells, LSH buckets) —
+    * over the full corpus it is the brute-force shape with 32× less
+    * data movement, which is PQ's point. */
+  def pqAdcTopK(queries: DataFrame, codes: DataFrame,
+                codebooks: DataFrame, m: Int, subDim: Int,
+                k: Int): DataFrame = {
+    val lut = pqSubvectors(queries, m, subDim)
+      .select(col("id").as("qid"), col("s"), col("sub"))
+      .join(broadcast(codebooks), "s")
+      .withColumn("d2", round(
+        norm2(col("sub")) + norm2(col("cent"))
+          - lit(2.0) * dot(col("sub"), col("cent")), 6)
+        .cast("decimal(18,6)"))
+      .select("qid", "s", "cid", "d2")
+    val cand = codes.select(col("id").as("vid"), col("s"),
+                            col("code").as("cid"))
+    val dists = lut.join(cand, Seq("s", "cid"))
+      .filter(col("qid") =!= col("vid"))
+      .groupBy("qid", "vid")
+      .agg(sum(col("d2")).cast("double").as("adist"))
+    val w = Window.partitionBy("qid").orderBy(asc("adist"), asc("vid"))
+    dists.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("qid", "vid", "adist", "rank")
+  }
 }

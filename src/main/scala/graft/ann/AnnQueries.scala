@@ -436,6 +436,104 @@ object AnnQueries {
         |FROM (SELECT DISTINCT qid FROM exact) e
         |LEFT JOIN exact x ON x.qid = e.qid
         |LEFT JOIN approx a ON a.qid = x.qid AND a.vid = x.vid
-        |GROUP BY e.qid""".stripMargin))
+        |GROUP BY e.qid""".stripMargin)),
+
+    // Product quantization (Jégou et al. 2011): 64-dim embeddings →
+    // 8 subspaces × 16 hash-sampled codes each; every (vector,
+    // subspace) maps to its nearest-L2 code. Codes AND per-subspace
+    // quantization error are gated strictly.
+    Q("q160_pq_encode", { t =>
+        val emb = t.embeddings.select(col("vec_id").as("id"),
+                                      col("embedding"))
+        val books = Ann.pqCodebooks(emb, m = 8, subDim = 8, nCodes = 16)
+        Ann.pqEncode(emb, books, m = 8, subDim = 8)
+      },
+      Some(evCte + """,
+        |sub AS (
+        |  SELECT vec_id, CAST(d // 8 AS INT) AS s, d % 8 AS sd, v
+        |  FROM ev
+        |), ssq AS (
+        |  SELECT vec_id, s, SUM(v * v) AS nn FROM sub GROUP BY 1, 2
+        |), cent AS (
+        |  SELECT vec_id AS cid FROM embeddings
+        |  ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 16
+        |), cdot AS (
+        |  SELECT a.vec_id, a.s, c.cid, SUM(a.v * b.v) AS dot
+        |  FROM sub a
+        |  CROSS JOIN cent c
+        |  JOIN sub b ON b.vec_id = c.cid AND b.s = a.s AND b.sd = a.sd
+        |  GROUP BY 1, 2, 3
+        |), dd AS (
+        |  SELECT cdot.vec_id, cdot.s, cdot.cid,
+        |    round(sa.nn + sc.nn - 2 * dot, 6) AS d2
+        |  FROM cdot
+        |  JOIN ssq sa ON sa.vec_id = cdot.vec_id AND sa.s = cdot.s
+        |  JOIN ssq sc ON sc.vec_id = cdot.cid AND sc.s = cdot.s
+        |)
+        |SELECT vec_id AS id, s, cid AS code, d2 AS qerr FROM (
+        |  SELECT vec_id, s, cid, d2,
+        |    ROW_NUMBER() OVER (PARTITION BY vec_id, s
+        |      ORDER BY d2, cid) AS rn
+        |  FROM dd) t
+        |WHERE rn = 1""".stripMargin)),
+
+    // Asymmetric-distance (ADC) top-3 over the PQ codes: per query an
+    // (s, code) → d² lookup table, approximate distance = sum of 8
+    // table entries (exact-decimal accumulation). The full-corpus scan
+    // here is deliberate — at 100 TB ADC scores IVF/LSH candidate
+    // sets; the operator's win is 32× less data movement per scored
+    // pair.
+    Q("q161_pq_adc", { t =>
+        val emb = t.embeddings.select(col("vec_id").as("id"),
+                                      col("embedding"))
+        val books = Ann.pqCodebooks(emb, m = 8, subDim = 8, nCodes = 16)
+        val codes = Ann.pqEncode(emb, books, m = 8, subDim = 8)
+        Ann.pqAdcTopK(emb.filter(col("id") % 20 === 0), codes, books,
+                      m = 8, subDim = 8, k = 3)
+      },
+      Some(evCte + """,
+        |sub AS (
+        |  SELECT vec_id, CAST(d // 8 AS INT) AS s, d % 8 AS sd, v
+        |  FROM ev
+        |), ssq AS (
+        |  SELECT vec_id, s, SUM(v * v) AS nn FROM sub GROUP BY 1, 2
+        |), cent AS (
+        |  SELECT vec_id AS cid FROM embeddings
+        |  ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 16
+        |), cdot AS (
+        |  SELECT a.vec_id, a.s, c.cid, SUM(a.v * b.v) AS dot
+        |  FROM sub a
+        |  CROSS JOIN cent c
+        |  JOIN sub b ON b.vec_id = c.cid AND b.s = a.s AND b.sd = a.sd
+        |  GROUP BY 1, 2, 3
+        |), dd AS (
+        |  SELECT cdot.vec_id, cdot.s, cdot.cid,
+        |    round(sa.nn + sc.nn - 2 * dot, 6) AS d2
+        |  FROM cdot
+        |  JOIN ssq sa ON sa.vec_id = cdot.vec_id AND sa.s = cdot.s
+        |  JOIN ssq sc ON sc.vec_id = cdot.cid AND sc.s = cdot.s
+        |), codes AS (
+        |  SELECT vec_id, s, cid AS code FROM (
+        |    SELECT vec_id, s, cid, d2,
+        |      ROW_NUMBER() OVER (PARTITION BY vec_id, s
+        |        ORDER BY d2, cid) AS rn
+        |    FROM dd) t
+        |  WHERE rn = 1
+        |), lut AS (
+        |  SELECT vec_id AS qid, s, cid,
+        |    CAST(d2 AS DECIMAL(18,6)) AS d2
+        |  FROM dd WHERE vec_id % 20 = 0
+        |), adc AS (
+        |  SELECT l.qid, c.vec_id AS vid, SUM(l.d2) AS adist
+        |  FROM lut l JOIN codes c ON c.s = l.s AND c.code = l.cid
+        |  WHERE l.qid <> c.vec_id
+        |  GROUP BY 1, 2
+        |)
+        |SELECT qid, vid, CAST(adist AS DOUBLE) AS adist, rank FROM (
+        |  SELECT qid, vid, adist,
+        |    ROW_NUMBER() OVER (PARTITION BY qid
+        |      ORDER BY adist, vid) AS rank
+        |  FROM adc) r
+        |WHERE rank <= 3""".stripMargin))
   )
 }

@@ -627,4 +627,32 @@ class DedupTextAnnSpec extends SparkSpec {
     assert(r(2) == ((1L, 2L, 0.5)))
     assert(r(3) == ((0L, 1L, 0.0)), "lost query surfaces as zero")
   }
+
+  test("product quantization: codes reconstruct, ADC approximates L2") {
+    import spark.implicits._
+    // 12 vectors in 4 dims, 2 subspaces of 2 dims, 4 codes
+    val vecs = (0 until 12).map { i =>
+      (i, Array.tabulate(4)(d => ((i * 7 + d * 3) % 10).toFloat))
+    }.toDF("id", "embedding")
+    val books = Ann.pqCodebooks(vecs, m = 2, subDim = 2, nCodes = 4)
+    assert(books.count() == 8) // 2 subspaces x 4 codes
+    val codes = Ann.pqEncode(vecs, books, m = 2, subDim = 2)
+    // every vector gets exactly one code per subspace
+    val perVec = codes.groupBy("id").count().collect()
+    assert(perVec.length == 12 && perVec.forall(_.getLong(1) == 2))
+    // a sampled codebook row encodes ITSELF with zero error
+    val sampledIds = books.select("cid").distinct()
+      .collect().map(_.get(0).toString.toInt).toSet
+    val selfErr = codes.filter(col("id").isin(sampledIds.toSeq: _*))
+      .agg(org.apache.spark.sql.functions.sum("qerr")).collect()(0)
+      .getDouble(0)
+    assert(selfErr == 0.0, "codebook members must quantize losslessly")
+    // ADC distance of a query to a codebook member equals the exact
+    // rounded subspace-decomposed L2 (the lookup table IS exact there)
+    val adc = Ann.pqAdcTopK(vecs.filter(col("id") === 0), codes, books,
+                            m = 2, subDim = 2, k = 11)
+    assert(adc.count() == 11)
+    assert(adc.filter(col("adist") < 0).count() == 0,
+      "squared distances cannot be negative")
+  }
 }
