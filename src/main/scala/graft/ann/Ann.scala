@@ -400,7 +400,22 @@ object Ann {
   def pqAdcTopK(queries: DataFrame, codes: DataFrame,
                 codebooks: DataFrame, m: Int, subDim: Int,
                 k: Int): DataFrame = {
-    val lut = pqSubvectors(queries, m, subDim)
+    val lut = adcLut(queries, codebooks, m, subDim)
+    val cand = codes.select(col("id").as("vid"), col("s"),
+                            col("code").as("cid"))
+    val dists = lut.join(cand, Seq("s", "cid"))
+      .filter(col("qid") =!= col("vid"))
+      .groupBy("qid", "vid")
+      .agg(sum(col("d2")).cast("double").as("adist"))
+    adcRank(dists, k)
+  }
+
+  /** The per-query ADC lookup table (qid, s, cid, d²): m·nCodes rows
+    * per query, d² rounded to 6 and carried as exact decimal so any
+    * later sum is order-free. */
+  private def adcLut(queries: DataFrame, codebooks: DataFrame,
+                     m: Int, subDim: Int): DataFrame =
+    pqSubvectors(queries, m, subDim)
       .select(col("id").as("qid"), col("s"), col("sub"))
       .join(broadcast(codebooks), "s")
       .withColumn("d2", round(
@@ -408,15 +423,40 @@ object Ann {
           - lit(2.0) * dot(col("sub"), col("cent")), 6)
         .cast("decimal(18,6)"))
       .select("qid", "s", "cid", "d2")
-    val cand = codes.select(col("id").as("vid"), col("s"),
-                            col("code").as("cid"))
-    val dists = lut.join(cand, Seq("s", "cid"))
-      .filter(col("qid") =!= col("vid"))
-      .groupBy("qid", "vid")
-      .agg(sum(col("d2")).cast("double").as("adist"))
+
+  private def adcRank(dists: DataFrame, k: Int): DataFrame = {
     val w = Window.partitionBy("qid").orderBy(asc("adist"), asc("vid"))
     dists.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select("qid", "vid", "adist", "rank")
+  }
+
+  /** IVF-PQ (the production composition, Jégou et al. 2011 §V): IVF
+    * cells prune the corpus to the probed ~nProbe/nCells fraction,
+    * then ADC prices ONLY those candidates from the per-query lookup
+    * table — coarse quantizer for the search scope, product quantizer
+    * for the distance, which is how a 100 TB embedding table is
+    * actually served. The candidate join is co-partitioned on the cell
+    * key, the code join on (qid, s, cid); nothing corpus-sized is
+    * broadcast or collected. */
+  def ivfPqTopK(queries: DataFrame, corpus: DataFrame,
+                centroids: DataFrame, codes: DataFrame,
+                codebooks: DataFrame, nProbe: Int, m: Int, subDim: Int,
+                k: Int): DataFrame = {
+    val cells = ivfAssign(corpus, centroids, 1)
+      .select(col("id").as("vid"), col("cell"))
+    val probes = ivfAssign(queries, centroids, nProbe)
+      .select(col("id").as("qid"), col("cell"))
+    val cand = probes.join(cells, "cell")
+      .filter(col("qid") =!= col("vid"))
+      .select("qid", "vid").distinct()
+    val candCodes = cand.join(
+      codes.select(col("id").as("vid"), col("s"),
+                   col("code").as("cid")), "vid")
+    val lut = adcLut(queries, codebooks, m, subDim)
+    val dists = candCodes.join(lut, Seq("qid", "s", "cid"))
+      .groupBy("qid", "vid")
+      .agg(sum(col("d2")).cast("double").as("adist"))
+    adcRank(dists, k)
   }
 }

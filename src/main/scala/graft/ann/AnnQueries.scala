@@ -534,6 +534,97 @@ object AnnQueries {
         |    ROW_NUMBER() OVER (PARTITION BY qid
         |      ORDER BY adist, vid) AS rank
         |  FROM adc) r
+        |WHERE rank <= 3""".stripMargin)),
+
+    // IVF-PQ, the production composition: IVF cells prune the corpus
+    // to the 2/16 probed fraction, ADC prices only those candidates —
+    // coarse quantizer for scope, product quantizer for distance. The
+    // oracle composes the q88 cell CTEs with the q161 code/lut CTEs.
+    Q("q162_ivf_pq", { t =>
+        val emb = t.embeddings.select(col("vec_id").as("id"),
+                                      col("embedding"))
+        val queries = emb.filter(col("id") % 20 === 0)
+        val cents = Ann.ivfCentroids(emb, 16)
+        val books = Ann.pqCodebooks(emb, m = 8, subDim = 8, nCodes = 16)
+        val codes = Ann.pqEncode(emb, books, m = 8, subDim = 8)
+        Ann.ivfPqTopK(queries, emb, cents, codes, books, nProbe = 2,
+                      m = 8, subDim = 8, k = 3)
+      },
+      Some(evCte + """,
+        |cent AS (
+        |  SELECT vec_id AS ccid FROM embeddings
+        |  ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 16
+        |), cdots AS (
+        |  SELECT a.vec_id AS vid, c.ccid, SUM(a.v * b.v) AS dot
+        |  FROM ev a
+        |  CROSS JOIN cent c
+        |  JOIN ev b ON b.vec_id = c.ccid AND a.d = b.d
+        |  GROUP BY 1, 2
+        |), ccos AS (
+        |  SELECT vid, ccid,
+        |    round(dot / sqrt(na.nn * nb.nn), 6) AS ccos
+        |  FROM cdots
+        |  JOIN norms na ON vid = na.vec_id
+        |  JOIN norms nb ON ccid = nb.vec_id
+        |), assign AS (
+        |  SELECT vid, cell FROM (
+        |    SELECT vid, ccid AS cell,
+        |      ROW_NUMBER() OVER (PARTITION BY vid
+        |        ORDER BY ccos DESC, ccid) AS rn
+        |    FROM ccos) a
+        |  WHERE rn = 1
+        |), probe AS (
+        |  SELECT qid, cell FROM (
+        |    SELECT vid AS qid, ccid AS cell,
+        |      ROW_NUMBER() OVER (PARTITION BY vid
+        |        ORDER BY ccos DESC, ccid) AS rn
+        |    FROM ccos WHERE vid % 20 = 0) p
+        |  WHERE rn <= 2
+        |), cand AS (
+        |  SELECT DISTINCT probe.qid, assign.vid
+        |  FROM probe JOIN assign USING (cell)
+        |  WHERE assign.vid <> probe.qid
+        |), sub AS (
+        |  SELECT vec_id, CAST(d // 8 AS INT) AS s, d % 8 AS sd, v
+        |  FROM ev
+        |), ssq AS (
+        |  SELECT vec_id, s, SUM(v * v) AS nn FROM sub GROUP BY 1, 2
+        |), cdot AS (
+        |  SELECT a.vec_id, a.s, c.ccid AS cid, SUM(a.v * b.v) AS dot
+        |  FROM sub a
+        |  CROSS JOIN cent c
+        |  JOIN sub b ON b.vec_id = c.ccid AND b.s = a.s AND b.sd = a.sd
+        |  GROUP BY 1, 2, 3
+        |), dd AS (
+        |  SELECT cdot.vec_id, cdot.s, cdot.cid,
+        |    round(sa.nn + sc.nn - 2 * dot, 6) AS d2
+        |  FROM cdot
+        |  JOIN ssq sa ON sa.vec_id = cdot.vec_id AND sa.s = cdot.s
+        |  JOIN ssq sc ON sc.vec_id = cdot.cid AND sc.s = cdot.s
+        |), codes AS (
+        |  SELECT vec_id, s, cid AS code FROM (
+        |    SELECT vec_id, s, cid, d2,
+        |      ROW_NUMBER() OVER (PARTITION BY vec_id, s
+        |        ORDER BY d2, cid) AS rn
+        |    FROM dd) t
+        |  WHERE rn = 1
+        |), lut AS (
+        |  SELECT vec_id AS qid, s, cid,
+        |    CAST(d2 AS DECIMAL(18,6)) AS d2
+        |  FROM dd WHERE vec_id % 20 = 0
+        |), adc AS (
+        |  SELECT cand.qid, cand.vid, SUM(l.d2) AS adist
+        |  FROM cand
+        |  JOIN codes c ON c.vec_id = cand.vid
+        |  JOIN lut l ON l.qid = cand.qid AND l.s = c.s
+        |    AND l.cid = c.code
+        |  GROUP BY 1, 2
+        |)
+        |SELECT qid, vid, CAST(adist AS DOUBLE) AS adist, rank FROM (
+        |  SELECT qid, vid, adist,
+        |    ROW_NUMBER() OVER (PARTITION BY qid
+        |      ORDER BY adist, vid) AS rank
+        |  FROM adc) r
         |WHERE rank <= 3""".stripMargin))
   )
 }
