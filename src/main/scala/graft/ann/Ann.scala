@@ -349,19 +349,51 @@ object Ann {
           s => slice(col("embedding"), s * subDim + 1, lit(subDim))))
         .as(Seq("s", "sub")))
 
+  /** The rounded subspace squared distance — ONE definition shared by
+    * encode and the ADC lookup table so the quantizer and the scorer
+    * cannot silently desynchronize (the md5Bits52 lesson). NULL when
+    * the operand lengths differ (dot_product's contract), which the
+    * argmin windows order LAST so a wrong-dimension row surfaces as a
+    * visible null qerr instead of an arbitrary lowest-cid code. */
+  private def subDist2(sub: Column, cent: Column): Column =
+    round(norm2(sub) + norm2(cent) - lit(2.0) * dot(sub, cent), 6)
+
+  /** Eager consistency check: the codebook frame must carry exactly
+    * `m` subspaces of `subDim`-dim entries. One aggregate over the
+    * m·nCodes-row frame — trivially cheap, and it catches a
+    * books-vs-encode parameter mismatch loudly instead of producing
+    * garbage codes (dot_product returns NULL on ragged lengths and a
+    * naive argmin would then pick an arbitrary code). */
+  private def validatePq(codebooks: DataFrame, m: Int,
+                         subDim: Int): Unit = {
+    require(m > 0 && subDim > 0, "m and subDim must be positive")
+    val r = codebooks.agg(
+      countDistinct(col("s")).as("ns"),
+      min(size(col("cent"))).as("lo"),
+      max(size(col("cent"))).as("hi")).head()
+    require(r.getLong(0) == m,
+      s"codebooks carry ${r.getLong(0)} subspaces, expected m=$m")
+    require(r.getInt(1) == subDim && r.getInt(2) == subDim,
+      s"codebook entries are ${r.getInt(1)}..${r.getInt(2)}-dim, " +
+        s"expected subDim=$subDim")
+  }
+
   /** Product-quantization codebooks (Jégou et al. 2011): per subspace
-    * `s`, `nCodes` centroids taken from the subvectors of the
-    * hash-sampled rows — the [[ivfCentroids]] convention, deterministic
-    * and oracle-checkable (a Lloyd refinement per subspace would
+    * `s`, `nCodes` centroids — the subvectors of [[ivfCentroids]]'
+    * hash-sampled rows (REUSED, not re-implemented, so the sampling
+    * convention cannot fork; a Lloyd refinement per subspace would
     * mirror [[ivfCentroidsLloyd]] and, like it, trades the oracle for
     * recall). Output (s, cid, cent): m·nCodes rows — broadcastable at
-    * any corpus size. */
+    * any corpus size. Sampled rows must be m·subDim-dim (checked). */
   def pqCodebooks(corpus: DataFrame, m: Int, subDim: Int,
                   nCodes: Int): DataFrame = {
-    val sampled = corpus
-      .select(col("id"), col("embedding"),
-              md5(col("id").cast("string")).as("h"))
-      .orderBy(col("h"), col("id")).limit(nCodes).drop("h")
+    val sampled = ivfCentroids(corpus, nCodes)
+      .select(col("cid").as("id"), col("centroid").as("embedding"))
+    val dims = sampled.agg(min(size(col("embedding"))).as("lo"),
+                           max(size(col("embedding"))).as("hi")).head()
+    require(dims.getInt(0) == m * subDim && dims.getInt(1) == m * subDim,
+      s"embeddings are ${dims.getInt(0)}..${dims.getInt(1)}-dim, " +
+        s"expected m*subDim = ${m * subDim}")
     pqSubvectors(sampled, m, subDim)
       .select(col("s"), col("id").as("cid"), col("sub").as("cent"))
   }
@@ -371,16 +403,17 @@ object Ann {
     * stand-in for a 256-byte float32 embedding. d² is rounded to 6
     * before the argmin (cid tie-break) so the code assignment is
     * engine-stable; `qerr` keeps the per-subspace quantization error
-    * the encode is accepted on. One broadcast join + per-(id, s)
-    * argmax window, partitioned by the corpus axis. */
+    * the encode is accepted on (NULL there flags a wrong-dimension
+    * corpus row). One broadcast join + per-(id, s) argmin window,
+    * partitioned by the corpus axis. */
   def pqEncode(corpus: DataFrame, codebooks: DataFrame, m: Int,
                subDim: Int): DataFrame = {
+    validatePq(codebooks, m, subDim)
     val subs = pqSubvectors(corpus, m, subDim)
     val scored = subs.join(broadcast(codebooks), "s")
-      .withColumn("d2", round(
-        norm2(col("sub")) + norm2(col("cent"))
-          - lit(2.0) * dot(col("sub"), col("cent")), 6))
-    val w = Window.partitionBy("id", "s").orderBy(asc("d2"), asc("cid"))
+      .withColumn("d2", subDist2(col("sub"), col("cent")))
+    val w = Window.partitionBy("id", "s")
+      .orderBy(asc_nulls_last("d2"), asc("cid"))
     scored.withColumn("rn", row_number().over(w))
       .filter(col("rn") === 1)
       .select(col("id"), col("s"), col("cid").as("code"),
@@ -391,23 +424,23 @@ object Ann {
     * the corpus is its codes — per query a (s, cid) → d² lookup table
     * of m·nCodes entries is computed once, and every corpus vector's
     * approximate distance is the SUM of m table entries joined on its
-    * codes (ADC, Jégou et al. 2011). Per-entry d² is rounded to 6 and
-    * the sum accumulates as exact decimals, so ranking is
-    * engine-stable. The codes join is co-partitioned on (s, cid);
-    * at 100 TB this scores a candidate set (IVF cells, LSH buckets) —
-    * over the full corpus it is the brute-force shape with 32× less
-    * data movement, which is PQ's point. */
+    * codes (ADC, Jégou et al. 2011). Per-entry d² is rounded to 6,
+    * the sum accumulates as exact decimals, AND the ranking happens on
+    * the decimal (the double cast is output-only), so ranking is
+    * engine-stable at any magnitude. The codes join is co-partitioned
+    * on (s, cid); at 100 TB this scores a candidate set (IVF cells,
+    * LSH buckets) — over the full corpus it is the brute-force shape
+    * with 32× less data movement, which is PQ's point. */
   def pqAdcTopK(queries: DataFrame, codes: DataFrame,
                 codebooks: DataFrame, m: Int, subDim: Int,
                 k: Int): DataFrame = {
+    validatePq(codebooks, m, subDim)
     val lut = adcLut(queries, codebooks, m, subDim)
     val cand = codes.select(col("id").as("vid"), col("s"),
                             col("code").as("cid"))
-    val dists = lut.join(cand, Seq("s", "cid"))
+    val pairs = lut.join(cand, Seq("s", "cid"))
       .filter(col("qid") =!= col("vid"))
-      .groupBy("qid", "vid")
-      .agg(sum(col("d2")).cast("double").as("adist"))
-    adcRank(dists, k)
+    adcAggregateAndRank(pairs, k)
   }
 
   /** The per-query ADC lookup table (qid, s, cid, d²): m·nCodes rows
@@ -418,17 +451,22 @@ object Ann {
     pqSubvectors(queries, m, subDim)
       .select(col("id").as("qid"), col("s"), col("sub"))
       .join(broadcast(codebooks), "s")
-      .withColumn("d2", round(
-        norm2(col("sub")) + norm2(col("cent"))
-          - lit(2.0) * dot(col("sub"), col("cent")), 6)
-        .cast("decimal(18,6)"))
+      .withColumn("d2",
+        subDist2(col("sub"), col("cent")).cast("decimal(18,6)"))
       .select("qid", "s", "cid", "d2")
 
-  private def adcRank(dists: DataFrame, k: Int): DataFrame = {
-    val w = Window.partitionBy("qid").orderBy(asc("adist"), asc("vid"))
+  /** Shared ADC scoring tail: exact-decimal per-pair sum, rank ON the
+    * decimal (ties → vid), double cast only in the output projection —
+    * exactly what the oracles do. */
+  private def adcAggregateAndRank(pairs: DataFrame, k: Int): DataFrame = {
+    val dists = pairs.groupBy("qid", "vid")
+      .agg(sum(col("d2")).as("adist_dec"))
+    val w = Window.partitionBy("qid")
+      .orderBy(asc("adist_dec"), asc("vid"))
     dists.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
-      .select("qid", "vid", "adist", "rank")
+      .select(col("qid"), col("vid"),
+              col("adist_dec").cast("double").as("adist"), col("rank"))
   }
 
   /** IVF-PQ (the production composition, Jégou et al. 2011 §V): IVF
@@ -443,6 +481,7 @@ object Ann {
                 centroids: DataFrame, codes: DataFrame,
                 codebooks: DataFrame, nProbe: Int, m: Int, subDim: Int,
                 k: Int): DataFrame = {
+    validatePq(codebooks, m, subDim)
     val cells = ivfAssign(corpus, centroids, 1)
       .select(col("id").as("vid"), col("cell"))
     val probes = ivfAssign(queries, centroids, nProbe)
@@ -454,9 +493,6 @@ object Ann {
       codes.select(col("id").as("vid"), col("s"),
                    col("code").as("cid")), "vid")
     val lut = adcLut(queries, codebooks, m, subDim)
-    val dists = candCodes.join(lut, Seq("qid", "s", "cid"))
-      .groupBy("qid", "vid")
-      .agg(sum(col("d2")).cast("double").as("adist"))
-    adcRank(dists, k)
+    adcAggregateAndRank(candCodes.join(lut, Seq("qid", "s", "cid")), k)
   }
 }

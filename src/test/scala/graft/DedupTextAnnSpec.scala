@@ -647,12 +647,36 @@ class DedupTextAnnSpec extends SparkSpec {
       .agg(org.apache.spark.sql.functions.sum("qerr")).collect()(0)
       .getDouble(0)
     assert(selfErr == 0.0, "codebook members must quantize losslessly")
-    // ADC distance of a query to a codebook member equals the exact
-    // rounded subspace-decomposed L2 (the lookup table IS exact there)
+    // ADC distance of a query to a codebook MEMBER equals the exact
+    // rounded subspace-decomposed L2: members self-encode losslessly,
+    // so their lookup-table entries are exact. Recomputed here
+    // independently with the same summation order and HALF_UP rounding.
     val adc = Ann.pqAdcTopK(vecs.filter(col("id") === 0), codes, books,
                             m = 2, subDim = 2, k = 11)
     assert(adc.count() == 11)
     assert(adc.filter(col("adist") < 0).count() == 0,
       "squared distances cannot be negative")
+    val raw = vecs.collect()
+      .map(r => (r.getInt(0), r.getSeq[Float](1).toArray)).toMap
+    def subL2(q: Array[Float], c: Array[Float], s: Int): Double = {
+      var nq = 0.0; var nc = 0.0; var d = 0.0
+      (0 until 2).foreach { j =>
+        val a = q(s * 2 + j).toDouble; val b = c(s * 2 + j).toDouble
+        nq += a * a; nc += b * b; d += a * b
+      }
+      BigDecimal(nq + nc - 2.0 * d)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }
+    val adcMap = adc.collect()
+      .map(r => (r.getInt(1), r.getDouble(2))).toMap
+    sampledIds.filter(_ != 0).foreach { c =>
+      val expected = subL2(raw(0), raw(c), 0) + subL2(raw(0), raw(c), 1)
+      assert(adcMap(c) == expected,
+        s"ADC to codebook member $c must be the exact rounded L2")
+    }
+    // parameter-mismatch calls fail loudly, not with garbage codes
+    intercept[IllegalArgumentException] {
+      Ann.pqEncode(vecs, books, m = 4, subDim = 2)
+    }
   }
 }
