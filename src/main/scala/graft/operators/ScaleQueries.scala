@@ -233,6 +233,58 @@ object ScaleQueries {
         |)
         |SELECT * FROM grp UNION ALL SELECT * FROM tot""".stripMargin)),
 
+    // KLL INCREMENT-MERGE gate: the mergeability claim itself, pinned.
+    // The q147 subset splits into two ingest increments (odd/even
+    // orderkey); each is sketched SEPARATELY into a persistable
+    // (g, sketch) frame, the frames union, and the merged quantiles
+    // must equal the order statistics of the FULL subset — which only
+    // holds if cross-increment merging is lossless in the exact regime
+    // (the two increments partition the 60 rows/group, combined 60 ≤
+    // k = 200, so no compaction ever fires). Same oracle as q147. A
+    // merge that drops an increment, double-counts, or compacts is a
+    // red hash row.
+    Q("q163_kll_increment_merge", { t =>
+        val w = Window.partitionBy(col("l_returnflag"))
+          .orderBy(col("l_extendedprice"), col("l_orderkey"),
+                   col("l_linenumber"))
+        val sub = graft.core.CacheScope.persist(
+          t.lineitem
+            .withColumn("rn", row_number().over(w))
+            .filter(col("rn") <= 60))
+        val incA = Sketches.kllSketchFrame(
+          sub.filter(col("l_orderkey") % 2 === 0),
+          col("l_returnflag"), col("l_extendedprice"))
+        val incB = Sketches.kllSketchFrame(
+          sub.filter(col("l_orderkey") % 2 === 1),
+          col("l_returnflag"), col("l_extendedprice"))
+        Sketches.kllMergeQuantiles(incA.unionByName(incB),
+                                   Seq(0.25, 0.5, 0.75))
+      },
+      Some("""WITH sub AS (
+        |  SELECT l_returnflag AS g, l_extendedprice AS v,
+        |    ROW_NUMBER() OVER (PARTITION BY l_returnflag
+        |      ORDER BY l_extendedprice, l_orderkey, l_linenumber) AS rn
+        |  FROM lineitem
+        |), s AS (SELECT g, v FROM sub WHERE rn <= 60),
+        |grp AS (
+        |  SELECT g, FALSE AS is_total,
+        |    MAX(CASE WHEN r = 15 THEN v END) AS q25,
+        |    MAX(CASE WHEN r = 30 THEN v END) AS q50,
+        |    MAX(CASE WHEN r = 45 THEN v END) AS q75
+        |  FROM (SELECT g, v,
+        |          ROW_NUMBER() OVER (PARTITION BY g ORDER BY v) AS r
+        |        FROM s) t
+        |  GROUP BY g
+        |), tot AS (
+        |  SELECT CAST(NULL AS VARCHAR) AS g, TRUE AS is_total,
+        |    MAX(CASE WHEN r = 45 THEN v END) AS q25,
+        |    MAX(CASE WHEN r = 90 THEN v END) AS q50,
+        |    MAX(CASE WHEN r = 135 THEN v END) AS q75
+        |  FROM (SELECT v, ROW_NUMBER() OVER (ORDER BY v) AS r
+        |        FROM s) t
+        |)
+        |SELECT * FROM grp UNION ALL SELECT * FROM tot""".stripMargin)),
+
     // Dangling-mass-redistributing PageRank (3 iterations) over a
     // DIRECTED bipartite part->supplier graph, where every supplier
     // node is dangling (no out-edges) — the redistribution term does

@@ -123,21 +123,25 @@ object Sketches {
     * output, not the input data — same shuffle dependency, no rescan.
     */
   def kllQuantiles(df: DataFrame, group: Column, value: Column,
-                   qs: Seq[Double], k: Int = 200): DataFrame = {
-    val spark = df.sparkSession
-    import spark.implicits._
-    val keyed = df.select(group.cast("string").as("g"),
-                          value.cast("double").as("v"))
+                   qs: Seq[Double], k: Int = 200): DataFrame =
+    kllEval(df.sparkSession, kllBuild(df, group, value, k), qs)
+
+  /** The serialization-order-free sketch merge shared by every KLL
+    * path (build combine, increment union, global row). */
+  private val kllMergeBytes = (a: Array[Byte], b: Array[Byte]) => {
+    val sa = KllDoublesSketch.heapify(Memory.wrap(a))
+    sa.merge(KllDoublesSketch.heapify(Memory.wrap(b)))
+    sa.toByteArray
+  }
+
+  private def kllBuild(df: DataFrame, group: Column, value: Column,
+                       k: Int)
+      : org.apache.spark.rdd.RDD[(String, Array[Byte])] = {
+    import df.sparkSession.implicits._
+    df.select(group.cast("string").as("g"),
+              value.cast("double").as("v"))
       .filter($"v".isNotNull)
-    val qsLocal = qs.toIndexedSeq
-    def quantRow(sk: KllDoublesSketch): Seq[Double] =
-      qsLocal.map(q => sk.getQuantile(q, QuantileSearchCriteria.INCLUSIVE))
-    val mergeBytes = (a: Array[Byte], b: Array[Byte]) => {
-      val sa = KllDoublesSketch.heapify(Memory.wrap(a))
-      sa.merge(KllDoublesSketch.heapify(Memory.wrap(b)))
-      sa.toByteArray
-    }
-    val merged = keyed.rdd
+      .rdd
       .mapPartitions { it =>
         val m = scala.collection.mutable.HashMap.empty[String, KllDoublesSketch]
         it.foreach { r =>
@@ -146,7 +150,17 @@ object Sketches {
         }
         m.iterator.map { case (g, sk) => (g, sk.toByteArray) }
       }
-      .reduceByKey(mergeBytes)
+      .reduceByKey(kllMergeBytes)
+  }
+
+  /** Shared evaluation tail over merged (group → sketch bytes). */
+  private def kllEval(spark: org.apache.spark.sql.SparkSession,
+                      merged: org.apache.spark.rdd.RDD[(String, Array[Byte])],
+                      qs: Seq[Double]): DataFrame = {
+    import spark.implicits._
+    val qsLocal = qs.toIndexedSeq
+    def quantRow(sk: KllDoublesSketch): Seq[Double] =
+      qsLocal.map(q => sk.getQuantile(q, QuantileSearchCriteria.INCLUSIVE))
     // DataSketches throws on quantiles of an EMPTY sketch — an empty
     // input yields an empty result frame, not an exception
     if (merged.isEmpty()) {
@@ -158,7 +172,7 @@ object Sketches {
     }
     // global row: executor-side partial merges, ONE sketch to the driver
     val globalQ = quantRow(KllDoublesSketch.heapify(
-      Memory.wrap(merged.values.reduce(mergeBytes))))
+      Memory.wrap(merged.values.reduce(kllMergeBytes))))
     val groupRows = merged.map { case (g, bytes) =>
       (g, false, quantRow(KllDoublesSketch.heapify(Memory.wrap(bytes))))
     }
@@ -168,6 +182,36 @@ object Sketches {
     qs.zipWithIndex.foldLeft(base) { case (acc, (q, i)) =>
       acc.withColumn(s"q${(q * 100).round}", col("qv")(i))
     }.drop("qv")
+  }
+
+  /** The PERSISTABLE increment form of [[kllQuantiles]]: one row per
+    * group with the serialized sketch as a binary column — parquet-
+    * writable, so each corpus ingest stores its own sketch frame and
+    * later evaluations never rescan earlier increments (the
+    * mergeability that makes a 100 TB quantile axis incremental).
+    * Feed the union of any number of these frames to
+    * [[kllMergeQuantiles]]. */
+  def kllSketchFrame(df: DataFrame, group: Column, value: Column,
+                     k: Int = 200): DataFrame = {
+    import df.sparkSession.implicits._
+    kllBuild(df, group, value, k).toDF("g", "sketch")
+  }
+
+  /** Merge-evaluate a union of [[kllSketchFrame]]s: per-group sketches
+    * merge across increments (associative, order-free), then the same
+    * evaluation tail as [[kllQuantiles]] — identical output schema, so
+    * the incremental path is a drop-in for the rescan path. In the
+    * exact regime (combined per-group weight ≤ k) the merged quantiles
+    * are order statistics of the union of ALL increments, which is
+    * what the q163 gate checks. */
+  def kllMergeQuantiles(sketches: DataFrame, qs: Seq[Double])
+      : DataFrame = {
+    val merged = sketches
+      .select(col("g").cast("string"), col("sketch"))
+      .rdd
+      .map(r => (r.getString(0), r.getAs[Array[Byte]](1)))
+      .reduceByKey(kllMergeBytes)
+    kllEval(sketches.sparkSession, merged, qs)
   }
 
   /** Morton/Z-order interleaving of two non-negative integer keys

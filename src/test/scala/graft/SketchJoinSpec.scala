@@ -477,4 +477,30 @@ class SketchJoinSpec extends SparkSpec {
     // "shared" scores 0 everywhere (ln(3/3)=0): never the top keyword
     assert(!kw.values.exists(_.head == "shared"))
   }
+
+  test("KLL sketch frames survive a parquet round-trip and merge losslessly") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("kllinc").toString
+    // two increments partitioning 40 values per group (exact regime)
+    val all = (for { g <- Seq("a", "b"); i <- 1 to 40 }
+               yield (g, i, i.toDouble * (if (g == "a") 1 else 10)))
+      .toDF("g0", "i", "v")
+    val incA = Sketches.kllSketchFrame(all.filter($"i" % 2 === 0),
+                                       col("g0"), col("v"))
+    val incB = Sketches.kllSketchFrame(all.filter($"i" % 2 === 1),
+                                       col("g0"), col("v"))
+    // persist increment A, reload it — the binary column must survive
+    incA.write.parquet(s"$dir/incA")
+    val reloaded = spark.read.parquet(s"$dir/incA")
+    val merged = Sketches.kllMergeQuantiles(
+      reloaded.unionByName(incB), Seq(0.5))
+      .collect().map(r => (Option(r.getString(0)), r.getDouble(2))).toMap
+    // inclusive median of 1..40 = value at sorted position 20
+    assert(merged(Some("a")) == 20.0)
+    assert(merged(Some("b")) == 200.0)
+    // global row: position ceil(0.5*80)=40 of the union of both groups
+    val union = ((1 to 40).map(_.toDouble) ++
+                 (1 to 40).map(_ * 10.0)).sorted
+    assert(merged(None) == union(39))
+  }
 }
