@@ -297,6 +297,34 @@ object Stats {
       .unionByName(total)
   }
 
+  /** The PERSISTABLE increment form of [[distinctSketch]]: one row per
+    * group with the serialized HLL sketch as a binary column — each
+    * corpus ingest stores its own frame, and
+    * [[distinctUnionEstimate]] evaluates the union of any number of
+    * them without rescanning an increment (the [[graft.stats.Sketches
+    * .kllSketchFrame]] convention for the distinct-count axis). */
+  def distinctSketchFrame(df: DataFrame, group: Column, key: Column)
+      : DataFrame =
+    df.groupBy(group.as("g")).agg(hll_sketch_agg(key).as("sk"))
+
+  /** Union-evaluate a union of [[distinctSketchFrame]]s: per-group
+    * sketches union across increments (register-wise max —
+    * associative, order-free, and duplicate-insensitive, so re-sending
+    * an increment cannot overcount), then the same output shape as
+    * [[distinctSketch]] including the merged global row. */
+  def distinctUnionEstimate(frames: DataFrame): DataFrame = {
+    val perGroup = CacheScope.persist(
+      frames.groupBy("g").agg(hll_union_agg(col("sk")).as("sk")))
+    val total = perGroup
+      .agg(hll_sketch_estimate(hll_union_agg(col("sk"))).as("est"))
+      .select(lit(null).cast(perGroup.schema("g").dataType).as("g"),
+              lit(true).as("is_total"), col("est"))
+    perGroup
+      .select(col("g"), lit(false).as("is_total"),
+              hll_sketch_estimate(col("sk")).as("est"))
+      .unionByName(total)
+  }
+
   /** Gap-based sessionization: a new session starts after `gapMs`
     * milliseconds of inactivity. Batch twin of the streaming
     * session-window operator. Exact integer epoch-ms arithmetic; `tie`

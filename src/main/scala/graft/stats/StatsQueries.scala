@@ -286,6 +286,49 @@ object StatsQueries {
         |  COUNT(DISTINCT user_id), TRUE
         |FROM events""".stripMargin)),
 
+    // HLL INCREMENT-UNION gate (the q163 convention for the distinct
+    // axis): the event stream splits into two ingest increments by a
+    // row hash, each is sketched SEPARATELY into a persistable
+    // (g, sketch) frame, and the union-evaluated estimates must sit
+    // within 5% of the exact distinct counts of the WHOLE stream —
+    // a union that drops an increment undercounts far past 5% and
+    // reddens the row; re-sent rows cannot overcount (register max is
+    // duplicate-insensitive). Exact counts + the accuracy boolean are
+    // the hashed output, per the q149 convention.
+    Q("q164_hll_increment_union", { t =>
+        val h = conv(substring(md5(concat_ws(":", col("user_id"),
+                 col("event_type"), col("ts").cast("string"))), 1, 8),
+               16, 10).cast("long")
+        val ev = t.events.withColumn("_inc", h % 2)
+        val incA = Stats.distinctSketchFrame(
+          ev.filter(col("_inc") === 0), col("event_type"),
+          col("user_id"))
+        val incB = Stats.distinctSketchFrame(
+          ev.filter(col("_inc") === 1), col("event_type"),
+          col("user_id"))
+        val est = Stats.distinctUnionEstimate(incA.unionByName(incB))
+        val exact = t.events
+          .groupBy(col("event_type").as("ge"))
+          .agg(countDistinct(col("user_id")).as("n_exact"))
+          .select(col("ge"), lit(false).as("te"), col("n_exact"))
+          .unionByName(t.events
+            .agg(countDistinct(col("user_id")).as("n_exact"))
+            .select(lit(null).cast("string").as("ge"),
+                    lit(true).as("te"), col("n_exact")))
+        est.join(exact, col("g") <=> col("ge") &&
+                        col("is_total") === col("te"))
+          .select(col("g"), col("is_total"), col("n_exact"),
+                  (abs(col("est") - col("n_exact")) <=
+                     lit(0.05) * col("n_exact")).as("within_5pct"))
+      },
+      Some("""SELECT event_type AS g, FALSE AS is_total,
+        |  COUNT(DISTINCT user_id) AS n_exact, TRUE AS within_5pct
+        |FROM events GROUP BY 1
+        |UNION ALL
+        |SELECT CAST(NULL AS VARCHAR), TRUE,
+        |  COUNT(DISTINCT user_id), TRUE
+        |FROM events""".stripMargin)),
+
     // Equi-depth histogram: document lengths quantile-binned into 4
     // equal-mass buckets (exact interpolated edges; bin = #edges below
     // the value, so edge ties resolve identically in both engines).
