@@ -329,6 +329,37 @@ object StatsQueries {
         |  COUNT(DISTINCT user_id), TRUE
         |FROM events""".stripMargin)),
 
+    // Theta-sketch corpus overlap in its EXACT regime (both key sets
+    // are below k = 4096, where an update sketch stores every hash —
+    // the q147 convention for the set-operation axis): estimated
+    // |A|/|B|/|A∩B|/|A∪B|/Jaccard between the customers-with-orders
+    // set and the full customer roster must equal the exact values.
+    // A lossy union, a wrong intersection, or hash disagreement
+    // between the two sides' scans is a red row.
+    Q("q165_theta_overlap", { t =>
+        Sketches.thetaOverlap(t.orders, t.customer,
+                              col("o_custkey"), col("c_custkey"))
+      },
+      Some("""SELECT
+        |  (SELECT CAST(COUNT(DISTINCT o_custkey) AS DOUBLE)
+        |   FROM orders) AS n_a,
+        |  (SELECT CAST(COUNT(DISTINCT c_custkey) AS DOUBLE)
+        |   FROM customer) AS n_b,
+        |  (SELECT CAST(COUNT(*) AS DOUBLE) FROM (
+        |     SELECT DISTINCT o_custkey FROM orders
+        |     INTERSECT SELECT c_custkey FROM customer)) AS n_intersection,
+        |  (SELECT CAST(COUNT(*) AS DOUBLE) FROM (
+        |     SELECT DISTINCT o_custkey FROM orders
+        |     UNION SELECT c_custkey FROM customer)) AS n_union,
+        |  round(
+        |    (SELECT CAST(COUNT(*) AS DOUBLE) FROM (
+        |       SELECT DISTINCT o_custkey FROM orders
+        |       INTERSECT SELECT c_custkey FROM customer))
+        |    / (SELECT COUNT(*) FROM (
+        |       SELECT DISTINCT o_custkey FROM orders
+        |       UNION SELECT c_custkey FROM customer)), 6) AS jaccard"""
+        .stripMargin)),
+
     // Equi-depth histogram: document lengths quantile-binned into 4
     // equal-mass buckets (exact interpolated edges; bin = #edges below
     // the value, so edge ties resolve identically in both engines).

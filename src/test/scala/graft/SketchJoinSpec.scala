@@ -503,4 +503,24 @@ class SketchJoinSpec extends SparkSpec {
                  (1 to 40).map(_ * 10.0)).sorted
     assert(merged(None) == union(39))
   }
+
+  test("theta overlap stays within published error above k") {
+    import spark.implicits._
+    // both sides far above k = 4096 -> estimating regime; truth:
+    // |A| = 20000, |B| = 20000, |A n B| = 10000, |A u B| = 30000
+    val a = (0 until 20000).toDF("id")
+    val b = (10000 until 30000).toDF("id")
+    val r = graft.stats.Sketches.thetaOverlap(a, b, col("id"), col("id"))
+      .collect()(0)
+    def within(est: Double, truth: Double, tol: Double) =
+      math.abs(est - truth) <= tol * truth
+    assert(within(r.getDouble(0), 20000, 0.05), s"n_a ${r.getDouble(0)}")
+    assert(within(r.getDouble(1), 20000, 0.05), s"n_b ${r.getDouble(1)}")
+    assert(within(r.getDouble(2), 10000, 0.10),
+      s"n_intersection ${r.getDouble(2)}")
+    assert(within(r.getDouble(3), 30000, 0.05),
+      s"n_union ${r.getDouble(3)}")
+    assert(within(r.getDouble(4), 1.0 / 3, 0.10),
+      s"jaccard ${r.getDouble(4)}")
+  }
 }
