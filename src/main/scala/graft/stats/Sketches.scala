@@ -241,7 +241,11 @@ object Sketches {
           it.foreach(r => sk.update(r.getString(0)))
           Iterator.single(sk.compact().toByteArray)
         }
-      if (parts.isEmpty())
+      // a 0-partition frame is the only way parts can be empty
+      // (mapPartitions emits one sketch per partition, empty or not);
+      // checking getNumPartitions is driver-side — RDD.isEmpty would
+      // launch a job that sketches partition 0 and discards it
+      if (parts.getNumPartitions == 0)
         UpdateSketch.builder().build().compact()
       else
         org.apache.datasketches.theta.Sketches.wrapSketch(Memory.wrap(

@@ -275,27 +275,14 @@ object Stats {
     * 100 TB re-aggregation. Built on Spark's Apache DataSketches
     * functions; estimates are within ~1.6% (lgK 12) of exact. */
   def distinctSketch(df: DataFrame, group: Column, key: Column)
-      : DataFrame = {
+      : DataFrame =
     // ONE scan, ONE aggregate — no exact countDistinct anywhere: the
     // whole point of the sketch is to never pay the exact-distinct
     // shuffle (accuracy is pinned by the StatsSpec fixture, which
-    // computes its own exact yardstick)
-    val perGroup = CacheScope.persist(
-      df.groupBy(group.as("g"))
-        .agg(hll_sketch_agg(key).as("sk")))
-    // the global row comes from MERGING the per-group sketches — the
-    // mergeability property itself, not a rescan of the raw data. It
-    // is flagged by `is_total` (g = null), never by a sentinel value
-    // that could collide with a real group.
-    val total = perGroup
-      .agg(hll_sketch_estimate(hll_union_agg(col("sk"))).as("est"))
-      .select(lit(null).cast(perGroup.schema("g").dataType).as("g"),
-              lit(true).as("is_total"), col("est"))
-    perGroup
-      .select(col("g"), lit(false).as("is_total"),
-              hll_sketch_estimate(col("sk")).as("est"))
-      .unionByName(total)
-  }
+    // computes its own exact yardstick). The single-scan path IS the
+    // one-increment case of the incremental path — one definition of
+    // the evaluation tail, so the two cannot fork.
+    distinctUnionEstimate(distinctSketchFrame(df, group, key))
 
   /** The PERSISTABLE increment form of [[distinctSketch]]: one row per
     * group with the serialized HLL sketch as a binary column — each
@@ -315,6 +302,10 @@ object Stats {
   def distinctUnionEstimate(frames: DataFrame): DataFrame = {
     val perGroup = CacheScope.persist(
       frames.groupBy("g").agg(hll_union_agg(col("sk")).as("sk")))
+    // the global row comes from MERGING the per-group sketches — the
+    // mergeability property itself, not a rescan of the raw data. It
+    // is flagged by `is_total` (g = null), never by a sentinel value
+    // that could collide with a real group.
     val total = perGroup
       .agg(hll_sketch_estimate(hll_union_agg(col("sk"))).as("est"))
       .select(lit(null).cast(perGroup.schema("g").dataType).as("g"),

@@ -299,7 +299,10 @@ object StatsQueries {
         val h = conv(substring(md5(concat_ws(":", col("user_id"),
                  col("event_type"), col("ts").cast("string"))), 1, 8),
                16, 10).cast("long")
-        val ev = t.events.withColumn("_inc", h % 2)
+        // one scan + one hash pass feeds both increments AND the exact
+        // yardstick (q163's persist convention)
+        val ev = graft.core.CacheScope.persist(
+          t.events.withColumn("_inc", h % 2))
         val incA = Stats.distinctSketchFrame(
           ev.filter(col("_inc") === 0), col("event_type"),
           col("user_id"))
@@ -307,11 +310,11 @@ object StatsQueries {
           ev.filter(col("_inc") === 1), col("event_type"),
           col("user_id"))
         val est = Stats.distinctUnionEstimate(incA.unionByName(incB))
-        val exact = t.events
+        val exact = ev
           .groupBy(col("event_type").as("ge"))
           .agg(countDistinct(col("user_id")).as("n_exact"))
           .select(col("ge"), lit(false).as("te"), col("n_exact"))
-          .unionByName(t.events
+          .unionByName(ev
             .agg(countDistinct(col("user_id")).as("n_exact"))
             .select(lit(null).cast("string").as("ge"),
                     lit(true).as("te"), col("n_exact")))
