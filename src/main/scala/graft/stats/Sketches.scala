@@ -261,14 +261,18 @@ object Sketches {
     val inter = SetOperation.builder().buildIntersection()
       .intersect(sa, sb)
     val uni = SetOperation.builder().buildUnion().union(sa, sb)
+    // A∖B completes the set-op family: "how much of the new crawl is
+    // actually NEW" — the delta-ingest sizing question
+    val diff = SetOperation.builder().buildANotB().aNotB(sa, sb)
     val spark = a.sparkSession
     import spark.implicits._
     Seq((sa.getEstimate, sb.getEstimate, inter.getEstimate,
-         uni.getEstimate,
+         uni.getEstimate, diff.getEstimate,
          BigDecimal(if (uni.getEstimate == 0.0) 0.0
                     else inter.getEstimate / uni.getEstimate)
            .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble))
-      .toDF("n_a", "n_b", "n_intersection", "n_union", "jaccard")
+      .toDF("n_a", "n_b", "n_intersection", "n_union", "n_a_not_b",
+            "jaccard")
   }
 
   /** Morton/Z-order interleaving of two non-negative integer keys

@@ -354,6 +354,9 @@ object StatsQueries {
         |  (SELECT CAST(COUNT(*) AS DOUBLE) FROM (
         |     SELECT DISTINCT o_custkey FROM orders
         |     UNION SELECT c_custkey FROM customer)) AS n_union,
+        |  (SELECT CAST(COUNT(*) AS DOUBLE) FROM (
+        |     SELECT DISTINCT o_custkey FROM orders
+        |     EXCEPT SELECT c_custkey FROM customer)) AS n_a_not_b,
         |  round(
         |    (SELECT CAST(COUNT(*) AS DOUBLE) FROM (
         |       SELECT DISTINCT o_custkey FROM orders

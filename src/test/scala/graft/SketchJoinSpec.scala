@@ -520,7 +520,9 @@ class SketchJoinSpec extends SparkSpec {
       s"n_intersection ${r.getDouble(2)}")
     assert(within(r.getDouble(3), 30000, 0.05),
       s"n_union ${r.getDouble(3)}")
-    assert(within(r.getDouble(4), 1.0 / 3, 0.10),
-      s"jaccard ${r.getDouble(4)}")
+    assert(within(r.getDouble(4), 10000, 0.10),
+      s"n_a_not_b ${r.getDouble(4)}")
+    assert(within(r.getDouble(5), 1.0 / 3, 0.10),
+      s"jaccard ${r.getDouble(5)}")
   }
 }
