@@ -435,10 +435,14 @@ object Ann {
                 codebooks: DataFrame, m: Int, subDim: Int,
                 k: Int): DataFrame = {
     validatePq(codebooks, m, subDim)
-    val lut = adcLut(queries, codebooks, m, subDim)
+    // the lut is |queries|·m·nCodes rows — broadcast it so the
+    // corpus-sized codes frame is scored with NO shuffle at all (the
+    // subsequent per-(qid, vid) aggregation shuffles k·|cand| scored
+    // pairs, not raw codes); ADC's contract is a bounded query batch
+    val lut = broadcast(adcLut(queries, codebooks, m, subDim))
     val cand = codes.select(col("id").as("vid"), col("s"),
                             col("code").as("cid"))
-    val pairs = lut.join(cand, Seq("s", "cid"))
+    val pairs = cand.join(lut, Seq("s", "cid"))
       .filter(col("qid") =!= col("vid"))
     adcAggregateAndRank(pairs, k)
   }
@@ -492,7 +496,7 @@ object Ann {
     val candCodes = cand.join(
       codes.select(col("id").as("vid"), col("s"),
                    col("code").as("cid")), "vid")
-    val lut = adcLut(queries, codebooks, m, subDim)
+    val lut = broadcast(adcLut(queries, codebooks, m, subDim))
     adcAggregateAndRank(candCodes.join(lut, Seq("qid", "s", "cid")), k)
   }
 }
