@@ -359,4 +359,42 @@ class StreamingMultimodalSpec extends SparkSpec {
     assert(feats(7L).embedding.length == 8)
     assert(feats(7L).embedding.forall(v => v >= 0f && v < 1f))
   }
+
+  test("streaming micro-batches accumulate KLL sketch increments") {
+    // the streaming face of the q163 increment story: each micro-batch
+    // reduces to a persistable sketch frame via foreachBatch, and the
+    // merged quantiles over ALL batch frames equal the order
+    // statistics of everything the stream ever saw - no batch is ever
+    // rescanned (exact regime: 40 values/group total, k = 200)
+    implicit val sqlCtx = spark.sqlContext
+    val stream = MemoryStream[(String, Double)]
+    val frames = scala.collection.mutable.ArrayBuffer.empty[
+      org.apache.spark.sql.Row]
+    val q = stream.toDF().toDF("g", "v").writeStream
+      .outputMode(OutputMode.Append())
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        frames ++= graft.stats.Sketches
+          .kllSketchFrame(batch, col("g"), col("v")).collect()
+        ()
+      }
+      .start()
+    stream.addData((1 to 20).map(i => ("a", i.toDouble)): _*)
+    q.processAllAvailable()
+    stream.addData((21 to 40).map(i => ("a", i.toDouble)): _*)
+    stream.addData((1 to 40).map(i => ("b", i * 10.0)): _*)
+    q.processAllAvailable()
+    q.stop()
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("g",
+        org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("sketch",
+        org.apache.spark.sql.types.BinaryType)))
+    val union = spark.createDataFrame(
+      spark.sparkContext.parallelize(frames.toSeq), schema)
+    val merged = graft.stats.Sketches
+      .kllMergeQuantiles(union, Seq(0.5))
+      .collect().map(r => (Option(r.getString(0)), r.getDouble(2))).toMap
+    assert(merged(Some("a")) == 20.0) // inclusive median of 1..40
+    assert(merged(Some("b")) == 200.0)
+  }
 }
