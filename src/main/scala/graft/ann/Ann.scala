@@ -427,19 +427,22 @@ object Ann {
     * codes (ADC, Jégou et al. 2011). Per-entry d² is rounded to 6,
     * the sum accumulates as exact decimals, AND the ranking happens on
     * the decimal (the double cast is output-only), so ranking is
-    * engine-stable at any magnitude. The codes join is co-partitioned
-    * on (s, cid); at 100 TB this scores a candidate set (IVF cells,
-    * LSH buckets) — over the full corpus it is the brute-force shape
-    * with 32× less data movement, which is PQ's point. */
+    * engine-stable at any magnitude. With `broadcastLut` (default —
+    * ADC's contract is a bounded query batch) the |queries|·m·nCodes
+    * lookup table broadcasts and the corpus-sized codes frame is
+    * scored with NO shuffle at all; only the per-(qid, vid)
+    * aggregation shuffles scored pairs. Pass `broadcastLut = false`
+    * for an unbounded query side to let join-strategy stats pick a
+    * shuffle join instead of risking a driver-sized broadcast. At
+    * 100 TB this scores a candidate set (IVF cells, LSH buckets) —
+    * over the full corpus it is the brute-force shape with 32× less
+    * data movement, which is PQ's point. */
   def pqAdcTopK(queries: DataFrame, codes: DataFrame,
                 codebooks: DataFrame, m: Int, subDim: Int,
-                k: Int): DataFrame = {
+                k: Int, broadcastLut: Boolean = true): DataFrame = {
     validatePq(codebooks, m, subDim)
-    // the lut is |queries|·m·nCodes rows — broadcast it so the
-    // corpus-sized codes frame is scored with NO shuffle at all (the
-    // subsequent per-(qid, vid) aggregation shuffles k·|cand| scored
-    // pairs, not raw codes); ADC's contract is a bounded query batch
-    val lut = broadcast(adcLut(queries, codebooks, m, subDim))
+    val lut0 = adcLut(queries, codebooks, m, subDim)
+    val lut = if (broadcastLut) broadcast(lut0) else lut0
     val cand = codes.select(col("id").as("vid"), col("s"),
                             col("code").as("cid"))
     val pairs = cand.join(lut, Seq("s", "cid"))
@@ -479,12 +482,13 @@ object Ann {
     * table — coarse quantizer for the search scope, product quantizer
     * for the distance, which is how a 100 TB embedding table is
     * actually served. The candidate join is co-partitioned on the cell
-    * key, the code join on (qid, s, cid); nothing corpus-sized is
-    * broadcast or collected. */
+    * key; the lookup table broadcasts (`broadcastLut`, same contract
+    * and fallback as [[pqAdcTopK]]); nothing corpus-sized is broadcast
+    * or collected. */
   def ivfPqTopK(queries: DataFrame, corpus: DataFrame,
                 centroids: DataFrame, codes: DataFrame,
                 codebooks: DataFrame, nProbe: Int, m: Int, subDim: Int,
-                k: Int): DataFrame = {
+                k: Int, broadcastLut: Boolean = true): DataFrame = {
     validatePq(codebooks, m, subDim)
     val cells = ivfAssign(corpus, centroids, 1)
       .select(col("id").as("vid"), col("cell"))
@@ -496,7 +500,8 @@ object Ann {
     val candCodes = cand.join(
       codes.select(col("id").as("vid"), col("s"),
                    col("code").as("cid")), "vid")
-    val lut = broadcast(adcLut(queries, codebooks, m, subDim))
+    val lut0 = adcLut(queries, codebooks, m, subDim)
+    val lut = if (broadcastLut) broadcast(lut0) else lut0
     adcAggregateAndRank(candCodes.join(lut, Seq("qid", "s", "cid")), k)
   }
 }

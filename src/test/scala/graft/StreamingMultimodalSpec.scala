@@ -384,13 +384,10 @@ class StreamingMultimodalSpec extends SparkSpec {
     stream.addData((1 to 40).map(i => ("b", i * 10.0)): _*)
     q.processAllAvailable()
     q.stop()
-    val schema = org.apache.spark.sql.types.StructType(Seq(
-      org.apache.spark.sql.types.StructField("g",
-        org.apache.spark.sql.types.StringType),
-      org.apache.spark.sql.types.StructField("sketch",
-        org.apache.spark.sql.types.BinaryType)))
+    // schema comes from the collected rows themselves, so a renamed
+    // kllSketchFrame column fails here at the source, not confusingly
     val union = spark.createDataFrame(
-      spark.sparkContext.parallelize(frames.toSeq), schema)
+      spark.sparkContext.parallelize(frames.toSeq), frames.head.schema)
     val merged = graft.stats.Sketches
       .kllMergeQuantiles(union, Seq(0.5))
       .collect().map(r => (Option(r.getString(0)), r.getDouble(2))).toMap
