@@ -341,6 +341,35 @@ object Ann {
       .select("qid", "n_hits", "n_exact", "recall")
   }
 
+  /** Embedding-truncation sensitivity curve (the Matryoshka/serving-
+    * dimension question: how much retrieval quality survives storing
+    * only the first d dimensions?): for each d in `dims`, brute-force
+    * cosine top-k over the TRUNCATED vectors is scored against the
+    * full-dimension exact top-k with [[recallAtK]], micro-averaged —
+    * integer hit/exact totals, so the per-dim recall is an exact
+    * engine-stable division. One row per candidate dimension; the
+    * full-dimension row scores 1.0 by construction (an in-data sanity
+    * check). The full-dim baseline computes once and persists. */
+  def truncationRecallCurve(queries: DataFrame, corpus: DataFrame,
+                            dims: Seq[Int], k: Int): DataFrame = {
+    val full = graft.core.CacheScope.persist(
+      bruteForceCosineTopK(queries, corpus, k))
+    dims.map { d =>
+      val sc = corpus.select(col("id"),
+                             slice(col("embedding"), 1, d).as("embedding"))
+      val sq = queries.select(col("id"),
+                              slice(col("embedding"), 1, d).as("embedding"))
+      recallAtK(bruteForceCosineTopK(sq, sc, k), full)
+        .agg(count(lit(1)).as("n_queries"),
+             sum("n_hits").as("n_hits"),
+             sum("n_exact").as("n_exact"))
+        .select(lit(d).as("dim"), col("n_queries"), col("n_hits"),
+                col("n_exact"),
+                round(col("n_hits").cast("double") / col("n_exact"), 6)
+                  .as("recall"))
+    }.reduce(_ unionByName _)
+  }
+
   /** Each vector split into `m` contiguous subvectors of `subDim` dims:
     * (id, s, sub) rows, one codegen'd slice fan-out, no shuffle. */
   def pqSubvectors(vectors: DataFrame, m: Int, subDim: Int): DataFrame =

@@ -625,6 +625,71 @@ object AnnQueries {
         |    ROW_NUMBER() OVER (PARTITION BY qid
         |      ORDER BY adist, vid) AS rank
         |  FROM adc) r
-        |WHERE rank <= 3""".stripMargin))
+        |WHERE rank <= 3""".stripMargin)),
+
+    // Matryoshka truncation-recall curve: retrieval quality of the
+    // first-16 / first-32 / full-64 dimension prefixes against the
+    // full-dimension exact top-3 (micro-averaged over integer
+    // hit/exact totals, so recall is an exact division). The dim=64
+    // row must score 1.0 — an in-data sanity check the oracle shares.
+    Q("q166_truncation_recall", { t =>
+        val emb = t.embeddings.select(col("vec_id").as("id"),
+                                      col("embedding"))
+        Ann.truncationRecallCurve(emb.filter(col("id") % 20 === 0), emb,
+                                  dims = Seq(16, 32, 64), k = 3)
+      },
+      Some(evCte + """,
+        |fulltop AS (
+        |  SELECT qid, vid FROM (
+        |    SELECT qid, vid,
+        |      ROW_NUMBER() OVER (PARTITION BY qid
+        |        ORDER BY cos DESC, vid) AS rank
+        |    FROM (
+        |      SELECT dd.qid, dd.vid,
+        |        round(dd.dot / sqrt(na.nn * nb.nn), 6) AS cos
+        |      FROM (
+        |        SELECT a.vec_id AS qid, b.vec_id AS vid,
+        |          SUM(a.v * b.v) AS dot
+        |        FROM ev a JOIN ev b ON a.d = b.d
+        |          AND a.vec_id % 20 = 0 AND a.vec_id <> b.vec_id
+        |        GROUP BY 1, 2) dd
+        |      JOIN norms na ON dd.qid = na.vec_id
+        |      JOIN norms nb ON dd.vid = nb.vec_id) c) r
+        |  WHERE rank <= 3
+        |)DIMCTES
+        |DIMSELECTS""".stripMargin
+        .replace("DIMCTES", Seq(16, 32, 64).map { d => s""",
+        |ntr$d AS (
+        |  SELECT vec_id, SUM(v * v) AS nn FROM ev WHERE d < $d
+        |  GROUP BY 1
+        |), top$d AS (
+        |  SELECT qid, vid FROM (
+        |    SELECT qid, vid,
+        |      ROW_NUMBER() OVER (PARTITION BY qid
+        |        ORDER BY cos DESC, vid) AS rank
+        |    FROM (
+        |      SELECT dd.qid, dd.vid,
+        |        round(dd.dot / sqrt(na.nn * nb.nn), 6) AS cos
+        |      FROM (
+        |        SELECT a.vec_id AS qid, b.vec_id AS vid,
+        |          SUM(a.v * b.v) AS dot
+        |        FROM ev a JOIN ev b ON a.d = b.d AND a.d < $d
+        |          AND a.vec_id % 20 = 0 AND a.vec_id <> b.vec_id
+        |        GROUP BY 1, 2) dd
+        |      JOIN ntr$d na ON dd.qid = na.vec_id
+        |      JOIN ntr$d nb ON dd.vid = nb.vec_id) c) r
+        |  WHERE rank <= 3
+        |)""".stripMargin }.mkString)
+        .replace("DIMSELECTS", Seq(16, 32, 64).map { d => s"""
+        |SELECT $d AS dim,
+        |  (SELECT COUNT(DISTINCT qid) FROM fulltop) AS n_queries,
+        |  (SELECT COUNT(*) FROM top$d t
+        |     JOIN fulltop f ON t.qid = f.qid AND t.vid = f.vid)
+        |    AS n_hits,
+        |  (SELECT COUNT(*) FROM fulltop) AS n_exact,
+        |  round((SELECT CAST(COUNT(*) AS DOUBLE) FROM top$d t
+        |           JOIN fulltop f ON t.qid = f.qid AND t.vid = f.vid)
+        |        / (SELECT COUNT(*) FROM fulltop), 6) AS recall""".stripMargin }
+        .mkString("\nUNION ALL"))))
   )
 }
