@@ -98,6 +98,18 @@ object Bench {
           src.getLines().next().split(" ")(0).toDouble
         }
       catch { case _: Throwable => -1.0 }
+    // Near-idle gate (VERDICT r7 task #6 / r8 "what's wrong" #1): this
+    // box drifts ~2× under background load, so a recording started at
+    // loadavg 10 measures the machine, not the engine. Wait (bounded —
+    // the driver must never hang on a busy box) for 1-min loadavg to
+    // fall under 4 before the first timed query; both the initial and
+    // the at-start load are reported so a contaminated run is
+    // attributable mechanically.
+    val loadInitial = loadavg()
+    val gateDeadline = System.nanoTime() + 300L * 1000 * 1000 * 1000
+    while (loadavg() > 4.0 && System.nanoTime() < gateDeadline)
+      Thread.sleep(10000)
+    val loadStart = loadavg()
     val results = selected.flatMap { q =>
       def once(): Double = {
         val t0 = System.nanoTime()
@@ -149,8 +161,9 @@ object Bench {
       m.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
     val qs = jmap(scala.collection.mutable.LinkedHashMap(results: _*))
     val total = results.map(_._2).sum
+    val loadEnd = loadavg()
     val line =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"queries_first_run":${jmap(firstRun)},"queries_second_run":${jmap(secondRun)},"queries_third_run":${jmap(thirdRun)},"queries_median":${jmap(medianRun)},"load_before":${jmap(loadBefore)},"load_after":${jmap(loadAfter)},"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"queries_first_run":${jmap(firstRun)},"queries_second_run":${jmap(secondRun)},"queries_third_run":${jmap(thirdRun)},"queries_median":${jmap(medianRun)},"load_before":${jmap(loadBefore)},"load_after":${jmap(loadAfter)},"load_initial":$loadInitial,"load_start":$loadStart,"load_end":$loadEnd,"sf":"$sfDir"}"""
     // ONE canonical artifact per round (VERDICT r7 bookkeeping): the
     // full record — every raw rep, medians, load samples — goes ONLY
     // to bench_out.json; stdout carries exactly one final JSON record
@@ -167,7 +180,12 @@ object Bench {
     // budget, with the full map pointed at via "queries_full".
     val byCost = results.sortBy(-_._2)
     val budget = 1800
-    val head = s"""{"metric":"total","value":${math.round(total * 100) / 100.0},"unit":"sec","n_queries":${results.size},"queries_full":"$outFile","sf":"$sfDir","queries":{"""
+    val sortedT = results.map(_._2).sorted
+    val medianSec =
+      if (sortedT.isEmpty) 0.0
+      else if (sortedT.size % 2 == 1) sortedT(sortedT.size / 2)
+      else (sortedT(sortedT.size / 2 - 1) + sortedT(sortedT.size / 2)) / 2
+    val head = s"""{"metric":"total","value":${math.round(total * 100) / 100.0},"unit":"sec","n_queries":${results.size},"median_sec":${math.round(medianSec * 1000) / 1000.0},"load_initial":$loadInitial,"load_start":$loadStart,"load_end":$loadEnd,"queries_full":"$outFile","sf":"$sfDir","queries":{"""
     val tailStr = "}}"
     val entries = scala.collection.mutable.ArrayBuffer[String]()
     var len = head.length + tailStr.length

@@ -420,6 +420,8 @@ object Ann {
       .select(col("cid").as("id"), col("centroid").as("embedding"))
     val dims = sampled.agg(min(size(col("embedding"))).as("lo"),
                            max(size(col("embedding"))).as("hi")).head()
+    require(!dims.isNullAt(0),
+      "pqCodebooks: empty corpus — no embeddings to train codebooks on")
     require(dims.getInt(0) == m * subDim && dims.getInt(1) == m * subDim,
       s"embeddings are ${dims.getInt(0)}..${dims.getInt(1)}-dim, " +
         s"expected m*subDim = ${m * subDim}")

@@ -463,15 +463,25 @@ object Dedup {
     // NULL-text rows dedup as their own group rather than silently
     // vanishing (md5(NULL) = NULL never equi-joins): the group key is
     // (md5(coalesce(text, '')), isnull(text)), so null and
-    // empty-string texts stay distinct groups. A null id would still
-    // be unrankable — ids are required non-null, as everywhere in the
-    // dedup suite.
-    val withH = docs.withColumn("_h", md5(coalesce(text, lit(""))))
-      .withColumn("_n", text.isNull)
-      .withColumn("_id", id)
-    val firsts = withH.groupBy("_h", "_n").agg(min(col("_id")).as("_id"))
-    withH.join(firsts, Seq("_h", "_n", "_id"), "left_semi")
-      .drop("_h", "_n", "_id")
+    // empty-string texts stay distinct groups.
+    //
+    // Contract: ids must be UNIQUE and NON-NULL — the survivor is the
+    // row whose id equals the group minimum, so a duplicated id would
+    // keep both copies and a null id is unrankable. Enforced below via
+    // assert_true on the id column (evaluates per-row, no extra pass).
+    // Helper columns carry a suffix no sane schema uses, so a caller
+    // column named `_h`/`_n`/`_id` is never clobbered by withColumn.
+    val hc = "_h__graft_kfe"; val nc = "_n__graft_kfe"; val ic = "_id__graft_kfe"
+    require(!docs.columns.exists(Set(hc, nc, ic)),
+      s"input must not contain reserved columns $hc/$nc/$ic")
+    val idChecked = when(id.isNull,
+      raise_error(lit("keepFirstExact: null doc id"))).otherwise(id)
+    val withH = docs.withColumn(hc, md5(coalesce(text, lit(""))))
+      .withColumn(nc, text.isNull)
+      .withColumn(ic, idChecked)
+    val firsts = withH.groupBy(hc, nc).agg(min(col(ic)).as(ic))
+    withH.join(firsts, Seq(hc, nc, ic), "left_semi")
+      .drop(hc, nc, ic)
   }
 
   /** MinHash-LSH parameter calibration: pick the (bands, rowsPerBand)

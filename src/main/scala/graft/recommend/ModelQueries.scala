@@ -400,6 +400,48 @@ object ModelQueries {
         |  ('h', 0, 0, 1.375562), ('h', 0, 1, 2.280331),
         |  ('h', 1, 0, 0.600398), ('h', 1, 1, 0.988522),
         |  ('h', 2, 0, 1.061761), ('h', 2, 1, 1.413298)
-        |) t(kind, id, f, value)""".stripMargin))
+        |) t(kind, id, f, value)""".stripMargin)),
+
+    // L20 STRICT gate — the IALS row update is a CLOSED FORM given the
+    // item factors (x_u = (YᵀY + Yᵀ(Cᵤ−I)Y + λI)⁻¹ YᵀCᵤp(u),
+    // IALSRecommender.py:165-186), so unlike the full alternating fit
+    // it is oracle-checkable: this runs Models.ialsUserStep — the
+    // distributed exact kernel, broadcast Y, per-user Breeze solve —
+    // on an inline 3-user × 3-item URM with injected factors
+    // y₀=(½,0), y₁=(0,½), y₂=(½,½), α=½, λ=¼, under BOTH confidence
+    // scalings (linear c=1+αr exact in rationals, e.g. u₀ =
+    // (10/7, 2/7) and u₁ = (−2/5, 6/5); log c=1+α·ln(1+r/ε) at ε=½
+    // derived with 50-digit decimal arithmetic). Expected values
+    // transcribed at 6 decimals — every value ≥ 3.5·10⁻⁸ from its
+    // rounding boundary vs ~10⁻¹⁵ float drift. A dropped λ, a YᵀY
+    // missing cold rows, a (c−1) vs c slip on either side of the
+    // solve, or a wrong ε routing is a red hash row; q65 (ml.ALS)
+    // stays the production fit this kernel pins semantically.
+    Q("q167_ials_step_gate", { t =>
+        import t.spark.implicits._
+        val urm = Seq((0, 0, 1.0), (0, 2, 2.0), (1, 1, 3.0),
+                      (2, 0, 1.0), (2, 1, 1.0), (2, 2, 1.0))
+          .toDF("u", "i", "v")
+        val y = Seq((0, Array(0.5, 0.0)), (1, Array(0.0, 0.5)),
+                    (2, Array(0.5, 0.5)))
+          .toDF("i", "factors")
+        Seq("linear", "log").map { scaling =>
+          Models.ialsUserStep(t.spark, urm, y, alpha = 0.5, reg = 0.25,
+                              confidenceScaling = scaling, epsilon = 0.5)
+            .select(lit(scaling).as("scaling"), col("u"),
+                    posexplode(col("factors")).as(Seq("f", "value")))
+        }.reduce(_ unionByName _)
+          .select(col("scaling"), col("u"), col("f"),
+                  round(col("value"), 6).as("value"))
+      },
+      Some("""SELECT * FROM (VALUES
+        |  ('linear', 0, 0, CAST(1.428571 AS DOUBLE)),
+        |  ('linear', 0, 1, 0.285714),
+        |  ('linear', 1, 0, -0.4), ('linear', 1, 1, 1.2),
+        |  ('linear', 2, 0, 1.090909), ('linear', 2, 1, 1.090909),
+        |  ('log', 0, 0, 1.428241), ('log', 0, 1, 0.271206),
+        |  ('log', 1, 0, -0.361385), ('log', 1, 1, 1.084154),
+        |  ('log', 2, 0, 1.097258), ('log', 2, 1, 1.097258)
+        |) t(scaling, u, f, value)""".stripMargin))
   )
 }

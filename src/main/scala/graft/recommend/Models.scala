@@ -3,7 +3,7 @@ package graft.recommend
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.ml.recommendation.ALS
-import breeze.linalg.{eigSym, inv, DenseMatrix => BDM}
+import breeze.linalg.{eigSym, inv, DenseMatrix => BDM, DenseVector => BDV}
 
 /** Factorization / regression model operators (SURVEY.md §2.8 L18–L25).
   *
@@ -65,19 +65,111 @@ object Models {
   }
 
   /** L20 — IALS via ml.recommendation.ALS with implicit preferences
-    * (reference: MatrixFactorization/IALSRecommender.py:40-201;
-    * linear confidence 1+αr). Returns the fitted model's user and item
-    * factor frames. */
+    * (reference: MatrixFactorization/IALSRecommender.py:40-201).
+    * Confidence scaling follows the reference's two modes
+    * (IALSRecommender.py:111-123):
+    *   - "linear": c_ui = 1 + α·r_ui — ml.ALS's native form.
+    *   - "log":    c_ui = 1 + α·log(1 + r_ui/ε) — expressed by
+    *     pre-transforming ratings r → log(1 + r/ε) BEFORE the fit, so
+    *     ml.ALS's 1 + α·r' equals the reference's kernel exactly. The
+    *     implicit preference p_ui = [r' > 0] is unchanged (log(1+r/ε)
+    *     > 0 whenever r > 0), so only the confidence weights move.
+    * Returns the fitted model's user and item factor frames. */
   def ials(urm: DataFrame, rank: Int, reg: Double, alpha: Double,
-           iters: Int, seed: Long): (DataFrame, DataFrame) = {
+           iters: Int, seed: Long,
+           confidenceScaling: String = "linear",
+           epsilon: Double = 1.0): (DataFrame, DataFrame) = {
+    require(Set("linear", "log")(confidenceScaling),
+      s"confidence_scaling must be linear|log, got $confidenceScaling")
+    val v = col("v").cast("double")
+    val scaled = confidenceScaling match {
+      case "linear" => v
+      case "log"    => log(lit(1.0) + v / lit(epsilon))
+    }
     val als = new ALS()
       .setUserCol("u").setItemCol("i").setRatingCol("v")
       .setImplicitPrefs(true).setRank(rank).setRegParam(reg)
       .setAlpha(alpha).setMaxIter(iters).setSeed(seed)
     val model = als.fit(urm.select(col("u").cast("int").as("u"),
                                    col("i").cast("int").as("i"),
-                                   col("v").cast("float").as("v")))
+                                   scaled.cast("float").as("v")))
     (model.userFactors, model.itemFactors)
+  }
+
+  /** The reference's EXACT IALS row update, distributed
+    * (IALSRecommender.py:165-186 `_run_epoch` user half +
+    * `_update_row`): for each user with interactions,
+    *   x_u = (YᵀY + Yᵀ(Cᵤ−I)Y + λI)⁻¹ Yᵀ Cᵤ p(u),
+    * with confidence c_ui = 1 + α·r (linear) or 1 + α·log(1 + r/ε)
+    * (log — IALSRecommender.py:111-123). Y (the item factors) is
+    * collected and BROADCAST — rank·nItems doubles, always
+    * broadcastable at sane ranks; `maxItems` guards the driver
+    * materialization — and YᵀY spans ALL item rows, cold items
+    * included, exactly like the reference's
+    * `ITEM_factors.T.dot(ITEM_factors)`. Each user's solve is then an
+    * independent rank³ linear system inside mapGroups, so the step
+    * scales with the user axis and never shuffles Y: the shape one
+    * executor-side IALS half-epoch has at 100 TB. [[ials]] (ml.ALS)
+    * stays the production fit; this step is the semantics pin the
+    * q167 strict gate hash-checks, log scaling included. */
+  def ialsUserStep(spark: SparkSession, urm: DataFrame,
+                   itemFactors: DataFrame, alpha: Double, reg: Double,
+                   confidenceScaling: String = "linear",
+                   epsilon: Double = 1.0,
+                   maxItems: Int = 100000): DataFrame = {
+    import spark.implicits._
+    require(Set("linear", "log")(confidenceScaling),
+      s"confidence_scaling must be linear|log, got $confidenceScaling")
+    val y = itemFactors
+      .select(col("i").cast("int").as("i"), col("factors"))
+      .as[(Int, Array[Double])].collect()
+    require(y.nonEmpty, "ialsUserStep: empty item-factor table")
+    require(y.length <= maxItems,
+      s"ialsUserStep broadcast guarded at $maxItems items; got ${y.length}")
+    val rank = y.head._2.length
+    val yty = Array.ofDim[Double](rank * rank)
+    y.foreach { case (_, f) =>
+      var a = 0
+      while (a < rank) {
+        var b = 0
+        while (b < rank) { yty(a * rank + b) += f(a) * f(b); b += 1 }
+        a += 1
+      }
+    }
+    val bc = spark.sparkContext.broadcast((y.toMap, yty))
+    val useLog = confidenceScaling == "log"
+    urm.select(col("u").cast("int").as("u"),
+               col("i").cast("int").as("i"),
+               col("v").cast("double").as("v"))
+      .as[(Int, Int, Double)]
+      .groupByKey(_._1)
+      .mapGroups { (u, rows) =>
+        val (ym, g) = bc.value
+        val bMat = new BDM[Double](rank, rank)
+        var a = 0
+        while (a < rank) {
+          var b = 0
+          while (b < rank) { bMat(a, b) = g(a * rank + b); b += 1 }
+          bMat(a, a) += reg
+          a += 1
+        }
+        val rhs = BDV.zeros[Double](rank)
+        rows.foreach { case (_, i, r) =>
+          val f = ym.getOrElse(i, throw new IllegalArgumentException(
+            s"ialsUserStep: item $i has no factor row"))
+          val c = if (useLog) 1.0 + alpha * math.log1p(r / epsilon)
+                  else 1.0 + alpha * r
+          var a = 0
+          while (a < rank) {
+            var b = 0
+            while (b < rank) { bMat(a, b) += (c - 1.0) * f(a) * f(b); b += 1 }
+            rhs(a) += c * f(a)
+            a += 1
+          }
+        }
+        (u, (bMat \ rhs).toArray)
+      }
+      .toDF("u", "factors")
   }
 
   /** L22 cross-check — explicit-feedback ALS: minimizes Σ(r_ui − w_u·h_i)²
@@ -222,7 +314,10 @@ object Models {
     * :838-899 _apply_minibatch_updates_to_latent_factors), and
     * `negativeReg`/`userReg` split the regularization per role
     * (pyx:700-703; both default to `reg`, preserving the historical
-    * single-knob behavior; the reference's search leaves user_reg 0).
+    * single-knob behavior; the reference's search leaves user_reg 0),
+    * and `dropoutQuota` renews a per-factor Bernoulli mask each epoch
+    * (pyx:70-72, 107, 653-659): masked-out factors neither enter the
+    * x_uij prediction nor receive any update that epoch.
     *
     * Spark-first split: triple sampling (u, i⁺) is a distributed seeded
     * query per epoch; the SGD update runs on the driver over the
@@ -233,12 +328,15 @@ object Models {
             seed: Long, impressions: Option[DataFrame] = None,
             samplingMode: String = "none", sgdMode: String = "sgd",
             negativeReg: Option[Double] = None,
-            userReg: Option[Double] = None, batchSize: Int = 1)
+            userReg: Option[Double] = None, batchSize: Int = 1,
+            dropoutQuota: Option[Double] = None)
       : (Map[Int, Array[Double]], Map[Int, Array[Double]]) = {
     import spark.implicits._
     require(Seq("none", "inside", "outside").contains(samplingMode))
     require(Seq("sgd", "adagrad", "rmsprop", "adam").contains(sgdMode))
     require(batchSize >= 1, "batchSize must be >= 1")
+    dropoutQuota.foreach(q => require(q > 0.0 && q < 1.0,
+      s"dropout_quota must be in (0,1) or None, got $q"))
     val negReg = negativeReg.getOrElse(reg)
     val uReg = userReg.getOrElse(reg)
     val adapt = new AdaptiveGrad(sgdMode, rank)
@@ -289,6 +387,17 @@ object Models {
     // epochs, run_parameter_search.py:239)
     val total = seen.valuesIterator.map(_.size.toLong).sum
     (0 until epochs).foreach { ep =>
+      // dropout mask renewed per EPOCH (pyx:653-659): each factor kept
+      // with probability 1−quota; masked-out factors are invisible to
+      // x_uij AND receive no update (incl. no adaptive-cache mutation,
+      // pyx:869/894); rank-1 models always keep their only factor
+      val mask: Array[Boolean] = dropoutQuota match {
+        case Some(q) =>
+          val m = Array.fill(rank)(rng.nextDouble() > q)
+          if (rank == 1) m(0) = true
+          m
+        case None => Array.fill(rank)(true)
+      }
       val frac = math.min(1.0, 1.25 * samplesPerEpoch / math.max(1L, total))
       val sample = urm.select(col("u").cast("int"), col("i").cast("int"))
         .sample(withReplacement = false, frac, seed + ep)
@@ -311,15 +420,20 @@ object Models {
             val hj = fac(itf, jneg)
             var xuij = 0.0
             var f = 0
-            while (f < rank) { xuij += wu(f) * (hi(f) - hj(f)); f += 1 }
+            while (f < rank) {
+              if (mask(f)) xuij += wu(f) * (hi(f) - hj(f))
+              f += 1
+            }
             val sig = 1.0 / (1.0 + math.exp(xuij))
             val au = accFor(0, u); val ai = accFor(1, ipos)
             val aj = accFor(1, jneg)
             f = 0
             while (f < rank) {
-              ai(f) += sig * wu(f) - reg * hi(f)
-              aj(f) += -sig * wu(f) - negReg * hj(f)
-              au(f) += sig * (hi(f) - hj(f)) - uReg * wu(f)
+              if (mask(f)) {
+                ai(f) += sig * wu(f) - reg * hi(f)
+                aj(f) += -sig * wu(f) - negReg * hj(f)
+                au(f) += sig * (hi(f) - hj(f)) - uReg * wu(f)
+              }
               f += 1
             }
           }
@@ -328,7 +442,8 @@ object Models {
           val fvec = if (kind == 0) fac(uf, id) else fac(itf, id)
           var f = 0
           while (f < rank) {
-            fvec(f) += lr * adapt.update(kind, id, f, g(f) / batchSize)
+            if (mask(f))
+              fvec(f) += lr * adapt.update(kind, id, f, g(f) / batchSize)
             f += 1
           }
         }
@@ -400,7 +515,8 @@ object Models {
   final case class BprOpts(
       samplingMode: String = "none", sgdMode: String = "sgd",
       negativeReg: Option[Double] = None, userReg: Option[Double] = None,
-      shown: Option[DataFrame] = None)
+      shown: Option[DataFrame] = None,
+      dropoutQuota: Option[Double] = None)
 
   /** L21 at scale — distributed MF-BPR trainer state: both factor
     * matrices live as keyed RDDs, never on the driver. Both carry the
@@ -511,15 +627,22 @@ object Models {
   private[recommend] def bprApplyUpdate(fac: BprFac, g: Array[Double],
                                         rank: Int, sgdMode: String,
                                         lr: Double, b1p: Double,
-                                        b2p: Double): BprFac = {
+                                        b2p: Double,
+                                        mask: Array[Boolean] = null)
+      : BprFac = {
+    // dropout: masked-out factors skip the whole update, adaptive-cache
+    // mutation included (pyx:869/894 — the mask guards the apply loop)
+    @inline def on(f: Int): Boolean = mask == null || mask(f)
     val f2 = fac.f.clone()
     var f = 0
     sgdMode match {
       case "adagrad" =>
         val c = fac.c1.clone()
         while (f < rank) {
-          c(f) += g(f) * g(f)
-          f2(f) += lr * (g(f) / (math.sqrt(c(f)) + 1e-8))
+          if (on(f)) {
+            c(f) += g(f) * g(f)
+            f2(f) += lr * (g(f) / (math.sqrt(c(f)) + 1e-8))
+          }
           f += 1
         }
         BprFac(f2, c, fac.c2)
@@ -527,8 +650,10 @@ object Models {
         val gamma = 0.995
         val c = fac.c1.clone()
         while (f < rank) {
-          c(f) = c(f) * gamma + (1 - gamma) * g(f) * g(f)
-          f2(f) += lr * (g(f) / (math.sqrt(c(f)) + 1e-8))
+          if (on(f)) {
+            c(f) = c(f) * gamma + (1 - gamma) * g(f) * g(f)
+            f2(f) += lr * (g(f) / (math.sqrt(c(f)) + 1e-8))
+          }
           f += 1
         }
         BprFac(f2, c, fac.c2)
@@ -536,15 +661,17 @@ object Models {
         val beta1 = 0.9; val beta2 = 0.999
         val m1 = fac.c1.clone(); val m2 = fac.c2.clone()
         while (f < rank) {
-          m1(f) = m1(f) * beta1 + (1 - beta1) * g(f)
-          m2(f) = m2(f) * beta2 + (1 - beta2) * g(f) * g(f)
-          f2(f) += lr * ((m1(f) / (1 - b1p)) /
-                         (math.sqrt(m2(f) / (1 - b2p)) + 1e-8))
+          if (on(f)) {
+            m1(f) = m1(f) * beta1 + (1 - beta1) * g(f)
+            m2(f) = m2(f) * beta2 + (1 - beta2) * g(f) * g(f)
+            f2(f) += lr * ((m1(f) / (1 - b1p)) /
+                           (math.sqrt(m2(f) / (1 - b2p)) + 1e-8))
+          }
           f += 1
         }
         BprFac(f2, m1, m2)
       case _ =>
-        while (f < rank) { f2(f) += lr * g(f); f += 1 }
+        while (f < rank) { if (on(f)) f2(f) += lr * g(f); f += 1 }
         BprFac(f2, fac.c1, fac.c2)
     }
   }
@@ -585,6 +712,20 @@ object Models {
                step: Int = 1): BprState = {
     import spark.implicits._
     val nItems = items.length
+    // dropout mask renewed per merge round (pyx:653-659), derived
+    // DETERMINISTICALLY from (seed, ep) on the driver and captured in
+    // the task closures — partition-invariant, stable under retries;
+    // null when dropout is off so the hot loops skip the branch cheaply
+    val dropMask: Array[Boolean] = opts.dropoutQuota match {
+      case Some(q) =>
+        require(q > 0.0 && q < 1.0,
+          s"dropout_quota must be in (0,1) or None, got $q")
+        val mrng = new scala.util.Random(seed * 7919L + 104729L * ep)
+        val m = Array.fill(rank)(mrng.nextDouble() > q)
+        if (rank == 1) m(0) = true
+        m
+      case None => null
+    }
     // 1. linear Bernoulli sample (no per-epoch global sort), 25%
     //    oversampled to absorb anti-join rejections
     val frac = math.min(1.0, 1.25 * samplesPerEpoch / math.max(1L, total))
@@ -644,20 +785,26 @@ object Models {
     // 3. raw gradients per triple vs the snapshot; mean per entity
     val negReg = opts.negativeReg.getOrElse(reg)
     val uReg = opts.userReg.getOrElse(reg)
+    val mask = dropMask // local val: don't capture `this` in the closure
     val grads = joined.flatMap { case (j, ((u, i, wu, hi), hjFac)) =>
       val hj = hjFac.f
       var x = 0.0
       var f = 0
-      while (f < rank) { x += wu(f) * (hi(f) - hj(f)); f += 1 }
+      while (f < rank) {
+        if (mask == null || mask(f)) x += wu(f) * (hi(f) - hj(f))
+        f += 1
+      }
       val sig = 1.0 / (1.0 + math.exp(x))
       val gu = new Array[Double](rank)
       val gi = new Array[Double](rank)
       val gj = new Array[Double](rank)
       f = 0
       while (f < rank) {
-        gi(f) = sig * wu(f) - reg * hi(f)
-        gj(f) = -sig * wu(f) - negReg * hj(f)
-        gu(f) = sig * (hi(f) - hj(f)) - uReg * wu(f)
+        if (mask == null || mask(f)) {
+          gi(f) = sig * wu(f) - reg * hi(f)
+          gj(f) = -sig * wu(f) - negReg * hj(f)
+          gu(f) = sig * (hi(f) - hj(f)) - uReg * wu(f)
+        }
         f += 1
       }
       Iterator((("u", u), gu), (("i", i), gi), (("i", j), gj))
@@ -689,13 +836,15 @@ object Models {
     val newU = graft.core.CacheScope.persistRdd(
       state.userFactors.leftOuterJoin(avgU, part)
         .mapValues { case (old, upd) =>
-          upd.map(g => bprApplyUpdate(old, g, rank, sgdMode, lr, b1p, b2p))
+          upd.map(g => bprApplyUpdate(old, g, rank, sgdMode, lr, b1p,
+                                      b2p, mask))
             .getOrElse(old)
         })
     val newI = graft.core.CacheScope.persistRdd(
       state.itemFactors.leftOuterJoin(avgI, part)
         .mapValues { case (old, upd) =>
-          upd.map(g => bprApplyUpdate(old, g, rank, sgdMode, lr, b1p, b2p))
+          upd.map(g => bprApplyUpdate(old, g, rank, sgdMode, lr, b1p,
+                                      b2p, mask))
             .getOrElse(old)
         })
     newU.count(); newI.count() // materialize before releasing parents
@@ -769,7 +918,8 @@ object Models {
                        negativeReg: Option[Double] = None,
                        userReg: Option[Double] = None,
                        batchSize: Int = 0,
-                       maxBatchesPerEpoch: Int = Int.MaxValue)
+                       maxBatchesPerEpoch: Int = Int.MaxValue,
+                       dropoutQuota: Option[Double] = None)
       : (DataFrame, DataFrame) = {
     import spark.implicits._
     require(Seq("none", "inside", "outside").contains(samplingMode))
@@ -788,7 +938,8 @@ object Models {
     val part = bprPartitioner(spark, nUsers + items.length, rank, sgdMode)
     var state = bprInitState(spark, triplesBase, rank, sgdMode, seed,
                              part, extraItems = shown)
-    val opts = BprOpts(samplingMode, sgdMode, negativeReg, userReg, shown)
+    val opts = BprOpts(samplingMode, sgdMode, negativeReg, userReg, shown,
+                       dropoutQuota)
     // batch_size sets UPDATE FREQUENCY at a CONSTANT per-epoch sample
     // budget (the reference trains n samples per epoch in n/batch
     // batches — budget never varies with batch size): rounds =

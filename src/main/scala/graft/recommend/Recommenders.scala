@@ -60,6 +60,9 @@ object Recommenders {
     * differ so the cross join keeps both. */
   def randomScores(users: DataFrame, items: DataFrame, seed: Long)
       : DataFrame = {
+    require(users.columns.length == 1 && items.columns.length == 1,
+      s"randomScores keys on single-column frames, got " +
+        s"users=${users.columns.mkString(",")} items=${items.columns.mkString(",")}")
     val uKey = users.columns.head
     val iKey = items.columns.head
     require(uKey != iKey,

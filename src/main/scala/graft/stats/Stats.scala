@@ -129,10 +129,21 @@ object Stats {
     * md5(parts joined by ":") as a long. Ordering on it is ordering on
     * the uniform draw; [[md5Uniform]] is the scaled (0,1) form. Any
     * change here (substring width, separator) changes every consumer
-    * at once instead of silently forking the convention. */
-  def md5Bits52(parts: Column*): Column =
-    conv(substring(md5(concat_ws(":", parts.map(_.cast("string")): _*)),
-                   1, 13), 16, 10).cast("long")
+    * at once instead of silently forking the convention.
+    *
+    * Parts must be NON-NULL: concat_ws silently drops null arguments,
+    * so md5Bits52(seed, null, i) would alias md5Bits52(seed, i) and a
+    * null sampling key would silently collapse draws. Each part is
+    * null-guarded with raise_error so the bug surfaces instead of
+    * biasing the sample; non-null draws are byte-identical to the
+    * unguarded form, so every existing oracle twin still matches. */
+  def md5Bits52(parts: Column*): Column = {
+    val guarded = parts.map(p =>
+      when(p.isNull, raise_error(lit("md5Bits52: null draw part")))
+        .otherwise(p.cast("string")))
+    conv(substring(md5(concat_ws(":", guarded: _*)), 1, 13), 16, 10)
+      .cast("long")
+  }
 
   /** (first 52 md5 bits + ½) / 2⁵² — a uniform draw in (0, 1), exactly
     * reproducible on any engine. */

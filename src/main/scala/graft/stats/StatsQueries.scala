@@ -338,32 +338,39 @@ object StatsQueries {
     // |A|/|B|/|A∩B|/|A∪B|/Jaccard between the customers-with-orders
     // set and the full customer roster must equal the exact values.
     // A lossy union, a wrong intersection, or hash disagreement
-    // between the two sides' scans is a red row.
+    // between the two sides' scans is a red row. Both sides are
+    // bounded to custkey <= 3000 IN-QUERY so the exact-regime premise
+    // (< k = 4096 distinct keys per side) is self-enforcing at any
+    // scale factor, not an accident of the sf0.01 fixture.
     Q("q165_theta_overlap", { t =>
-        Sketches.thetaOverlap(t.orders, t.customer,
-                              col("o_custkey"), col("c_custkey"))
+        Sketches.thetaOverlap(
+          t.orders.filter(col("o_custkey") <= 3000),
+          t.customer.filter(col("c_custkey") <= 3000),
+          col("o_custkey"), col("c_custkey"))
       },
-      Some("""SELECT
+      Some("""WITH oa AS (SELECT o_custkey FROM orders WHERE o_custkey <= 3000),
+        |     cb AS (SELECT c_custkey FROM customer WHERE c_custkey <= 3000)
+        |SELECT
         |  (SELECT CAST(COUNT(DISTINCT o_custkey) AS DOUBLE)
-        |   FROM orders) AS n_a,
+        |   FROM oa) AS n_a,
         |  (SELECT CAST(COUNT(DISTINCT c_custkey) AS DOUBLE)
-        |   FROM customer) AS n_b,
+        |   FROM cb) AS n_b,
         |  (SELECT CAST(COUNT(*) AS DOUBLE) FROM (
-        |     SELECT DISTINCT o_custkey FROM orders
-        |     INTERSECT SELECT c_custkey FROM customer)) AS n_intersection,
+        |     SELECT DISTINCT o_custkey FROM oa
+        |     INTERSECT SELECT c_custkey FROM cb)) AS n_intersection,
         |  (SELECT CAST(COUNT(*) AS DOUBLE) FROM (
-        |     SELECT DISTINCT o_custkey FROM orders
-        |     UNION SELECT c_custkey FROM customer)) AS n_union,
+        |     SELECT DISTINCT o_custkey FROM oa
+        |     UNION SELECT c_custkey FROM cb)) AS n_union,
         |  (SELECT CAST(COUNT(*) AS DOUBLE) FROM (
-        |     SELECT DISTINCT o_custkey FROM orders
-        |     EXCEPT SELECT c_custkey FROM customer)) AS n_a_not_b,
+        |     SELECT DISTINCT o_custkey FROM oa
+        |     EXCEPT SELECT c_custkey FROM cb)) AS n_a_not_b,
         |  round(
         |    (SELECT CAST(COUNT(*) AS DOUBLE) FROM (
-        |       SELECT DISTINCT o_custkey FROM orders
-        |       INTERSECT SELECT c_custkey FROM customer))
+        |       SELECT DISTINCT o_custkey FROM oa
+        |       INTERSECT SELECT c_custkey FROM cb))
         |    / (SELECT COUNT(*) FROM (
-        |       SELECT DISTINCT o_custkey FROM orders
-        |       UNION SELECT c_custkey FROM customer)), 6) AS jaccard"""
+        |       SELECT DISTINCT o_custkey FROM oa
+        |       UNION SELECT c_custkey FROM cb)), 6) AS jaccard"""
         .stripMargin)),
 
     // Equi-depth histogram: document lengths quantile-binned into 4

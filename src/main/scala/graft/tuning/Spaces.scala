@@ -134,6 +134,17 @@ object Spaces {
   val pureSvd: ParamSpace = ParamSpace(Seq(
     "num_factors" -> IntDim(1, 350)))
 
+  /** reference: run_parameter_search.py:588-596 — the IALS space,
+    * including the confidence_scaling ∈ {linear, log} categorical its
+    * kernel branches on (IALSRecommender.py:111-123) and the ε that
+    * only the log branch reads. */
+  val ials: ParamSpace = ParamSpace(Seq(
+    "num_factors" -> IntDim(1, 200),
+    "confidence_scaling" -> CatDim(Seq("linear", "log")),
+    "alpha" -> RealDim(1e-3, 50.0, logUniform = true),
+    "epsilon" -> RealDim(1e-3, 10.0, logUniform = true),
+    "reg" -> RealDim(1e-5, 1e-2, logUniform = true)))
+
   /** reference: run_parameter_search.py:219-245
     * (run_matrix_factorization_bpr_cython); the reference iterates
     * impression_sampling_mode ∈ none|inside|outside as an OUTER loop
@@ -163,6 +174,7 @@ object Spaces {
       .map(t => s"item_knn_$t" -> itemKnn(t)) ++
     Seq("rp3beta" -> rp3beta,
         "pure_svd" -> pureSvd,
+        "ials" -> ials,
         "mf_bpr_impressions" -> mfBprImpressions)
 
   /** The catalog flattened to one row per dimension — the registered
@@ -337,6 +349,21 @@ object Spaces {
           .withColumn("v", lit(1.0))
         fromFactors(train,
           Models.pureSvdItemFactors(spark, bounded, k, nItems = 600),
+          cutoff)
+      }
+      case "ials" => (train, p, cutoff) => {
+        val rank = math.min(num(p, "num_factors").toInt, maxRank)
+        // implicit all-ones URM; iters capped at the smoke budget
+        // (the reference's default epochs=300 would be the lifted cap)
+        val (_, itf) = Models.ials(train.withColumn("v", lit(1.0)),
+          rank, reg = num(p, "reg"), alpha = num(p, "alpha"),
+          iters = maxEpochs, seed = 7,
+          confidenceScaling = str(p, "confidence_scaling"),
+          epsilon = num(p, "epsilon"))
+        fromFactors(train,
+          itf.select(col("id").as("i"),
+                     expr("transform(features, x -> cast(x as double))")
+                       .as("factors")),
           cutoff)
       }
       case "mf_bpr_impressions" => (train, p, cutoff) => {

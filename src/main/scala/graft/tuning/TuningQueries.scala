@@ -14,6 +14,210 @@ object TuningQueries {
 
   def queries: Seq[Q] = Seq(
 
+    // The ORACLE-GATED early-stopping lifecycle (q144's strict
+    // companion, the q145 convention): every stochastic ingredient of
+    // q144 replaced by a deterministic twin so the ENTIRE
+    // epoch-capture semantics — per-epoch validation monitoring, best-
+    // epoch selection (ties → earliest, the patience convention),
+    // the adjusted configuration carrying `epochs`, and the final
+    // retrain on train∪validation honoring EXACTLY the selected epoch
+    // before one test evaluation at cutoffs 5/10/20 — is hash-checked
+    // end to end against a DuckDB replay. The "trainer" is
+    // incremental popularity: the epoch-e model is TopPop over the
+    // deterministic train stratum (u·7+i) mod 3 < e, so more epochs
+    // see more data (a monotone, SQL-expressible training schedule).
+    // A retrain that ignored the captured epoch (e.g. refit on the
+    // full schedule), a selection off the wrong metric, or a
+    // last-test split leak is a red row. Still flows through
+    // Lifecycle.searchThenFinalTestAdjusted (SearchSingleCase on the
+    // empty space), the same API q144 drives.
+    Q("q168_early_stop_gated", { t =>
+        import graft.recommend.Recommenders
+        val urm = Urm.fromOrders(t).select("u", "i")
+        val mark1 = pmod(col("u") * 31 + col("i"), lit(10)) < 8
+        val mark2 = pmod(col("u") * 17 + col("i"), lit(10)) < 7
+        val train = urm.filter(mark1 && mark2)
+        val valid = urm.filter(mark1 && !mark2)
+        val test = urm.filter(!mark1)
+        def popRecs(tr: org.apache.spark.sql.DataFrame, e: Int,
+                    cutoff: Int): org.apache.spark.sql.DataFrame =
+          Recommenders.recommendGlobal(
+            Recommenders.topPop(
+                tr.filter(pmod(col("u") * 7 + col("i"), lit(3)) < e))
+              .select(col("i").as("item"),
+                      col("pop").cast("double").as("score")),
+            tr, cutoff)
+        def round6(x: Double): Double =
+          BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP)
+            .toDouble
+        val res = Lifecycle.searchThenFinalTestAdjusted(
+          "top_pop_incremental", Spaces.topPop, train, valid, test,
+          trial = (tr, p, c) => {
+            // per-epoch validation monitor; 6-decimal rounding BEFORE
+            // the argmax so the selection compares the same numbers
+            // the oracle does
+            val byEpoch = (1 to 3).map(e =>
+              e -> round6(Spaces.mapAt(popRecs(tr, e, c), valid, c)))
+            val (bestE, bestM) =
+              byEpoch.maxBy { case (e, m) => (m, -e) }
+            (bestM, p + ("epochs" -> Spaces.PNum(bestE)))
+          },
+          finalFit = (tr, p, c) => {
+            val e = p("epochs") match {
+              case Spaces.PNum(v) => v.toInt
+              case _ => sys.error("missing captured epochs")
+            }
+            popRecs(tr, e, c)
+          })
+        val selE = res.best("epochs") match {
+          case Spaces.PNum(v) => v.toInt
+          case _ => -1
+        }
+        res.testMetrics
+          .withColumn("selected_epochs", lit(selE))
+          .withColumn("valid_map", lit(res.bestValidationMetric))
+      },
+      Some("""WITH urm AS (
+        |  SELECT DISTINCT o_custkey AS u, l_partkey AS i
+        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |),
+        |train AS (SELECT u, i FROM urm
+        |          WHERE (u*31 + i) % 10 < 8 AND (u*17 + i) % 10 < 7),
+        |valid AS (SELECT u, i FROM urm
+        |          WHERE (u*31 + i) % 10 < 8 AND (u*17 + i) % 10 >= 7),
+        |lasttrain AS (SELECT u, i FROM urm WHERE (u*31 + i) % 10 < 8),
+        |test AS (SELECT u, i FROM urm WHERE (u*31 + i) % 10 >= 8),
+        |epochs AS (SELECT UNNEST([1, 2, 3]) AS e),
+        |-- validation phase: epoch-e model = popularity over the
+        |-- train stratum (u*7+i)%3 < e; recs for train users minus
+        |-- train-seen; MAP@10 against the validation positives
+        |vpop AS (
+        |  SELECT e, i, COUNT(*) AS pop FROM train, epochs
+        |  WHERE (u*7 + i) % 3 < e GROUP BY e, i
+        |),
+        |vusers AS (SELECT DISTINCT u FROM train),
+        |vrecs AS (
+        |  SELECT e, u, item, rank FROM (
+        |    SELECT p.e, us.u, p.i AS item,
+        |      ROW_NUMBER() OVER (PARTITION BY p.e, us.u
+        |        ORDER BY p.pop DESC, p.i) AS rank
+        |    FROM vusers us CROSS JOIN vpop p
+        |    WHERE NOT EXISTS (SELECT 1 FROM train t2
+        |                      WHERE t2.u = us.u AND t2.i = p.i)) r
+        |  WHERE rank <= 10
+        |),
+        |vrelc AS (SELECT u, COUNT(*) AS n_rel FROM valid GROUP BY 1),
+        |vhits AS (
+        |  SELECT vrecs.e, vrecs.u, vrecs.rank,
+        |    CASE WHEN valid.i IS NOT NULL THEN 1 ELSE 0 END AS hit,
+        |    vrelc.n_rel
+        |  FROM vrecs
+        |  JOIN vrelc ON vrecs.u = vrelc.u
+        |  LEFT JOIN valid ON vrecs.u = valid.u AND vrecs.item = valid.i
+        |),
+        |vcum AS (
+        |  SELECT e, u, rank, hit, n_rel,
+        |    SUM(hit) OVER (PARTITION BY e, u ORDER BY rank
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS ch
+        |  FROM vhits
+        |),
+        |vap AS (
+        |  SELECT e, u,
+        |    SUM(CASE WHEN hit = 1 THEN CAST(ch AS DOUBLE) / rank
+        |        ELSE 0.0 END) / LEAST(ANY_VALUE(n_rel), 10) AS ap
+        |  FROM vcum GROUP BY e, u
+        |),
+        |vmap AS (SELECT e, round(SUM(ap) / COUNT(*), 6) AS map10
+        |         FROM vap GROUP BY e),
+        |-- earliest epoch achieving the max validation MAP
+        |beste AS (SELECT MIN(e) AS best_e FROM vmap
+        |          WHERE map10 = (SELECT MAX(map10) FROM vmap)),
+        |-- final phase: retrain on train+validation at the SELECTED
+        |-- epoch's stratum, evaluate once on test (the q145 pipeline)
+        |fpop AS (
+        |  SELECT i, COUNT(*) AS pop FROM lasttrain, beste
+        |  WHERE (u*7 + i) % 3 < best_e GROUP BY i
+        |),
+        |fusers AS (SELECT DISTINCT u FROM lasttrain),
+        |frecs AS (
+        |  SELECT u, item, rank FROM (
+        |    SELECT us.u, p.i AS item,
+        |      ROW_NUMBER() OVER (PARTITION BY us.u
+        |        ORDER BY p.pop DESC, p.i) AS rank
+        |    FROM fusers us CROSS JOIN fpop p
+        |    WHERE NOT EXISTS (SELECT 1 FROM lasttrain t2
+        |                      WHERE t2.u = us.u AND t2.i = p.i)) r
+        |  WHERE rank <= 20
+        |),
+        |relc AS (SELECT u, COUNT(*) AS n_rel FROM test GROUP BY 1),
+        |hits AS (
+        |  SELECT frecs.u, frecs.rank,
+        |    CASE WHEN test.i IS NOT NULL THEN 1 ELSE 0 END AS hit,
+        |    relc.n_rel
+        |  FROM frecs
+        |  JOIN relc ON frecs.u = relc.u
+        |  LEFT JOIN test ON frecs.u = test.u AND frecs.item = test.i
+        |), cutoffs AS (SELECT UNNEST([5, 10, 20]) AS cutoff),
+        |cum AS (
+        |  SELECT c.cutoff, h.u, h.rank, h.hit, h.n_rel,
+        |    SUM(h.hit) OVER (PARTITION BY c.cutoff, h.u ORDER BY h.rank
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_hits,
+        |    SUM(h.hit) OVER (PARTITION BY c.cutoff, h.u) AS tot_hits
+        |  FROM hits h JOIN cutoffs c ON h.rank <= c.cutoff
+        |), per_user AS (
+        |  SELECT cutoff, u,
+        |    CAST(SUM(hit) AS BIGINT) AS n_hits,
+        |    ANY_VALUE(n_rel) AS n_rel,
+        |    SUM(CASE WHEN hit = 1
+        |        THEN CAST(cum_hits AS DOUBLE) / rank ELSE 0.0 END) AS ap_num,
+        |    MIN(CASE WHEN hit = 1 THEN rank END) AS first_hit,
+        |    SUM(CASE WHEN hit = 1
+        |        THEN 1.0 / log2(rank + 1) ELSE 0.0 END) AS dcg,
+        |    SUM(CASE WHEN hit = 1 THEN 1.0 / rank ELSE 0.0 END) AS arhr_num,
+        |    CAST(SUM(CASE WHEN hit = 1
+        |        THEN (cutoff - rank) - (tot_hits - cum_hits)
+        |        ELSE 0 END) AS BIGINT) AS auc_num
+        |  FROM cum GROUP BY cutoff, u
+        |), idcg_tab AS (
+        |  SELECT m, SUM(1.0 / log2(x + 1)) AS idcg
+        |  FROM generate_series(1, 20) ms(m), generate_series(1, 20) g(x)
+        |  WHERE x <= m GROUP BY m
+        |), scored AS (
+        |  SELECT cutoff, u,
+        |    CAST(n_hits AS DOUBLE) / cutoff AS prec,
+        |    CAST(n_hits AS DOUBLE) / n_rel AS rec,
+        |    CAST(n_hits AS DOUBLE) / LEAST(n_rel, cutoff) AS prec_min_den,
+        |    ap_num / LEAST(n_rel, cutoff) AS ap,
+        |    COALESCE(1.0 / first_hit, 0.0) AS rr,
+        |    arhr_num,
+        |    dcg / idcg AS ndcg,
+        |    CASE WHEN n_hits = 0 OR n_hits = cutoff THEN 0.0
+        |         ELSE CAST(auc_num AS DOUBLE) / (n_hits * (cutoff - n_hits))
+        |    END AS auc,
+        |    CASE WHEN n_hits > 0 THEN 1 ELSE 0 END AS is_hit
+        |  FROM per_user
+        |  JOIN idcg_tab ON idcg_tab.m = LEAST(n_rel, cutoff)
+        |)
+        |SELECT cutoff,
+        |  round(SUM(prec) / COUNT(*), 6) AS precision,
+        |  round(SUM(rec) / COUNT(*), 6) AS recall,
+        |  round(SUM(prec_min_den) / COUNT(*), 6)
+        |    AS precision_recall_min_den,
+        |  round(SUM(ap) / COUNT(*), 6) AS map,
+        |  round(SUM(rr) / COUNT(*), 6) AS mrr,
+        |  round(SUM(arhr_num) / COUNT(*), 6) AS arhr,
+        |  round(SUM(ndcg) / COUNT(*), 6) AS ndcg,
+        |  round(SUM(auc) / COUNT(*), 6) AS roc_auc,
+        |  round(CAST(SUM(is_hit) AS DOUBLE) / COUNT(*), 6) AS hit_rate,
+        |  round(CASE WHEN SUM(prec) + SUM(rec) > 0
+        |        THEN 2.0 * (SUM(prec) / COUNT(*)) * (SUM(rec) / COUNT(*))
+        |             / (SUM(prec) / COUNT(*) + SUM(rec) / COUNT(*))
+        |        ELSE 0.0 END, 6) AS f1,
+        |  COUNT(*) AS n_users,
+        |  (SELECT best_e FROM beste) AS selected_epochs,
+        |  (SELECT MAX(map10) FROM vmap) AS valid_map
+        |FROM scored GROUP BY cutoff""".stripMargin)),
+
     // The per-algorithm hyperparameter-space catalog, flattened to one
     // row per dimension. The oracle is transcribed BY HAND from the
     // same reference lines (run_parameter_search.py:180-710) the Scala
@@ -64,6 +268,11 @@ object TuningQueries {
         |  ('rp3beta', 'beta', 'real', 0, 2, NULL),
         |  ('rp3beta', 'normalize_similarity', 'cat', NULL, NULL, 'true,false'),
         |  ('pure_svd', 'num_factors', 'int', 1, 350, NULL),
+        |  ('ials', 'num_factors', 'int', 1, 200, NULL),
+        |  ('ials', 'confidence_scaling', 'cat', NULL, NULL, 'linear,log'),
+        |  ('ials', 'alpha', 'real_log', 0.001, 50.0, NULL),
+        |  ('ials', 'epsilon', 'real_log', 0.001, 10.0, NULL),
+        |  ('ials', 'reg', 'real_log', 0.00001, 0.01, NULL),
         |  ('mf_bpr_impressions', 'sgd_mode', 'cat', NULL, NULL, 'sgd,adagrad,adam'),
         |  ('mf_bpr_impressions', 'epochs', 'cat', NULL, NULL, '1500'),
         |  ('mf_bpr_impressions', 'num_factors', 'int', 1, 200, NULL),

@@ -178,6 +178,36 @@ class ModelsSpec extends SparkSpec {
            vals.forall(_._2.forall(x => !x.isNaN && !x.isInfinite)))
   }
 
+  test("BPR dropout_quota masks factors per epoch in both kernels " +
+       "(pyx:70-72, 653-659)") {
+    // driver kernel: same seed, dropout on vs off → different factors,
+    // still finite; an out-of-range quota is rejected like the
+    // reference's assert (pyx:185)
+    def driverRun(q: Option[Double]) =
+      Models.mfBpr(spark, urm, rank = 4, epochs = 3,
+        samplesPerEpoch = 500, lr = 0.05, reg = 0.01, seed = 9,
+        dropoutQuota = q)._2
+    def flat(m: Map[Int, Array[Double]]): Seq[Double] =
+      m.toSeq.sortBy(_._1).flatMap(_._2.toSeq)
+    val dOff = driverRun(None); val dOn = driverRun(Some(0.5))
+    assert(flat(dOff) != flat(dOn), "dropout must change the trajectory")
+    assert(flat(dOn).forall(x => !x.isNaN && !x.isInfinite))
+    intercept[IllegalArgumentException] { driverRun(Some(1.5)) }
+    // distributed kernel: same property through the partitioned state,
+    // and reproducibility (the mask derives from (seed, round), so the
+    // same call gives the same factors)
+    def distRun(q: Option[Double]): Seq[Double] =
+      Models.mfBprDistributed(spark, urm, rank = 4, epochs = 2,
+          samplesPerEpoch = 500, lr = 0.05, reg = 0.01, seed = 9,
+          dropoutQuota = q)._2
+        .as[(Int, Array[Double])].collect().sortBy(_._1)
+        .flatMap(_._2.toSeq).toSeq
+    val sOff = distRun(None); val sOn = distRun(Some(0.5))
+    assert(sOff != sOn, "distributed dropout must change the trajectory")
+    assert(sOn.forall(x => !x.isNaN && !x.isInfinite))
+    assert(distRun(Some(0.5)) == sOn, "seeded mask must reproduce")
+  }
+
   test("distributed MF-BPR survives the 16-round lineage checkpoint") {
     // 20 merge rounds cross the localCheckpoint boundary at 16; the
     // returned factors must still be consumable (finite, complete)

@@ -20,7 +20,7 @@ class SpacesSpec extends SparkSpec {
       Seq("random", "top_pop", "item_knn_cosine", "item_knn_jaccard",
           "item_knn_asymmetric", "item_knn_dice", "item_knn_tversky",
           "item_knn_euclidean",
-          "rp3beta", "pure_svd", "mf_bpr_impressions"))
+          "rp3beta", "pure_svd", "ials", "mf_bpr_impressions"))
     assert(byAlg("random").dims.isEmpty && byAlg("top_pop").dims.isEmpty)
     // ItemKNN base space: topK Integer(5,1000), shrink Integer(0,1000)
     val cos = byAlg("item_knn_cosine").dims.toMap
@@ -54,6 +54,14 @@ class SpacesSpec extends SparkSpec {
     // graph/MF spaces
     assert(byAlg("rp3beta").dims.toMap.apply("beta") == RealDim(0, 2))
     assert(byAlg("pure_svd").dims == Seq("num_factors" -> IntDim(1, 350)))
+    // IALS (run_parameter_search.py:588-596): confidence_scaling is a
+    // live categorical, alpha/epsilon/reg log-uniform
+    assert(byAlg("ials").dims == Seq(
+      "num_factors" -> IntDim(1, 200),
+      "confidence_scaling" -> CatDim(Seq("linear", "log")),
+      "alpha" -> RealDim(1e-3, 50.0, logUniform = true),
+      "epsilon" -> RealDim(1e-3, 10.0, logUniform = true),
+      "reg" -> RealDim(1e-5, 1e-2, logUniform = true)))
     val bpr = byAlg("mf_bpr_impressions").dims.toMap
     assert(bpr("learning_rate") == RealDim(1e-4, 1e-1, logUniform = true))
     assert(bpr("positive_reg") == RealDim(1e-5, 1e-2, logUniform = true))
@@ -173,5 +181,40 @@ class SpacesSpec extends SparkSpec {
     assert(pRaw("feature_weighting") == PStr("TF-IDF"))
     val mRaw = Spaces.evaluator("item_knn_cosine", spark, train, valid, 5)(pRaw)
     assert(mRaw >= 0.0 && mRaw <= 1.0)
+    // ials: u=0.9 decodes confidence_scaling=log, so the smoke trial
+    // exercises the log-confidence pre-transform end to end
+    val ialsSpace = Spaces.catalog.toMap.apply("ials")
+    val pi = ialsSpace.decode(ialsSpace.keys.map(_ -> 0.9).toMap)
+    assert(pi("confidence_scaling") == PStr("log"))
+    val mIals = Spaces.evaluator("ials", spark, train, valid, 5)(pi)
+    assert(mIals >= 0.0 && mIals <= 1.0)
+  }
+
+  test("ials log confidence scaling changes the fit; linear matches " +
+       "the unscaled default (IALSRecommender.py:111-123)") {
+    import graft.recommend.Models
+    val urm = (for { u <- 0 until 25; i <- 0 until 15
+                     if (u * 5 + i * 11) % 3 != 0 }
+               yield (u, i, 1.0 + (u + i) % 4)).toDF("u", "i", "v")
+    def itemNorms(scaling: String): Map[Int, Double] = {
+      val (_, itf) = Models.ials(urm, rank = 4, reg = 0.05, alpha = 2.0,
+        iters = 3, seed = 13, confidenceScaling = scaling, epsilon = 0.5)
+      itf.select(col("id"),
+          expr("aggregate(features, 0d, (a, x) -> a + cast(x*x as double))"))
+        .as[(Int, Double)].collect().toMap
+    }
+    val lin = itemNorms("linear")
+    val lg = itemNorms("log")
+    assert(lin.keySet == lg.keySet)
+    // the two scalings weight multi-count interactions differently →
+    // different converged factors (c=1+αr vs c=1+α·log(1+r/ε))
+    assert(lin.exists { case (i, n) => math.abs(n - lg(i)) > 1e-9 },
+      "log scaling must change the confidence weights")
+    // a second linear fit reproduces bit-identically (seeded ALS)
+    val lin2 = itemNorms("linear")
+    assert(lin == lin2, "seeded ml.ALS fit must be reproducible")
+    intercept[IllegalArgumentException] {
+      Models.ials(urm, 4, 0.05, 2.0, 1, 13, confidenceScaling = "bogus")
+    }
   }
 }
