@@ -1,0 +1,88 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Scale-curve soak data synthesizer: writes an N×-scaled copy of a
+  * testdata directory by unioning N key-offset copies of each table —
+  * the TPC-H scaling shape (both the user axis and the catalog axis
+  * grow with sf; per-user interaction degree stays constant, so the
+  * scaled URM is block-diagonal across copies — co-occurrence work
+  * grows linearly with sf exactly as it does between real TPC-H scale
+  * factors).
+  *
+  * Usage: ScaleSynth <srcDir> <outDir> <copies>
+  *
+  * Every int64 KEY column is offset by copy·10⁸ so keys stay globally
+  * unique and intra-copy joins still match; non-key attributes (dates,
+  * prices, text, embeddings) are carried verbatim. `nation`/`region`
+  * are fixed dimension tables at every TPC-H sf and are copied once.
+  * Document text gets a per-copy suffix token so the duplicate RATE of
+  * the corpus stays that of the source instead of every document
+  * gaining N−1 planted exact copies (which would measure a synthetic
+  * dedup regime, not scale).
+  */
+object ScaleSynth {
+
+  private val Off = 100000000L
+
+  def main(args: Array[String]): Unit = {
+    require(args.length == 3, "usage: ScaleSynth <srcDir> <outDir> <copies>")
+    val Array(src, out, copiesStr) = args
+    val copies = copiesStr.toInt
+    require(copies >= 1)
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    def scaled(table: String, keyCols: Seq[String],
+               extra: (DataFrame, Int) => DataFrame = (df, _) => df)
+        : Unit = {
+      val base = spark.read.parquet(s"$src/$table.parquet")
+      val parts = (0 until copies).map { c =>
+        val offset = keyCols.foldLeft(base) { (df, k) =>
+          df.withColumn(k, col(k) + lit(c * Off))
+        }
+        extra(offset, c)
+      }
+      parts.reduce(_ unionByName _)
+        .write.mode("overwrite").parquet(s"$out/$table.parquet")
+      println(s"scaled $table x$copies")
+    }
+    def copyAsIs(table: String): Unit = {
+      spark.read.parquet(s"$src/$table.parquet")
+        .write.mode("overwrite").parquet(s"$out/$table.parquet")
+      println(s"copied $table")
+    }
+
+    copyAsIs("region")
+    copyAsIs("nation")
+    scaled("customer", Seq("c_custkey"))
+    scaled("supplier", Seq("s_suppkey"))
+    scaled("part", Seq("p_partkey"))
+    scaled("orders", Seq("o_orderkey", "o_custkey"))
+    scaled("lineitem", Seq("l_orderkey", "l_partkey", "l_suppkey"))
+    scaled("events", Seq("event_id", "user_id"))
+    scaled("documents", Seq("doc_id"),
+      // keep the corpus' duplicate RATE: cross-copy texts must not be
+      // near-duplicates of each other. A suffix token is NOT enough —
+      // token-set Jaccard between a doc and its copy stays n/(n+1) ≈ 1
+      // and MinHash/LSH still buckets the twins, turning the scaled
+      // corpus into ~(copies−1)/copies duplicates (measured: the first
+      // sf1 soak's dedup verify join grew ×100 on candidate pairs).
+      // Prefixing EVERY token with a copy marker makes cross-copy
+      // token sets disjoint, so each copy reproduces the source's own
+      // duplicate structure and nothing else.
+      (df, c) =>
+        if (c == 0) df
+        else df.withColumn("text",
+          regexp_replace(col("text"), "(\\S+)", s"c${c}x$$1")))
+    scaled("embeddings", Seq("vec_id"))
+    spark.stop()
+  }
+}

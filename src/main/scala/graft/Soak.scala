@@ -1,0 +1,199 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Scale-curve soak harness (VERDICT r8 next-round #1): times the
+  * heaviest OPERATORS — unbounded, unlike their registered demo
+  * queries, several of which carry constant bounds (q110's
+  * doc_id < 400, q128's i < 500, q135's i < 1500) that exist to keep
+  * the DuckDB oracle's cost constant across scale factors and would
+  * make a scale measurement read as flat by construction. Where a
+  * query needs a user slice, the slice is PROPORTIONAL
+  * (pmod(u, 31) = 0) so it grows with the data.
+  *
+  * Run once per scale directory; the observed exponent per operator is
+  * log(t_sfB/t_sfA)/log(B/A). Reps with cache/state clearing between
+  * runs, median reported — the Bench methodology.
+  *
+  * Usage: SPARK_GRAFT_SF_DIR=… SPARK_GRAFT_CPUS=32 Soak
+  */
+object Soak {
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val reps = sys.env.getOrElse("SPARK_GRAFT_SOAK_REPS", "3").toInt
+    val only = sys.env.get("SPARK_GRAFT_SOAK_ONLY").map(_.split(",").toSet)
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val t = core.Tables(spark, sfDir)
+    import graft.similarity.Similarity
+    import graft.recommend.Recommenders
+    import graft.etl.Urm
+    import graft.dedup.Dedup
+
+    def urm: DataFrame = Urm.fromOrders(t)
+    def simTop10: DataFrame = Similarity.topK(
+      Similarity.itemSimilarity(urm, Similarity.Cosine), 10)
+      .select(col("i"), col("j"), col("w"))
+
+    val ops: Seq[(String, () => Long)] = Seq(
+      "cosine_topk" -> (() => simTop10.count()),
+      "jaccard_topk" -> (() => Similarity.topK(
+        Similarity.itemSimilarity(urm, Similarity.Jaccard), 10).count()),
+      "euclidean_topk" -> (() => Similarity.topK(
+        Similarity.itemSimilarity(
+          urm, Similarity.Euclidean("lin", normalize = true,
+                                    normalizeAvgRow = false)), 10)
+        .count()),
+      "p3alpha_topk" -> (() => Similarity.topK(
+        Recommenders.p3alpha(urm, 1.0), 10).count()),
+      "rp3beta_topk" -> (() => Similarity.topK(
+        Recommenders.rp3beta(urm, 1.0, 1.0), 10).count()),
+      // proportional user slice: scoring work grows with the data
+      "itemknn_scores" -> (() => {
+        val u = graft.core.CacheScope.persist(urm)
+        val sim = Similarity.topK(
+          Similarity.itemSimilarity(u, Similarity.Cosine), 10)
+          .select(col("i"), col("j"), col("w"))
+        Recommenders.scoreBySimilarity(
+          u.filter(pmod(col("u"), lit(31)) === 0), sim).count()
+      }),
+      "candidate_restriction" -> (() => {
+        val u = graft.core.CacheScope.persist(urm)
+        val sim = graft.core.CacheScope.persist(Similarity.topK(
+          Similarity.itemSimilarity(u, Similarity.Cosine), 10)
+          .select(col("i"), col("j"), col("w")))
+        val users = u.filter(pmod(col("u"), lit(31)) === 0)
+          .select("u").distinct()
+        val targets = sim.select(col("j").as("item")).distinct()
+        val candidates = users.crossJoin(broadcast(targets))
+          .filter((col("u") + col("item")) % 3 === 0)
+        Recommenders.scoreBySimilarityRestricted(
+          u.filter(pmod(col("u"), lit(31)) === 0), sim, candidates)
+          .count()
+      }),
+      // the same restricted-scoring operator with a LINEAR candidate
+      // input: ~100 hash-picked global targets × the proportional user
+      // slice (the negative-item-ranking shape) — isolates the
+      // operator's own exponent from the q78 demo's predicate set,
+      // whose user×catalog grid grows quadratically with sf
+      "candidate_restriction_lin" -> (() => {
+        val u = graft.core.CacheScope.persist(urm)
+        val sim = graft.core.CacheScope.persist(Similarity.topK(
+          Similarity.itemSimilarity(u, Similarity.Cosine), 10)
+          .select(col("i"), col("j"), col("w")))
+        val users = u.filter(pmod(col("u"), lit(31)) === 0)
+          .select("u").distinct()
+        val targetsAll = sim.select(col("j").as("item")).distinct()
+        val nTargets = math.max(1L, targetsAll.count() / 100L)
+        val targets = targetsAll.filter(
+          pmod(xxhash64(col("item")), lit(nTargets)) === 0)
+        val candidates = users.crossJoin(broadcast(targets))
+        Recommenders.scoreBySimilarityRestricted(
+          u.filter(pmod(col("u"), lit(31)) === 0), sim, candidates)
+          .count()
+      }),
+      // full item co-occurrence graph, 5 fixed-point iterations
+      "pagerank_full" -> (() => {
+        val edges = Similarity.pairDots(urm)
+          .select(col("i").as("src"), col("j").as("dst"))
+        graft.graph.PageRank.fixedPoint(edges, iters = 5).count()
+      }),
+      // full-corpus fuzzy dedup chain (no doc_id bound, no planted dups)
+      "dedup_e2e_full" -> (() => {
+        val corpus = graft.core.CacheScope.persist(
+          t.documents.select(col("doc_id"), col("source"), col("text")))
+        val dt = graft.core.CacheScope.persist(
+          Dedup.docTokens(corpus, col("doc_id"), col("text")))
+        val sigs = Dedup.minhashSignatures(dt, 6)
+        val cand = Dedup.lshCandidatePairs(sigs, 6, 2)
+        val dup = Dedup.jaccardForPairs(cand, dt)
+          .filter(col("jaccard") >= 0.97)
+        val cc = Dedup.connectedComponents(dup.select("a", "b"))
+          .withColumnRenamed("node", "doc_id")
+        corpus.join(cc, Seq("doc_id"), "left")
+          .withColumn("keep",
+            (col("cluster").isNull ||
+             col("cluster") === col("doc_id")).cast("long"))
+          .groupBy("source")
+          .agg(count(lit(1)).as("n_docs"), sum(col("keep")).as("n_kept"))
+          .count()
+      }),
+      // one searched-shape KNN trial on a proportional slice
+      "knn_trial" -> (() => {
+        val slice = urm.filter(pmod(col("u"), lit(31)) === 0)
+        val split = Urm.userWiseHoldout(slice, 0.8, seed = 11)
+        val train = graft.core.CacheScope.persist(
+          split.filter(col("split") === "train").select("u", "i"))
+        val valid = split.filter(col("split") === "test").select("u", "i")
+        val space = graft.tuning.Spaces.itemKnn("cosine")
+        val p = space.decode(space.keys.map(_ -> 0.5).toMap)
+        val m = graft.tuning.Spaces
+          .evaluator("item_knn_cosine", spark, train, valid, 10)(p)
+        if (m >= 0.0) 1L else 0L
+      })
+    )
+
+    def clearState(): Unit = {
+      spark.catalog.clearCache()
+      spark.sparkContext.getPersistentRDDs.values
+        .foreach(_.unpersist(blocking = true))
+      var tries = 0
+      while (spark.sparkContext.getRDDStorageInfo.nonEmpty && tries < 20) {
+        Thread.sleep(100); tries += 1
+      }
+      System.gc()
+    }
+    def loadavg(): Double =
+      try scala.util.Using.resource(
+        scala.io.Source.fromFile("/proc/loadavg")) { src =>
+          src.getLines().next().split(" ")(0).toDouble
+        }
+      catch { case _: Throwable => -1.0 }
+
+    // warm the join/codegen paths once, untimed (Bench convention)
+    try {
+      Similarity.pairDots(urm).filter(col("dot") >= 3).count()
+    } catch { case _: Throwable => () }
+
+    val runs = scala.collection.mutable.LinkedHashMap[String, Seq[Double]]()
+    val medians = scala.collection.mutable.LinkedHashMap[String, Double]()
+    val load = scala.collection.mutable.LinkedHashMap[String, Double]()
+    ops.filter { case (n, _) => only.forall(_.contains(n)) }
+      .foreach { case (name, body) =>
+        load(name) = loadavg()
+        val ts = (0 until reps).map { _ =>
+          clearState()
+          val t0 = System.nanoTime()
+          try graft.core.CacheScope.scoped { body() }
+          catch { case e: Throwable =>
+            System.err.println(s"$name failed: $e"); -1L }
+          (System.nanoTime() - t0) / 1e9
+        }
+        runs(name) = ts
+        val sorted = ts.sorted
+        medians(name) =
+          if (reps % 2 == 1) sorted(reps / 2)
+          else (sorted(reps / 2 - 1) + sorted(reps / 2)) / 2
+        System.err.println(
+          s"$name: median ${medians(name)}s runs ${ts.mkString(",")}")
+      }
+    def jmap(m: scala.collection.Map[String, Double]): String =
+      m.map { case (k, v) =>
+        "\"" + k + "\":" + math.round(v * 1000) / 1000.0 }
+        .mkString("{", ",", "}")
+    val runsJson = runs.map { case (k, v) =>
+      "\"" + k + "\":[" +
+        v.map(x => math.round(x * 1000) / 1000.0).mkString(",") + "]" }
+      .mkString("{", ",", "}")
+    println(s"""{"sf":"$sfDir","medians":${jmap(medians)},"runs":$runsJson,"load_at_start":${jmap(load)}}""")
+    spark.stop()
+  }
+}
