@@ -92,12 +92,7 @@ object Bench {
     val loadBefore = scala.collection.mutable.LinkedHashMap[String, Double]()
     val loadAfter = scala.collection.mutable.LinkedHashMap[String, Double]()
     // 1-minute loadavg: the mechanical machine-vs-code discriminator
-    def loadavg(): Double =
-      try scala.util.Using.resource(
-        scala.io.Source.fromFile("/proc/loadavg")) { src =>
-          src.getLines().next().split(" ")(0).toDouble
-        }
-      catch { case _: Throwable => -1.0 }
+    def loadavg(): Double = core.BenchUtil.loadavg()
     // Near-idle gate (VERDICT r7 task #6 / r8 "what's wrong" #1): this
     // box drifts ~2× under background load, so a recording started at
     // loadavg 10 measures the machine, not the engine. Wait (bounded —
@@ -128,15 +123,8 @@ object Bench {
           }
           // best-of-N converges to an optimistic floor as N grows; the
           // median is the honest steady-state estimator, so rep runs
-          // (N ≥ 3) record it alongside the raw timings. Even N takes
-          // the mean of the two middle elements (the upper-middle alone
-          // biases the estimate toward the slower run).
-          if (n >= 3) {
-            val sorted = runs.sorted
-            medianRun(q.name) =
-              if (n % 2 == 1) sorted(n / 2)
-              else (sorted(n / 2 - 1) + sorted(n / 2)) / 2.0
-          }
+          // (N ≥ 3) record it alongside the raw timings.
+          if (n >= 3) medianRun(q.name) = core.BenchUtil.median(runs)
           runs.zipWithIndex.map { case (t, r) => s"${q.name}#$r" -> t }
         case None =>
           clearState()
@@ -158,7 +146,7 @@ object Bench {
       }
     }
     def jmap(m: scala.collection.Map[String, Double]): String =
-      m.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
+      core.BenchUtil.jmap(m)
     val qs = jmap(scala.collection.mutable.LinkedHashMap(results: _*))
     val total = results.map(_._2).sum
     val loadEnd = loadavg()
@@ -180,11 +168,8 @@ object Bench {
     // budget, with the full map pointed at via "queries_full".
     val byCost = results.sortBy(-_._2)
     val budget = 1800
-    val sortedT = results.map(_._2).sorted
     val medianSec =
-      if (sortedT.isEmpty) 0.0
-      else if (sortedT.size % 2 == 1) sortedT(sortedT.size / 2)
-      else (sortedT(sortedT.size / 2 - 1) + sortedT(sortedT.size / 2)) / 2
+      if (results.isEmpty) 0.0 else core.BenchUtil.median(results.map(_._2))
     val head = s"""{"metric":"total","value":${math.round(total * 100) / 100.0},"unit":"sec","n_queries":${results.size},"median_sec":${math.round(medianSec * 1000) / 1000.0},"load_initial":$loadInitial,"load_start":$loadStart,"load_end":$loadEnd,"queries_full":"$outFile","sf":"$sfDir","queries":{"""
     val tailStr = "}}"
     val entries = scala.collection.mutable.ArrayBuffer[String]()

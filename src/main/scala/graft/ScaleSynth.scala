@@ -40,10 +40,17 @@ object ScaleSynth {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
+    // events has shipped in two timestamp layouts across testdata
+    // generations (see core.Tables.events) — route the read through the
+    // dispatching loader so both layouts synthesize; other tables read
+    // raw
+    val tablesLoader = core.Tables(spark, src)
     def scaled(table: String, keyCols: Seq[String],
                extra: (DataFrame, Int) => DataFrame = (df, _) => df)
         : Unit = {
-      val base = spark.read.parquet(s"$src/$table.parquet")
+      val base =
+        if (table == "events") tablesLoader.events
+        else spark.read.parquet(s"$src/$table.parquet")
       val parts = (0 until copies).map { c =>
         val offset = keyCols.foldLeft(base) { (df, k) =>
           df.withColumn(k, col(k) + lit(c * Off))

@@ -126,6 +126,39 @@ object Soak {
           .agg(count(lit(1)).as("n_docs"), sum(col("keep")).as("n_kept"))
           .count()
       }),
+      // ANN baseline vs scale path at the same recall task (queries =
+      // proportional 5% slice): brute force is the quadratic-input
+      // baseline (pairs grow ×(sf)²); IVF-PQ is what actually ships at
+      // 100 TB — cells prune the candidate set, 8-byte codes price the
+      // distances
+      "ann_brute_topk" -> (() => {
+        val emb = t.embeddings.select(col("vec_id").as("id"),
+                                      col("embedding"))
+        val queries = emb.filter(col("id") % 20 === 0)
+        graft.ann.Ann.bruteForceCosineTopK(queries, emb, 5).count()
+      }),
+      "ann_ivf_pq" -> (() => {
+        val emb = graft.core.CacheScope.persist(
+          t.embeddings.select(col("vec_id").as("id"), col("embedding")))
+        val queries = emb.filter(col("id") % 20 === 0)
+        // cells scale with √N (the standard IVF sizing rule) so the
+        // per-query candidate set stays ~√N — holding nCells constant
+        // while the corpus grows would grow candidates linearly per
+        // query and the measurement would read quadratic by sizing,
+        // not by plan
+        val nCells = math.max(16, math.sqrt(emb.count().toDouble).toInt)
+        val cents = graft.ann.Ann.ivfCentroids(emb, nCells)
+        val books = graft.ann.Ann.pqCodebooks(emb, m = 8, subDim = 8,
+                                              nCodes = 16)
+        val codes = graft.ann.Ann.pqEncode(emb, books, m = 8, subDim = 8)
+        graft.ann.Ann.ivfPqTopK(queries, emb, cents, codes, books,
+                                nProbe = 2, m = 8, subDim = 8, k = 3)
+          .count()
+      }),
+      // scan-speed text filters over the full corpus
+      "text_quality_scan" -> (() =>
+        graft.text.TextOps.qualityFeatures(t.documents, col("text"))
+          .count()),
       // one searched-shape KNN trial on a proportional slice
       "knn_trial" -> (() => {
         val slice = urm.filter(pmod(col("u"), lit(31)) === 0)
@@ -151,12 +184,7 @@ object Soak {
       }
       System.gc()
     }
-    def loadavg(): Double =
-      try scala.util.Using.resource(
-        scala.io.Source.fromFile("/proc/loadavg")) { src =>
-          src.getLines().next().split(" ")(0).toDouble
-        }
-      catch { case _: Throwable => -1.0 }
+    def loadavg(): Double = core.BenchUtil.loadavg()
 
     // warm the join/codegen paths once, untimed (Bench convention)
     try {
@@ -172,23 +200,23 @@ object Soak {
         val ts = (0 until reps).map { _ =>
           clearState()
           val t0 = System.nanoTime()
-          try graft.core.CacheScope.scoped { body() }
-          catch { case e: Throwable =>
-            System.err.println(s"$name failed: $e"); -1L }
-          (System.nanoTime() - t0) / 1e9
+          // a FAILED rep records −1, not its elapsed time: the JSON is
+          // transcribed into SURVEY scale tables, and a throwing op
+          // timed to its crash would masquerade as a fast success
+          val ok =
+            try { graft.core.CacheScope.scoped { body() }; true }
+            catch { case e: Throwable =>
+              System.err.println(s"$name failed: $e"); false }
+          if (ok) (System.nanoTime() - t0) / 1e9 else -1.0
         }
         runs(name) = ts
-        val sorted = ts.sorted
         medians(name) =
-          if (reps % 2 == 1) sorted(reps / 2)
-          else (sorted(reps / 2 - 1) + sorted(reps / 2)) / 2
+          if (ts.contains(-1.0)) -1.0 else core.BenchUtil.median(ts)
         System.err.println(
           s"$name: median ${medians(name)}s runs ${ts.mkString(",")}")
       }
     def jmap(m: scala.collection.Map[String, Double]): String =
-      m.map { case (k, v) =>
-        "\"" + k + "\":" + math.round(v * 1000) / 1000.0 }
-        .mkString("{", ",", "}")
+      core.BenchUtil.jmapRounded(m)
     val runsJson = runs.map { case (k, v) =>
       "\"" + k + "\":[" +
         v.map(x => math.round(x * 1000) / 1000.0).mkString(",") + "]" }

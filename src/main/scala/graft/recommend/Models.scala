@@ -126,6 +126,10 @@ object Models {
     require(y.nonEmpty, "ialsUserStep: empty item-factor table")
     require(y.length <= maxItems,
       s"ialsUserStep broadcast guarded at $maxItems items; got ${y.length}")
+    // duplicate ids would double-count YᵀY while y.toMap keeps only the
+    // last row — a silently wrong solve; fail loudly instead
+    require(y.map(_._1).distinct.length == y.length,
+      "ialsUserStep: itemFactors contains duplicate item ids")
     val rank = y.head._2.length
     val yty = Array.ofDim[Double](rank * rank)
     y.foreach { case (_, f) =>
@@ -390,10 +394,16 @@ object Models {
       // dropout mask renewed per EPOCH (pyx:653-659): each factor kept
       // with probability 1−quota; masked-out factors are invisible to
       // x_uij AND receive no update (incl. no adaptive-cache mutation,
-      // pyx:869/894); rank-1 models always keep their only factor
+      // pyx:869/894); rank-1 models always keep their only factor.
+      // Drawn from a SEPARATE (seed, epoch) rng — the same convention
+      // as the distributed kernel — so turning dropout on does not
+      // shift the init/sampling streams of the shared rng: with and
+      // without dropout, the kernels differ ONLY through mask
+      // application (what the ModelsSpec pin actually asserts).
       val mask: Array[Boolean] = dropoutQuota match {
         case Some(q) =>
-          val m = Array.fill(rank)(rng.nextDouble() > q)
+          val mrng = new scala.util.Random(seed * 7919L + 104729L * ep)
+          val m = Array.fill(rank)(mrng.nextDouble() > q)
           if (rank == 1) m(0) = true
           m
         case None => Array.fill(rank)(true)
@@ -709,18 +719,25 @@ object Models {
                state: BprState, items: Array[Int], total: Long,
                rank: Int, samplesPerEpoch: Int, lr: Double, reg: Double,
                seed: Long, ep: Int, opts: BprOpts = BprOpts(),
-               step: Int = 1): BprState = {
+               step: Int = 1, maskEpoch: Int = Int.MinValue): BprState = {
     import spark.implicits._
     val nItems = items.length
-    // dropout mask renewed per merge round (pyx:653-659), derived
-    // DETERMINISTICALLY from (seed, ep) on the driver and captured in
-    // the task closures — partition-invariant, stable under retries;
-    // null when dropout is off so the hot loops skip the branch cheaply
+    // dropout mask renewed per EPOCH like the reference (pyx:653-659
+    // draws once per run_epoch, held across all its mini-batches):
+    // `maskEpoch` carries the epoch index when the caller runs several
+    // merge rounds per epoch (mfBprDistributed's batch loop) so every
+    // round of an epoch shares one mask; single-round callers leave it
+    // defaulted and the round index `ep` IS the epoch. Derived
+    // DETERMINISTICALLY from (seed, epoch) on the driver and captured
+    // in the task closures — partition-invariant, stable under
+    // retries; null when dropout is off so the hot loops skip the
+    // branch cheaply
     val dropMask: Array[Boolean] = opts.dropoutQuota match {
       case Some(q) =>
         require(q > 0.0 && q < 1.0,
           s"dropout_quota must be in (0,1) or None, got $q")
-        val mrng = new scala.util.Random(seed * 7919L + 104729L * ep)
+        val epochIdx = if (maskEpoch == Int.MinValue) ep else maskEpoch
+        val mrng = new scala.util.Random(seed * 7919L + 104729L * epochIdx)
         val m = Array.fill(rank)(mrng.nextDouble() > q)
         if (rank == 1) m(0) = true
         m
@@ -965,11 +982,12 @@ object Models {
     val totalRounds = epochs.toLong * roundsPerEpoch
     var lastCkpt: Option[(org.apache.spark.rdd.RDD[(Int, BprFac)],
                           org.apache.spark.rdd.RDD[(Int, BprFac)])] = None
-    (0 until epochs).foreach { _ =>
+    (0 until epochs).foreach { epIdx =>
       (0 until roundsPerEpoch).foreach { _ =>
         step += 1
         state = bprEpoch(spark, triplesBase, state, items, total, rank,
-                         perRound, lr, reg, seed, step - 1, opts, step)
+                         perRound, lr, reg, seed, step - 1, opts, step,
+                         maskEpoch = epIdx)
         // lineage truncation every 16 merge rounds (the PageRank
         // device): each round's outer join references the previous
         // state once, so the DAG grows linearly — at the reference's

@@ -355,16 +355,24 @@ object Spaces {
         val rank = math.min(num(p, "num_factors").toInt, maxRank)
         // implicit all-ones URM; iters capped at the smoke budget
         // (the reference's default epochs=300 would be the lifted cap)
-        val (_, itf) = Models.ials(train.withColumn("v", lit(1.0)),
+        val (uf, itf) = Models.ials(train.withColumn("v", lit(1.0)),
           rank, reg = num(p, "reg"), alpha = num(p, "alpha"),
           iters = maxEpochs, seed = 7,
           confidenceScaling = str(p, "confidence_scaling"),
           epsilon = num(p, "epsilon"))
-        fromFactors(train,
-          itf.select(col("id").as("i"),
-                     expr("transform(features, x -> cast(x as double))")
-                       .as("factors")),
-          cutoff)
+        // IALS predicts USER_factors·ITEM_factorsᵀ
+        // (BaseMatrixFactorizationRecommender) — score the searched
+        // objective with the model's own rule, not a KNN fold-in
+        val dbl = (c: String) =>
+          expr(s"transform($c, x -> cast(x as double))")
+        val scores = uf.select(col("id").as("u"), dbl("features").as("ufac"))
+          .crossJoin(itf.select(col("id").as("item"),
+                                dbl("features").as("ifac")))
+          .select(col("u"), col("item"),
+                  graft.functions.VectorFunctions
+                    .dot_product(col("ufac"), col("ifac")).as("score"))
+        Recommenders.recommend(scores, train, cutoff)
+          .select("u", "item", "rank")
       }
       case "mf_bpr_impressions" => (train, p, cutoff) => {
         // DISTRIBUTED trial body (VERDICT r7 "what's wrong" #1): the

@@ -112,8 +112,28 @@ class PipelineSpec extends SparkSpec {
     assert(csv.startsWith("algorithm,map,ndcg"))
     assert(csv.contains("ItemKNN,0.400000,0.350000"))
     val tex = Results.toLatex(table, "Accuracy")
-    assert(tex.contains("\\begin{tabular}{lrr}") &&
-           tex.contains("TopPop & 0.5000 & 0.2500 \\\\"))
+    // GOLDEN string — the full ResultFolderLoader-shaped artifact
+    // (generate_latex_results: algorithms as rows, metrics as columns,
+    // 4-decimal values, booktabs rules). Any drift in escaping, rule
+    // placement, or number formatting is a red assert, not a substring
+    // near-miss.
+    val golden = Seq(
+      "\\begin{table}[h]",
+      "\\caption{Accuracy}",
+      "\\begin{tabular}{lrr}",
+      "\\toprule",
+      "algorithm & map & ndcg \\\\",
+      "\\midrule",
+      "ItemKNN & 0.4000 & 0.3500 \\\\",
+      "TopPop & 0.5000 & 0.2500 \\\\",
+      "\\bottomrule",
+      "\\end{tabular}",
+      "\\end{table}").mkString("\n")
+    assert(tex == golden, s"toLatex drifted from the golden artifact:\n$tex")
+    // underscore escaping (LaTeX special) pinned separately
+    val esc = Results.toLatex(
+      Seq(("Top_Pop", 0.1)).toDF("algorithm", "map"), "C")
+    assert(esc.contains("Top\\_Pop & 0.1000 \\\\"))
   }
 
   test("surrogate search homes in on a quadratic optimum; beats random") {
