@@ -442,6 +442,60 @@ object ModelQueries {
         |  ('log', 0, 0, 1.428241), ('log', 0, 1, 0.271206),
         |  ('log', 1, 0, -0.361385), ('log', 1, 1, 1.084154),
         |  ('log', 2, 0, 1.097258), ('log', 2, 1, 1.097258)
-        |) t(scaling, u, f, value)""".stripMargin))
+        |) t(scaling, u, f, value)""".stripMargin)),
+
+    // L20 STRICT gate, full epoch — the reference's `_run_epoch` order
+    // (IALSRecommender.py:165-186): user half against the CURRENT item
+    // factors, item half against the UPDATED user factors, both the
+    // same closed-form `_update_row`. Runs Models.ialsEpoch on the
+    // q167 fixture under both confidence scalings and hashes BOTH
+    // halves: the item-half values compound two solves (the user
+    // solutions feed the item Grams), so a half-order swap, a stale-W
+    // item Gram, or a transposed axis is a red hash row. Expected
+    // values derived like q167 (exact rationals for linear — e.g.
+    // h₀ = (12144/19199, 4547/19199) ≈ (0.632592, 0.236833) — and
+    // 50-digit decimals for log); every value ≥ 3.6·10⁻⁸ from its
+    // 6-decimal rounding boundary vs ~10⁻¹⁴ compounded float drift.
+    // One documented reference divergence, in ialsItemStep's scaladoc:
+    // the reference's item-half Gram spans cold users' np.empty
+    // (uninitialized) rows; this engine spans exactly the solved warm
+    // rows — the only determinate reading.
+    Q("q169_ials_epoch_gate", { t =>
+        import t.spark.implicits._
+        val urm = Seq((0, 0, 1.0), (0, 2, 2.0), (1, 1, 3.0),
+                      (2, 0, 1.0), (2, 1, 1.0), (2, 2, 1.0))
+          .toDF("u", "i", "v")
+        val y = Seq((0, Array(0.5, 0.0)), (1, Array(0.0, 0.5)),
+                    (2, Array(0.5, 0.5)))
+          .toDF("i", "factors")
+        Seq("linear", "log").map { scaling =>
+          val (uf, itf) = Models.ialsEpoch(t.spark, urm, y, alpha = 0.5,
+            reg = 0.25, confidenceScaling = scaling, epsilon = 0.5)
+          val ur = uf.select(lit(scaling).as("scaling"), lit("u").as("kind"),
+                             col("u").as("id"),
+                             posexplode(col("factors")).as(Seq("f", "value")))
+          val ir = itf.select(lit(scaling).as("scaling"), lit("i").as("kind"),
+                              col("i").as("id"),
+                              posexplode(col("factors")).as(Seq("f", "value")))
+          ur.unionByName(ir)
+        }.reduce(_ unionByName _)
+          .select(col("scaling"), col("kind"), col("id"), col("f"),
+                  round(col("value"), 6).as("value"))
+      },
+      Some("""SELECT * FROM (VALUES
+        |  ('linear', 'u', 0, 0, CAST(1.428571 AS DOUBLE)),
+        |  ('linear', 'u', 0, 1, 0.285714),
+        |  ('linear', 'u', 1, 0, -0.4), ('linear', 'u', 1, 1, 1.2),
+        |  ('linear', 'u', 2, 0, 1.090909), ('linear', 'u', 2, 1, 1.090909),
+        |  ('linear', 'i', 0, 0, 0.632592), ('linear', 'i', 0, 1, 0.236833),
+        |  ('linear', 'i', 1, 0, -0.039319), ('linear', 'i', 1, 1, 0.817845),
+        |  ('linear', 'i', 2, 0, 0.636177), ('linear', 'i', 2, 1, 0.235867),
+        |  ('log', 'u', 0, 0, 1.428241), ('log', 'u', 0, 1, 0.271206),
+        |  ('log', 'u', 1, 0, -0.361385), ('log', 'u', 1, 1, 1.084154),
+        |  ('log', 'u', 2, 0, 1.097258), ('log', 'u', 2, 1, 1.097258),
+        |  ('log', 'i', 0, 0, 0.632693), ('log', 'i', 0, 1, 0.237375),
+        |  ('log', 'i', 1, 0, -0.069547), ('log', 'i', 1, 1, 0.874445),
+        |  ('log', 'i', 2, 0, 0.634949), ('log', 'i', 2, 1, 0.236591)
+        |) t(scaling, kind, id, f, value)""".stripMargin))
   )
 }

@@ -176,6 +176,47 @@ object Models {
       .toDF("u", "factors")
   }
 
+  /** The item half of the IALS epoch — identical math on the
+    * transposed URM (IALSRecommender.py:176-186: `_update_row` is
+    * shared by both halves), with Y = the user factors:
+    * h_i = (WᵀW + Wᵀ(Cᵢ−I)W + λI)⁻¹ WᵀCᵢp(i). `userFactors` is
+    * (u, factors). One documented divergence from the reference: its
+    * WᵀW spans ALL n_users rows of USER_factors, but cold users' rows
+    * are `np.empty` — UNINITIALIZED memory (IALSRecommender.py:71,
+    * `_init_factors(..., assign_values=False)`) — so the reference's
+    * cold-user Gram contribution is garbage; here WᵀW spans exactly
+    * the rows `userFactors` carries (the solved warm users), the
+    * mathematically determinate reading. */
+  def ialsItemStep(spark: SparkSession, urm: DataFrame,
+                   userFactors: DataFrame, alpha: Double, reg: Double,
+                   confidenceScaling: String = "linear",
+                   epsilon: Double = 1.0,
+                   maxUsers: Int = 100000): DataFrame =
+    ialsUserStep(spark,
+      urm.select(col("i").as("u"), col("u").as("i"),
+                 col("v")),
+      userFactors.select(col("u").as("i"), col("factors")),
+      alpha, reg, confidenceScaling, epsilon, maxUsers)
+      .select(col("u").as("i"), col("factors"))
+
+  /** One full IALS epoch, the reference's `_run_epoch` order
+    * (IALSRecommender.py:165-186): solve every warm user against the
+    * CURRENT item factors, then every warm item against the UPDATED
+    * user factors. Returns (userFactors, itemFactors) — both solved
+    * closed-form, so given (urm, itemFactors) the epoch is
+    * deterministic and the q169 gate can hash it end to end. */
+  def ialsEpoch(spark: SparkSession, urm: DataFrame,
+                itemFactors: DataFrame, alpha: Double, reg: Double,
+                confidenceScaling: String = "linear",
+                epsilon: Double = 1.0): (DataFrame, DataFrame) = {
+    val uf = graft.core.CacheScope.persist(
+      ialsUserStep(spark, urm, itemFactors, alpha, reg,
+                   confidenceScaling, epsilon))
+    val itf = ialsItemStep(spark, urm, uf, alpha, reg,
+                           confidenceScaling, epsilon)
+    (uf, itf)
+  }
+
   /** L22 cross-check — explicit-feedback ALS: minimizes Σ(r_ui − w_u·h_i)²
     * + reg·(…) over the OBSERVED ratings only, the same squared-error
     * objective FunkSVD descends (reference: MatrixFactorizationImpressions_

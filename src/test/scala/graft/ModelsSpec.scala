@@ -44,6 +44,29 @@ class ModelsSpec extends SparkSpec {
     assert(itf.count() == 20)
   }
 
+  test("ialsUserStep guards its broadcast contract (duplicate / empty " +
+       "item factors)") {
+    import org.apache.spark.sql.functions.col
+    val tiny = Seq((0, 0, 1.0), (0, 1, 2.0)).toDF("u", "i", "v")
+    val y = Seq((0, Array(0.5, 0.0)), (1, Array(0.0, 0.5)))
+      .toDF("i", "factors")
+    // the happy path solves (sanity — q167 pins the values)
+    assert(Models.ialsUserStep(spark, tiny, y, 0.5, 0.25).count() == 1)
+    // duplicate item ids would double-count YtY vs the lookup map
+    intercept[IllegalArgumentException] {
+      Models.ialsUserStep(spark, tiny, y.unionByName(y), 0.5, 0.25)
+        .count()
+    }
+    intercept[IllegalArgumentException] {
+      Models.ialsUserStep(spark, tiny, y.filter(col("i") < -1), 0.5, 0.25)
+    }
+    // an interaction on an item with no factor row fails in the solve
+    val urmUnknown = Seq((0, 7, 1.0)).toDF("u", "i", "v")
+    intercept[org.apache.spark.SparkException] {
+      Models.ialsUserStep(spark, urmUnknown, y, 0.5, 0.25).count()
+    }
+  }
+
   test("MF-BPR ranks positives above unseen negatives on average") {
     val (uf, itf) = Models.mfBpr(spark, urm, rank = 6, epochs = 8,
       samplesPerEpoch = 1500, lr = 0.1, reg = 0.01, seed = 42)
