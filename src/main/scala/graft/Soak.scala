@@ -191,12 +191,35 @@ object Soak {
       Similarity.pairDots(urm).filter(col("dot") >= 3).count()
     } catch { case _: Throwable => () }
 
+    // Shuffle-byte accounting: wall-clock on this box drifts ±2×, but
+    // bytes moved are deterministic — the data-movement exponent is
+    // the harder evidence that a plan scales. Stage metrics accumulate
+    // via listener; drained with a short settle before each snapshot
+    // (the listener bus is async).
+    val shufRead = new java.util.concurrent.atomic.AtomicLong
+    val shufWrite = new java.util.concurrent.atomic.AtomicLong
+    spark.sparkContext.addSparkListener(
+      new org.apache.spark.scheduler.SparkListener {
+        override def onStageCompleted(
+            sc: org.apache.spark.scheduler.SparkListenerStageCompleted)
+            : Unit = {
+          val m = sc.stageInfo.taskMetrics
+          if (m != null) {
+            shufRead.addAndGet(m.shuffleReadMetrics.totalBytesRead)
+            shufWrite.addAndGet(m.shuffleWriteMetrics.bytesWritten)
+          }
+        }
+      })
+
     val runs = scala.collection.mutable.LinkedHashMap[String, Seq[Double]]()
     val medians = scala.collection.mutable.LinkedHashMap[String, Double]()
     val load = scala.collection.mutable.LinkedHashMap[String, Double]()
+    val shuffleMb = scala.collection.mutable.LinkedHashMap[String, Double]()
     ops.filter { case (n, _) => only.forall(_.contains(n)) }
       .foreach { case (name, body) =>
         load(name) = loadavg()
+        Thread.sleep(500) // settle the async listener bus
+        shufRead.set(0L); shufWrite.set(0L)
         val ts = (0 until reps).map { _ =>
           clearState()
           val t0 = System.nanoTime()
@@ -212,8 +235,15 @@ object Soak {
         runs(name) = ts
         medians(name) =
           if (ts.contains(-1.0)) -1.0 else core.BenchUtil.median(ts)
+        Thread.sleep(500) // settle before the snapshot
+        // write bytes ≈ read bytes for completed exchanges; report the
+        // PER-REP average of read+write so rep count drops out
+        shuffleMb(name) = math.round(
+          (shufRead.get + shufWrite.get) / (1024.0 * 1024.0) /
+            math.max(1, reps) * 10.0) / 10.0
         System.err.println(
-          s"$name: median ${medians(name)}s runs ${ts.mkString(",")}")
+          s"$name: median ${medians(name)}s runs ${ts.mkString(",")} " +
+            s"shuffleMB/rep ${shuffleMb(name)}")
       }
     def jmap(m: scala.collection.Map[String, Double]): String =
       core.BenchUtil.jmapRounded(m)
@@ -221,7 +251,7 @@ object Soak {
       "\"" + k + "\":[" +
         v.map(x => math.round(x * 1000) / 1000.0).mkString(",") + "]" }
       .mkString("{", ",", "}")
-    println(s"""{"sf":"$sfDir","medians":${jmap(medians)},"runs":$runsJson,"load_at_start":${jmap(load)}}""")
+    println(s"""{"sf":"$sfDir","medians":${jmap(medians)},"runs":$runsJson,"shuffle_mb_per_rep":${jmap(shuffleMb)},"load_at_start":${jmap(load)}}""")
     spark.stop()
   }
 }
