@@ -168,8 +168,16 @@ object Bench {
     // budget, with the full map pointed at via "queries_full".
     val byCost = results.sortBy(-_._2)
     val budget = 1800
+    // one value per QUERY: rep-mode queries emit one result entry per
+    // rep (q#0, q#1, …), so a median over raw entries would weight the
+    // suite median toward rep-mode queries — collapse each query's
+    // entries to their median first
+    val perQuery = results
+      .groupBy { case (k, _) => k.takeWhile(_ != '#') }
+      .map { case (_, vs) => core.BenchUtil.median(vs.map(_._2)) }
+      .toSeq
     val medianSec =
-      if (results.isEmpty) 0.0 else core.BenchUtil.median(results.map(_._2))
+      if (perQuery.isEmpty) 0.0 else core.BenchUtil.median(perQuery)
     val head = s"""{"metric":"total","value":${math.round(total * 100) / 100.0},"unit":"sec","n_queries":${results.size},"median_sec":${math.round(medianSec * 1000) / 1000.0},"load_initial":$loadInitial,"load_start":$loadStart,"load_end":$loadEnd,"queries_full":"$outFile","sf":"$sfDir","queries":{"""
     val tailStr = "}}"
     val entries = scala.collection.mutable.ArrayBuffer[String]()

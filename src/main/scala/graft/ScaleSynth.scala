@@ -17,10 +17,13 @@ import org.apache.spark.sql.functions._
   * unique and intra-copy joins still match; non-key attributes (dates,
   * prices, text, embeddings) are carried verbatim. `nation`/`region`
   * are fixed dimension tables at every TPC-H sf and are copied once.
-  * Document text gets a per-copy suffix token so the duplicate RATE of
-  * the corpus stays that of the source instead of every document
-  * gaining N−1 planted exact copies (which would measure a synthetic
-  * dedup regime, not scale).
+  * EVERY document-text token gets a per-copy PREFIX marker (not a
+  * per-document suffix — a single appended token leaves token-set
+  * Jaccard at n/(n+1) ≈ 1, so MinHash/LSH still buckets the twins and
+  * the scaled corpus measures a synthetic ~(copies−1)/copies-duplicate
+  * regime instead of scale; see the inline note at the `documents`
+  * call). Prefixing makes cross-copy token sets disjoint, keeping the
+  * duplicate RATE of the corpus at the source's own rate.
   */
 object ScaleSynth {
 
@@ -51,6 +54,18 @@ object ScaleSynth {
       val base =
         if (table == "events") tablesLoader.events
         else spark.read.parquet(s"$src/$table.parquet")
+      // Key-offsetting is collision-free only while every source key is
+      // < Off (lineitem orderkeys cross 10⁸ around source sf≈16; a
+      // silent collision would cross-match intra-copy joins and corrupt
+      // the measured curve rather than fail loudly).
+      if (copies > 1 && keyCols.nonEmpty) {
+        val maxAgg = keyCols.map(k => max(col(k).cast("long")))
+        val maxKey = base.select(
+          if (maxAgg.size == 1) maxAgg.head else greatest(maxAgg: _*))
+          .first().getLong(0)
+        require(maxKey < Off,
+          s"$table: max key $maxKey >= offset stride $Off — raise Off")
+      }
       val parts = (0 until copies).map { c =>
         val offset = keyCols.foldLeft(base) { (df, k) =>
           df.withColumn(k, col(k) + lit(c * Off))

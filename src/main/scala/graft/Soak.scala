@@ -237,10 +237,16 @@ object Soak {
           if (ts.contains(-1.0)) -1.0 else core.BenchUtil.median(ts)
         Thread.sleep(500) // settle before the snapshot
         // write bytes ≈ read bytes for completed exchanges; report the
-        // PER-REP average of read+write so rep count drops out
-        shuffleMb(name) = math.round(
-          (shufRead.get + shufWrite.get) / (1024.0 * 1024.0) /
-            math.max(1, reps) * 10.0) / 10.0
+        // PER-REP average of read+write so rep count drops out. The
+        // failure convention matches the median's: any failed rep
+        // poisons the figure to −1 (a partial-crash byte count divided
+        // by the full rep count would understate the real movement and
+        // read as a normal success next to the −1 median).
+        shuffleMb(name) =
+          if (ts.contains(-1.0)) -1.0
+          else math.round(
+            (shufRead.get + shufWrite.get) / (1024.0 * 1024.0) /
+              math.max(1, reps) * 10.0) / 10.0
         System.err.println(
           s"$name: median ${medians(name)}s runs ${ts.mkString(",")} " +
             s"shuffleMB/rep ${shuffleMb(name)}")

@@ -47,6 +47,19 @@ final class CacheScope {
     rdd.persist(level)
   }
 
+  /** Track a broadcast for executor-side release (`unpersist`, NOT
+    * `destroy` — the driver copy survives, so a frame that lazily
+    * escapes its scope re-ships the value instead of failing; the
+    * exact analog of the Dataset unpersist-is-always-safe contract).
+    * Without this, operator-internal broadcasts (e.g. ialsUserStep's
+    * item-factor map) accumulate executor blocks across epochs until
+    * ContextCleaner GC happens to reclaim them. */
+  def trackBroadcast[T](bc: org.apache.spark.broadcast.Broadcast[T])
+      : org.apache.spark.broadcast.Broadcast[T] = synchronized {
+    tracked += (() => bc.unpersist(false))
+    bc
+  }
+
   /** Unpersist every tracked frame (non-blocking) and forget them.
     * Unpersisting an already-released frame is a Spark no-op, so
     * overlap with operator-internal unpersists is harmless. */
@@ -77,6 +90,11 @@ object CacheScope {
   def persistRdd[T](rdd: org.apache.spark.rdd.RDD[T],
                     level: StorageLevel = StorageLevel.MEMORY_AND_DISK)
       : org.apache.spark.rdd.RDD[T] = current.persistRdd(rdd, level)
+
+  /** Broadcast variant (operator-internal): release with the scope. */
+  def trackBroadcast[T](bc: org.apache.spark.broadcast.Broadcast[T])
+      : org.apache.spark.broadcast.Broadcast[T] =
+    current.trackBroadcast(bc)
 
   /** Run `body` with a fresh scope; everything it persists is
     * unpersisted on exit (normal or exceptional). */

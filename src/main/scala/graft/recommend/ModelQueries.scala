@@ -140,7 +140,10 @@ object ModelQueries {
           .filter(col("factor_norm2") > 0)
       }, None),
 
-    // L20 — IALS via ml.ALS implicit (rank 16); rows-only.
+    // L20 — IALS via ml.ALS implicit (rank 16); rows-only. Companion-
+    // gated: q167/q169 oracle-pin the exact row-solve kernel and q170
+    // ties THIS production fit to that kernel (one-step solve identity
+    // at float precision + near-fixed-point residual, both scalings).
     Q("q65_ials", { t =>
         val (_, itemF) = Models.ials(Urm.fromOrders(t), rank = 16,
           reg = 0.1, alpha = 10.0, iters = 5, seed = 42)
@@ -496,6 +499,147 @@ object ModelQueries {
         |  ('log', 'i', 0, 0, 0.632693), ('log', 'i', 0, 1, 0.237375),
         |  ('log', 'i', 1, 0, -0.069547), ('log', 'i', 1, 1, 0.874445),
         |  ('log', 'i', 2, 0, 0.634949), ('log', 'i', 2, 1, 0.236591)
-        |) t(scaling, kind, id, f, value)""".stripMargin))
+        |) t(scaling, kind, id, f, value)""".stripMargin)),
+
+    // L20 STRICT gate — ties the PRODUCTION ml.ALS fit (q65) to the
+    // oracle-pinned exact kernel (q167/q169). A converged-Gram
+    // comparison is ill-posed on a non-convex objective (measured:
+    // independent inits land in different local minima with score
+    // deltas ~0.5), so the tie is the init- and convergence-
+    // INDEPENDENT one-step identity: ml.ALS's last internal update is
+    // the user ridge solve against its final item factors, so
+    // ialsUserStep(urm, itemFactors_ml) must reproduce userFactors_ml
+    // to float32 precision — measured 3·10⁻⁸ vs a 1e-5 gate, while a
+    // wrong λ translation reads ~0.07. The λ translation is the one
+    // semantic divergence between the two: ml.ALS scales regParam by
+    // the per-row POSITIVE-rating count ("weighted-λ"), the reference
+    // adds plain λ (IALSRecommender.py:165-186) — on this constant-
+    // degree-2 fixture they coincide at reg_kernel = 2·regParam, which
+    // is exactly what Models.ials callers get on real skewed data as a
+    // documented per-row reg reweighting, not a different solve.
+    // Second row per scaling: one full exact-kernel epoch from ml's
+    // converged factors moves items < 0.1 (measured ~0.02) — ml's fit
+    // sits at a near-fixed-point of the reference kernel, both
+    // scalings. Booleans hash exactly, so seeded-float drift cannot
+    // redden the row while a semantic slip (c vs c−1, YᵀY missing
+    // rows, ε routing, λ slip) flips it.
+    Q("q170_ials_mlfit_gate", { t =>
+        import t.spark.implicits._
+        // constant degree 2 on BOTH axes so ml's weighted-λ is uniform
+        val urm = Seq((0, 0, 1.0), (0, 1, 2.0), (1, 1, 1.0), (1, 2, 3.0),
+                      (2, 2, 2.0), (2, 3, 1.0), (3, 3, 2.0), (3, 0, 3.0))
+          .toDF("u", "i", "v")
+        val alpha = 2.0; val lam = 0.4; val eps = 0.5
+        Seq("linear", "log").map { scaling =>
+          val (ufMl0, itfMl0) = Models.ials(urm, rank = 2, reg = lam,
+            alpha = alpha, iters = 25, seed = 7,
+            confidenceScaling = scaling, epsilon = eps)
+          def toArr(df: org.apache.spark.sql.DataFrame) =
+            df.select(col("id"), col("features"))
+              .as[(Int, Array[Float])].collect()
+              .map { case (i, f) => (i, f.map(_.toDouble)) }.sortBy(_._1)
+          val ufMl = toArr(ufMl0); val itfMl = toArr(itfMl0)
+          val itfDf = itfMl.toSeq.toDF("i", "factors")
+          def maxMove(a: Array[(Int, Array[Double])],
+                      b: Array[(Int, Array[Double])]): Double =
+            a.zip(b).map { case ((_, x), (_, y)) =>
+              x.zip(y).map { case (p, q) => math.abs(p - q) }.max }.max
+          val oneStep = Models.ialsUserStep(t.spark, urm, itfDf, alpha,
+              2 * lam, scaling, eps)
+            .as[(Int, Array[Double])].collect().sortBy(_._1)
+          val (_, iE) = Models.ialsEpoch(t.spark, urm, itfDf, alpha,
+            2 * lam, scaling, eps)
+          val iEA = iE.as[(Int, Array[Double])].collect().sortBy(_._1)
+          (scaling, maxMove(oneStep, ufMl) < 1e-5,
+           maxMove(iEA, itfMl) < 0.1)
+        }.toDF("scaling", "solve_matches_kernel", "near_fixed_point")
+      },
+      Some("""SELECT * FROM (VALUES
+        |  ('linear', true, true), ('log', true, true)
+        |) t(scaling, solve_matches_kernel, near_fixed_point)""".stripMargin)),
+
+    // L19 STRICT gate — the rest of NMF's declared surface
+    // (NMFRecommender.py:36-73 → sklearn.decomposition.NMF): the
+    // kullback-leibler MU variant, the coordinate_descent (HALS)
+    // solver, and the l1_ratio/α regularization split, each run by
+    // Models.nmfFrom — the exact distributed update machinery q84
+    // demos — from the q153 rational init on the q153 inline URM for
+    // 2 iterations, hashed against an independent numpy float64
+    // reimplementation at 6 decimals (every value ≥ 7·10⁻¹⁰ from its
+    // rounding boundary vs ~10⁻¹³ sum-order drift; the cd variant's
+    // h₁₀ = 27.7495 deliberately exercises the near-zero-component
+    // HALS regime where grad/hess amplifies — deterministically).
+    // Variants: kl (α=0), cd (α=0, fixed sweep order — the reference's
+    // shuffle=True with random_state=None is nondeterministic, see
+    // nmfFrom scaladoc), kl_reg and fro_reg (α=½, l1_ratio=¼ — the
+    // semantics l1_ratio declares; the reference leaves sklearn's
+    // α at 0.0 so its own l1_ratio is inert). A wrong quotient side,
+    // a stale-W H step, a λ split slip, or a shuffled sweep is a red
+    // hash row; q84 stays the at-scale demo.
+    Q("q171_nmf_variants_gate", { t =>
+        import t.spark.implicits._
+        val urm = Seq((0, 0, 1), (0, 1, 2), (0, 2, 1), (1, 0, 3),
+                      (1, 2, 1), (2, 0, 2), (2, 1, 1), (2, 2, 2))
+          .toDF("u", "i", "v")
+        def init(id: Int, salt: Int): Array[Double] =
+          Array.tabulate(2)(f => (1.0 + id + 2 * f + salt) / 4.0)
+        val variants = Seq(
+          ("kl", "multiplicative_update", "kullback-leibler", 0.5, 0.0),
+          ("cd", "coordinate_descent", "frobenius", 0.5, 0.0),
+          ("kl_reg", "multiplicative_update", "kullback-leibler", 0.25, 0.5),
+          ("fro_reg", "multiplicative_update", "frobenius", 0.25, 0.5))
+        // + the nndsvda INIT itself at iters=0 (deterministic truncated
+        // SVD → positive/negative split → 'a' mean-fill; derived
+        // independently via numpy.linalg.svd — σ = {4.568, 1.914 |
+        // 0.686}, well-separated, and the mean-fill 13/9 lands at
+        // margin 5.6·10⁻⁸)
+        val runs = variants.map { case (tag, solver, beta, l1r, alpha) =>
+          (tag, Models.nmfFrom(t.spark, urm, rank = 2, iters = 2,
+            initVec = init, solver = solver, betaLoss = beta,
+            l1Ratio = l1r, regStrength = alpha))
+        } :+ ("nndsvda", Models.nmf(t.spark, urm, rank = 2, iters = 0,
+               seed = 0, initType = "nndsvda"))
+        runs.map { case (tag, (w, h)) =>
+          val wr = w.select(lit(tag).as("variant"), lit("w").as("kind"),
+            col("u").as("id"), posexplode(col("factors")).as(Seq("f", "value")))
+          val hr = h.select(lit(tag).as("variant"), lit("h").as("kind"),
+            col("i").as("id"), posexplode(col("factors")).as(Seq("f", "value")))
+          wr.unionByName(hr)
+        }.reduce(_ unionByName _)
+          .select(col("variant"), col("kind"), col("id"), col("f"),
+                  round(col("value"), 6).as("value"))
+      },
+      Some("""SELECT * FROM (VALUES
+        |  ('kl', 'w', 0, 0, CAST(0.331106 AS DOUBLE)), ('kl', 'w', 0, 1, 0.667477),
+        |  ('kl', 'w', 1, 0, 0.359189), ('kl', 'w', 1, 1, 0.649236),
+        |  ('kl', 'w', 2, 0, 0.51422), ('kl', 'w', 2, 1, 0.769173),
+        |  ('kl', 'h', 0, 0, 1.295824), ('kl', 'h', 0, 1, 2.128189),
+        |  ('kl', 'h', 1, 0, 0.642871), ('kl', 'h', 1, 1, 1.067006),
+        |  ('kl', 'h', 2, 0, 1.006301), ('kl', 'h', 2, 1, 1.336552),
+        |  ('cd', 'w', 0, 0, 0.014367), ('cd', 'w', 0, 1, 0.729121),
+        |  ('cd', 'w', 1, 0, 0.0), ('cd', 'w', 1, 1, 0.995169),
+        |  ('cd', 'w', 2, 0, 0.017959), ('cd', 'w', 2, 1, 1.045642),
+        |  ('cd', 'h', 0, 0, 0.0), ('cd', 'h', 0, 1, 2.21994),
+        |  ('cd', 'h', 1, 0, 27.74954), ('cd', 'h', 1, 1, 0.646984),
+        |  ('cd', 'h', 2, 0, 12.812539), ('cd', 'h', 2, 1, 1.3156),
+        |  ('kl_reg', 'w', 0, 0, 0.36809), ('kl_reg', 'w', 0, 1, 0.744816),
+        |  ('kl_reg', 'w', 1, 0, 0.398693), ('kl_reg', 'w', 1, 1, 0.727305),
+        |  ('kl_reg', 'w', 2, 0, 0.554663), ('kl_reg', 'w', 2, 1, 0.860777),
+        |  ('kl_reg', 'h', 0, 0, 0.807951), ('kl_reg', 'h', 0, 1, 1.435002),
+        |  ('kl_reg', 'h', 1, 0, 0.444772), ('kl_reg', 'h', 1, 1, 0.815698),
+        |  ('kl_reg', 'h', 2, 0, 0.651769), ('kl_reg', 'h', 2, 1, 1.00749),
+        |  ('fro_reg', 'w', 0, 0, 0.310758), ('fro_reg', 'w', 0, 1, 0.628567),
+        |  ('fro_reg', 'w', 1, 0, 0.44816), ('fro_reg', 'w', 1, 1, 0.819687),
+        |  ('fro_reg', 'w', 2, 0, 0.550193), ('fro_reg', 'w', 2, 1, 0.840589),
+        |  ('fro_reg', 'h', 0, 0, 0.964544), ('fro_reg', 'h', 0, 1, 1.693148),
+        |  ('fro_reg', 'h', 1, 0, 0.403257), ('fro_reg', 'h', 1, 1, 0.723296),
+        |  ('fro_reg', 'h', 2, 0, 0.711734), ('fro_reg', 'h', 2, 1, 1.058017),
+        |  ('nndsvda', 'w', 0, 0, 0.919389), ('nndsvda', 'w', 0, 1, 1.103508),
+        |  ('nndsvda', 'w', 1, 0, 1.35198), ('nndsvda', 'w', 1, 1, 1.444444),
+        |  ('nndsvda', 'w', 2, 0, 1.376485), ('nndsvda', 'w', 2, 1, 0.219898),
+        |  ('nndsvda', 'h', 0, 0, 1.691895), ('nndsvda', 'h', 0, 1, 1.444444),
+        |  ('nndsvda', 'h', 1, 0, 0.703892), ('nndsvda', 'h', 1, 1, 1.095498),
+        |  ('nndsvda', 'h', 2, 0, 1.099938), ('nndsvda', 'h', 2, 1, 0.256844)
+        |) t(variant, kind, id, f, value)""".stripMargin))
   )
 }

@@ -86,6 +86,12 @@ object Models {
       case "linear" => v
       case "log"    => log(lit(1.0) + v / lit(epsilon))
     }
+    // ml.ALS truncates its per-iteration RDD lineage only when a
+    // checkpoint dir exists (checkpointInterval=10 is silently skipped
+    // otherwise) — without one, fits past ~20 iterations overflow the
+    // task-serialization stack on the 25th-ish nested cogroup. Ensure
+    // a dir so long fits are safe; leave any caller-set dir alone.
+    ensureCheckpointDir(urm.sparkSession)
     val als = new ALS()
       .setUserCol("u").setItemCol("i").setRatingCol("v")
       .setImplicitPrefs(true).setRank(rank).setRegParam(reg)
@@ -95,6 +101,16 @@ object Models {
                                    scaled.cast("float").as("v")))
     (model.userFactors, model.itemFactors)
   }
+
+  /** Set a session-local checkpoint dir (under java.io.tmpdir) iff the
+    * caller hasn't set one — ml.ALS and other iterative fits need it
+    * for lineage truncation; a caller-configured dir always wins. */
+  private[graft] def ensureCheckpointDir(spark: SparkSession): Unit =
+    if (spark.sparkContext.getCheckpointDir.isEmpty) {
+      val dir = java.nio.file.Files.createTempDirectory("graft-ckpt")
+      dir.toFile.deleteOnExit()
+      spark.sparkContext.setCheckpointDir(dir.toString)
+    }
 
   /** The reference's EXACT IALS row update, distributed
     * (IALSRecommender.py:165-186 `_run_epoch` user half +
@@ -140,7 +156,11 @@ object Models {
         a += 1
       }
     }
-    val bc = spark.sparkContext.broadcast((y.toMap, yty))
+    // scope-tracked: executor copies are released when the enclosing
+    // CacheScope closes (epochs in a long-lived session would otherwise
+    // accumulate broadcast blocks until ContextCleaner GC)
+    val bc = graft.core.CacheScope.trackBroadcast(
+      spark.sparkContext.broadcast((y.toMap, yty)))
     val useLog = confidenceScaling == "log"
     urm.select(col("u").cast("int").as("u"),
                col("i").cast("int").as("i"),
@@ -436,6 +456,13 @@ object Models {
       // with probability 1−quota; masked-out factors are invisible to
       // x_uij AND receive no update (incl. no adaptive-cache mutation,
       // pyx:869/894); rank-1 models always keep their only factor.
+      // Documented divergence (the ialsItemStep convention): the
+      // reference draws its mask as C `rand() > self.dropout_quota` —
+      // an int in [0, RAND_MAX] compared against a double in (0,1), so
+      // the comparison is true for every draw but rand()==0 and
+      // reference dropout virtually never masks a factor. Graft
+      // implements the INTENDED Bernoulli(1−quota) semantics the
+      // parameter declares, not the scaling bug that defeats it.
       // Drawn from a SEPARATE (seed, epoch) rng — the same convention
       // as the distributed kernel — so turning dropout on does not
       // shift the init/sampling streams of the shared rng: with and
@@ -1334,44 +1361,255 @@ object Models {
       .select("i", "j", "w")
   }
 
-  /** L19 — NMF via distributed multiplicative updates (reference:
-    * MatrixFactorization/NMFRecommender.py:36-73 delegates to sklearn;
-    * the MU rule is Lee-Seung 2001):
-    *   W ← W ∘ (V·Hᵀ) / (W·HᵀH),  H ← H ∘ (VᵀW) / (H·WᵀW).
-    * Spark shape: V stays a distributed triple set; V·Hᵀ and VᵀW are
-    * join-aggregations partitioned by user/item; HᵀH and WᵀW are k×k
-    * partial-aggregated Grams — nothing user-scaled ever reaches one
-    * node, so the update is 100 TB-shaped (H is broadcast per epoch,
+  /** L19 — NMF with the reference's full declared surface
+    * (MatrixFactorization/NMFRecommender.py:36-73 delegates to
+    * sklearn.decomposition.NMF):
+    *   - `solver = multiplicative_update` (Lee-Seung 2001 MU):
+    *       frobenius: W ← W ∘ (V·Hᵀ) / (W·HᵀH + λ₁ + λ₂W)
+    *       kullback-leibler: W ← W ∘ ((V ⊘ WHᵀ)·H) / (1·H + λ₁ + λ₂W)
+    *     (H symmetric with the UPDATED W — sklearn's update order).
+    *   - `solver = coordinate_descent` (sklearn's cd = per-component
+    *     HALS sweeps): w_f ← max(0, w_f − (−(VHᵀ)_f + (wG)_f + λ₁)
+    *     / (G_ff + λ₂)), components swept in FIXED order 0..k−1.
+    *     Documented divergence: the reference passes shuffle=True with
+    *     random_state=None — a nondeterministic coordinate order no
+    *     oracle can pin; the fixed order is the determinate reading
+    *     (the np.empty / rand()-dropout convention). sklearn's cd
+    *     supports frobenius only — KL+cd raises, exactly as sklearn.
+    *   - `l1Ratio` splits `regStrength` into λ₁ = α·ratio (L1) and
+    *     λ₂ = α·(1−ratio) (L2) per sklearn. The reference leaves
+    *     sklearn's alpha at its 0.0 default, so ITS l1_ratio is inert
+    *     — regStrength defaults to 0.0 to match; pass α > 0 for the
+    *     semantics the parameter declares.
+    * Spark shape: V stays a distributed triple set; V·Hᵀ, VᵀW and the
+    * KL quotient aggregations are join-aggregations partitioned by
+    * user/item; HᵀH / WᵀW / column sums are k×k (or k) partial-
+    * aggregated scalars — nothing user-scaled ever reaches one node,
+    * so every variant is 100 TB-shaped (H is broadcast per epoch,
     * k·|items| — the bounded catalog axis). Factors init deterministic
     * positive (hash-seeded), so results don't depend on partition
     * layout. Returns (userFactors, itemFactors) as (id, factors). */
   def nmf(spark: SparkSession, urm: DataFrame, rank: Int, iters: Int,
-          seed: Long): (DataFrame, DataFrame) = {
-    def initVec(id: Int, salt: Int): Array[Double] =
-      Array.tabulate(rank) { f =>
-        val h = scala.util.hashing.MurmurHash3
-          .productHash((id, f, salt, seed))
-        0.1 + ((h & 0x7fffffff) % 1000) / 1000.0
+          seed: Long,
+          solver: String = "multiplicative_update",
+          betaLoss: String = "frobenius",
+          l1Ratio: Double = 0.5,
+          regStrength: Double = 0.0,
+          initType: String = "random"): (DataFrame, DataFrame) = {
+    require(Set("random", "nndsvda")(initType),
+      s"init_type must be random|nndsvda, got $initType")
+    if (initType == "nndsvda") {
+      import spark.implicits._
+      val nItems = urm.select(max(col("i").cast("int"))).first().getInt(0) + 1
+      val (w0, h0) = nndsvdaInit(spark, urm, rank, nItems)
+      nmfFromFrames(spark, urm, rank, iters, w0, h0, solver, betaLoss,
+                    l1Ratio, regStrength)
+    } else {
+      def initVec(id: Int, salt: Int): Array[Double] =
+        Array.tabulate(rank) { f =>
+          val h = scala.util.hashing.MurmurHash3
+            .productHash((id, f, salt, seed))
+          0.1 + ((h & 0x7fffffff) % 1000) / 1000.0
+        }
+      nmfFrom(spark, urm, rank, iters, initVec, solver, betaLoss,
+              l1Ratio, regStrength)
+    }
+  }
+
+  /** NNDSVDa factor initialization (Boutsidis & Gallopoulos 2008; the
+    * reference's init_type="nndsvda" delegates to sklearn
+    * `_initialize_nmf`, NMFRecommender.py:26-28): truncated SVD of the
+    * URM, each singular pair split into its positive/negative parts,
+    * the heavier product kept and σ-scaled; the 'a' variant fills the
+    * structural zeros with the matrix mean. DETERMINISTIC given the
+    * URM (no random state) and sign-invariant: a global flip of a
+    * singular pair swaps the positive/negative parts AND their norms,
+    * so the max-product branch re-selects the same vectors.
+    * Scale shape: right singular vectors come from the bounded item×
+    * item Gram (driver eigensolve, [[pureSvdItemFactors]]'s guard);
+    * left ones are the distributed map u_j = X·v_j/σ_j — one
+    * join-aggregation per user, then a 2k-scalar norm aggregate; the
+    * user axis never collects. Users absent from the URM get no row
+    * (the determinate reading of sklearn's dense zero rows — an
+    * all-avg row for a user with no data carries no information).
+    * Returns (userInit (u, factors), itemInit (i, factors)). */
+  def nndsvdaInit(spark: SparkSession, urm: DataFrame, rank: Int,
+                  nItems: Int, maxItems: Int = 2000)
+      : (DataFrame, DataFrame) = {
+    require(nItems <= maxItems,
+      s"NNDSVDa dense eigensolve guarded at $maxItems items; got $nItems")
+    import spark.implicits._
+    val tri = graft.core.CacheScope.persistRdd(
+      urm.select(col("u").cast("int"), col("i").cast("int"),
+                 col("v").cast("double"))
+        .as[(Int, Int, Double)].rdd)
+    // item Gram → right singular vectors + σ (the pureSvd path)
+    val a = urm.select(col("u").cast("int").as("u"),
+                       col("i").cast("int").as("i1"),
+                       col("v").cast("double").as("v1"))
+    val b = urm.select(col("u").cast("int").as("u"),
+                       col("i").cast("int").as("i2"),
+                       col("v").cast("double").as("v2"))
+    val gramRows = a.join(b, "u")
+      .groupBy(col("i1"), col("i2"))
+      .agg(sum(col("v1") * col("v2")).as("g"))
+      .collect()
+    val gMat = BDM.zeros[Double](nItems, nItems)
+    gramRows.foreach(r => gMat(r.getInt(0), r.getInt(1)) = r.getDouble(2))
+    val es = eigSym(gMat)
+    val order = (0 until nItems).sortBy(f => -es.eigenvalues(f)).take(rank)
+    val sig = order.map(f => math.sqrt(math.max(es.eigenvalues(f), 0.0)))
+      .toArray
+    val vMat: Array[Array[Double]] = // rank × nItems right vectors
+      order.map(f => Array.tabulate(nItems)(i => es.eigenvectors(i, f)))
+        .toArray
+    val eps = 1e-12
+    // left singular vectors, distributed: u_j(u) = Σ_i v_ui·v_j(i)/σ_j
+    val bcV = graft.core.CacheScope.trackBroadcast(
+      spark.sparkContext.broadcast((vMat, sig)))
+    val uRows = graft.core.CacheScope.persistRdd(
+      tri.map { case (u, i, v) =>
+        val (vm, s) = bcV.value
+        (u, Array.tabulate(rank)(j =>
+          if (s(j) > eps) v * vm(j)(i) / s(j) else 0.0))
+      }.reduceByKey((x, y) => Array.tabulate(rank)(f => x(f) + y(f))))
+    // positive/negative part norms per component: 2k scalars
+    val colNorms = uRows.aggregate(Array.fill(2 * rank)(0.0))(
+      (acc, kv) => {
+        var j = 0
+        while (j < rank) {
+          val x = kv._2(j)
+          if (x > 0) acc(j) += x * x else acc(rank + j) += x * x
+          j += 1
+        }
+        acc
+      },
+      (x, y) => { var j = 0
+        while (j < 2 * rank) { x(j) += y(j); j += 1 }; x })
+    val xpN = Array.tabulate(rank)(j => math.sqrt(colNorms(j)))
+    val xnN = Array.tabulate(rank)(j => math.sqrt(colNorms(rank + j)))
+    val ypN = vMat.map(r => math.sqrt(r.map(x => math.max(x, 0.0))
+      .map(x => x * x).sum))
+    val ynN = vMat.map(r => math.sqrt(r.map(x => math.min(x, 0.0))
+      .map(x => x * x).sum))
+    // per-component branch: (usePositive, user scale, item scale);
+    // j = 0 is the Perron pair — abs() with scale √σ₀
+    val plan: Array[(Boolean, Double, Double)] = Array.tabulate(rank) { j =>
+      if (j == 0) (true, math.sqrt(sig(0)), math.sqrt(sig(0)))
+      else {
+        val mP = xpN(j) * ypN(j); val mN = xnN(j) * ynN(j)
+        if (mP >= mN) {
+          val lbd = math.sqrt(sig(j) * mP)
+          (true,
+           if (xpN(j) > eps) lbd / xpN(j) else 0.0,
+           if (ypN(j) > eps) lbd / ypN(j) else 0.0)
+        } else {
+          val lbd = math.sqrt(sig(j) * mN)
+          (false,
+           if (xnN(j) > eps) lbd / xnN(j) else 0.0,
+           if (ynN(j) > eps) lbd / ynN(j) else 0.0)
+        }
       }
-    nmfFrom(spark, urm, rank, iters, initVec)
+    }
+    // the 'a' fill value: X.mean() over the full dense user×item shape
+    val (vSum, nUsers) = (
+      tri.map(_._3).sum(),
+      tri.map(_._1).distinct().count())
+    val avg = vSum / (nUsers.toDouble * nItems)
+    val bcPlan = graft.core.CacheScope.trackBroadcast(
+      spark.sparkContext.broadcast(plan))
+    val w0 = uRows.mapValues { xs =>
+      val p = bcPlan.value
+      Array.tabulate(xs.length) { j =>
+        val (pos, su, _) = p(j)
+        val x = if (j == 0) math.abs(xs(j))
+                else if (pos) math.max(xs(j), 0.0)
+                else math.max(-xs(j), 0.0)
+        val w = x * su
+        if (w == 0.0) avg else w
+      }
+    }.toDF("u", "factors")
+    val h0 = (0 until nItems).map { i =>
+      (i, Array.tabulate(rank) { j =>
+        val (pos, _, si) = plan(j)
+        val y = if (j == 0) math.abs(vMat(j)(i))
+                else if (pos) math.max(vMat(j)(i), 0.0)
+                else math.max(-vMat(j)(i), 0.0)
+        val h = y * si
+        if (h == 0.0) avg else h
+      })
+    }.toDF("i", "factors")
+    (w0, h0)
   }
 
   /** [[nmf]] core with an injectable factor init `(id, salt) → vec`
-    * (salt 1 = user rows, 2 = item rows). The q153 values gate runs the
-    * exact update machinery from a rational init so the converged
-    * values are hand-derivable; [[nmf]] passes the hash-seeded init. */
+    * (salt 1 = user rows, 2 = item rows). The q153/q171 values gates
+    * run the exact update machinery from a rational init so the
+    * converged values are hand-derivable; [[nmf]] passes the
+    * hash-seeded init. */
   private[graft] def nmfFrom(spark: SparkSession, urm: DataFrame,
                              rank: Int, iters: Int,
-                             initVec: (Int, Int) => Array[Double])
+                             initVec: (Int, Int) => Array[Double],
+                             solver: String = "multiplicative_update",
+                             betaLoss: String = "frobenius",
+                             l1Ratio: Double = 0.5,
+                             regStrength: Double = 0.0)
       : (DataFrame, DataFrame) = {
     import spark.implicits._
-    val eps = 1e-9
     val triples = graft.core.CacheScope.persistRdd(
       urm.select(col("u").cast("int"), col("i").cast("int"),
                  col("v").cast("double"))
         .as[(Int, Int, Double)].rdd)
-    var w = triples.map(_._1).distinct().map(u => (u, initVec(u, 1)))
-    var h = triples.map(_._2).distinct().map(i => (i, initVec(i, 2)))
+    nmfLoop(spark, triples,
+      triples.map(_._1).distinct().map(u => (u, initVec(u, 1))),
+      triples.map(_._2).distinct().map(i => (i, initVec(i, 2))),
+      rank, iters, solver, betaLoss, l1Ratio, regStrength)
+  }
+
+  /** [[nmfFrom]] with explicit initial factor FRAMES — the nndsvda
+    * init path ([[nndsvdaInit]] produces DataFrames). */
+  private[graft] def nmfFromFrames(spark: SparkSession, urm: DataFrame,
+                                   rank: Int, iters: Int,
+                                   w0: DataFrame, h0: DataFrame,
+                                   solver: String, betaLoss: String,
+                                   l1Ratio: Double, regStrength: Double)
+      : (DataFrame, DataFrame) = {
+    import spark.implicits._
+    val triples = graft.core.CacheScope.persistRdd(
+      urm.select(col("u").cast("int"), col("i").cast("int"),
+                 col("v").cast("double"))
+        .as[(Int, Int, Double)].rdd)
+    def rdd(df: DataFrame, id: String) =
+      df.select(col(id).cast("int"), col("factors"))
+        .as[(Int, Array[Double])].rdd
+    nmfLoop(spark, triples, rdd(w0, "u"), rdd(h0, "i"),
+            rank, iters, solver, betaLoss, l1Ratio, regStrength)
+  }
+
+  private def nmfLoop(spark: SparkSession,
+                      triples: org.apache.spark.rdd.RDD[(Int, Int, Double)],
+                      w0: org.apache.spark.rdd.RDD[(Int, Array[Double])],
+                      h0: org.apache.spark.rdd.RDD[(Int, Array[Double])],
+                      rank: Int, iters: Int, solver: String,
+                      betaLoss: String, l1Ratio: Double,
+                      regStrength: Double): (DataFrame, DataFrame) = {
+    import spark.implicits._
+    require(Set("multiplicative_update", "coordinate_descent")(solver),
+      s"solver must be multiplicative_update|coordinate_descent, got $solver")
+    require(Set("frobenius", "kullback-leibler")(betaLoss),
+      s"beta_loss must be frobenius|kullback-leibler, got $betaLoss")
+    require(l1Ratio >= 0.0 && l1Ratio <= 1.0,
+      s"l1_ratio must be between 0 and 1, got $l1Ratio")
+    // sklearn's own constraint (NMFRecommender.py inherits it): the cd
+    // solver minimizes the frobenius objective only
+    require(solver != "coordinate_descent" || betaLoss == "frobenius",
+      "coordinate_descent does not handle beta_loss=kullback-leibler")
+    val l1 = regStrength * l1Ratio
+    val l2 = regStrength * (1.0 - l1Ratio)
+    val eps = 1e-9
+    val kl = betaLoss == "kullback-leibler"
+    var w = w0
+    var h = h0
     def gram(m: org.apache.spark.rdd.RDD[(Int, Array[Double])])
         : Array[Array[Double]] =
       m.aggregate(Array.fill(rank, rank)(0.0))(
@@ -1394,34 +1632,106 @@ object Models {
           }
           x
         })
+    def colSum(m: org.apache.spark.rdd.RDD[(Int, Array[Double])])
+        : Array[Double] =
+      m.aggregate(Array.fill(rank)(0.0))(
+        (acc, kv) => { var f = 0
+          while (f < rank) { acc(f) += kv._2(f); f += 1 }; acc },
+        (x, y) => { var f = 0
+          while (f < rank) { x(f) += y(f); f += 1 }; x })
+    def dot(a: Array[Double], b: Array[Double]): Double = {
+      var s = 0.0; var f = 0
+      while (f < rank) { s += a(f) * b(f); f += 1 }; s
+    }
+    // frobenius MU: denom (curG)_f + λ₁ + λ₂·cur_f
     def muUpdate(cur: Array[Double], num: Array[Double],
                  g: Array[Array[Double]]): Array[Double] =
       Array.tabulate(rank) { f =>
         var denom = 0.0
         var a = 0
         while (a < rank) { denom += cur(a) * g(a)(f); a += 1 }
+        denom += l1 + l2 * cur(f)
         cur(f) * num(f) / math.max(denom, eps)
       }
+    // KL MU: denom = (column sum of the OTHER factor) + λ₁ + λ₂·cur_f
+    def muUpdateKl(cur: Array[Double], num: Array[Double],
+                   otherColSum: Array[Double]): Array[Double] =
+      Array.tabulate(rank) { f =>
+        val denom = otherColSum(f) + l1 + l2 * cur(f)
+        cur(f) * num(f) / math.max(denom, eps)
+      }
+    // cd/HALS: sequential per-component sweep INSIDE the row — later
+    // components see this sweep's earlier updates (that is the whole
+    // point of coordinate descent)
+    def cdUpdate(cur: Array[Double], num: Array[Double],
+                 g: Array[Array[Double]]): Array[Double] = {
+      val out = cur.clone()
+      var f = 0
+      while (f < rank) {
+        var wg = 0.0
+        var a = 0
+        while (a < rank) { wg += out(a) * g(a)(f); a += 1 }
+        val grad = -num(f) + wg + l1
+        val hess = g(f)(f) + l2
+        out(f) = math.max(0.0, out(f) - grad / math.max(hess, eps))
+        f += 1
+      }
+      out
+    }
     (0 until iters).foreach { _ =>
-      // W step: numerator V·Hᵀ aggregates per user with H broadcast
+      // W step — numerators aggregate per user with H broadcast:
+      // frobenius/cd need V·Hᵀ; KL needs (V ⊘ WHᵀ)·H, which also
+      // reads the CURRENT W row, so the KL map joins w first
       val hMap = spark.sparkContext.broadcast(h.collectAsMap())
-      val hGram = gram(h)
-      val numW = triples.map { case (u, i, v) =>
-        (u, hMap.value(i).map(_ * v))
-      }.reduceByKey((x, y) => Array.tabulate(rank)(f => x(f) + y(f)))
+      val numW =
+        if (kl)
+          triples.map { case (u, i, v) => (u, (i, v)) }
+            .join(w)
+            .map { case (u, ((i, v), wf)) =>
+              val hi = hMap.value(i)
+              val q = v / math.max(dot(wf, hi), eps)
+              (u, hi.map(_ * q))
+            }
+            .reduceByKey((x, y) => Array.tabulate(rank)(f => x(f) + y(f)))
+        else
+          triples.map { case (u, i, v) =>
+            (u, hMap.value(i).map(_ * v))
+          }.reduceByKey((x, y) => Array.tabulate(rank)(f => x(f) + y(f)))
+      val hGram = if (kl) null else gram(h)
+      val hCols = if (kl) colSum(h) else null
       val wNew = graft.core.CacheScope.persistRdd(
         w.join(numW)
-          .mapValues { case (cur, num) => muUpdate(cur, num, hGram) })
-      val wGram = gram(wNew) // action — materializes wNew
-      // H step: numerator VᵀW joins the distributed updated W —
-      // user-scaled data never collects
-      val numH = triples.map { case (u, i, v) => (u, (i, v)) }
-        .join(wNew)
-        .map { case (_, ((i, v), wf)) => (i, wf.map(_ * v)) }
-        .reduceByKey((x, y) => Array.tabulate(rank)(f => x(f) + y(f)))
+          .mapValues { case (cur, num) =>
+            if (kl) muUpdateKl(cur, num, hCols)
+            else if (solver == "coordinate_descent") cdUpdate(cur, num, hGram)
+            else muUpdate(cur, num, hGram)
+          })
+      val wGram = if (kl) null else gram(wNew) // action — materializes wNew
+      val wCols = if (kl) colSum(wNew) else null
+      // H step: numerator VᵀW (or the KL quotient) joins the
+      // distributed UPDATED W — user-scaled data never collects; the
+      // KL quotient reads the CURRENT H via the still-live broadcast
+      val numH =
+        if (kl)
+          triples.map { case (u, i, v) => (u, (i, v)) }
+            .join(wNew)
+            .map { case (_, ((i, v), wf)) =>
+              val q = v / math.max(dot(wf, hMap.value(i)), eps)
+              (i, wf.map(_ * q))
+            }
+            .reduceByKey((x, y) => Array.tabulate(rank)(f => x(f) + y(f)))
+        else
+          triples.map { case (u, i, v) => (u, (i, v)) }
+            .join(wNew)
+            .map { case (_, ((i, v), wf)) => (i, wf.map(_ * v)) }
+            .reduceByKey((x, y) => Array.tabulate(rank)(f => x(f) + y(f)))
       val hNew = graft.core.CacheScope.persistRdd(
         h.join(numH)
-          .mapValues { case (cur, num) => muUpdate(cur, num, wGram) })
+          .mapValues { case (cur, num) =>
+            if (kl) muUpdateKl(cur, num, wCols)
+            else if (solver == "coordinate_descent") cdUpdate(cur, num, wGram)
+            else muUpdate(cur, num, wGram)
+          })
       hNew.count() // materialize before the old h/broadcast go away
       w.unpersist(false); h.unpersist(false)
       w = wNew; h = hNew

@@ -145,6 +145,20 @@ object Spaces {
     "epsilon" -> RealDim(1e-3, 10.0, logUniform = true),
     "reg" -> RealDim(1e-5, 1e-2, logUniform = true)))
 
+  /** reference: run_parameter_search.py:616-622 — the NMF space. The
+    * solver×beta_loss grid contains one sklearn-invalid cell
+    * (coordinate_descent × kullback-leibler): the reference's trial
+    * crashes there and its search records the invalid-config sentinel
+    * (SearchAbstractClass.py:465-477) — ours raises from the same
+    * constraint and the Lifecycle trial wrapper does the same.
+    * `l1_ratio` is a declared fit() parameter but NOT a searched
+    * dimension, exactly as in the reference. */
+  val nmf: ParamSpace = ParamSpace(Seq(
+    "num_factors" -> IntDim(1, 350),
+    "solver" -> CatDim(Seq("coordinate_descent", "multiplicative_update")),
+    "init_type" -> CatDim(Seq("random", "nndsvda")),
+    "beta_loss" -> CatDim(Seq("frobenius", "kullback-leibler"))))
+
   /** reference: run_parameter_search.py:219-245
     * (run_matrix_factorization_bpr_cython); the reference iterates
     * impression_sampling_mode ∈ none|inside|outside as an OUTER loop
@@ -175,6 +189,7 @@ object Spaces {
     Seq("rp3beta" -> rp3beta,
         "pure_svd" -> pureSvd,
         "ials" -> ials,
+        "nmf" -> nmf,
         "mf_bpr_impressions" -> mfBprImpressions)
 
   /** The catalog flattened to one row per dimension — the registered
@@ -368,6 +383,30 @@ object Spaces {
         val scores = uf.select(col("id").as("u"), dbl("features").as("ufac"))
           .crossJoin(itf.select(col("id").as("item"),
                                 dbl("features").as("ifac")))
+          .select(col("u"), col("item"),
+                  graft.functions.VectorFunctions
+                    .dot_product(col("ufac"), col("ifac")).as("score"))
+        Recommenders.recommend(scores, train, cutoff)
+          .select("u", "item", "rank")
+      }
+      case "nmf" => (train, p, cutoff) => {
+        val rank = math.min(num(p, "num_factors").toInt, maxRank)
+        // binary URM, bounded items (the nndsvda eigensolve and the
+        // smoke tier share pure_svd's catalog bound); the cd×KL cell
+        // raises sklearn's own constraint from inside the fit and the
+        // trial wrapper records the invalid-config sentinel
+        val bounded = train.filter(col("i") < 600)
+          .withColumn("v", lit(1.0))
+        val (uf, itf) = Models.nmf(spark, bounded, rank,
+          iters = maxEpochs, seed = 7,
+          solver = str(p, "solver"),
+          betaLoss = str(p, "beta_loss"),
+          initType = str(p, "init_type"))
+        // NMF predicts USER_factors·ITEM_factorsᵀ
+        // (BaseMatrixFactorizationRecommender), like ials
+        val scores = uf.select(col("u"), col("factors").as("ufac"))
+          .crossJoin(itf.select(col("i").as("item"),
+                                col("factors").as("ifac")))
           .select(col("u"), col("item"),
                   graft.functions.VectorFunctions
                     .dot_product(col("ufac"), col("ifac")).as("score"))

@@ -285,6 +285,10 @@ object TuningQueries {
         |  ('ials', 'alpha', 'real_log', 0.001, 50.0, NULL),
         |  ('ials', 'epsilon', 'real_log', 0.001, 10.0, NULL),
         |  ('ials', 'reg', 'real_log', 0.00001, 0.01, NULL),
+        |  ('nmf', 'num_factors', 'int', 1, 350, NULL),
+        |  ('nmf', 'solver', 'cat', NULL, NULL, 'coordinate_descent,multiplicative_update'),
+        |  ('nmf', 'init_type', 'cat', NULL, NULL, 'random,nndsvda'),
+        |  ('nmf', 'beta_loss', 'cat', NULL, NULL, 'frobenius,kullback-leibler'),
         |  ('mf_bpr_impressions', 'sgd_mode', 'cat', NULL, NULL, 'sgd,adagrad,adam'),
         |  ('mf_bpr_impressions', 'epochs', 'cat', NULL, NULL, '1500'),
         |  ('mf_bpr_impressions', 'num_factors', 'int', 1, 200, NULL),
@@ -307,8 +311,8 @@ object TuningQueries {
         // the smoke slice is deliberately small — ~3% of users and a
         // bounded item range — because the query's job is to prove the
         // catalog → decode → fit → evaluate → surrogate wiring end to
-        // end, not to produce meaningful metrics: 10 spaces × up to 2
-        // trials is ~18 distributed fit+evaluate pipelines per run
+        // end, not to produce meaningful metrics: 13 catalog spaces ×
+        // up to 2 trials is ~24 distributed fit+evaluate pipelines
         val urm = Urm.fromOrders(t)
           .filter(pmod(col("u"), lit(31)) === 0 && col("i") < 1500)
         val split = Urm.userWiseHoldout(urm, 0.8, seed = 11)
@@ -374,7 +378,15 @@ object TuningQueries {
                   // the acquisition path runs, at minimum trial cost
                   Spaces.unitRanges(space), nInit = 1, nTotal = 2,
                   candidatePool = 16, kappa = 1.0, seed = 31 + idx) { u =>
-                    eval(space.decode(u))
+                    // a crashing configuration records the invalid
+                    // sentinel and the search continues — the
+                    // reference's exception_list behavior
+                    // (SearchAbstractClass.py:465-477), the same
+                    // wrapper Lifecycle.runTrial applies; live in this
+                    // catalog via nmf's sklearn-invalid cd×KL cell
+                    try eval(space.decode(u))
+                    catch { case scala.util.control.NonFatal(_) =>
+                      Lifecycle.InvalidConfigValue }
                   }
               (alg, result.history.size, result.best.metric)
             }

@@ -44,6 +44,47 @@ class ModelsSpec extends SparkSpec {
     assert(itf.count() == 20)
   }
 
+  test("IALS deep fits survive (checkpoint-truncated lineage) — " +
+       "25 iterations used to overflow the task-serialization stack") {
+    val (uf, _) = Models.ials(urm, rank = 2, reg = 0.4, alpha = 1.0,
+                              iters = 25, seed = 3)
+    assert(uf.count() == 30)
+  }
+
+  test("ml.ALS solve == exact reference kernel under the weighted-λ " +
+       "translation (and ONLY under it)") {
+    // constant degree 2 on both axes so ml's weighted-λ (regParam
+    // scaled by the per-row positive count) is the uniform 2·λ
+    val tiny = Seq((0, 0, 1.0), (0, 1, 2.0), (1, 1, 1.0), (1, 2, 3.0),
+                   (2, 2, 2.0), (2, 3, 1.0), (3, 3, 2.0), (3, 0, 3.0))
+      .toDF("u", "i", "v")
+    val alpha = 2.0; val lam = 0.4
+    for (scaling <- Seq("linear", "log")) {
+      val (ufMl0, itfMl0) = Models.ials(tiny, rank = 2, reg = lam,
+        alpha = alpha, iters = 6, seed = 11,
+        confidenceScaling = scaling, epsilon = 0.5)
+      def toArr(df: org.apache.spark.sql.DataFrame) =
+        df.select(col("id"), col("features"))
+          .as[(Int, Array[Float])].collect()
+          .map { case (i, f) => (i, f.map(_.toDouble)) }.sortBy(_._1)
+      val ufMl = toArr(ufMl0)
+      val itfDf = toArr(itfMl0).toSeq.toDF("i", "factors")
+      def diffVs(reg: Double): Double = {
+        val step = Models.ialsUserStep(spark, tiny, itfDf, alpha, reg,
+            scaling, 0.5)
+          .as[(Int, Array[Double])].collect().sortBy(_._1)
+        step.zip(ufMl).map { case ((_, x), (_, y)) =>
+          x.zip(y).map { case (p, q) => math.abs(p - q) }.max }.max
+      }
+      // ml's LAST internal update is the user solve vs final item
+      // factors: the exact kernel reproduces it to float32 precision
+      assert(diffVs(2 * lam) < 1e-5, s"$scaling: solve mismatch")
+      // ...and the tie has teeth: the reference's PLAIN-λ reading of
+      // the same regParam does NOT match — the translation is real
+      assert(diffVs(lam) > 1e-3, s"$scaling: plain-λ unexpectedly matched")
+    }
+  }
+
   test("ialsUserStep guards its broadcast contract (duplicate / empty " +
        "item factors)") {
     import org.apache.spark.sql.functions.col

@@ -20,7 +20,7 @@ class SpacesSpec extends SparkSpec {
       Seq("random", "top_pop", "item_knn_cosine", "item_knn_jaccard",
           "item_knn_asymmetric", "item_knn_dice", "item_knn_tversky",
           "item_knn_euclidean",
-          "rp3beta", "pure_svd", "ials", "mf_bpr_impressions"))
+          "rp3beta", "pure_svd", "ials", "nmf", "mf_bpr_impressions"))
     assert(byAlg("random").dims.isEmpty && byAlg("top_pop").dims.isEmpty)
     // ItemKNN base space: topK Integer(5,1000), shrink Integer(0,1000)
     val cos = byAlg("item_knn_cosine").dims.toMap
@@ -62,6 +62,15 @@ class SpacesSpec extends SparkSpec {
       "alpha" -> RealDim(1e-3, 50.0, logUniform = true),
       "epsilon" -> RealDim(1e-3, 10.0, logUniform = true),
       "reg" -> RealDim(1e-5, 1e-2, logUniform = true)))
+    // NMF (run_parameter_search.py:616-622): solver/init_type/
+    // beta_loss categoricals; l1_ratio is declared on fit() but NOT
+    // searched — it must not be a dimension
+    assert(byAlg("nmf").dims == Seq(
+      "num_factors" -> IntDim(1, 350),
+      "solver" -> CatDim(Seq("coordinate_descent", "multiplicative_update")),
+      "init_type" -> CatDim(Seq("random", "nndsvda")),
+      "beta_loss" -> CatDim(Seq("frobenius", "kullback-leibler"))))
+    assert(!byAlg("nmf").keys.contains("l1_ratio"))
     val bpr = byAlg("mf_bpr_impressions").dims.toMap
     assert(bpr("learning_rate") == RealDim(1e-4, 1e-1, logUniform = true))
     assert(bpr("positive_reg") == RealDim(1e-5, 1e-2, logUniform = true))
@@ -188,6 +197,26 @@ class SpacesSpec extends SparkSpec {
     assert(pi("confidence_scaling") == PStr("log"))
     val mIals = Spaces.evaluator("ials", spark, train, valid, 5)(pi)
     assert(mIals >= 0.0 && mIals <= 1.0)
+    // nmf: u=0.9 decodes solver=multiplicative_update, init_type=
+    // nndsvda, beta_loss=kullback-leibler — the full new surface in
+    // one smoke trial
+    val nmfSpace = Spaces.catalog.toMap.apply("nmf")
+    val pn = nmfSpace.decode(nmfSpace.keys.map(_ -> 0.9).toMap)
+    assert(pn("solver") == PStr("multiplicative_update"))
+    assert(pn("init_type") == PStr("nndsvda"))
+    assert(pn("beta_loss") == PStr("kullback-leibler"))
+    val mNmf = Spaces.evaluator("nmf", spark, train, valid, 5)(pn)
+    assert(mNmf >= 0.0 && mNmf <= 1.0)
+    // the sklearn-invalid cd×KL cell raises from inside the fit —
+    // the Lifecycle trial wrapper turns this into the invalid-config
+    // sentinel, the reference's exception_list behavior
+    val pBad = nmfSpace.decode(Map("num_factors" -> 0.5,
+      "solver" -> 0.1, "init_type" -> 0.1, "beta_loss" -> 0.9))
+    assert(pBad("solver") == PStr("coordinate_descent"))
+    assert(pBad("beta_loss") == PStr("kullback-leibler"))
+    intercept[IllegalArgumentException] {
+      Spaces.evaluator("nmf", spark, train, valid, 5)(pBad)
+    }
   }
 
   test("ials log confidence scaling changes the fit; linear matches " +
