@@ -141,12 +141,13 @@ object Soak {
         val emb = graft.core.CacheScope.persist(
           t.embeddings.select(col("vec_id").as("id"), col("embedding")))
         val queries = emb.filter(col("id") % 20 === 0)
-        // cells scale with √N (the standard IVF sizing rule) so the
+        // cells scale with √N via the PRODUCTION default
+        // (Ann.ivfAutoCells — the standard IVF sizing rule) so the
         // per-query candidate set stays ~√N — holding nCells constant
         // while the corpus grows would grow candidates linearly per
         // query and the measurement would read quadratic by sizing,
         // not by plan
-        val nCells = math.max(16, math.sqrt(emb.count().toDouble).toInt)
+        val nCells = graft.ann.Ann.ivfAutoCells(emb)
         val cents = graft.ann.Ann.ivfCentroids(emb, nCells)
         val books = graft.ann.Ann.pqCodebooks(emb, m = 8, subDim = 8,
                                               nCodes = 16)
@@ -171,6 +172,62 @@ object Soak {
         val m = graft.tuning.Spaces
           .evaluator("item_knn_cosine", spark, train, valid, 10)(p)
         if (m >= 0.0) 1L else 0L
+      }),
+      // lifecycle tier (the q168 shape, proportional): per-epoch
+      // validation monitors × full evaluations, search → capture →
+      // retrain on train∪validation → 3-cutoff test — on a 1/3 user
+      // stratum so the whole mechanism's cost scales with the data
+      // (q168's own slice, unbounded items)
+      "lifecycle_earlystop" -> (() => {
+        import graft.tuning.{Lifecycle, Spaces}
+        val urmS = graft.core.CacheScope.persist(
+          urm.select("u", "i").filter(pmod(col("u"), lit(3)) === 0))
+        val mark1 = pmod(col("u") * 31 + col("i"), lit(10)) < 8
+        val mark2 = pmod(col("u") * 17 + col("i"), lit(10)) < 7
+        val train = graft.core.CacheScope.persist(
+          urmS.filter(mark1 && mark2))
+        val valid = graft.core.CacheScope.persist(
+          urmS.filter(mark1 && !mark2))
+        val test = urmS.filter(!mark1)
+        def popRecs(tr: DataFrame, e: Int, cutoff: Int): DataFrame =
+          Recommenders.recommendGlobal(
+            Recommenders.topPop(
+                tr.filter(pmod(col("u") * 7 + col("i"), lit(3)) < e))
+              .select(col("i").as("item"),
+                      col("pop").cast("double").as("score")),
+            tr, cutoff)
+        val res = Lifecycle.searchThenFinalTestAdjusted(
+          "top_pop_incremental", Spaces.topPop, train, valid, test,
+          trial = (tr, p, c) => {
+            val byEpoch = (1 to 3).map(e =>
+              e -> Spaces.mapAt(popRecs(tr, e, c), valid, c))
+            val (bestE, bestM) = byEpoch.maxBy { case (e, m) => (m, -e) }
+            (bestM, p + ("epochs" -> Spaces.PNum(bestE)))
+          },
+          finalFit = (tr, p, c) => {
+            val e = p("epochs") match {
+              case Spaces.PNum(v) => v.toInt; case _ => 1 }
+            popRecs(tr, e, c)
+          })
+        res.testMetrics.count()
+      }),
+      // streaming tier: the file-source events stream driven through
+      // the NATIVE session-window aggregation (the production
+      // continuous-sessionization path) to a memory sink — state is
+      // watermark-bounded; work scales with the events axis
+      "streaming_sessions" -> (() => {
+        val ev = graft.streaming.EventStreams.readEventStream(spark, sfDir)
+        val agg = graft.streaming.EventStreams.sessionWindowAgg(
+          ev, "user_id", "ts", "value", gap = "30 minutes",
+          watermark = Some("2 hours"))
+        val name = "soak_sessions_" + math.abs(sfDir.hashCode).toString
+        val q = agg.writeStream.format("memory").queryName(name)
+          .outputMode(org.apache.spark.sql.streaming.OutputMode.Append())
+          .start()
+        q.processAllAvailable(); q.stop()
+        val n = spark.table(name).count()
+        spark.catalog.dropTempView(name)
+        n
       })
     )
 
@@ -257,7 +314,19 @@ object Soak {
       "\"" + k + "\":[" +
         v.map(x => math.round(x * 1000) / 1000.0).mkString(",") + "]" }
       .mkString("{", ",", "}")
-    println(s"""{"sf":"$sfDir","medians":${jmap(medians)},"runs":$runsJson,"shuffle_mb_per_rep":${jmap(shuffleMb)},"load_at_start":${jmap(load)}}""")
+    val line =
+      s"""{"sf":"$sfDir","medians":${jmap(medians)},"runs":$runsJson,"shuffle_mb_per_rep":${jmap(shuffleMb)},"load_at_start":${jmap(load)}}"""
+    println(line)
+    // committed artifact (the BENCH_r{N}.json convention, VERDICT r9
+    // #2): append one JSON line per soaked scale factor so a round's
+    // multi-point curve accumulates into ONE parseable file instead of
+    // println transcription into SURVEY prose
+    sys.env.get("SPARK_GRAFT_SOAK_OUT").foreach { f =>
+      java.nio.file.Files.write(java.nio.file.Paths.get(f),
+        (line + "\n").getBytes("UTF-8"),
+        java.nio.file.StandardOpenOption.CREATE,
+        java.nio.file.StandardOpenOption.APPEND)
+    }
     spark.stop()
   }
 }

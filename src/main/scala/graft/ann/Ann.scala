@@ -204,6 +204,26 @@ object Ann {
     ivfCosineTopKWith(queries, corpus, ivfCentroids(corpus, nCells),
                       nProbe, k)
 
+  /** The production IVF sizing default: nCells = max(minCells, ⌊√N⌋) —
+    * the standard inverted-file rule (candidate work per query ≈
+    * nProbe·N/nCells, so √N cells balances probe cost against cell
+    * size; at √N the per-query scan is ~nProbe·√N instead of N). The
+    * soak measured the ANN serving path at wall exponent 0.49 under
+    * this rule vs super-linear growth at any CONSTANT cell count. One
+    * cheap count() prices the rule. Explicit-nCells entry points stay
+    * the escape hatch the oracle demos (q88/q162) need: a constant
+    * cell count is reproducible across engines and scale factors,
+    * while the auto count changes with the corpus. */
+  def ivfAutoCells(corpus: DataFrame, minCells: Int = 16): Int =
+    math.max(minCells, math.sqrt(corpus.count().toDouble).toInt)
+
+  /** [[ivfCosineTopK]] with the √N auto-sized quantizer — the
+    * production default for a corpus whose size the caller doesn't
+    * want to reason about. */
+  def ivfCosineTopKAuto(queries: DataFrame, corpus: DataFrame,
+                        nProbe: Int, k: Int): DataFrame =
+    ivfCosineTopK(queries, corpus, ivfAutoCells(corpus), nProbe, k)
+
   /** [[ivfCosineTopK]] against caller-supplied centroids (e.g. the
     * Lloyd-refined quantizer from [[ivfCentroidsLloyd]]). */
   def ivfCosineTopKWith(queries: DataFrame, corpus: DataFrame,

@@ -285,6 +285,72 @@ object ScaleQueries {
         |)
         |SELECT * FROM grp UNION ALL SELECT * FROM tot""".stripMargin)),
 
+    // The STREAMING face of the q163 increment story, as a registered
+    // oracle row (VERDICT r9 optional #7; previously fixture-only in
+    // StreamingMultimodalSpec): a real writeStream drives two
+    // micro-batches through foreachBatch, each batch reduces to a
+    // persistable kllSketchFrame increment, and the merged quantiles
+    // over ALL batch frames equal the order statistics of everything
+    // the stream ever saw — no batch rescanned. Exact regime (40
+    // values/group ≤ k = 200, no compaction), inclusive quantile =
+    // value at rank ⌈q·n⌉, so the DuckDB twin is exact: per-group
+    // ranks 10/20/30 of n = 40; the cross-group total ranks 20/40/60
+    // of n = 80. A dropped batch, a double-counted frame, or a lossy
+    // merge is a red hash row.
+    Q("q173_streaming_kll_gate", { t =>
+        import t.spark.implicits._
+        implicit val sqlCtx: org.apache.spark.sql.SQLContext =
+          t.spark.sqlContext
+        val stream = org.apache.spark.sql.execution.streaming.runtime
+          .MemoryStream[(String, Double)]
+        val frames = scala.collection.mutable.ArrayBuffer
+          .empty[org.apache.spark.sql.Row]
+        val q = stream.toDF().toDF("g", "v").writeStream
+          .outputMode(org.apache.spark.sql.streaming.OutputMode.Append())
+          .foreachBatch { (batch: org.apache.spark.sql.DataFrame,
+                           _: Long) =>
+            frames ++= Sketches.kllSketchFrame(batch, col("g"), col("v"))
+              .collect()
+            ()
+          }
+          .start()
+        stream.addData((1 to 20).map(i => ("a", i.toDouble)) ++
+                       (1 to 20).map(i => ("b", i * 10.0)): _*)
+        q.processAllAvailable()
+        stream.addData((21 to 40).map(i => ("a", i.toDouble)) ++
+                       (21 to 40).map(i => ("b", i * 10.0)): _*)
+        q.processAllAvailable()
+        q.stop()
+        val union = t.spark.createDataFrame(
+          t.spark.sparkContext.parallelize(frames.toSeq),
+          frames.head.schema)
+        Sketches.kllMergeQuantiles(union, Seq(0.25, 0.5, 0.75))
+      },
+      Some("""WITH s AS (
+        |  SELECT 'a' AS g, CAST(i AS DOUBLE) AS v
+        |  FROM generate_series(1, 40) t(i)
+        |  UNION ALL
+        |  SELECT 'b' AS g, CAST(i * 10 AS DOUBLE) AS v
+        |  FROM generate_series(1, 40) t(i)
+        |), grp AS (
+        |  SELECT g, FALSE AS is_total,
+        |    MAX(CASE WHEN r = 10 THEN v END) AS q25,
+        |    MAX(CASE WHEN r = 20 THEN v END) AS q50,
+        |    MAX(CASE WHEN r = 30 THEN v END) AS q75
+        |  FROM (SELECT g, v,
+        |          ROW_NUMBER() OVER (PARTITION BY g ORDER BY v) AS r
+        |        FROM s) t
+        |  GROUP BY g
+        |), tot AS (
+        |  SELECT CAST(NULL AS VARCHAR) AS g, TRUE AS is_total,
+        |    MAX(CASE WHEN r = 20 THEN v END) AS q25,
+        |    MAX(CASE WHEN r = 40 THEN v END) AS q50,
+        |    MAX(CASE WHEN r = 60 THEN v END) AS q75
+        |  FROM (SELECT v, ROW_NUMBER() OVER (ORDER BY v) AS r
+        |        FROM s) t
+        |)
+        |SELECT * FROM grp UNION ALL SELECT * FROM tot""".stripMargin)),
+
     // Dangling-mass-redistributing PageRank (3 iterations) over a
     // DIRECTED bipartite part->supplier graph, where every supplier
     // node is dangling (no out-edges) — the redistribution term does

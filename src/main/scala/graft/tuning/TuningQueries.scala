@@ -627,6 +627,42 @@ object TuningQueries {
         |             / (SUM(prec) / COUNT(*) + SUM(rec) / COUNT(*))
         |        ELSE 0.0 END, 6) AS f1,
         |  COUNT(*) AS n_users
-        |FROM scored GROUP BY cutoff""".stripMargin))
+        |FROM scored GROUP BY cutoff""".stripMargin)),
+
+    // §3.2 STRICT gate — the surrogate PROPOSER itself (VERDICT r9
+    // optional #7): Search.surrogate is seeded-deterministic, so a
+    // 1-D search over an ANALYTIC objective (−(x−0.3)², no Spark fits)
+    // pins the full trial sequence — the seeded java.util.Random draw
+    // stream, the target standardization, the ridge quadratic solve,
+    // the kappa-weighted distance bonus, and each acquisition argmax.
+    // Oracle VALUES derived INDEPENDENTLY: a python twin reimplements
+    // the java LCG (0x5DEECE66D) in integer arithmetic and the
+    // surrogate in numpy — acquisition argmax gaps ≥ 3.3·10⁻² vs
+    // ~10⁻¹⁵ solver drift, emitted-value margins ≥ 2.8·10⁻⁸. The
+    // sequence shows the machinery working: inits land at 0.73/0.68,
+    // every guided trial lands within 0.09 of the optimum. A drifted
+    // draw stream, a wrong standardization, or a flipped acquisition
+    // is a red hash row — this gives q135's machinery (not its
+    // stochastic fits) an oracle row.
+    Q("q172_surrogate_sequence_gate", { t =>
+        import t.spark.implicits._
+        val res = Search.surrogate(Map("x" -> (0.0, 1.0)), nInit = 2,
+          nTotal = 5, candidatePool = 8, kappa = 1.0, seed = 42) { p =>
+            val x = p("x"); -(x - 0.3) * (x - 0.3)
+          }
+        res.history.zipWithIndex.map { case (tr, i) =>
+          (i, tr.params("x"), tr.metric,
+           tr.params == res.best.params && tr.metric == res.best.metric)
+        }.toDF("trial", "x", "metric", "is_best")
+          .select(col("trial"), round(col("x"), 6).as("x"),
+                  round(col("metric"), 6).as("metric"), col("is_best"))
+      },
+      Some("""SELECT * FROM (VALUES
+        |  (0, CAST(0.727564 AS DOUBLE), CAST(-0.182811 AS DOUBLE), false),
+        |  (1, 0.683223, -0.14686, false),
+        |  (2, 0.275748, -0.000588, true),
+        |  (3, 0.386567, -0.007494, false),
+        |  (4, 0.35792, -0.003355, false)
+        |) t(trial, x, metric, is_best)""".stripMargin))
   )
 }

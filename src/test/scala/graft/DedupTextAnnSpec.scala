@@ -375,6 +375,25 @@ class DedupTextAnnSpec extends SparkSpec {
     assert(cells.count() > 1, "quantizer must produce multiple cells")
   }
 
+  test("IVF auto-sizing applies the √N rule and matches the " +
+       "explicit-cells path") {
+    // 400 vectors → ⌊√400⌋ = 20 cells (above the 16-cell floor);
+    // 9 vectors → the floor wins
+    val vecs = (0 until 400).map { i =>
+      (i.toLong, Array.tabulate(4)(d => ((i * 7 + d * 3) % 13).toDouble + 1))
+    }.toDF("id", "embedding")
+    assert(Ann.ivfAutoCells(vecs) == 20)
+    assert(Ann.ivfAutoCells(vecs.limit(9)) == 16)
+    // the auto path IS the explicit path at the computed count — same
+    // quantizer, same candidates, same ranks
+    val q = vecs.filter(col("id") % 40 === 0)
+    val auto = Ann.ivfCosineTopKAuto(q, vecs, nProbe = 2, k = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(3))).toSet
+    val explicit = Ann.ivfCosineTopK(q, vecs, nCells = 20, nProbe = 2, k = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(3))).toSet
+    assert(auto == explicit)
+  }
+
   test("Lloyd-refined IVF cuts distortion and preserves the duplicate") {
     def vec(base: Array[Double], noise: Double, salt: Int): Array[Double] =
       base.zipWithIndex.map { case (v, d) => v + noise * ((salt + d) % 3) }

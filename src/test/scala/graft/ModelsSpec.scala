@@ -426,6 +426,35 @@ class ModelsSpec extends SparkSpec {
     assert(e5 < e1, s"NMF SSE should decrease: $e1 -> $e5")
   }
 
+  test("NMF variant combinations run end-to-end (nndsvda init + each " +
+       "solver/loss; KL divergence decreases under KL-MU)") {
+    // the searched path's actual combinations (q171 gates init and
+    // updates separately; this drives them COMPOSED)
+    def fit(solver: String, beta: String, iters: Int) =
+      Models.nmf(spark, urm, rank = 3, iters = iters, seed = 1,
+                 solver = solver, betaLoss = beta, initType = "nndsvda")
+    def klDiv(wh: (org.apache.spark.sql.DataFrame,
+                   org.apache.spark.sql.DataFrame)): Double = {
+      val wm = wh._1.as[(Int, Array[Double])].collect().toMap
+      val hm = wh._2.as[(Int, Array[Double])].collect().toMap
+      urm.select("u", "i", "v").as[(Int, Int, Int)].collect().map {
+        case (u, i, v) =>
+          val p = math.max(
+            wm(u).zip(hm(i)).map { case (a, b) => a * b }.sum, 1e-12)
+          v * math.log(v / p) - v + p
+      }.sum
+    }
+    val k1 = klDiv(fit("multiplicative_update", "kullback-leibler", 1))
+    val k4 = klDiv(fit("multiplicative_update", "kullback-leibler", 4))
+    assert(k4 < k1, s"KL divergence should decrease: $k1 -> $k4")
+    // cd from nndsvda: nonnegative and finite after sweeps
+    val (wc, hc) = fit("coordinate_descent", "frobenius", 3)
+    assert(wc.as[(Int, Array[Double])].collect()
+      .forall(_._2.forall(x => x >= 0.0 && !x.isNaN)))
+    assert(hc.as[(Int, Array[Double])].collect()
+      .forall(_._2.forall(x => x >= 0.0 && !x.isNaN)))
+  }
+
   test("early stopping stops after patience non-improving validations") {
     val metrics = Seq(0.1, 0.2, 0.3, 0.25, 0.2, 0.15, 0.1)
     var calls = 0

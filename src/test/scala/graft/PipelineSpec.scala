@@ -109,8 +109,22 @@ class PipelineSpec extends SparkSpec {
     val table = Results.comparisonTable(tall, Seq("map", "ndcg"))
     assert(table.columns.toSeq == Seq("algorithm", "map", "ndcg"))
     val csv = Results.toCsv(table)
-    assert(csv.startsWith("algorithm,map,ndcg"))
-    assert(csv.contains("ItemKNN,0.400000,0.350000"))
+    // GOLDEN string (the toLatex convention, VERDICT r9 #6): header +
+    // algorithm-ordered rows, 6-decimal doubles — any drift in
+    // ordering, separator, or number formatting is a red assert, not
+    // a substring near-miss
+    val csvGolden = Seq(
+      "algorithm,map,ndcg",
+      "ItemKNN,0.400000,0.350000",
+      "TopPop,0.500000,0.250000").mkString("\n")
+    assert(csv == csvGolden, s"toCsv drifted from the golden artifact:\n$csv")
+    // null cells export as EMPTY fields (the ResultFolderLoader
+    // dataframe-to-csv convention for missing metrics), non-doubles
+    // verbatim
+    val withNull = Results.toCsv(Seq(("A", Some(0.5)), ("B", None))
+      .toDF("algorithm", "map"))
+    assert(withNull == "algorithm,map\nA,0.500000\nB,",
+      s"null-cell CSV drifted:\n$withNull")
     val tex = Results.toLatex(table, "Accuracy")
     // GOLDEN string — the full ResultFolderLoader-shaped artifact
     // (generate_latex_results: algorithms as rows, metrics as columns,
