@@ -45,20 +45,32 @@ object EventStreams {
     // correctly (java.io.File would report false for any scheme-
     // qualified path and silently skip the probe).
     val probePath = new org.apache.hadoop.fs.Path(s"$dir/events.parquet")
-    val probeExists = scala.util.Try(
-      probePath.getFileSystem(spark.sessionState.newHadoopConf())
-        .exists(probePath)).getOrElse(false)
+    val probeFs = scala.util.Try(
+      probePath.getFileSystem(spark.sessionState.newHadoopConf()))
+    val probeStatus = probeFs.flatMap(fs =>
+      scala.util.Try(fs.getFileStatus(probePath))).toOption
     val tsType =
-      if (probeExists)
+      if (probeStatus.isDefined)
         spark.read.parquet(s"$dir/events.parquet").schema("ts").dataType
       else TimestampNTZType
     val schema = StructType(Seq(
       StructField("event_id", LongType), StructField("ts", tsType),
       StructField("user_id", LongType), StructField("event_type", StringType),
       StructField("value", DoubleType), StructField("props", StringType)))
-    val raw = spark.readStream.schema(schema)
-      .option("pathGlobFilter", "events.parquet")
-      .parquet(dir)
+    // events.parquet ships in two layouts: a single FILE (the driver's
+    // testdata) and a part-file DIRECTORY (any Spark writer, e.g. the
+    // scale synthesizer). pathGlobFilter matches LEAF file names only,
+    // so filtering the parent dir for "events.parquet" reads zero rows
+    // in the directory layout — stream the table path itself when it is
+    // a directory, and keep the leaf filter (which excludes the other
+    // tables' files) only for the single-file layout.
+    val raw =
+      if (probeStatus.exists(_.isDirectory))
+        spark.readStream.schema(schema).parquet(s"$dir/events.parquet")
+      else
+        spark.readStream.schema(schema)
+          .option("pathGlobFilter", "events.parquet")
+          .parquet(dir)
     (if (tsType == LongType)
        raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
      else raw.withColumn("ts", col("ts").cast(TimestampType)))

@@ -279,6 +279,28 @@ class StreamingMultimodalSpec extends SparkSpec {
     assert(streamed.select("eventType").distinct().count() >= 3)
   }
 
+  test("file-source stream reads the part-file DIRECTORY layout " +
+       "(Spark-written events.parquet, the scale synthesizer's shape)") {
+    // pathGlobFilter matches leaf file names only, so the single-file
+    // read path silently streams ZERO rows when events.parquet is a
+    // directory — regression for the layout dispatch in readEventStream
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_evdir").toString
+    graft.core.Tables(spark, "/root/testdata/sf0.001").events
+      .select("event_id", "ts", "user_id", "event_type", "value", "props")
+      .repartition(2)
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val streamed = EventStreams.runToMemory(
+      spark,
+      EventStreams.hourlyWindowedAgg(EventStreams.readEventStream(spark, dir)),
+      "file_win_dir", OutputMode.Complete())
+    val streamTotal = streamed.agg(sum("n")).head().getLong(0)
+    val batchTotal = graft.core.Tables(spark, "/root/testdata/sf0.001")
+      .events.count()
+    assert(streamTotal == batchTotal,
+           s"stream=$streamTotal batch=$batchTotal")
+  }
+
   test("streaming exact dedup drops repeated fingerprints") {
     implicit val sqlCtx = spark.sqlContext
     val stream = MemoryStream[Event]
