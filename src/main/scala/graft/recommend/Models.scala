@@ -1438,6 +1438,11 @@ object Models {
       : (DataFrame, DataFrame) = {
     require(nItems <= maxItems,
       s"NNDSVDa dense eigensolve guarded at $maxItems items; got $nItems")
+    // the Gram eigensolve yields at most nItems components; a larger
+    // rank would index past vMat below (sklearn's NNDSVD carries the
+    // same n_components <= n_features precondition)
+    require(rank <= nItems,
+      s"NNDSVDa rank must be <= nItems; got rank=$rank, nItems=$nItems")
     import spark.implicits._
     val tri = graft.core.CacheScope.persistRdd(
       urm.select(col("u").cast("int"), col("i").cast("int"),

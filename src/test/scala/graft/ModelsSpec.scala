@@ -455,6 +455,18 @@ class ModelsSpec extends SparkSpec {
       .forall(_._2.forall(x => x >= 0.0 && !x.isNaN)))
   }
 
+  test("NNDSVDa init rejects rank > nItems (would index past the " +
+       "Gram eigenbasis)") {
+    val nItems = urm.agg(org.apache.spark.sql.functions.max("i"))
+      .head.getInt(0) + 1
+    val e = intercept[IllegalArgumentException] {
+      Models.nndsvdaInit(spark, urm.withColumn(
+        "v", org.apache.spark.sql.functions.col("v").cast("double")),
+        rank = nItems + 1, nItems = nItems)
+    }
+    assert(e.getMessage.contains("rank"))
+  }
+
   test("early stopping stops after patience non-improving validations") {
     val metrics = Seq(0.1, 0.2, 0.3, 0.25, 0.2, 0.15, 0.1)
     var calls = 0
