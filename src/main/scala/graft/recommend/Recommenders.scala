@@ -175,30 +175,54 @@ object Recommenders {
 
   /** R1 for non-personalized (global) scorers, scale-safe: a user can
     * displace at most their own seen count from the global top list, so
-    * ranking the top `k + max_u(seen_u)` candidates per user is exactly
-    * equivalent to the dense users×items cross join — M candidate rows
-    * per user instead of |items|. At 100 TB this is the difference
-    * between a broadcast of a few hundred rows and a quadratic shuffle.
-    * Returns (u, item, rank). */
+    * only the top `m = k + max_u(seen_u)` candidates can ever be
+    * recommended — and a user's top-k all sit within the first
+    * `k + |seen_u ∩ candidates|` global positions. The plan works in
+    * POSITION space: rank the m candidates once, collect each user's
+    * blocked positions (seen ∩ candidates — the only corpus-sized
+    * shuffle), and take the first k unblocked positions per user with
+    * `array_except(sequence(…), seenPos)`. No users×m frame is ever
+    * materialized: the previous dense-frame formulation shuffled
+    * users×m rows twice (anti-join + window) and its data movement
+    * jumped super-linearly in the r10 soak once the anti-join's build
+    * side outgrew broadcast range at sf1. Shuffle here is
+    * |seen ∩ candidates| + |users| + users×k output — linear in input
+    * at any scale. Returns (u, item, rank). */
   def recommendGlobal(globalScores: DataFrame, seen0: DataFrame,
                       k: Int): DataFrame = {
     // `seen` feeds the bound computation, the user list, and the
-    // anti-join — persist once instead of recomputing the subtree
+    // blocked-position join — persist once instead of recomputing it
     val seen = graft.core.CacheScope.persist(seen0)
     val maxSeen = seen.groupBy("u").agg(count(lit(1)).as("n"))
       .agg(max("n")).head().getLong(0)
     val m = k + maxSeen.toInt
-    val candidates = globalScores
+    // global positions of the top-m candidates; m rows, so the
+    // single-partition window is the right plan at this size. Persisted
+    // because BOTH broadcasts below (blocked-position join, final item
+    // lookup) consume it — unpersisted, each broadcast would recompute
+    // the whole globalScores subtree (e.g. the TopPop aggregate)
+    val ranked = graft.core.CacheScope.persist(globalScores
       .orderBy(desc("score"), asc("item")).limit(m)
+      .withColumn("pos",
+        row_number().over(Window.orderBy(desc("score"), asc("item"))))
+      .select("pos", "item"))
+    val blocked = seen.select(col("u"), col("i").as("item"))
+      .join(broadcast(ranked), Seq("item"))
+      .groupBy("u").agg(collect_set("pos").as("seenPos"))
     val users = seen.select("u").distinct()
-    val dense = users.join(broadcast(candidates))
-    val unseen = dense.join(
-      seen.select(col("u"), col("i").as("item")), Seq("u", "item"),
-      "left_anti")
-    val w = Window.partitionBy("u").orderBy(desc("score"), asc("item"))
-    unseen.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select("u", "item", "rank")
+    val picks = users.join(blocked, Seq("u"), "left")
+      .withColumn("seenPos",
+        coalesce(col("seenPos"), typedLit(Array.empty[Int])))
+      // scan range k + |seenPos_u| is exact per user, so the per-row
+      // array stays k + a user's own blocked count, never m
+      .withColumn("picks",
+        slice(array_except(
+                sequence(lit(1), lit(k) + size(col("seenPos"))),
+                col("seenPos")),
+              1, k))
+      .select(col("u"), posexplode(col("picks")).as(Seq("idx", "pos")))
+    picks.join(broadcast(ranked), Seq("pos"))
+      .select(col("u"), col("item"), (col("idx") + 1).as("rank"))
   }
 
   /** R2 — restrict scoring to a candidate set (negative-item ranking,

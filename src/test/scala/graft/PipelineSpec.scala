@@ -76,6 +76,43 @@ class PipelineSpec extends SparkSpec {
            "TopPop must beat zero precision on a dense basket dataset")
   }
 
+  test("recommendGlobal position-space plan equals the dense " +
+       "users×candidates definition (ties, deep-seen user, unseen user)") {
+    // fixture stresses the plan's edges: item scores with TIES (item-asc
+    // tie order), a user who saw most of the global head (their top-k
+    // must reach past k + |seen∩candidates| - 1 positions), a user whose
+    // seen items are all OUTSIDE the candidate head, and a catalog
+    // smaller than m for some users' scan range
+    val scores = Seq(
+      (100, 9.0), (101, 9.0), (102, 7.0), (103, 7.0), (104, 7.0),
+      (105, 3.0), (106, 2.0), (107, 1.0))
+      .toDF("item", "score")
+    val seen = Seq(
+      (1, 100), (1, 101), (1, 102), (1, 104),   // deep-seen in the head
+      (2, 107),                                 // tail-only
+      (3, 105), (3, 106), (3, 107))             // mid/tail mix
+      .toDF("u", "i")
+    val k = 3
+    val got = Recommenders.recommendGlobal(scores, seen, k)
+      .collect().map(r => (r.getInt(0), r.getInt(1), r.getInt(2))).toSet
+    // dense definition: every user × every item, drop seen, rank by
+    // (score desc, item asc), keep k — the semantics the position-space
+    // plan must reproduce without ever materializing this frame
+    val dense = seen.select("u").distinct().crossJoin(scores)
+      .join(seen.withColumnRenamed("i", "item"), Seq("u", "item"),
+            "left_anti")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("u").orderBy(desc("score"), asc("item"))
+    val want = dense.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k).select("u", "item", "rank")
+      .collect().map(r => (r.getInt(0), r.getInt(1), r.getInt(2))).toSet
+    assert(got == want, s"got=$got want=$want")
+    // user 1's third pick must skip 4 seen head items: 101? no — seen;
+    // expected head order 100,101,102,103,104,105…; unseen: 103,105,106
+    assert(got.filter(_._1 == 1).toSeq.sortBy(_._3).map(_._2)
+             == Seq(103, 105, 106))
+  }
+
   test("grid search finds the best ItemKNN config deterministically") {
     val t = Tables(spark, "/root/testdata/sf0.001")
     val split = Urm.hashSplit(Urm.fromOrders(t), 8, 10)
