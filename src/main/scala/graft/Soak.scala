@@ -211,6 +211,26 @@ object Soak {
           })
         res.testMetrics.count()
       }),
+      // sequence packing over the full corpus: the global token cumsum
+      // routes through the two-pass range-partitioned prefix sum
+      // (parallel windows + broadcast offsets) — the "windowless
+      // two-pass cumsum" scale claim, measured
+      "sequence_packing" -> (() =>
+        graft.text.TextOps.packSequences(
+          t.documents, col("doc_id"), col("text"), budget = 2048L)
+          .count()),
+      // bloom-pruned semi-join: full lineitem probe against a ~2%
+      // orders build — the scan-side codegen'd might_contain prune
+      // whose payoff is exactly the shuffle bytes it avoids
+      "bloom_semijoin" -> (() => {
+        val probe = t.lineitem.select(col("l_orderkey"))
+        val build = t.orders
+          .filter(pmod(col("o_orderkey"), lit(50)) === 0)
+          .select("o_orderkey")
+        graft.operators.JoinPrune.bloomSemiJoin(
+          probe, build, "l_orderkey", "o_orderkey",
+          expectedItems = 0L).count()
+      }),
       // streaming tier: the file-source events stream driven through
       // the NATIVE session-window aggregation (the production
       // continuous-sessionization path) to a memory sink — state is
