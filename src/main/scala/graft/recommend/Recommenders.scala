@@ -186,35 +186,47 @@ object Recommenders {
     * users×m rows twice (anti-join + window) and its data movement
     * jumped super-linearly in the r10 soak once the anti-join's build
     * side outgrew broadcast range at sf1. Shuffle here is
-    * |seen ∩ candidates| + |users| + users×k output — linear in input
-    * at any scale. Returns (u, item, rank). */
+    * |seen ∩ candidates| + users×k output — linear in input at any
+    * scale. The m-row candidate head is collected once and re-enters
+    * the plan as a LocalRelation, so both position lookups broadcast it
+    * without spending a distributed job — per-call job count matches
+    * the dense formulation (which collected the same m rows inside its
+    * broadcast build). Returns (u, item, rank). */
   def recommendGlobal(globalScores: DataFrame, seen0: DataFrame,
                       k: Int): DataFrame = {
-    // `seen` feeds the bound computation, the user list, and the
-    // blocked-position join — persist once instead of recomputing it
+    // `seen` feeds the bound computation and the blocked-position
+    // join — persist once instead of recomputing it
     val seen = graft.core.CacheScope.persist(seen0)
     val maxSeen = seen.groupBy("u").agg(count(lit(1)).as("n"))
       .agg(max("n")).head().getLong(0)
     val m = k + maxSeen.toInt
-    // global positions of the top-m candidates; m rows, so the
-    // single-partition window is the right plan at this size. Persisted
-    // because BOTH broadcasts below (blocked-position join, final item
-    // lookup) consume it — unpersisted, each broadcast would recompute
-    // the whole globalScores subtree (e.g. the TopPop aggregate)
-    val ranked = graft.core.CacheScope.persist(globalScores
+    // the m-row candidate head, positions assigned in driver order
+    // (TakeOrderedAndProject returns rows already in (score desc,
+    // item asc) order). m = k + maxSeen is the operator's documented
+    // driver/broadcast envelope — the dense formulation shipped the
+    // same rows through its broadcast, which collects them anyway.
+    val spark = globalScores.sparkSession
+    val head = globalScores
       .orderBy(desc("score"), asc("item")).limit(m)
-      .withColumn("pos",
-        row_number().over(Window.orderBy(desc("score"), asc("item"))))
-      .select("pos", "item"))
+      .select("item").collect()
+    val rankedSchema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField(
+        "pos", org.apache.spark.sql.types.IntegerType, nullable = false),
+      globalScores.schema("item")))
+    val ranked = spark.createDataFrame(
+      java.util.Arrays.asList(head.zipWithIndex.map { case (r, i) =>
+        org.apache.spark.sql.Row(i + 1, r.get(0)) }: _*), rankedSchema)
+    // ONE aggregation yields every user plus their blocked positions:
+    // the left join keeps users whose seen items all miss the candidate
+    // head (collect_set skips the null pos), so no separate
+    // users-distinct + re-join pass is needed
     val blocked = seen.select(col("u"), col("i").as("item"))
-      .join(broadcast(ranked), Seq("item"))
+      .join(broadcast(ranked), Seq("item"), "left")
       .groupBy("u").agg(collect_set("pos").as("seenPos"))
-    val users = seen.select("u").distinct()
-    val picks = users.join(blocked, Seq("u"), "left")
-      .withColumn("seenPos",
-        coalesce(col("seenPos"), typedLit(Array.empty[Int])))
-      // scan range k + |seenPos_u| is exact per user, so the per-row
-      // array stays k + a user's own blocked count, never m
+    val picks = blocked
+      // scan range k + |seenPos_u| is exact per user (the first k
+      // unblocked positions all fall inside it), so the per-row array
+      // stays k + a user's own blocked count, never m
       .withColumn("picks",
         slice(array_except(
                 sequence(lit(1), lit(k) + size(col("seenPos"))),
