@@ -248,6 +248,26 @@ object Soak {
         val n = spark.table(name).count()
         spark.catalog.dropTempView(name)
         n
+      }),
+      // model tier: one distributed MF-BPR epoch with the reference's
+      // samples-per-epoch = |URM| rule, so the sampled work grows with
+      // the data — the partition-invariant md5 draws + gradient
+      // group-aggregate are the scalable SGD path the searches ship
+      "mfbpr_epoch" -> (() => {
+        val u = graft.core.CacheScope.persist(urm.select("u", "i"))
+        val n = u.count()
+        val (userF, _) = graft.recommend.Models.mfBprDistributed(
+          spark, u, rank = 8, epochs = 1,
+          samplesPerEpoch = n.toInt, lr = 0.05, reg = 1e-4, seed = 7)
+        userF.count()
+      }),
+      // production IALS path: ml.ALS implicit fit (3 alternations,
+      // rank 8) over the full URM — the block-partitioned solve whose
+      // data movement should scale with the interaction axis
+      "ials_fit" -> (() => {
+        val (userF, _) = graft.recommend.Models.ials(
+          urm, rank = 8, reg = 0.1, alpha = 5.0, iters = 3, seed = 7)
+        userF.count()
       })
     )
 
@@ -275,6 +295,7 @@ object Soak {
     // (the listener bus is async).
     val shufRead = new java.util.concurrent.atomic.AtomicLong
     val shufWrite = new java.util.concurrent.atomic.AtomicLong
+    val shufRecs = new java.util.concurrent.atomic.AtomicLong
     spark.sparkContext.addSparkListener(
       new org.apache.spark.scheduler.SparkListener {
         override def onStageCompleted(
@@ -284,6 +305,12 @@ object Soak {
           if (m != null) {
             shufRead.addAndGet(m.shuffleReadMetrics.totalBytesRead)
             shufWrite.addAndGet(m.shuffleWriteMetrics.bytesWritten)
+            // RECORDS are the compression-independent movement signal:
+            // byte exponents inflate ~10-20% at larger synthesized sf
+            // because copy-offset ids (n·10^8) have more entropy and
+            // compress worse, while the record count is exactly the
+            // rows a plan moves
+            shufRecs.addAndGet(m.shuffleWriteMetrics.recordsWritten)
           }
         }
       })
@@ -292,11 +319,12 @@ object Soak {
     val medians = scala.collection.mutable.LinkedHashMap[String, Double]()
     val load = scala.collection.mutable.LinkedHashMap[String, Double]()
     val shuffleMb = scala.collection.mutable.LinkedHashMap[String, Double]()
+    val shuffleKrec = scala.collection.mutable.LinkedHashMap[String, Double]()
     ops.filter { case (n, _) => only.forall(_.contains(n)) }
       .foreach { case (name, body) =>
         load(name) = loadavg()
         Thread.sleep(500) // settle the async listener bus
-        shufRead.set(0L); shufWrite.set(0L)
+        shufRead.set(0L); shufWrite.set(0L); shufRecs.set(0L)
         val ts = (0 until reps).map { _ =>
           clearState()
           val t0 = System.nanoTime()
@@ -324,9 +352,14 @@ object Soak {
           else math.round(
             (shufRead.get + shufWrite.get) / (1024.0 * 1024.0) /
               math.max(1, reps) * 10.0) / 10.0
+        shuffleKrec(name) =
+          if (ts.contains(-1.0)) -1.0
+          else math.round(
+            shufRecs.get / 1000.0 / math.max(1, reps) * 10.0) / 10.0
         System.err.println(
           s"$name: median ${medians(name)}s runs ${ts.mkString(",")} " +
-            s"shuffleMB/rep ${shuffleMb(name)}")
+            s"shuffleMB/rep ${shuffleMb(name)} " +
+            s"shuffleKrec/rep ${shuffleKrec(name)}")
       }
     def jmap(m: scala.collection.Map[String, Double]): String =
       core.BenchUtil.jmapRounded(m)
@@ -335,7 +368,7 @@ object Soak {
         v.map(x => math.round(x * 1000) / 1000.0).mkString(",") + "]" }
       .mkString("{", ",", "}")
     val line =
-      s"""{"sf":"$sfDir","medians":${jmap(medians)},"runs":$runsJson,"shuffle_mb_per_rep":${jmap(shuffleMb)},"load_at_start":${jmap(load)}}"""
+      s"""{"sf":"$sfDir","medians":${jmap(medians)},"runs":$runsJson,"shuffle_mb_per_rep":${jmap(shuffleMb)},"shuffle_krec_per_rep":${jmap(shuffleKrec)},"load_at_start":${jmap(load)}}"""
     println(line)
     // committed artifact (the BENCH_r{N}.json convention, VERDICT r9
     // #2): append one JSON line per soaked scale factor so a round's

@@ -24,7 +24,7 @@ for line in open(path):
     sf = float(m.group(1))
     merged = by_sf.setdefault(sf, {})
     for section in ("medians", "runs", "shuffle_mb_per_rep",
-                    "load_at_start"):
+                    "shuffle_krec_per_rep", "load_at_start"):
         merged.setdefault(section, {}).update(d.get(section, {}))
 points = sorted(by_sf.items())
 
@@ -83,7 +83,18 @@ for op in ops:
     ls = "/".join(f"{local_exp(shf[i], shf[i+1]):.2f}"
                   for i in range(len(shf) - 1))
     a, b, share = two_term(ok_m)
+    # record exponent: compression-independent movement (bytes inflate
+    # ~10-20% at larger synthesized sf from copy-offset id entropy;
+    # records are exactly the rows the plan moves). Printed only for
+    # ops re-soaked since the field was added.
+    rec = [(sf, d.get("shuffle_krec_per_rep", {}).get(op, -1.0))
+           for sf, d in points]
+    ok_r = [(sf, v) for sf, v in rec if v > 0]
+    re_ = (slope([math.log10(sf) for sf, _ in ok_r],
+                 [math.log10(v) for _, v in ok_r])
+           if len(ok_r) >= 2 else float("nan"))
+    rtxt = f"  rec_exp={re_:5.2f}" if ok_r else ""
     print(f"{op:28s} " + " ".join(f"{v:9.2f}" for _, v in med)
           + f"  {we:7.2f} {lw:>9s} " + " ".join(f"{v:9.1f}" for _, v in shf)
           + f"  {se:7.2f} {ls:>9s}"
-          + f"  fix={a:6.2f}s data@top={share:4.0%}")
+          + f"  fix={a:6.2f}s data@top={share:4.0%}" + rtxt)
