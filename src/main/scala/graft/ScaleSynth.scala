@@ -60,9 +60,14 @@ object ScaleSynth {
       // the measured curve rather than fail loudly).
       if (copies > 1 && keyCols.nonEmpty) {
         val maxAgg = keyCols.map(k => max(col(k).cast("long")))
-        val maxKey = base.select(
+        val row = base.select(
           if (maxAgg.size == 1) maxAgg.head else greatest(maxAgg: _*))
-          .first().getLong(0)
+          .first()
+        // max over zero rows is null — an empty source table has
+        // nothing to collide, but say WHICH table instead of NPEing
+        require(!row.isNullAt(0),
+          s"$table: source is empty — cannot scale a table with no rows")
+        val maxKey = row.getLong(0)
         require(maxKey < Off,
           s"$table: max key $maxKey >= offset stride $Off — raise Off")
       }

@@ -255,10 +255,13 @@ object Soak {
       // group-aggregate are the scalable SGD path the searches ship
       "mfbpr_epoch" -> (() => {
         val u = graft.core.CacheScope.persist(urm.select("u", "i"))
-        val n = u.count()
+        // clamp: a URM beyond Int.MaxValue interactions must not wrap
+        // the sample count negative (a "fast" epoch sampling nothing
+        // would fake a scale point)
+        val n = math.min(u.count(), Int.MaxValue.toLong).toInt
         val (userF, _) = graft.recommend.Models.mfBprDistributed(
           spark, u, rank = 8, epochs = 1,
-          samplesPerEpoch = n.toInt, lr = 0.05, reg = 1e-4, seed = 7)
+          samplesPerEpoch = n, lr = 0.05, reg = 1e-4, seed = 7)
         userF.count()
       }),
       // production IALS path: ml.ALS implicit fit (3 alternations,

@@ -91,10 +91,16 @@ object CacheScope {
                     level: StorageLevel = StorageLevel.MEMORY_AND_DISK)
       : org.apache.spark.rdd.RDD[T] = current.persistRdd(rdd, level)
 
-  /** Broadcast variant (operator-internal): release with the scope. */
+  /** Broadcast variant (operator-internal): release with the scope.
+    * Only tracked inside a [[scoped]] block — the global scope holds
+    * strong references until an explicit `release()`, so tracking
+    * there would PIN every epoch's broadcast against ContextCleaner
+    * GC (the opposite of the accumulation this helper exists to
+    * bound); unscoped callers keep Spark's reachability-based
+    * cleanup instead. */
   def trackBroadcast[T](bc: org.apache.spark.broadcast.Broadcast[T])
       : org.apache.spark.broadcast.Broadcast[T] =
-    current.trackBroadcast(bc)
+    if (current eq global) bc else current.trackBroadcast(bc)
 
   /** Run `body` with a fresh scope; everything it persists is
     * unpersisted on exit (normal or exceptional). */

@@ -104,9 +104,15 @@ object Models {
 
   /** Set a session-local checkpoint dir (under java.io.tmpdir) iff the
     * caller hasn't set one — ml.ALS and other iterative fits need it
-    * for lineage truncation; a caller-configured dir always wins. */
+    * for lineage truncation; a caller-configured dir always wins.
+    * LOCAL masters only (the bprCheckpoint convention): on a cluster a
+    * driver-local tmp path is not shared storage, so executors could
+    * not read the checkpoint back — there the caller must configure a
+    * durable dir (HDFS/object store); without one ml.ALS skips its
+    * checkpointInterval, which is Spark's own documented default. */
   private[graft] def ensureCheckpointDir(spark: SparkSession): Unit =
-    if (spark.sparkContext.getCheckpointDir.isEmpty) {
+    if (spark.sparkContext.isLocal &&
+        spark.sparkContext.getCheckpointDir.isEmpty) {
       val dir = java.nio.file.Files.createTempDirectory("graft-ckpt")
       dir.toFile.deleteOnExit()
       spark.sparkContext.setCheckpointDir(dir.toString)
@@ -1516,11 +1522,14 @@ object Models {
         }
       }
     }
-    // the 'a' fill value: X.mean() over the full dense user×item shape
-    val (vSum, nUsers) = (
+    // the 'a' fill value: X.mean() over the full dense user×item
+    // shape — the user axis uses the same maxId+1 convention as the
+    // item axis (sklearn divides by the DENSE shape, so absent user
+    // rows between 0 and max still count in the denominator)
+    val (vSum, maxU) = (
       tri.map(_._3).sum(),
-      tri.map(_._1).distinct().count())
-    val avg = vSum / (nUsers.toDouble * nItems)
+      tri.map(_._1).max())
+    val avg = vSum / ((maxU + 1.0) * nItems)
     val bcPlan = graft.core.CacheScope.trackBroadcast(
       spark.sparkContext.broadcast(plan))
     val w0 = uRows.mapValues { xs =>
@@ -1738,6 +1747,10 @@ object Models {
             else muUpdate(cur, num, wGram)
           })
       hNew.count() // materialize before the old h/broadcast go away
+      // executor blocks released deterministically per iteration (the
+      // trackBroadcast rationale); unpersist-not-destroy so a lazily
+      // re-executed lineage can re-ship the value
+      hMap.unpersist(false)
       w.unpersist(false); h.unpersist(false)
       w = wNew; h = hNew
     }

@@ -58,6 +58,30 @@ class CacheScopeSpec extends SparkSpec {
     assert(cachedRdds == before)
   }
 
+  test("trackBroadcast tracks inside a scope, passes through in " +
+       "global (no strong-ref pinning against ContextCleaner)") {
+    // global scope: must NOT hold a reference — the global tracked
+    // list lives until an explicit release(), so tracking there would
+    // pin every operator-internal broadcast forever
+    val sizeBefore = CacheScope.global.size
+    val bc = CacheScope.trackBroadcast(
+      spark.sparkContext.broadcast(Array(1, 2, 3)))
+    assert(bc.value.sameElements(Array(1, 2, 3)))
+    assert(CacheScope.global.size == sizeBefore,
+           "global trackBroadcast must not accumulate entries")
+    // scoped: tracked and released with the scope (unpersist, not
+    // destroy — the driver value survives)
+    var scopedBc: org.apache.spark.broadcast.Broadcast[Array[Int]] = null
+    CacheScope.scoped {
+      scopedBc = CacheScope.trackBroadcast(
+        spark.sparkContext.broadcast(Array(4, 5)))
+      assert(scopedBc.value.sameElements(Array(4, 5)))
+    }
+    assert(scopedBc.value.sameElements(Array(4, 5)),
+           "scope exit unpersists executor blocks but keeps the " +
+             "driver copy readable")
+  }
+
   test("results are identical with and without a scope") {
     val loose = Similarity.pairDots(urm)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet

@@ -21,6 +21,9 @@ for line in open(path):
         continue
     d = json.loads(line)
     m = re.search(r"sf([0-9.]+)$", d["sf"].rstrip("/"))
+    if m is None:
+        sys.exit(f"cannot parse a scale factor from sf dir {d['sf']!r} "
+                 "(expected a path ending in sf<number>)")
     sf = float(m.group(1))
     merged = by_sf.setdefault(sf, {})
     for section in ("medians", "runs", "shuffle_mb_per_rep",
@@ -61,7 +64,11 @@ def two_term(pts):
     share = b*top_sf/top_v if top_v > 0 else float("nan")
     return a, b, share
 
-ops = list(points[0][1]["medians"].keys())
+# union across ALL points (first-seen order): an op soaked only at the
+# larger scale factors must still appear, per the partial-re-run merge
+# semantics above
+ops = list(dict.fromkeys(
+    op for _, d in points for op in d["medians"]))
 print(f"{'op':28s} " + " ".join(f"sf{sf:g}_s" .rjust(9) for sf, _ in points)
       + "  wall_exp  local_w" + " ".join(f"sf{sf:g}_MB".rjust(9)
                                          for sf, _ in points)
