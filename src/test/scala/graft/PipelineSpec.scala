@@ -111,6 +111,17 @@ class PipelineSpec extends SparkSpec {
     // expected head order 100,101,102,103,104,105…; unseen: 103,105,106
     assert(got.filter(_._1 == 1).toSeq.sortBy(_._3).map(_._2)
              == Seq(103, 105, 106))
+    // catalog SHORTER than the scan range: k=5 over a 3-item catalog —
+    // positions past the candidate list must drop out, preserving
+    // rank contiguity for what remains (user 9 saw item 201, so their
+    // scan range is 6 positions over a 3-deep list)
+    val tiny = Recommenders.recommendGlobal(
+      Seq((200, 2.0), (201, 1.5), (202, 1.0)).toDF("item", "score"),
+      Seq((9, 201), (8, 777)).toDF("u", "i"), k = 5)
+      .collect().map(r => (r.getInt(0), r.getInt(1), r.getInt(2))).toSet
+    assert(tiny == Set((9, 200, 1), (9, 202, 2),
+                       (8, 200, 1), (8, 201, 2), (8, 202, 3)),
+           s"short-catalog ranks drifted: $tiny")
   }
 
   test("grid search finds the best ItemKNN config deterministically") {
