@@ -47,6 +47,28 @@ class PlanSpec extends SparkSpec {
            s"nation join must broadcast:\n$plan")
   }
 
+  test("recommendGlobal's plan has no per-user window and no " +
+       "sort-merge join (the users×m dense frame is gone)") {
+    // the r10 soak measured the old dense formulation's double shuffle
+    // turning super-linear at sf1; the position-space plan must keep
+    // both offenders out: the only wide exchange is the blocked-
+    // position groupBy, and both candidate lookups broadcast an m-row
+    // LocalRelation
+    val scores = (0 until 50).map(i => (i, (100 - i).toDouble))
+      .toDF("item", "score")
+    val seen = (for { u <- 0 until 20; i <- 0 until 8 } yield (u, i * 3))
+      .toDF("u", "i")
+    val q = graft.recommend.Recommenders.recommendGlobal(scores, seen, 5)
+    val plan = q.queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"),
+           s"no per-user ranking window may remain:\n$plan")
+    assert(!plan.contains("SortMergeJoin"),
+           s"no shuffled join may remain:\n$plan")
+    assert(plan.contains("BroadcastHashJoin") &&
+           plan.contains("LocalTableScan"),
+           s"candidate lookups must broadcast the local head:\n$plan")
+  }
+
   test("split-partitioned URM reload prunes partitions") {
     val inter = (for { u <- 0 until 20; i <- 0 until 10 } yield (u, i))
       .toDF("u", "i")
