@@ -234,7 +234,14 @@ object Soak {
       // streaming tier: the file-source events stream driven through
       // the NATIVE session-window aggregation (the production
       // continuous-sessionization path) to a memory sink — state is
-      // watermark-bounded; work scales with the events axis
+      // watermark-bounded; work scales with the events axis.
+      // NOTE (relative-scaling caveat): Append mode emits a session
+      // only once the watermark passes it, so sessions newer than the
+      // 2h watermark at end-of-input are never finalized and the
+      // counted output excludes the tail of the event timeline at
+      // every scale point alike — fine for the exponent this tier
+      // measures; feed a terminal late event if absolute counts ever
+      // gate anything
       "streaming_sessions" -> (() => {
         val ev = graft.streaming.EventStreams.readEventStream(spark, sfDir)
         val agg = graft.streaming.EventStreams.sessionWindowAgg(

@@ -114,7 +114,19 @@ object Models {
     if (spark.sparkContext.isLocal &&
         spark.sparkContext.getCheckpointDir.isEmpty) {
       val dir = java.nio.file.Files.createTempDirectory("graft-ckpt")
-      dir.toFile.deleteOnExit()
+      // deleteOnExit cannot remove a non-empty directory, and ml.ALS
+      // leaves its last checkpoint behind per fit (cleanCheckpoints
+      // defaults false) — a JVM shutdown hook deletes the tree
+      // recursively so repeated fits on a long-lived host don't
+      // accumulate checkpoint data in /tmp
+      Runtime.getRuntime.addShutdownHook(new Thread(() => {
+        def rm(f: java.io.File): Unit = {
+          val kids = f.listFiles()
+          if (kids != null) kids.foreach(rm)
+          f.delete(); ()
+        }
+        rm(dir.toFile)
+      }))
       spark.sparkContext.setCheckpointDir(dir.toString)
     }
 
@@ -1713,9 +1725,17 @@ object Models {
           }.reduceByKey((x, y) => Array.tabulate(rank)(f => x(f) + y(f)))
       val hGram = if (kl) null else gram(h)
       val hCols = if (kl) colSum(h) else null
+      // LEFT outer join keeps factor rows for ids with zero
+      // interactions (possible at iters >= 1 under nndsvda init, whose
+      // h0 spans all of 0..nItems-1): a missing numerator is the zero
+      // vector, so such rows update exactly as sklearn's — MU rows
+      // multiply to 0, cd rows decay by -(wG + λ₁)/(G_ff + λ₂) —
+      // instead of silently vanishing from the returned factors
+      val zeroNum = Array.fill(rank)(0.0)
       val wNew = graft.core.CacheScope.persistRdd(
-        w.join(numW)
-          .mapValues { case (cur, num) =>
+        w.leftOuterJoin(numW)
+          .mapValues { case (cur, numOpt) =>
+            val num = numOpt.getOrElse(zeroNum)
             if (kl) muUpdateKl(cur, num, hCols)
             else if (solver == "coordinate_descent") cdUpdate(cur, num, hGram)
             else muUpdate(cur, num, hGram)
@@ -1740,8 +1760,9 @@ object Models {
             .map { case (_, ((i, v), wf)) => (i, wf.map(_ * v)) }
             .reduceByKey((x, y) => Array.tabulate(rank)(f => x(f) + y(f)))
       val hNew = graft.core.CacheScope.persistRdd(
-        h.join(numH)
-          .mapValues { case (cur, num) =>
+        h.leftOuterJoin(numH) // same zero-interaction retention as W
+          .mapValues { case (cur, numOpt) =>
+            val num = numOpt.getOrElse(zeroNum)
             if (kl) muUpdateKl(cur, num, wCols)
             else if (solver == "coordinate_descent") cdUpdate(cur, num, wGram)
             else muUpdate(cur, num, wGram)

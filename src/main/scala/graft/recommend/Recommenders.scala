@@ -193,13 +193,24 @@ object Recommenders {
     * the dense formulation (which collected the same m rows inside its
     * broadcast build). Returns (u, item, rank). */
   def recommendGlobal(globalScores: DataFrame, seen0: DataFrame,
-                      k: Int): DataFrame = {
+                      k: Int, maxHead: Int = 2000000): DataFrame = {
     // `seen` feeds the bound computation and the blocked-position
     // join — persist once instead of recomputing it
     val seen = graft.core.CacheScope.persist(seen0)
     val maxSeen = seen.groupBy("u").agg(count(lit(1)).as("n"))
       .agg(max("n")).head().getLong(0)
     val m = k + maxSeen.toInt
+    // m = k + max_u(seen_u) is this operator's driver/broadcast
+    // envelope: a single pathological power user linearly inflates the
+    // collected candidate head and both broadcasts. Fail loudly at a
+    // configurable bound (2M (pos, item) rows ≈ tens of MB broadcast)
+    // rather than OOM the driver — callers with a genuinely huge seen
+    // tail should cap it upstream or raise maxHead deliberately.
+    require(m <= maxHead,
+      s"recommendGlobal candidate head m=$m (k=$k + maxSeen=$maxSeen) " +
+      s"exceeds maxHead=$maxHead — a pathological max-seen user would " +
+      "inflate the driver collect/broadcast; cap seen upstream or " +
+      "raise maxHead explicitly")
     // the m-row candidate head, positions assigned in driver order
     // (TakeOrderedAndProject returns rows already in (score desc,
     // item asc) order). m = k + maxSeen is the operator's documented
