@@ -640,6 +640,229 @@ object ModelQueries {
         |  ('nndsvda', 'h', 0, 0, 1.691895), ('nndsvda', 'h', 0, 1, 1.444444),
         |  ('nndsvda', 'h', 1, 0, 0.703892), ('nndsvda', 'h', 1, 1, 1.095498),
         |  ('nndsvda', 'h', 2, 0, 1.099938), ('nndsvda', 'h', 2, 1, 0.256844)
-        |) t(variant, kind, id, f, value)""".stripMargin))
+        |) t(variant, kind, id, f, value)""".stripMargin)),
+
+    // L22 STRICT gate — FunkSVD's update numerics, VALUE-pinned. SGD
+    // is deterministic given the sample order, so the q153/q167
+    // convention applies with one more injection: `sampleOrder` feeds
+    // the epoch's (u, item, rating) draws verbatim (incl. one rating-0
+    // negative-quota-shaped sample, (0, 2, 0.0)) and `initVec` is the
+    // rational (id, salt) init over SEVENTHS — non-terminating decimal
+    // expansions, so the transcendental-free funk arithmetic cannot
+    // land exactly on a 6-decimal rounding boundary the way the dyadic
+    // /4 init did (measured min margin 4.7·10⁻⁸ vs ~10⁻¹⁵ drift).
+    // One epoch over 4 samples on a skewed 3-user × 4-item URM; the
+    // oracle VALUES come from tools/sgd_twin.py — an independent
+    // python float64 reimplementation of the reference epoch
+    // (MatrixFactorizationImpressions_Cython_Epoch.pyx:330-448: pred =
+    // μ + b_u + b_i + w·h, all five parameter groups stepped from
+    // pre-update values) — not from running this code. A bias-order
+    // slip, a reg-role swap, a post-update-factor read, or a wrong
+    // MSE divisor is a red hash row; q82 (seeded, sf-scale) stays the
+    // at-scale demo this gate companion-pins.
+    Q("q174_funksvd_epoch_gate", { t =>
+        import t.spark.implicits._
+        val urm = Seq((0, 0, 1.0), (0, 1, 2.0), (1, 1, 3.0), (1, 2, 1.0),
+                      (1, 3, 2.0), (2, 0, 2.0)).toDF("u", "i", "v")
+        def init(id: Int, salt: Int): Array[Double] =
+          Array.tabulate(2)(f => (1.0 + id + 2 * f + salt) / 7.0)
+        val so = Seq((0, 0, 1.0), (1, 3, 2.0), (0, 2, 0.0), (2, 0, 2.0))
+        val m = Models.funkSvdSgd(t.spark, urm, rank = 2, epochs = 1,
+          samplesPerEpoch = so.size, lr = 0.14, reg = 0.05,
+          biasReg = 0.02, negativeQuota = 0.25, seed = 0,
+          sampleOrder = Some(so), initVec = Some(init))
+        val rows: Seq[(String, Int, Int, Double)] =
+          m.userFactors.toSeq.sortBy(_._1).flatMap { case (u, fs) =>
+            fs.zipWithIndex.map { case (v, f) => ("w", u, f, v) } } ++
+          m.itemFactors.toSeq.sortBy(_._1).flatMap { case (i, fs) =>
+            fs.zipWithIndex.map { case (v, f) => ("h", i, f, v) } } ++
+          m.userBias.toSeq.sortBy(_._1).map { case (u, b) =>
+            ("bu", u, 0, b) } ++
+          m.itemBias.toSeq.sortBy(_._1).map { case (i, b) =>
+            ("bi", i, 0, b) } ++
+          Seq(("mu", 0, 0, m.globalBias),
+              ("mse", 0, 0, m.mseHistory.head))
+        rows.toDF("kind", "id", "f", "value")
+          .select(col("kind"), col("id"), col("f"),
+                  round(col("value"), 6).as("value"))
+      },
+      Some("""SELECT * FROM (VALUES
+        |  ('w', 0, 0, CAST(0.099772 AS DOUBLE)), ('w', 0, 1, 0.37514),
+        |  ('w', 1, 0, 0.396163), ('w', 1, 1, 0.724857),
+        |  ('w', 2, 0, 0.475698), ('w', 2, 1, 0.811942),
+        |  ('h', 0, 0, 0.368004), ('h', 0, 1, 0.726164),
+        |  ('h', 2, 0, 0.546711), ('h', 2, 1, 0.792464),
+        |  ('h', 3, 0, 0.754265), ('h', 3, 1, 1.082959),
+        |  ('bu', 0, 0, -0.021841), ('bu', 1, 0, 0.157429),
+        |  ('bu', 2, 0, 0.16821),
+        |  ('bi', 0, 0, 0.26793), ('bi', 2, 0, -0.121561),
+        |  ('bi', 3, 0, 0.157429),
+        |  ('mu', 0, 0, 0.3027), ('mse', 0, 0, 0.993053)
+        |) t(kind, id, f, value)""".stripMargin)),
+
+    // L21 STRICT gate — the MF-BPR triple update across the FULL
+    // searched sgd_mode surface (sgd / adagrad / rmsprop / adam,
+    // pyx:905-943 adaptive_gradient incl. the per-entity-factor
+    // squared caches, adam's first/second moments with bias
+    // correction, and the per-batch β-power exponentiation) AND the
+    // mini-batch accumulate-then-apply path (batchSize = 2,
+    // pyx:662-718 + :838-899): batch 1 = {(0,0,2), (1,1,0)} makes
+    // item 0 accumulate as a POSITIVE of sample 1 and the NEGATIVE of
+    // sample 2 before one divided-by-batch application. Per-role regs
+    // split three ways (reg=0.05 / negativeReg=0.03 / userReg=0.02,
+    // pyx:700-703). Injected tripleOrder + rational sevenths init, so
+    // every cache mutation is value-determined; oracle VALUES from the
+    // independent tools/sgd_twin.py. A cache shared across entities, a
+    // β-power advanced per sample instead of per batch, a missing
+    // bias correction, a reg-role swap, or a ragged-batch divisor slip
+    // is a red hash row; q68/q80 stay the at-scale demos.
+    Q("q175_bpr_update_gate", { t =>
+        import t.spark.implicits._
+        val urm = Seq((0, 0, 1.0), (0, 1, 2.0), (1, 1, 3.0), (1, 2, 1.0),
+                      (1, 3, 2.0), (2, 0, 2.0)).toDF("u", "i", "v")
+        def init(id: Int, salt: Int): Array[Double] =
+          Array.tabulate(2)(f => (1.0 + id + 2 * f + salt) / 7.0)
+        val triples = Seq((0, 0, 2), (1, 1, 0), (0, 1, 2), (1, 2, 0))
+        Seq("sgd", "adagrad", "rmsprop", "adam").flatMap { mode =>
+          val (uf, itf) = Models.mfBpr(t.spark, urm, rank = 2,
+            epochs = 1, samplesPerEpoch = triples.size, lr = 0.14,
+            reg = 0.05, seed = 0, sgdMode = mode,
+            negativeReg = Some(0.03), userReg = Some(0.02),
+            batchSize = 2, tripleOrder = Some(triples),
+            initVec = Some(init))
+          uf.toSeq.sortBy(_._1).flatMap { case (u, fs) =>
+            fs.zipWithIndex.map { case (v, f) => (mode, "w", u, f, v) }
+          } ++
+          itf.toSeq.sortBy(_._1).flatMap { case (i, fs) =>
+            fs.zipWithIndex.map { case (v, f) => (mode, "h", i, f, v) }
+          }
+        }.toDF("mode", "kind", "id", "f", "value")
+          .select(col("mode"), col("kind"), col("id"), col("f"),
+                  round(col("value"), 6).as("value"))
+      },
+      Some("""SELECT * FROM (VALUES
+        |  ('sgd', 'w', 0, 0, CAST(0.127026 AS DOUBLE)),
+        |  ('sgd', 'w', 0, 1, 0.412655),
+        |  ('sgd', 'w', 1, 0, 0.298377), ('sgd', 'w', 1, 1, 0.582946),
+        |  ('sgd', 'h', 0, 0, 0.270606), ('sgd', 'h', 0, 1, 0.546753),
+        |  ('sgd', 'h', 1, 0, 0.43969), ('sgd', 'h', 1, 1, 0.74306),
+        |  ('sgd', 'h', 2, 0, 0.565839), ('sgd', 'h', 2, 1, 0.8371),
+        |  ('adagrad', 'w', 0, 0, 0.057804),
+        |  ('adagrad', 'w', 0, 1, 0.337926),
+        |  ('adagrad', 'w', 1, 0, 0.548333),
+        |  ('adagrad', 'w', 1, 1, 0.835297),
+        |  ('adagrad', 'h', 0, 0, 0.017373),
+        |  ('adagrad', 'h', 0, 1, 0.296068),
+        |  ('adagrad', 'h', 1, 0, 0.53592),
+        |  ('adagrad', 'h', 1, 1, 0.908981),
+        |  ('adagrad', 'h', 2, 0, 0.548187),
+        |  ('adagrad', 'h', 2, 1, 0.767681),
+        |  ('rmsprop', 'w', 0, 0, 0.14122),
+        |  ('rmsprop', 'w', 0, 1, 0.426808),
+        |  ('rmsprop', 'w', 1, 0, 2.655495),
+        |  ('rmsprop', 'w', 1, 1, 2.784313),
+        |  ('rmsprop', 'h', 0, 0, -3.637137),
+        |  ('rmsprop', 'h', 0, 1, -3.359149),
+        |  ('rmsprop', 'h', 1, 0, 0.431823),
+        |  ('rmsprop', 'h', 1, 1, 0.732757),
+        |  ('rmsprop', 'h', 2, 0, 0.569921),
+        |  ('rmsprop', 'h', 2, 1, 0.843241),
+        |  ('adam', 'w', 0, 0, -0.042512), ('adam', 'w', 0, 1, 0.237534),
+        |  ('adam', 'w', 1, 0, 0.562223), ('adam', 'w', 1, 1, 0.847313),
+        |  ('adam', 'h', 0, 0, 0.012741), ('adam', 'h', 0, 1, 0.306761),
+        |  ('adam', 'h', 1, 0, 0.635481), ('adam', 'h', 1, 1, 0.98135),
+        |  ('adam', 'h', 2, 0, 0.466583), ('adam', 'h', 2, 1, 0.66729)
+        |) t(mode, kind, id, f, value)""".stripMargin)),
+
+    // L22 STRICT gate — AsySVD's update numerics (pyx:449-630): w_u is
+    // ACCUMULATED from profile-item Y rows scaled 1/√|profile| (the
+    // per-user free parameters the algorithm deliberately lacks), Y
+    // steps against the PRE-update H_i for every profile item, H
+    // against the pre-update accumulated w_u, and the final user
+    // factors re-estimate W = URM·Y/√n from the TRAINED Y
+    // (MatrixFactorizationImpressions_Cython.py:305-326) — all three
+    // exposed as hash rows ('y'/'h'/'west') plus biases and the MSE
+    // trace. Sample 3 is the rating-0 negative-draw shape on an item
+    // OUTSIDE u0's profile, so the Y loop and the scored item decouple.
+    // Injected sampleOrder + sevenths init; oracle VALUES from the
+    // independent tools/sgd_twin.py. A post-update H read in the Y
+    // step, a missing √n, or a W estimate from stale Y is a red row;
+    // q85 stays the at-scale demo.
+    Q("q176_asysvd_epoch_gate", { t =>
+        import t.spark.implicits._
+        val urm = Seq((0, 0, 1.0), (0, 1, 2.0), (1, 1, 3.0), (1, 2, 1.0),
+                      (1, 3, 2.0), (2, 0, 2.0)).toDF("u", "i", "v")
+        def init(id: Int, salt: Int): Array[Double] =
+          Array.tabulate(2)(f => (1.0 + id + 2 * f + salt) / 7.0)
+        val so = Seq((0, 0, 1.0), (1, 2, 1.0), (0, 3, 0.0))
+        val m = Models.asySvdSgd(t.spark, urm, rank = 2, epochs = 1,
+          samplesPerEpoch = so.size, lr = 0.14, reg = 0.05,
+          biasReg = 0.02, negativeQuota = 0.25, seed = 0,
+          sampleOrder = Some(so), initVec = Some(init))
+        val rows: Seq[(String, Int, Int, Double)] =
+          m.itemFactorsY.toSeq.sortBy(_._1).flatMap { case (l, fs) =>
+            fs.zipWithIndex.map { case (v, f) => ("y", l, f, v) } } ++
+          m.itemFactors.toSeq.sortBy(_._1).flatMap { case (i, fs) =>
+            fs.zipWithIndex.map { case (v, f) => ("h", i, f, v) } } ++
+          m.userBias.toSeq.sortBy(_._1).map { case (u, b) =>
+            ("bu", u, 0, b) } ++
+          m.itemBias.toSeq.sortBy(_._1).map { case (i, b) =>
+            ("bi", i, 0, b) } ++
+          Seq(("mu", 0, 0, m.globalBias),
+              ("mse", 0, 0, m.mseHistory.head)) ++
+          m.userFactors.toSeq.sortBy(_._1).flatMap { case (u, fs) =>
+            fs.zipWithIndex.map { case (v, f) => ("west", u, f, v) } }
+        rows.toDF("kind", "id", "f", "value")
+          .select(col("kind"), col("id"), col("f"),
+                  round(col("value"), 6).as("value"))
+      },
+      Some("""SELECT * FROM (VALUES
+        |  ('y', 0, 0, CAST(0.063121 AS DOUBLE)), ('y', 0, 1, 0.325891),
+        |  ('y', 1, 0, 0.155782), ('y', 1, 1, 0.393394),
+        |  ('y', 2, 0, 0.379158), ('y', 2, 1, 0.639665),
+        |  ('y', 3, 0, 0.521015), ('y', 3, 1, 0.781522),
+        |  ('h', 0, 0, 0.305324), ('h', 0, 1, 0.617852),
+        |  ('h', 2, 0, 0.506274), ('h', 2, 1, 0.748931),
+        |  ('h', 3, 0, 0.668765), ('h', 3, 1, 0.89595),
+        |  ('bu', 0, 0, -0.066055), ('bu', 1, 0, -0.081224),
+        |  ('bi', 0, 0, 0.07131), ('bi', 2, 0, -0.081224),
+        |  ('bi', 3, 0, -0.137165),
+        |  ('mu', 0, 0, -0.147251), ('mse', 0, 0, 0.51865),
+        |  ('west', 0, 0, 0.154788), ('west', 0, 1, 0.508611),
+        |  ('west', 1, 0, 0.609656), ('west', 1, 1, 1.047649),
+        |  ('west', 2, 0, 0.063121), ('west', 2, 1, 0.325891)
+        |) t(kind, id, f, value)""".stripMargin)),
+
+    // L24 STRICT gate — the SLIM-BPR triple update
+    // (SLIM_BPR_Cython_Epoch.pyx:212-310 dense path): x_uij sums
+    // S[i⁺,l] − S[j⁻,l] over the user's profile, g = σ(−x), then
+    // S[i⁺,l] += lr·(g − λᵢ·S[i⁺,l]) and S[j⁻,l] −= lr·(g − λⱼ·S[j⁻,l])
+    // with the DIAGONAL pinned (l = i⁺ and l = j⁻ skipped per side).
+    // Triple (2,0,1) exercises the all-diagonal profile (u2's only
+    // profile item IS the positive — the i-side update must vanish
+    // while the j-side still writes S[1,0]); triples 1 and 3 compound
+    // onto the same S rows so second-visit reg terms read the mutated
+    // values. Injected tripleOrder (S inits at zero — no init needed);
+    // oracle VALUES from the independent tools/sgd_twin.py. A diagonal
+    // write, a swapped λᵢ/λⱼ, or a sign slip on the j side is a red
+    // hash row; q83 stays the at-scale demo.
+    Q("q177_slimbpr_update_gate", { t =>
+        import t.spark.implicits._
+        val urm = Seq((0, 0, 1.0), (0, 1, 2.0), (1, 1, 3.0), (1, 2, 1.0),
+                      (1, 3, 2.0), (2, 0, 2.0)).toDF("u", "i", "v")
+        val triples = Seq((0, 0, 2), (1, 1, 0), (0, 1, 3), (2, 0, 1))
+        Models.slimBpr(t.spark, urm, epochs = 1,
+            samplesPerEpoch = triples.size, lr = 0.14, liReg = 0.05,
+            ljReg = 0.03, topK = 10, seed = 0,
+            tripleOrder = Some(triples))
+          .select(col("i"), col("j"), round(col("w"), 6).as("w"))
+      },
+      Some("""SELECT * FROM (VALUES
+        |  (1, 0, CAST(-0.002155 AS DOUBLE)), (2, 0, -0.072449),
+        |  (3, 0, -0.072449),
+        |  (0, 1, -0.002155), (2, 1, 0.072449), (3, 1, 0.072449),
+        |  (0, 2, -0.07), (1, 2, -0.07),
+        |  (0, 3, -0.07), (1, 3, -0.07)
+        |) t(i, j, w)""".stripMargin))
   )
 }

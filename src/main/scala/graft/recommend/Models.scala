@@ -412,7 +412,9 @@ object Models {
             samplingMode: String = "none", sgdMode: String = "sgd",
             negativeReg: Option[Double] = None,
             userReg: Option[Double] = None, batchSize: Int = 1,
-            dropoutQuota: Option[Double] = None)
+            dropoutQuota: Option[Double] = None,
+            tripleOrder: Option[Seq[(Int, Int, Int)]] = None,
+            initVec: Option[(Int, Int) => Array[Double]] = None)
       : (Map[Int, Array[Double]], Map[Int, Array[Double]]) = {
     import spark.implicits._
     require(Seq("none", "inside", "outside").contains(samplingMode))
@@ -428,8 +430,14 @@ object Models {
     val rng = new scala.util.Random(seed)
     val uf = scala.collection.mutable.Map[Int, Array[Double]]()
     val itf = scala.collection.mutable.Map[Int, Array[Double]]()
-    def fac(m: scala.collection.mutable.Map[Int, Array[Double]], id: Int) =
-      m.getOrElseUpdate(id, Array.fill(rank)((rng.nextDouble() - 0.5) * 0.1))
+    // initVec (q153 (id, salt) convention, salt 0=user 1=item) pins the
+    // init for the q175 strict gate; default keeps the seeded stream
+    def fac(m: scala.collection.mutable.Map[Int, Array[Double]], id: Int,
+            salt: Int) =
+      m.getOrElseUpdate(id, initVec match {
+        case Some(f) => f(id, salt)
+        case None => Array.fill(rank)((rng.nextDouble() - 0.5) * 0.1)
+      })
     val seen = urm.select(col("u").cast("int"), col("i").cast("int"))
       .as[(Int, Int)].collect()
       .groupBy(_._1).map { case (u, rs) => (u, rs.map(_._2).toSet) }
@@ -494,26 +502,25 @@ object Models {
           m
         case None => Array.fill(rank)(true)
       }
-      val frac = math.min(1.0, 1.25 * samplesPerEpoch / math.max(1L, total))
-      val sample = urm.select(col("u").cast("int"), col("i").cast("int"))
-        .sample(withReplacement = false, frac, seed + ep)
-        .as[(Int, Int)].collect()
-        .take(samplesPerEpoch)
-      // mini-batch loop (pyx:662-718): gradients ACCUMULATE over the
+      // one mini-batch (pyx:662-718): gradients ACCUMULATE over the
       // batch against batch-start factor values, then apply once,
       // divided by the configured batch size (even for a ragged final
-      // batch — pyx:846 divides by self.batch_size unconditionally)
-      sample.grouped(batchSize).foreach { batch =>
+      // batch — pyx:846 divides by self.batch_size unconditionally).
+      // Each batch element carries its negative as a THUNK so the
+      // default path's rejection draws interleave with lazy factor
+      // inits exactly as before (same rng stream), while the injected
+      // path (tripleOrder — the q175 deterministic-sampler gate)
+      // supplies the negative verbatim.
+      def runBatch(batch: Seq[(Int, Int, () => Option[Int])]): Unit = {
         // LinkedHashMap: deterministic application order
         val acc = scala.collection.mutable
           .LinkedHashMap[(Int, Int), Array[Double]]() // (kind 0=u 1=i, id)
         def accFor(kind: Int, id: Int): Array[Double] =
           acc.getOrElseUpdate((kind, id), new Array[Double](rank))
-        batch.foreach { case (u, ipos) =>
-          val s = seen(u)
-          drawNegative(u, s).foreach { jneg =>
-            val wu = fac(uf, u); val hi = fac(itf, ipos)
-            val hj = fac(itf, jneg)
+        batch.foreach { case (u, ipos, drawJ) =>
+          drawJ().foreach { jneg =>
+            val wu = fac(uf, u, 0); val hi = fac(itf, ipos, 1)
+            val hj = fac(itf, jneg, 1)
             var xuij = 0.0
             var f = 0
             while (f < rank) {
@@ -535,7 +542,7 @@ object Models {
           }
         }
         acc.foreach { case ((kind, id), g) =>
-          val fvec = if (kind == 0) fac(uf, id) else fac(itf, id)
+          val fvec = if (kind == 0) fac(uf, id, 0) else fac(itf, id, 1)
           var f = 0
           while (f < rank) {
             if (mask(f))
@@ -544,6 +551,24 @@ object Models {
           }
         }
         adapt.advance()
+      }
+      tripleOrder match {
+        case Some(ts) =>
+          ts.grouped(batchSize).foreach { b =>
+            runBatch(b.map { case (u, ipos, jneg) =>
+              (u, ipos, () => Some(jneg): Option[Int]) })
+          }
+        case None =>
+          val frac =
+            math.min(1.0, 1.25 * samplesPerEpoch / math.max(1L, total))
+          val sample = urm.select(col("u").cast("int"), col("i").cast("int"))
+            .sample(withReplacement = false, frac, seed + ep)
+            .as[(Int, Int)].collect()
+            .take(samplesPerEpoch)
+          sample.grouped(batchSize).foreach { b =>
+            runBatch(b.map { case (u, ipos) =>
+              (u, ipos, () => drawNegative(u, seen(u))) })
+          }
       }
     }
     (uf.toMap, itf.toMap)
@@ -1115,7 +1140,10 @@ object Models {
   def funkSvdSgd(spark: SparkSession, urm: DataFrame, rank: Int,
                  epochs: Int, samplesPerEpoch: Int, lr: Double,
                  reg: Double, biasReg: Double, negativeQuota: Double,
-                 seed: Long): FunkSvdModel = {
+                 seed: Long,
+                 sampleOrder: Option[Seq[(Int, Int, Double)]] = None,
+                 initVec: Option[(Int, Int) => Array[Double]] = None)
+      : FunkSvdModel = {
     import spark.implicits._
     require(negativeQuota >= 0.0 && negativeQuota < 1.0)
     val items = urm.select(col("i").cast("int")).distinct()
@@ -1134,33 +1162,50 @@ object Models {
     val rng = new scala.util.Random(seed)
     val uf = scala.collection.mutable.Map[Int, Array[Double]]()
     val itf = scala.collection.mutable.Map[Int, Array[Double]]()
-    def fac(m: scala.collection.mutable.Map[Int, Array[Double]], id: Int) =
-      m.getOrElseUpdate(id, Array.fill(rank)((rng.nextDouble() - 0.5) * 0.1))
+    // initVec (the q153 (id, salt) convention, salt 0=user 1=item) makes
+    // the init rational/deterministic for the q174 strict gate; the
+    // default stays the seeded uniform init, stream untouched
+    def fac(m: scala.collection.mutable.Map[Int, Array[Double]], id: Int,
+            salt: Int) =
+      m.getOrElseUpdate(id, initVec match {
+        case Some(f) => f(id, salt)
+        case None => Array.fill(rank)((rng.nextDouble() - 0.5) * 0.1)
+      })
     var mu = 0.0
     val bu = scala.collection.mutable.Map[Int, Double]().withDefaultValue(0.0)
     val bi = scala.collection.mutable.Map[Int, Double]().withDefaultValue(0.0)
     val mseHistory = scala.collection.mutable.ArrayBuffer[Double]()
+    // sampleOrder INJECTS the epoch's (u, item, rating) draws verbatim —
+    // the deterministic-sampler convention the q174 gate needs: SGD is
+    // deterministic given the sample order, so the update numerics
+    // become oracle-checkable while the default path keeps the seeded
+    // sampler (reference: sampleMSE_Cython, pyx:948-1005)
+    val perEpoch = sampleOrder.map(_.size).getOrElse(samplesPerEpoch)
     (0 until epochs).foreach { _ =>
       var loss = 0.0
       var s = 0
-      while (s < samplesPerEpoch) {
-        val u = users(rng.nextInt(users.length))
-        val prof = ratings(u)
-        // negative draw with probability negativeQuota (the reference's
-        // MSE_negative_interactions_quota; its rand() comparison at
-        // pyx:968 reads inverted — the documented intent, a share of
-        // rating-0 unseen samples, is what's implemented here)
-        val (item, rating) =
-          if (negativeQuota > 0 && rng.nextDouble() < negativeQuota) {
-            var j = items(rng.nextInt(items.length))
-            while (prof.contains(j)) j = items(rng.nextInt(items.length))
-            (j, 0.0)
-          } else {
-            val keys = prof.keysIterator.toIndexedSeq
-            val i = keys(rng.nextInt(keys.size))
-            (i, prof(i))
-          }
-        val wu = fac(uf, u); val hi = fac(itf, item)
+      while (s < perEpoch) {
+        val (u, item, rating) = sampleOrder match {
+          case Some(so) => so(s)
+          case None =>
+            val u0 = users(rng.nextInt(users.length))
+            val prof = ratings(u0)
+            // negative draw with probability negativeQuota (the
+            // reference's MSE_negative_interactions_quota; its rand()
+            // comparison at pyx:968 reads inverted — the documented
+            // intent, a share of rating-0 unseen samples, is what's
+            // implemented here)
+            if (negativeQuota > 0 && rng.nextDouble() < negativeQuota) {
+              var j = items(rng.nextInt(items.length))
+              while (prof.contains(j)) j = items(rng.nextInt(items.length))
+              (u0, j, 0.0)
+            } else {
+              val keys = prof.keysIterator.toIndexedSeq
+              val i = keys(rng.nextInt(keys.size))
+              (u0, i, prof(i))
+            }
+        }
+        val wu = fac(uf, u, 0); val hi = fac(itf, item, 1)
         var pred = mu + bu(u) + bi(item)
         var f = 0
         while (f < rank) { pred += wu(f) * hi(f); f += 1 }
@@ -1178,7 +1223,7 @@ object Models {
         }
         s += 1
       }
-      mseHistory += loss / samplesPerEpoch
+      mseHistory += loss / perEpoch
     }
     FunkSvdModel(uf.toMap, itf.toMap, mu, bu.toMap, bi.toMap,
                  mseHistory.toSeq)
@@ -1218,7 +1263,10 @@ object Models {
   def asySvdSgd(spark: SparkSession, urm: DataFrame, rank: Int,
                 epochs: Int, samplesPerEpoch: Int, lr: Double,
                 reg: Double, biasReg: Double, negativeQuota: Double,
-                seed: Long): AsySvdModel = {
+                seed: Long,
+                sampleOrder: Option[Seq[(Int, Int, Double)]] = None,
+                initVec: Option[(Int, Int) => Array[Double]] = None)
+      : AsySvdModel = {
     import spark.implicits._
     require(negativeQuota >= 0.0 && negativeQuota < 1.0)
     val items = urm.select(col("i").cast("int")).distinct()
@@ -1239,39 +1287,52 @@ object Models {
     val rng = new scala.util.Random(seed)
     val yf = scala.collection.mutable.Map[Int, Array[Double]]()
     val hf = scala.collection.mutable.Map[Int, Array[Double]]()
-    def fac(m: scala.collection.mutable.Map[Int, Array[Double]], id: Int) =
-      m.getOrElseUpdate(id, Array.fill(rank)((rng.nextDouble() - 0.5) * 0.1))
+    // initVec: the q153 (id, salt) convention — salt 0 = Y (the
+    // item-indexed user-side matrix), salt 1 = H — for the q176 gate
+    def fac(m: scala.collection.mutable.Map[Int, Array[Double]], id: Int,
+            salt: Int) =
+      m.getOrElseUpdate(id, initVec match {
+        case Some(f) => f(id, salt)
+        case None => Array.fill(rank)((rng.nextDouble() - 0.5) * 0.1)
+      })
     var mu = 0.0
     val bu = scala.collection.mutable.Map[Int, Double]().withDefaultValue(0.0)
     val bi = scala.collection.mutable.Map[Int, Double]().withDefaultValue(0.0)
     val mseHistory = scala.collection.mutable.ArrayBuffer[Double]()
+    // sampleOrder injects the epoch's (u, item, rating) draws verbatim
+    // (the funkSvdSgd convention — deterministic-sampler gate q176)
+    val perEpoch = sampleOrder.map(_.size).getOrElse(samplesPerEpoch)
     (0 until epochs).foreach { _ =>
       var loss = 0.0
       var s = 0
-      while (s < samplesPerEpoch) {
-        val u = users(rng.nextInt(users.length))
-        val prof = ratings(u)
+      while (s < perEpoch) {
+        val (u, item, rating) = sampleOrder match {
+          case Some(so) => so(s)
+          case None =>
+            val u0 = users(rng.nextInt(users.length))
+            val prof = ratings(u0)
+            val profItems0 = profiles(u0)
+            if (negativeQuota > 0 && rng.nextDouble() < negativeQuota) {
+              var j = items(rng.nextInt(items.length))
+              while (prof.contains(j)) j = items(rng.nextInt(items.length))
+              (u0, j, 0.0)
+            } else {
+              val i = profItems0(rng.nextInt(profItems0.length))
+              (u0, i, prof(i))
+            }
+        }
         val profItems = profiles(u)
-        val (item, rating) =
-          if (negativeQuota > 0 && rng.nextDouble() < negativeQuota) {
-            var j = items(rng.nextInt(items.length))
-            while (prof.contains(j)) j = items(rng.nextInt(items.length))
-            (j, 0.0)
-          } else {
-            val i = profItems(rng.nextInt(profItems.length))
-            (i, prof(i))
-          }
         // w_u accumulated from profile-item Y factors, scaled 1/√n
         val denom = math.sqrt(profItems.length.toDouble)
         val acc = new Array[Double](rank)
         profItems.foreach { l =>
-          val yl = fac(yf, l)
+          val yl = fac(yf, l, 0)
           var f = 0
           while (f < rank) { acc(f) += yl(f); f += 1 }
         }
         var f = 0
         while (f < rank) { acc(f) /= denom; f += 1 }
-        val hi = fac(hf, item)
+        val hi = fac(hf, item, 1)
         var pred = mu + bu(u) + bi(item)
         f = 0
         while (f < rank) { pred += acc(f) * hi(f); f += 1 }
@@ -1297,7 +1358,7 @@ object Models {
         }
         s += 1
       }
-      mseHistory += loss / samplesPerEpoch
+      mseHistory += loss / perEpoch
     }
     // user-factor estimation: W = URM·Y / √|profile| (reference
     // _estimate_user_factors) — in this in-process mirror a profile sum;
@@ -1333,7 +1394,9 @@ object Models {
     * justification as funkSvdSgd); S is item²-bounded. */
   def slimBpr(spark: SparkSession, urm: DataFrame, epochs: Int,
               samplesPerEpoch: Int, lr: Double, liReg: Double,
-              ljReg: Double, topK: Int, seed: Long): DataFrame = {
+              ljReg: Double, topK: Int, seed: Long,
+              tripleOrder: Option[Seq[(Int, Int, Int)]] = None)
+      : DataFrame = {
     import spark.implicits._
     val items = urm.select(col("i").cast("int")).distinct()
       .as[Int].collect().sorted
@@ -1351,24 +1414,37 @@ object Models {
       scala.collection.mutable.Map[Int, Double]]()
     def sRow(t: Int) = sMat.getOrElseUpdate(t,
       scala.collection.mutable.Map[Int, Double]().withDefaultValue(0.0))
+    // one BPR triple update (pyx:212-310 dense path); tripleOrder
+    // injects the (u, i⁺, j⁻) draws verbatim — the deterministic-
+    // sampler convention the q177 strict gate needs
+    def processTriple(u: Int, ipos: Int, jneg: Int): Unit = {
+      val prof = seen(u)
+      val si = sRow(ipos); val sj = sRow(jneg)
+      var x = 0.0
+      prof.foreach { l => x += si(l) - sj(l) }
+      val g = 1.0 / (1.0 + math.exp(x))
+      prof.foreach { l =>
+        if (l != ipos) si(l) += lr * (g - liReg * si(l))
+        if (l != jneg) sj(l) -= lr * (g - ljReg * sj(l))
+      }
+    }
     (0 until epochs).foreach { _ =>
-      var s = 0
-      while (s < samplesPerEpoch) {
-        val u = users(rng.nextInt(users.length))
-        val prof = seen(u)
-        val ipos = prof(rng.nextInt(prof.length))
-        val blocked = seenSets(u)
-        var jneg = items(rng.nextInt(items.length))
-        while (blocked.contains(jneg)) jneg = items(rng.nextInt(items.length))
-        val si = sRow(ipos); val sj = sRow(jneg)
-        var x = 0.0
-        prof.foreach { l => x += si(l) - sj(l) }
-        val g = 1.0 / (1.0 + math.exp(x))
-        prof.foreach { l =>
-          if (l != ipos) si(l) += lr * (g - liReg * si(l))
-          if (l != jneg) sj(l) -= lr * (g - ljReg * sj(l))
-        }
-        s += 1
+      tripleOrder match {
+        case Some(ts) => ts.foreach { case (u, i, j) =>
+          processTriple(u, i, j) }
+        case None =>
+          var s = 0
+          while (s < samplesPerEpoch) {
+            val u = users(rng.nextInt(users.length))
+            val prof = seen(u)
+            val ipos = prof(rng.nextInt(prof.length))
+            val blocked = seenSets(u)
+            var jneg = items(rng.nextInt(items.length))
+            while (blocked.contains(jneg))
+              jneg = items(rng.nextInt(items.length))
+            processTriple(u, ipos, jneg)
+            s += 1
+          }
       }
     }
     val triples = sMat.iterator.flatMap { case (t, row) =>

@@ -492,4 +492,33 @@ class ModelsSpec extends SparkSpec {
     assert(math.abs(small(0) - 1.5) < 1e-9)
     assert(math.abs(big(0)) < math.abs(small(0)))
   }
+
+  test("q175 gate fixture has teeth: reg roles, batch accumulation, " +
+       "and the injected triple order are all live in the pinned path") {
+    val tiny = Seq((0, 0, 1.0), (0, 1, 2.0), (1, 1, 3.0), (1, 2, 1.0),
+                   (1, 3, 2.0), (2, 0, 2.0)).toDF("u", "i", "v")
+    def init(id: Int, salt: Int): Array[Double] =
+      Array.tabulate(2)(f => (1.0 + id + 2 * f + salt) / 7.0)
+    val triples = Seq((0, 0, 2), (1, 1, 0), (0, 1, 2), (1, 2, 0))
+    def fit(negReg: Double, batch: Int, order: Seq[(Int, Int, Int)]) =
+      Models.mfBpr(spark, tiny, rank = 2, epochs = 1,
+        samplesPerEpoch = 4, lr = 0.14, reg = 0.05, seed = 0,
+        sgdMode = "adagrad", negativeReg = Some(negReg),
+        userReg = Some(0.02), batchSize = batch,
+        tripleOrder = Some(order), initVec = Some(init))
+    val base = fit(0.03, 2, triples)
+    // a reg-role swap must move the negative items' factors — the
+    // per-role split the q175 VALUES pin
+    val swapped = fit(0.05, 2, triples)
+    assert(base._2(2).toSeq != swapped._2(2).toSeq,
+      "negativeReg is inert in the gate's path")
+    // batch grouping changes accumulate-then-apply (pyx:838-899)
+    val b1 = fit(0.03, 1, triples)
+    assert(base._2(0).toSeq != b1._2(0).toSeq,
+      "batchSize is inert in the gate's path")
+    // the injected order IS the sample stream
+    val rev = fit(0.03, 2, triples.reverse)
+    assert(base._1(0).toSeq != rev._1(0).toSeq,
+      "tripleOrder is inert in the gate's path")
+  }
 }
