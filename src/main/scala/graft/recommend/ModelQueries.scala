@@ -863,6 +863,61 @@ object ModelQueries {
         |  (0, 1, -0.002155), (2, 1, 0.072449), (3, 1, 0.072449),
         |  (0, 2, -0.07), (1, 2, -0.07),
         |  (0, 3, -0.07), (1, 3, -0.07)
-        |) t(i, j, w)""".stripMargin))
+        |) t(i, j, w)""".stripMargin)),
+
+    // L20 STRICT gate — the weighted-λ translation on a SKEWED-degree
+    // fixture, closing q170's one open flank: q170 pinned ml.ALS ↔
+    // exact kernel only at constant degree, where ml's per-row
+    // regParam·n_u collapses to a uniform 2λ. Here user degrees are
+    // {1, 3, 2, 2}, so NO constant λ can reproduce ml's solve — the
+    // one-step identity must hold with the PER-ROW reweighting
+    // (ialsUserStep regScaledByDegree: diag += λ·n_u, ml.ALS's ALS-WR
+    // rule) and must FAIL for both constant readings (λ and 2λ — the
+    // teeth, asserted as oracle values, not prose). Same init- and
+    // convergence-independent identity as q170: ml's last internal
+    // update is the user ridge solve against its final item factors,
+    // so ialsUserStep(urm, itemFactors_ml) must reproduce
+    // userFactors_ml to float32 precision under both confidence
+    // scalings. Reference divergence documented at ialsUserStep:
+    // the reference adds plain λ (IALSRecommender.py:165-186); ml.ALS
+    // scales by the positive-rating count — this gate proves the
+    // engine speaks both, exactly.
+    Q("q178_ials_weighted_reg_gate", { t =>
+        import t.spark.implicits._
+        // user degrees 1/3/2/2 — skewed; all ratings positive, so
+        // ml.ALS's numExplicits equals the row count
+        val urm = Seq((0, 0, 1.0), (1, 0, 2.0), (1, 1, 1.0), (1, 2, 3.0),
+                      (2, 1, 2.0), (2, 3, 1.0), (3, 2, 2.0), (3, 3, 2.0))
+          .toDF("u", "i", "v")
+        val alpha = 1.5; val lam = 0.3; val eps = 0.5
+        Seq("linear", "log").map { scaling =>
+          val (ufMl0, itfMl0) = Models.ials(urm, rank = 2, reg = lam,
+            alpha = alpha, iters = 25, seed = 7,
+            confidenceScaling = scaling, epsilon = eps)
+          def toArr(df: org.apache.spark.sql.DataFrame) =
+            df.select(col("id"), col("features"))
+              .as[(Int, Array[Float])].collect()
+              .map { case (i, f) => (i, f.map(_.toDouble)) }.sortBy(_._1)
+          val ufMl = toArr(ufMl0)
+          val itfDf = toArr(itfMl0).toSeq.toDF("i", "factors")
+          def maxMove(a: Array[(Int, Array[Double])],
+                      b: Array[(Int, Array[Double])]): Double =
+            a.zip(b).map { case ((_, x), (_, y)) =>
+              x.zip(y).map { case (p, q) => math.abs(p - q) }.max }.max
+          def oneStep(reg: Double, scaled: Boolean) =
+            Models.ialsUserStep(t.spark, urm, itfDf, alpha, reg,
+                scaling, eps, regScaledByDegree = scaled)
+              .as[(Int, Array[Double])].collect().sortBy(_._1)
+          (scaling,
+           maxMove(oneStep(lam, scaled = true), ufMl) < 1e-5,
+           maxMove(oneStep(lam, scaled = false), ufMl) > 1e-4,
+           maxMove(oneStep(2 * lam, scaled = false), ufMl) > 1e-4)
+        }.toDF("scaling", "weighted_matches", "plain_diverges",
+               "doubled_diverges")
+      },
+      Some("""SELECT * FROM (VALUES
+        |  ('linear', true, true, true), ('log', true, true, true)
+        |) t(scaling, weighted_matches, plain_diverges, doubled_diverges)"""
+        .stripMargin))
   )
 }

@@ -150,7 +150,8 @@ object Models {
                    itemFactors: DataFrame, alpha: Double, reg: Double,
                    confidenceScaling: String = "linear",
                    epsilon: Double = 1.0,
-                   maxItems: Int = 100000): DataFrame = {
+                   maxItems: Int = 100000,
+                   regScaledByDegree: Boolean = false): DataFrame = {
     import spark.implicits._
     require(Set("linear", "log")(confidenceScaling),
       s"confidence_scaling must be linear|log, got $confidenceScaling")
@@ -192,15 +193,16 @@ object Models {
         while (a < rank) {
           var b = 0
           while (b < rank) { bMat(a, b) = g(a * rank + b); b += 1 }
-          bMat(a, a) += reg
           a += 1
         }
         val rhs = BDV.zeros[Double](rank)
+        var n = 0L
         rows.foreach { case (_, i, r) =>
           val f = ym.getOrElse(i, throw new IllegalArgumentException(
             s"ialsUserStep: item $i has no factor row"))
           val c = if (useLog) 1.0 + alpha * math.log1p(r / epsilon)
                   else 1.0 + alpha * r
+          n += 1
           var a = 0
           while (a < rank) {
             var b = 0
@@ -209,6 +211,16 @@ object Models {
             a += 1
           }
         }
+        // regScaledByDegree selects ml.ALS's "ALS-WR" weighted-λ
+        // (regParam scaled by the row's rating count — for implicit
+        // fits, the count of POSITIVE ratings, which on the engine's
+        // implicit-positive URMs is the row count); false keeps the
+        // reference's plain +λ (IALSRecommender.py:165-186). On
+        // skewed-degree data the two genuinely diverge per row — the
+        // q178 strict gate pins both sides of that translation.
+        val lam = if (regScaledByDegree) reg * n else reg
+        a = 0
+        while (a < rank) { bMat(a, a) += lam; a += 1 }
         (u, (bMat \ rhs).toArray)
       }
       .toDF("u", "factors")
