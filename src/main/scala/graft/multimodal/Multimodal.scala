@@ -9,11 +9,17 @@ import org.apache.spark.sql.functions._
   * stage: one decoder instantiation per partition, rows streamed
   * through it).
   *
-  * The decode step is a STUB — media codecs are not available in this
-  * environment — implemented as a deterministic fake (md5-derived
-  * pseudo-features). The Spark-side plumbing is real: binary schema,
-  * partition-batched execution, fixed-width feature vectors, and
-  * metadata structs survive a swap-in of a real decoder unchanged.
+  * The decode step is REAL for the codec-free raster formats a JVM can
+  * parse without native libraries — PPM P6/P3 and 24-bit uncompressed
+  * BMP ([[decode]], gate q179) — with an 8-dim pixel-statistics
+  * embedding ([[pixelFeatures]]) and a nearest-neighbor
+  * [[resizeNearest]]. Payloads outside those formats (or malformed
+  * ones) degrade to the deterministic md5 fake ([[decodeStub]]) rather
+  * than failing the partition: at 100 TB one corrupt file must not
+  * kill the stage, and compressed codecs (JPEG/PNG/video) genuinely
+  * need native decoders this environment doesn't ship. The Spark-side
+  * plumbing — binary schema, partition-batched execution, fixed-width
+  * feature vectors — is identical on both paths.
   */
 object Multimodal {
 
@@ -21,7 +27,11 @@ object Multimodal {
                             payload: Array[Byte])
   final case class MediaFeatures(mediaId: Long, kind: String,
                                  nBytes: Int, digest: String,
+                                 width: Int, height: Int,
                                  embedding: Array[Float])
+
+  /** A decoded raster: row-major, top-down, packed RGB bytes. */
+  final case class Decoded(width: Int, height: Int, rgb: Array[Byte])
 
   /** Wrap a text column as a fake binary payload — stands in for real
     * media bytes so the downstream plumbing is exercised end-to-end. */
@@ -31,15 +41,163 @@ object Multimodal {
     df.select(id.cast("long").as("mediaId"), lit(kind).as("kind"),
               payload.cast("binary").as("payload"))
 
-  /** STUB decoder: a real implementation would decode the payload
-    * (image decode / resample / frame-sample) — deterministic fake:
-    * an 8-dim embedding from the md5 digest bytes, scaled to [0,1). */
+  /** Fallback for non-raster / malformed payloads: a deterministic
+    * md5-derived 8-dim pseudo-embedding, so the downstream schema and
+    * partitioning are identical whether a row decoded or not. */
   private def decodeStub(payload: Array[Byte]): (String, Array[Float]) = {
     val md = java.security.MessageDigest.getInstance("MD5")
     val d = md.digest(payload)
     val hex = d.map("%02x".format(_)).mkString
     val emb = d.take(8).map(b => ((b & 0xff) / 255.0f))
     (hex, emb)
+  }
+
+  private def md5Hex(payload: Array[Byte]): String =
+    java.security.MessageDigest.getInstance("MD5").digest(payload)
+      .map("%02x".format(_)).mkString
+
+  /** Decode a PPM image (netpbm): P6 binary or P3 ASCII, maxval ≤ 255.
+    * Header tokens separated by whitespace, `#` comments skipped; P6
+    * pixel bytes start after the single whitespace following maxval.
+    * Spec: netpbm ppm(5). Returns None on anything malformed. */
+  private[multimodal] def decodePpm(b: Array[Byte]): Option[Decoded] =
+    try {
+      val magic = new String(b, 0, 2, "US-ASCII")
+      if (magic != "P6" && magic != "P3") return None
+      var pos = 2
+      def nextToken(): String = {
+        // skip whitespace and # comments (to end of line)
+        var inComment = false
+        while (pos < b.length &&
+               (inComment || b(pos).toChar.isWhitespace ||
+                b(pos) == '#')) {
+          if (b(pos) == '#') inComment = true
+          else if (b(pos) == '\n') inComment = false
+          pos += 1
+        }
+        val start = pos
+        while (pos < b.length && !b(pos).toChar.isWhitespace) pos += 1
+        new String(b, start, pos - start, "US-ASCII")
+      }
+      val w = nextToken().toInt
+      val h = nextToken().toInt
+      val maxval = nextToken().toInt
+      if (w <= 0 || h <= 0 || maxval <= 0 || maxval > 255) return None
+      val n = w * h * 3
+      val rgb = new Array[Byte](n)
+      if (magic == "P6") {
+        pos += 1 // exactly one whitespace byte after maxval
+        if (pos + n > b.length) return None
+        System.arraycopy(b, pos, rgb, 0, n)
+      } else {
+        var k = 0
+        while (k < n) { rgb(k) = nextToken().toInt.toByte; k += 1 }
+      }
+      Some(Decoded(w, h, rgb))
+    } catch { case _: Exception => None }
+
+  /** Decode a 24-bit uncompressed (BI_RGB) BMP: BITMAPFILEHEADER +
+    * BITMAPINFOHEADER, little-endian, rows padded to 4 bytes, stored
+    * bottom-up (top-down when height < 0), pixels BGR. Returns packed
+    * top-down RGB; None for other bit depths / compressions. */
+  private[multimodal] def decodeBmp(b: Array[Byte]): Option[Decoded] =
+    try {
+      if (b.length < 54 || b(0) != 'B' || b(1) != 'M') return None
+      val bb = java.nio.ByteBuffer.wrap(b)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      val offBits = bb.getInt(10)
+      val w = bb.getInt(18)
+      val hRaw = bb.getInt(22)
+      val bpp = bb.getShort(28).toInt
+      val compression = bb.getInt(30)
+      if (w <= 0 || hRaw == 0 || bpp != 24 || compression != 0)
+        return None
+      val h = math.abs(hRaw)
+      val topDown = hRaw < 0
+      val rowBytes = (w * 3 + 3) / 4 * 4
+      if (offBits + rowBytes.toLong * h > b.length) return None
+      val rgb = new Array[Byte](w * h * 3)
+      var y = 0
+      while (y < h) {
+        val srcRow = if (topDown) y else h - 1 - y
+        var x = 0
+        while (x < w) {
+          val s = offBits + srcRow * rowBytes + x * 3
+          val d = (y * w + x) * 3
+          rgb(d) = b(s + 2)     // R  (BMP stores BGR)
+          rgb(d + 1) = b(s + 1) // G
+          rgb(d + 2) = b(s)     // B
+          x += 1
+        }
+        y += 1
+      }
+      Some(Decoded(w, h, rgb))
+    } catch { case _: Exception => None }
+
+  /** Dispatch on magic bytes: PPM (P6/P3) or 24-bit BMP. None for
+    * anything else — the caller falls back to [[decodeStub]]. */
+  def decode(payload: Array[Byte]): Option[Decoded] =
+    if (payload.length >= 2 && payload(0) == 'P' &&
+        (payload(1) == '6' || payload(1) == '3')) decodePpm(payload)
+    else if (payload.length >= 2 && payload(0) == 'B' &&
+             payload(1) == 'M') decodeBmp(payload)
+    else None
+
+  /** Nearest-neighbor resize (the classic src = floor(dst·srcDim/dstDim)
+    * mapping) — the pure-JVM stand-in for a resample stage. */
+  def resizeNearest(d: Decoded, w2: Int, h2: Int): Decoded = {
+    require(w2 > 0 && h2 > 0, "target dims must be positive")
+    val rgb = new Array[Byte](w2 * h2 * 3)
+    var y = 0
+    while (y < h2) {
+      val sy = y * d.height / h2
+      var x = 0
+      while (x < w2) {
+        val sx = x * d.width / w2
+        val s = (sy * d.width + sx) * 3
+        val t = (y * w2 + x) * 3
+        rgb(t) = d.rgb(s); rgb(t + 1) = d.rgb(s + 1)
+        rgb(t + 2) = d.rgb(s + 2)
+        x += 1
+      }
+      y += 1
+    }
+    Decoded(w2, h2, rgb)
+  }
+
+  /** 8-dim pixel-statistics embedding over a decoded raster, every
+    * component in [0,1] and hand-derivable (the q179 oracle):
+    * mean R/G/B (÷255), mean Rec.601 luma, luma contrast
+    * (max−min)/255, bright fraction (per-pixel luma > 127.5),
+    * aspect w/(w+h), and size min(1, w·h/4096). */
+  def pixelFeatures(d: Decoded): Array[Float] = {
+    val n = d.width * d.height
+    var sumR = 0L; var sumG = 0L; var sumB = 0L
+    var minLuma = Double.MaxValue; var maxLuma = Double.MinValue
+    var bright = 0
+    var p = 0
+    while (p < n) {
+      val r = d.rgb(p * 3) & 0xff
+      val g = d.rgb(p * 3 + 1) & 0xff
+      val b = d.rgb(p * 3 + 2) & 0xff
+      sumR += r; sumG += g; sumB += b
+      val luma = 0.299 * r + 0.587 * g + 0.114 * b
+      if (luma < minLuma) minLuma = luma
+      if (luma > maxLuma) maxLuma = luma
+      if (luma > 127.5) bright += 1
+      p += 1
+    }
+    val meanR = sumR / (n * 255.0)
+    val meanG = sumG / (n * 255.0)
+    val meanB = sumB / (n * 255.0)
+    Array(
+      meanR, meanG, meanB,
+      0.299 * meanR + 0.587 * meanG + 0.114 * meanB,
+      (maxLuma - minLuma) / 255.0,
+      bright.toDouble / n,
+      d.width.toDouble / (d.width + d.height),
+      math.min(1.0, n / 4096.0)
+    ).map(_.toFloat)
   }
 
   /** Frame sampling over an opaque binary payload: every `everyNth`
@@ -72,15 +230,27 @@ object Multimodal {
 
   /** Batched feature extraction: mapPartitions gives one decoder
     * lifetime per partition (≈ one Python worker batch in mapInPandas);
-    * rows stream through without per-row setup cost. Output schema is a
-    * fixed-width feature vector + digest, ready for the ANN operators. */
+    * rows stream through without per-row setup cost. Raster payloads
+    * ([[decode]]: PPM/BMP) get REAL pixel-statistics features and
+    * their decoded dimensions; everything else degrades to the
+    * deterministic md5 fake with width = height = 0. Output schema is
+    * a fixed-width feature vector + digest, ready for the ANN
+    * operators, identical on both paths. */
   def extractFeatures(media: Dataset[MediaRow]): Dataset[MediaFeatures] = {
     import media.sparkSession.implicits._
     media.mapPartitions { rows =>
       // per-partition decoder init would go here (codec contexts, models)
       rows.map { r =>
-        val (digest, emb) = decodeStub(r.payload)
-        MediaFeatures(r.mediaId, r.kind, r.payload.length, digest, emb)
+        decode(r.payload) match {
+          case Some(d) =>
+            MediaFeatures(r.mediaId, r.kind, r.payload.length,
+                          md5Hex(r.payload), d.width, d.height,
+                          pixelFeatures(d))
+          case None =>
+            val (digest, emb) = decodeStub(r.payload)
+            MediaFeatures(r.mediaId, r.kind, r.payload.length, digest,
+                          0, 0, emb)
+        }
       }
     }
   }

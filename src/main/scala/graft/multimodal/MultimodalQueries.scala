@@ -46,6 +46,86 @@ object MultimodalQueries {
         |    AS frame_bytes,
         |  md5(substr(text, CAST(x * 64 + 1 AS INT), 32)) AS frame_md5
         |FROM documents, UNNEST(generate_series(0, 3)) t(x)
-        |WHERE x * 64 < len(text)""".stripMargin))
+        |WHERE x * 64 < len(text)""".stripMargin)),
+
+    // STRICT gate — the REAL decoder path (the former declared stub):
+    // PPM P6 (binary) and P3 (ASCII) must decode the same 2×2 pixels
+    // through two different parsers, a 24-bit bottom-up BMP with row
+    // padding must come out top-down RGB, and the decode →
+    // nearest-neighbor resize → features chain must reproduce the
+    // hand-derived pixel statistics. Every expected value is derived
+    // independently (channel sums / Rec.601 lumas on the fixture
+    // pixels — see the scaladoc of Multimodal.pixelFeatures), not from
+    // running this code. A BGR/RGB swap, an un-padded BMP row stride,
+    // a bottom-up flip miss, a P3 tokenizer slip, or a wrong resize
+    // mapping is a red hash row. Payloads run through the SAME
+    // partition-batched extractFeatures the at-scale demos (q70/q91)
+    // use, so the gate pins the production path, not a test double.
+    Q("q179_media_decode_gate", { t =>
+        val spark = t.spark
+        import spark.implicits._
+        val ppm6: Array[Byte] = "P6\n2 2\n255\n".getBytes("US-ASCII") ++
+          Array(255, 0, 0, 0, 255, 0, 0, 0, 255, 255, 255, 255)
+            .map(_.toByte)
+        val ppm3: Array[Byte] =
+          ("P3\n# q179 fixture\n2 2\n255\n" +
+           "255 0 0 0 255 0\n0 0 255 255 255 255\n").getBytes("US-ASCII")
+        val bmp: Array[Byte] = {
+          val w = 3; val h = 2
+          val rowBytes = (w * 3 + 3) / 4 * 4 // 12: 9 pixel bytes + 3 pad
+          val size = 54 + rowBytes * h
+          val bb = java.nio.ByteBuffer.allocate(size)
+            .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+          bb.put('B'.toByte).put('M'.toByte).putInt(size)
+            .putShort(0).putShort(0).putInt(54)
+          bb.putInt(40).putInt(w).putInt(h).putShort(1).putShort(24)
+            .putInt(0).putInt(rowBytes * h).putInt(2835).putInt(2835)
+            .putInt(0).putInt(0)
+          // stored bottom-up in BGR: file row 0 = image BOTTOM row
+          val storedRows = Seq(
+            Seq((100, 110, 120), (130, 140, 150), (160, 170, 180)),
+            Seq((10, 20, 30), (40, 50, 60), (70, 80, 90)))
+          storedRows.foreach { r =>
+            r.foreach { case (rr, g, b) =>
+              bb.put(b.toByte).put(g.toByte).put(rr.toByte) }
+            bb.put(0.toByte).put(0.toByte).put(0.toByte) // row padding
+          }
+          bb.array()
+        }
+        val media = Seq(("p6", ppm6), ("p3", ppm3), ("bmp", bmp))
+          .zipWithIndex
+          .map { case ((k, p), i) => Multimodal.MediaRow(i.toLong, k, p) }
+        val feats = Multimodal.extractFeatures(media.toDS()).toDF()
+          .select(col("kind").as("img"), col("width"), col("height"),
+                  col("embedding"))
+        val rs = Multimodal.resizeNearest(Multimodal.decode(bmp).get,
+                                          2, 1)
+        val rsDf = Seq(("bmp_2x1", rs.width, rs.height,
+                        Multimodal.pixelFeatures(rs)))
+          .toDF("img", "width", "height", "embedding")
+        feats.unionByName(rsDf)
+          .select(col("img"), col("width"), col("height"),
+                  posexplode(col("embedding")).as(Seq("f", "v")))
+          .select(col("img"), col("width"), col("height"), col("f"),
+                  round(col("v").cast("double"), 6).as("value"))
+      },
+      Some("""SELECT * FROM (VALUES
+        |  ('p6', 2, 2, 0, CAST(0.5 AS DOUBLE)), ('p6', 2, 2, 1, 0.5),
+        |  ('p6', 2, 2, 2, 0.5), ('p6', 2, 2, 3, 0.5),
+        |  ('p6', 2, 2, 4, 0.886), ('p6', 2, 2, 5, 0.5),
+        |  ('p6', 2, 2, 6, 0.5), ('p6', 2, 2, 7, 0.000977),
+        |  ('p3', 2, 2, 0, 0.5), ('p3', 2, 2, 1, 0.5),
+        |  ('p3', 2, 2, 2, 0.5), ('p3', 2, 2, 3, 0.5),
+        |  ('p3', 2, 2, 4, 0.886), ('p3', 2, 2, 5, 0.5),
+        |  ('p3', 2, 2, 6, 0.5), ('p3', 2, 2, 7, 0.000977),
+        |  ('bmp', 3, 2, 0, 0.333333), ('bmp', 3, 2, 1, 0.372549),
+        |  ('bmp', 3, 2, 2, 0.411765), ('bmp', 3, 2, 3, 0.365294),
+        |  ('bmp', 3, 2, 4, 0.588235), ('bmp', 3, 2, 5, 0.333333),
+        |  ('bmp', 3, 2, 6, 0.6), ('bmp', 3, 2, 7, 0.001465),
+        |  ('bmp_2x1', 2, 1, 0, 0.098039), ('bmp_2x1', 2, 1, 1, 0.137255),
+        |  ('bmp_2x1', 2, 1, 2, 0.176471), ('bmp_2x1', 2, 1, 3, 0.13),
+        |  ('bmp_2x1', 2, 1, 4, 0.117647), ('bmp_2x1', 2, 1, 5, 0.0),
+        |  ('bmp_2x1', 2, 1, 6, 0.666667), ('bmp_2x1', 2, 1, 7, 0.000488)
+        |) t(img, width, height, f, value)""".stripMargin))
   )
 }

@@ -416,4 +416,43 @@ class StreamingMultimodalSpec extends SparkSpec {
     assert(merged(Some("a")) == 20.0) // inclusive median of 1..40
     assert(merged(Some("b")) == 200.0)
   }
+
+  test("media decoder edges: header comments, top-down BMP, malformed " +
+       "payloads degrade to the stub instead of failing the partition") {
+    import graft.multimodal.Multimodal
+    // P6 with a comment between tokens and multi-digit dims
+    val p6 = "P6 # wide\n#full-line comment\n 2 1\n255\n"
+      .getBytes("US-ASCII") ++
+      Array(1, 2, 3, 4, 5, 6).map(_.toByte)
+    val d = Multimodal.decode(p6).get
+    assert(d.width == 2 && d.height == 1)
+    assert(d.rgb.toSeq == Seq[Byte](1, 2, 3, 4, 5, 6))
+    // top-down BMP (negative height): rows must NOT flip
+    val bb = java.nio.ByteBuffer.allocate(54 + 8)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put('B'.toByte).put('M'.toByte).putInt(54 + 8)
+      .putShort(0).putShort(0).putInt(54)
+    bb.putInt(40).putInt(1).putInt(-2).putShort(1).putShort(24)
+      .putInt(0).putInt(8).putInt(0).putInt(0).putInt(0).putInt(0)
+    // 1px/row → 3 bytes + 1 pad; stored row 0 IS the top row here
+    bb.put(30.toByte).put(20.toByte).put(10.toByte).put(0.toByte)
+    bb.put(60.toByte).put(50.toByte).put(40.toByte).put(0.toByte)
+    val td = Multimodal.decode(bb.array()).get
+    assert(td.width == 1 && td.height == 2)
+    assert(td.rgb.toSeq == Seq[Byte](10, 20, 30, 40, 50, 60))
+    // malformed rasters → None (extractFeatures then falls back):
+    // truncated P6, 8bpp BMP, and an arbitrary binary blob
+    assert(Multimodal.decode("P6\n9 9\n255\n".getBytes("US-ASCII"))
+      .isEmpty)
+    val bad = bb.array().clone(); bad(28) = 8 // bpp 8
+    assert(Multimodal.decode(bad).isEmpty)
+    assert(Multimodal.decode(Array[Byte](1, 2, 3)).isEmpty)
+    // fallback path keeps the schema: width/height 0, md5 embedding
+    val rows = Seq(Multimodal.MediaRow(9L, "blob", Array[Byte](1, 2, 3)))
+    val f = Multimodal.extractFeatures(rows.toDS()).collect().head
+    assert(f.width == 0 && f.height == 0 && f.embedding.length == 8)
+    // resize identity: same dims reproduce the pixels
+    val same = Multimodal.resizeNearest(td, 1, 2)
+    assert(same.rgb.toSeq == td.rgb.toSeq)
+  }
 }
