@@ -325,9 +325,35 @@ object Soak {
         }
       })
 
+    // Per-rep idle gate (VERDICT r10 what's-missing #3): wall medians
+    // only count as evidence when the box was actually quiet during
+    // the rep. 1-min loadavg is useless for that mid-soak — it decays
+    // from the soak's OWN finished reps (sf1 reps used to start at
+    // load 17-29 with nothing running) — so the gate reads
+    // /proc/stat jiffies minus this JVM's own (BenchUtil.extBusyFrac)
+    // and waits (bounded) until external CPU falls under the
+    // threshold. Both instruments are recorded PER REP in the
+    // artifact so every wall number is mechanically attributable.
+    val extBusyGate = sys.env.getOrElse("SPARK_GRAFT_SOAK_EXT_BUSY",
+                                        "0.05").toDouble
+    val gateDeadlineSec = sys.env.getOrElse("SPARK_GRAFT_SOAK_GATE_SEC",
+                                            "60").toInt
+    def gateRep(): (Double, Double) = {
+      var eb = core.BenchUtil.extBusyFrac(1000)
+      val deadline = System.nanoTime() + gateDeadlineSec * 1000L * 1000 * 1000
+      while (eb >= 0 && eb > extBusyGate && System.nanoTime() < deadline) {
+        Thread.sleep(2000)
+        eb = core.BenchUtil.extBusyFrac(1000)
+      }
+      (loadavg(), eb)
+    }
     val runs = scala.collection.mutable.LinkedHashMap[String, Seq[Double]]()
     val medians = scala.collection.mutable.LinkedHashMap[String, Double]()
     val load = scala.collection.mutable.LinkedHashMap[String, Double]()
+    val loadPerRep =
+      scala.collection.mutable.LinkedHashMap[String, Seq[Double]]()
+    val extBusyPerRep =
+      scala.collection.mutable.LinkedHashMap[String, Seq[Double]]()
     val shuffleMb = scala.collection.mutable.LinkedHashMap[String, Double]()
     val shuffleKrec = scala.collection.mutable.LinkedHashMap[String, Double]()
     ops.filter { case (n, _) => only.forall(_.contains(n)) }
@@ -335,8 +361,12 @@ object Soak {
         load(name) = loadavg()
         Thread.sleep(500) // settle the async listener bus
         shufRead.set(0L); shufWrite.set(0L); shufRecs.set(0L)
+        val repLoads = scala.collection.mutable.ArrayBuffer[Double]()
+        val repBusy = scala.collection.mutable.ArrayBuffer[Double]()
         val ts = (0 until reps).map { _ =>
           clearState()
+          val (la, eb) = gateRep()
+          repLoads += la; repBusy += eb
           val t0 = System.nanoTime()
           // a FAILED rep records −1, not its elapsed time: the JSON is
           // transcribed into SURVEY scale tables, and a throwing op
@@ -348,6 +378,8 @@ object Soak {
           if (ok) (System.nanoTime() - t0) / 1e9 else -1.0
         }
         runs(name) = ts
+        loadPerRep(name) = repLoads.toSeq
+        extBusyPerRep(name) = repBusy.toSeq
         medians(name) =
           if (ts.contains(-1.0)) -1.0 else core.BenchUtil.median(ts)
         Thread.sleep(500) // settle before the snapshot
@@ -373,12 +405,14 @@ object Soak {
       }
     def jmap(m: scala.collection.Map[String, Double]): String =
       core.BenchUtil.jmapRounded(m)
-    val runsJson = runs.map { case (k, v) =>
-      "\"" + k + "\":[" +
-        v.map(x => math.round(x * 1000) / 1000.0).mkString(",") + "]" }
-      .mkString("{", ",", "}")
+    def jarr(m: scala.collection.Map[String, Seq[Double]]): String =
+      m.map { case (k, v) =>
+        "\"" + k + "\":[" +
+          v.map(x => math.round(x * 1000) / 1000.0).mkString(",") + "]" }
+        .mkString("{", ",", "}")
+    val runsJson = jarr(runs)
     val line =
-      s"""{"sf":"$sfDir","medians":${jmap(medians)},"runs":$runsJson,"shuffle_mb_per_rep":${jmap(shuffleMb)},"shuffle_krec_per_rep":${jmap(shuffleKrec)},"load_at_start":${jmap(load)}}"""
+      s"""{"sf":"$sfDir","medians":${jmap(medians)},"runs":$runsJson,"shuffle_mb_per_rep":${jmap(shuffleMb)},"shuffle_krec_per_rep":${jmap(shuffleKrec)},"load_at_start":${jmap(load)},"load_per_rep":${jarr(loadPerRep)},"ext_busy_per_rep":${jarr(extBusyPerRep)}}"""
     println(line)
     // committed artifact (the BENCH_r{N}.json convention, VERDICT r9
     // #2): append one JSON line per soaked scale factor so a round's
