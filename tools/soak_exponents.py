@@ -27,7 +27,8 @@ for line in open(path):
     sf = float(m.group(1))
     merged = by_sf.setdefault(sf, {})
     for section in ("medians", "runs", "shuffle_mb_per_rep",
-                    "shuffle_krec_per_rep", "load_at_start"):
+                    "shuffle_krec_per_rep", "load_at_start",
+                    "load_per_rep", "ext_busy_per_rep"):
         merged.setdefault(section, {}).update(d.get(section, {}))
 points = sorted(by_sf.items())
 
@@ -101,7 +102,20 @@ for op in ops:
                  [math.log10(v) for _, v in ok_r])
            if len(ok_r) >= 2 else float("nan"))
     rtxt = f"  rec_exp={re_:5.2f}" if ok_r else ""
+    # per-rep evidence at the TOP point (round-11 instrumentation):
+    # rep spread = max/min wall of the successful reps, and the worst
+    # external-CPU fraction any rep started at — the wall columns are
+    # usable evidence exactly when spread is tight and ext_busy is ~0
+    top_d = next((d for _, d in reversed(points)
+                  if d.get("runs", {}).get(op)), points[-1][1])
+    top_runs = [t for t in top_d.get("runs", {}).get(op, []) if t > 0]
+    spread = (max(top_runs) / min(top_runs)) if len(top_runs) >= 2 else float("nan")
+    ebs = [e for e in top_d.get("ext_busy_per_rep", {}).get(op, [])
+           if e >= 0]
+    etxt = (f"  top_spread={spread:4.2f} top_ext_busy<={max(ebs):.3f}"
+            if ebs else (f"  top_spread={spread:4.2f}"
+                         if top_runs else ""))
     print(f"{op:28s} " + " ".join(f"{v:9.2f}" for _, v in med)
           + f"  {we:7.2f} {lw:>9s} " + " ".join(f"{v:9.1f}" for _, v in shf)
           + f"  {se:7.2f} {ls:>9s}"
-          + f"  fix={a:6.2f}s data@top={share:4.0%}" + rtxt)
+          + f"  fix={a:6.2f}s data@top={share:4.0%}" + rtxt + etxt)
