@@ -126,6 +126,50 @@ object Soak {
           .agg(count(lit(1)).as("n_docs"), sum(col("keep")).as("n_kept"))
           .count()
       }),
+      // the production AT-SCALE posture of the same chain (the
+      // lshCandidatePairs scaladoc's own doctrine, promoted to a
+      // measured op by the r11 sf3 finding): the uncapped op above is
+      // linear only while the bucket self-join broadcasts — its join
+      // output stays clustered by doc_id, so the pair distinct needs
+      // NO exchange — and flips to shuffling the FULL pair fan-out
+      // once the build side outgrows broadcast range (sf3: 486M pair
+      // rows, local record exponent ~3). At 100 TB the bucket frame
+      // is never broadcastable, so the true at-scale shape must BOUND
+      // the per-bucket fan-out: cap giant buckets (boilerplate
+      // collisions — here the synthetic corpus's tiny vocabulary) and
+      // route their members through the linear exact-dup grouping,
+      // accepting the documented near-dup recall trade on degenerate
+      // groups. Candidate pairs per bucket are then ≤ cap², linear in
+      // bucket count hence in corpus.
+      "dedup_e2e_capped" -> (() => {
+        val corpus = graft.core.CacheScope.persist(
+          t.documents.select(col("doc_id"), col("source"), col("text")))
+        val dt = graft.core.CacheScope.persist(
+          Dedup.docTokens(corpus, col("doc_id"), col("text")))
+        val sigs = Dedup.minhashSignatures(dt, 6)
+        val cand = Dedup.lshCandidatePairs(sigs, 6, 2,
+                                           maxBucketSize = 1000)
+        val near = Dedup.jaccardForPairs(cand, dt)
+          .filter(col("jaccard") >= 0.97).select("a", "b")
+        val norm = md5(regexp_replace(lower(trim(col("text"))),
+                                      "\\s+", " "))
+        val hashed = corpus.select(col("doc_id"), norm.as("h"))
+        val exactEdges = hashed
+          .join(Dedup.exactDupGroups(corpus, col("doc_id"), col("text")),
+                "h")
+          .filter(col("doc_id") =!= col("canonical"))
+          .select(col("canonical").as("a"), col("doc_id").as("b"))
+        val cc = Dedup.connectedComponents(
+            near.unionByName(exactEdges))
+          .withColumnRenamed("node", "doc_id")
+        corpus.join(cc, Seq("doc_id"), "left")
+          .withColumn("keep",
+            (col("cluster").isNull ||
+             col("cluster") === col("doc_id")).cast("long"))
+          .groupBy("source")
+          .agg(count(lit(1)).as("n_docs"), sum(col("keep")).as("n_kept"))
+          .count()
+      }),
       // ANN baseline vs scale path at the same recall task (queries =
       // proportional 5% slice): brute force is the quadratic-input
       // baseline (pairs grow ×(sf)²); IVF-PQ is what actually ships at
