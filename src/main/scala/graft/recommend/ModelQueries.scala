@@ -11,10 +11,15 @@ import graft.ann.Ann
   * determinism: EASE^R, PureSVD, and converged SLIM are deterministic,
   * so each at-scale rows-only query (q66/q64/q67) has a STRICT
   * VALUES-oracle twin (q150/q151/q152) running the same code path on
-  * an inline URM against an independently derived answer; the
-  * genuinely stochastic SGD/seeded models (ALS, BPR, FunkSVD, NMF)
-  * get the driver's rows-only check plus hand-computed ScalaTest
-  * fixtures — mirroring SURVEY §5's plan (an SQL oracle can't run SGD).
+  * an inline URM against an independently derived answer. The
+  * stochastic tier's at-scale demos (ALS, BPR, FunkSVD, AsySVD, NMF,
+  * SLIM-BPR) keep the driver's rows-only check, but every one of
+  * their UPDATE RULES is now value-pinned too: an SQL oracle can't
+  * run SGD, yet SGD is deterministic GIVEN the sample order, so the
+  * q153 injection convention extends to an injected deterministic
+  * sampler + rational init (q174–q177) and the closed-form IALS
+  * kernels tie ml.ALS to the reference solve under both λ readings
+  * (q167/q169/q170/q178).
   */
 object ModelQueries {
 
