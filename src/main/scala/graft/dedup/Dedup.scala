@@ -386,6 +386,68 @@ object Dedup {
       .filter(col("n_docs") > 1)
   }
 
+  /** Cross-document repeated-span REMOVAL — the second half of
+    * exact-substring deduplication (Lee et al., ACL 2022, §3.1: the
+    * paper CUTS every duplicated span, it does not merely report it;
+    * [[repeatedSpans]] is the detection half). Every `spanTokens`-token
+    * window is fingerprinted on the LOWERCASED tokens (matching is
+    * case-insensitive, like every hash in this module); a window whose
+    * fingerprint occurs in more than one distinct document is a
+    * duplicate, the occurrence(s) in the smallest doc id are canonical
+    * and survive, and every other occurrence has its token range cut
+    * from the ORIGINAL text. Overlapping cut ranges merge naturally
+    * because removal is computed as the distinct set of covered token
+    * positions, not as intervals.
+    *
+    * Scale shape: three key-partitioned shuffles and nothing all-pairs
+    * — groupBy span hash (corpus-window rows, 32-char keys), a hash
+    * join occurrences × duplicated-hash table, and a groupBy doc_id
+    * whose per-group state (the covered-position set) is bounded by
+    * that document's own token count. Span text never crosses a
+    * shuffle; the rebuild is a per-row array filter on the original
+    * token array.
+    *
+    * Returns (doc_id, n_tokens, n_removed, clean_text); documents with
+    * nothing removed pass through with n_removed = 0. */
+  def removeRepeatedSpans(docs: DataFrame, id: Column, text: Column,
+                          spanTokens: Int): DataFrame = {
+    val base = graft.core.CacheScope.persist(
+      docs.select(id.as("doc_id"), text.as("text")))
+    val lowArr = split(lower(col("text")), "\\s+")
+    // (doc_id, pos, h): every window occurrence with its 1-based start.
+    val occ = base
+      .select(col("doc_id"),
+              posexplode(when(size(lowArr) >= spanTokens,
+                transform(
+                  sequence(lit(1), size(lowArr) - (spanTokens - 1)),
+                  i => md5(concat_ws(" ", slice(lowArr, i, lit(spanTokens))))))
+                .otherwise(array().cast("array<string>"))))
+      .select(col("doc_id"), (col("pos") + 1).as("pos"), col("col").as("h"))
+    val dup = occ.groupBy("h")
+      .agg(countDistinct("doc_id").as("n_docs"), min("doc_id").as("keep_doc"))
+      .filter(col("n_docs") > 1)
+      .select("h", "keep_doc")
+    // Covered token positions per doc: union of the cut windows.
+    val covered = occ.join(dup, "h")
+      .filter(col("doc_id") =!= col("keep_doc"))
+      .select(col("doc_id"),
+              explode(sequence(col("pos"),
+                               col("pos") + (spanTokens - 1))).as("tp"))
+      .groupBy("doc_id")
+      .agg(collect_set("tp").as("cut"))
+    val origArr = split(col("text"), "\\s+")
+    base.join(covered, Seq("doc_id"), "left")
+      .select(
+        col("doc_id"),
+        size(origArr).as("n_tokens"),
+        coalesce(size(col("cut")), lit(0)).as("n_removed"),
+        concat_ws(" ",
+          filter(origArr, (_, i) =>
+            !array_contains(coalesce(col("cut"),
+                                     array().cast("array<int>")),
+                            i + 1))).as("clean_text"))
+  }
+
   /** SemDeDup-style semantic deduplication over an embedding corpus
     * (Abbas et al., "SemDeDup: Data-efficient learning at web-scale
     * through semantic deduplication", arXiv:2303.09540): cluster the

@@ -119,6 +119,83 @@ object DedupQueries {
         |FROM spans GROUP BY h
         |HAVING COUNT(DISTINCT doc_id) > 1""".stripMargin)),
 
+    // Repeated-span REMOVAL — the cut half of exact-substring dedup
+    // (Lee et al., ACL 2022): duplicated >= 10-token windows are cut
+    // from every non-canonical document, overlaps merged. Plants two
+    // shapes on top of q131's verbatim copies (+5000, fully cut to
+    // empty): composites (+6000) of each short doc's first 15 tokens
+    // plus 20 per-doc synthetic tokens, so exactly positions 1-15 are
+    // removed — partial cuts exercising the interval-union path.
+    Q("q180_remove_repeated_spans", { t =>
+        val base = t.documents.select(col("doc_id"), col("text"))
+        val full = base.filter(col("doc_id") < 10)
+          .select((col("doc_id") + 5000L).as("doc_id"), col("text"))
+        val arr = split(col("text"), "\\s+")
+        // orig_id rename: a bare doc_id in the synthetic tokens would
+        // lateral-resolve to the re-id'd alias (+6000), not the input
+        val partial = base.filter(col("doc_id") < 10)
+          .select(col("doc_id").as("orig_id"), col("text"))
+          .select((col("orig_id") + 6000L).as("doc_id"),
+            concat_ws(" ", concat(
+              slice(arr, 1, 15),
+              transform(sequence(lit(1), lit(20)), i =>
+                concat(lit("zz"), col("orig_id").cast("string"),
+                       lit("_"), i.cast("string"))))).as("text"))
+        Dedup.removeRepeatedSpans(
+          base.unionByName(full).unionByName(partial),
+          col("doc_id"), col("text"), spanTokens = 10)
+      },
+      Some("""WITH corpus AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 5000, text FROM documents WHERE doc_id < 10
+        |  UNION ALL
+        |  SELECT doc_id + 6000,
+        |    array_to_string(
+        |      list_slice(string_split_regex(text, '\s+'), 1, 15) ||
+        |      list_transform(range(1, 21),
+        |        i -> 'zz' || CAST(doc_id AS VARCHAR) || '_'
+        |             || CAST(i AS VARCHAR)),
+        |      ' ') AS text
+        |  FROM documents WHERE doc_id < 10
+        |), toks AS (
+        |  SELECT doc_id, string_split_regex(text, '\s+') AS tk,
+        |         string_split_regex(lower(text), '\s+') AS lt
+        |  FROM corpus
+        |), occ AS (
+        |  SELECT doc_id, i AS pos,
+        |    md5(array_to_string(list_slice(
+        |      lt, CAST(i AS INT), CAST(i + 9 AS INT)), ' ')) AS h
+        |  FROM toks, UNNEST(generate_series(1, len(lt) - 9)) t(i)
+        |  WHERE len(lt) >= 10
+        |), dup AS (
+        |  SELECT h, MIN(doc_id) AS keep_doc FROM occ GROUP BY h
+        |  HAVING COUNT(DISTINCT doc_id) > 1
+        |), cov AS (
+        |  SELECT DISTINCT o.doc_id, o.pos + j.j AS tp
+        |  FROM occ o JOIN dup d USING (h),
+        |       UNNEST(generate_series(0, 9)) j(j)
+        |  WHERE o.doc_id <> d.keep_doc
+        |), kept AS (
+        |  SELECT t.doc_id, u.i AS tp,
+        |         list_extract(t.tk, CAST(u.i AS INT)) AS tok
+        |  FROM toks t, UNNEST(generate_series(1, len(t.tk))) u(i)
+        |  WHERE NOT EXISTS (SELECT 1 FROM cov c
+        |                    WHERE c.doc_id = t.doc_id AND c.tp = u.i)
+        |), agg AS (
+        |  SELECT doc_id, string_agg(tok, ' ' ORDER BY tp) AS s
+        |  FROM kept GROUP BY doc_id
+        |), ncov AS (
+        |  SELECT doc_id, COUNT(*) AS n_removed FROM cov GROUP BY doc_id
+        |)
+        |SELECT t.doc_id,
+        |  CAST(len(t.tk) AS INT) AS n_tokens,
+        |  CAST(COALESCE(n.n_removed, 0) AS INT) AS n_removed,
+        |  COALESCE(a.s, '') AS clean_text
+        |FROM toks t
+        |LEFT JOIN ncov n USING (doc_id)
+        |LEFT JOIN agg a USING (doc_id)""".stripMargin)),
+
     // Exact dedup: normalized-md5 groups with more than one member.
     // The synthetic corpus contains no exact duplicates, so the gate
     // plants them: the corpus is documents UNION a verbatim re-id'd

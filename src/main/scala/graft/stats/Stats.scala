@@ -217,6 +217,73 @@ object Stats {
       .drop("g", "rate", "tok")
   }
 
+  /** Temperature-reweighted token-budget allocation with an epoch cap
+    * — the water-filling mixture PLANNER that [[mixtureSample]]'s
+    * simple rate rule approximates. Target weights follow the
+    * multilingual-pretraining convention (Conneau & Lample 2019;
+    * XLM-R): w_d ∝ avail_d^(1/τ), upweighting small domains. A domain
+    * can be upsampled at most `maxEpochs` passes; budget a saturated
+    * domain cannot absorb is re-spread over the unsaturated ones in
+    * proportion to their weights. That fixed point is the classic
+    * water-filling level λ* with allocation min(maxEpochs·avail_d,
+    * w_d·λ*), found in closed form: sort domains by saturation level
+    * cap_d/w_d ascending, take the largest prefix k whose own level is
+    * ≤ λ(k) = (B − Σ_{i≤k} cap_i) / Σ_{i>k} w_i.
+    *
+    * The whole plan is declarative — one corpus-scan aggregate (the
+    * only data-sized stage), then window cumulative sums over the
+    * #domains-row frame and two broadcast scalars; nothing iterative,
+    * nothing on the driver. Cross-engine determinism: the
+    * transcendental pow is rounded to 6 decimals and every running sum
+    * accumulates exact DECIMAL(28,6); divisions are then identical
+    * IEEE ops on identical operands.
+    *
+    * Returns one row per domain: avail tokens, target weight, granted
+    * tokens, epochs (= granted/avail ≤ maxEpochs), realized share. */
+  def tokenBudgetPlan(docs: DataFrame, domain: Column, tokens: Column,
+                      budgetTokens: Double, invTemperature: Double,
+                      maxEpochs: Double): DataFrame = {
+    val dom = docs.groupBy(domain.as("domain"))
+      .agg(sum(tokens.cast("long")).as("avail"))
+    val w = dom.withColumn("sw",
+      round(pow(col("avail").cast("double"), lit(invTemperature)), 6)
+        .cast("decimal(28,6)"))
+    val tot = w.agg(sum("sw").as("bigW"))
+    val r = CacheScope.persist(w.crossJoin(broadcast(tot))
+      .withColumn("wt",
+        col("sw").cast("double") / col("bigW").cast("double"))
+      .withColumn("cap", lit(maxEpochs) * col("avail"))
+      .withColumn("sat_level", col("cap") / col("wt")))
+    val ord = Window.orderBy(col("sat_level"), col("domain"))
+    val s = r
+      .withColumn("rn", row_number().over(ord))
+      .withColumn("cumcap", sum(col("cap").cast("decimal(28,6)")).over(ord))
+      .withColumn("cumsw", sum(col("sw")).over(ord))
+      .withColumn("lam",
+        when((col("bigW") - col("cumsw")).cast("double") > 0.0,
+          (lit(budgetTokens) - col("cumcap").cast("double")) *
+            col("bigW").cast("double") /
+            (col("bigW") - col("cumsw")).cast("double"))
+          .otherwise(lit(-1.0)))
+    // λ* = λ at the LARGEST consistent saturated prefix; empty set
+    // (budget below every saturation level) falls back to λ(0) = B.
+    val lev = s.filter(col("sat_level") <= col("lam"))
+      .agg(max(struct(col("rn"), col("lam"))).as("m"))
+      .select(coalesce(col("m.lam"), lit(budgetTokens)).as("lamstar"))
+    val alloc = CacheScope.persist(r.crossJoin(broadcast(lev))
+      .withColumn("a6",
+        round(least(col("cap"), col("wt") * col("lamstar")), 6)
+          .cast("decimal(28,6)")))
+    val ta = alloc.agg(sum("a6").as("totA"))
+    alloc.crossJoin(broadcast(ta))
+      .select(col("domain"), col("avail"),
+        round(col("wt"), 6).as("target_wt"),
+        round(col("a6").cast("double"), 6).as("alloc_tokens"),
+        round(col("a6").cast("double") / col("avail"), 6).as("epochs"),
+        round(col("a6").cast("double") / col("totA").cast("double"), 6)
+          .as("realized_wt"))
+  }
+
   /** Robust per-group outlier detection via MAD (median absolute
     * deviation): med = exact median of `value`, mad = exact median of
     * |value − med|, outlier ⇔ |value − med| > k · 1.4826 · mad (the

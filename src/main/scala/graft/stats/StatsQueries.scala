@@ -451,6 +451,69 @@ object StatsQueries {
         |WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
         |        ::BIGINT < thr""".stripMargin)),
 
+    // Water-filling token-budget plan: temperature-reweighted target
+    // weights (w ∝ avail^0.5), a 2-epoch upsampling cap, and residual
+    // budget re-spread over unsaturated domains — the mixture PLANNER
+    // behind q133's per-domain rates. 40k budget over the lang/source
+    // grid leaves a healthy mix of saturated and water-filled domains.
+    Q("q181_token_budget_plan", { t =>
+        Stats.tokenBudgetPlan(
+          t.documents.select(
+            concat(col("lang"), lit("/"), col("source")).as("d"),
+            size(split(col("text"), "\\s+")).as("ntok")),
+          col("d"), col("ntok"),
+          budgetTokens = 40000.0, invTemperature = 0.5, maxEpochs = 2.0)
+      },
+      Some("""WITH dom AS (
+        |  SELECT lang || '/' || source AS domain,
+        |    CAST(SUM(len(string_split_regex(text, '\s+'))) AS BIGINT)
+        |      AS avail
+        |  FROM documents GROUP BY 1
+        |), w AS (
+        |  SELECT domain, avail,
+        |    CAST(round(power(CAST(avail AS DOUBLE), 0.5), 6)
+        |         AS DECIMAL(28,6)) AS sw
+        |  FROM dom
+        |), tot AS (SELECT SUM(sw) AS W FROM w
+        |), r AS (
+        |  SELECT domain, avail, sw, W,
+        |    CAST(sw AS DOUBLE) / CAST(W AS DOUBLE) AS wt,
+        |    2.0 * avail AS cap,
+        |    (2.0 * avail) / (CAST(sw AS DOUBLE) / CAST(W AS DOUBLE))
+        |      AS sat_level
+        |  FROM w, tot
+        |), s AS (
+        |  SELECT *,
+        |    ROW_NUMBER() OVER (ORDER BY sat_level, domain) AS rn,
+        |    SUM(CAST(cap AS DECIMAL(28,6)))
+        |      OVER (ORDER BY sat_level, domain) AS cumcap,
+        |    SUM(sw) OVER (ORDER BY sat_level, domain) AS cumsw
+        |  FROM r
+        |), lam AS (
+        |  SELECT rn, sat_level,
+        |    CASE WHEN CAST(W - cumsw AS DOUBLE) > 0.0
+        |         THEN (40000.0 - CAST(cumcap AS DOUBLE))
+        |              * CAST(W AS DOUBLE) / CAST(W - cumsw AS DOUBLE)
+        |         ELSE -1.0 END AS lam
+        |  FROM s
+        |), lev AS (
+        |  SELECT COALESCE((SELECT lam FROM lam WHERE sat_level <= lam
+        |                   ORDER BY rn DESC LIMIT 1),
+        |                  40000.0) AS lamstar
+        |), alloc AS (
+        |  SELECT domain, avail, wt, cap,
+        |    CAST(round(least(cap, wt * lamstar), 6) AS DECIMAL(28,6))
+        |      AS a6
+        |  FROM r, lev
+        |), ta AS (SELECT SUM(a6) AS tot_a FROM alloc)
+        |SELECT domain, avail,
+        |  round(wt, 6) AS target_wt,
+        |  round(CAST(a6 AS DOUBLE), 6) AS alloc_tokens,
+        |  round(CAST(a6 AS DOUBLE) / avail, 6) AS epochs,
+        |  round(CAST(a6 AS DOUBLE) / CAST(tot_a AS DOUBLE), 6)
+        |    AS realized_wt
+        |FROM alloc, ta""".stripMargin)),
+
     // Robust MAD outlier detection per source (Hampel's rule at k=3):
     // median and MAD are exact interpolated percentiles on both
     // engines, the comparison is pure IEEE arithmetic — per-source

@@ -732,4 +732,52 @@ class DedupTextAnnSpec extends SparkSpec {
     assert(rec.getDouble(0) >= 0.9, s"avg recall ${rec.getDouble(0)}")
     assert(rec.getDouble(1) >= 0.6, s"min recall ${rec.getDouble(1)}")
   }
+
+  test("removeRepeatedSpans cuts non-canonical spans, merging overlaps") {
+    // a0..a9 is a 10-token span; doc 0 owns it (smallest id) and
+    // survives untouched. Doc 3 is short (< 10 tokens) and passes
+    // through; doc 4 matches case-insensitively but is cut in its
+    // ORIGINAL casing.
+    val span = (0 until 10).map(i => s"a$i").mkString(" ")
+    val corpus = Seq(
+      (0L, span + " tail0 tail1"),
+      // two disjoint copies: positions 1-10 and 13-22 cut, u1/u2 kept
+      (1L, span + " u1 u2 " + span),
+      // only window@1 duplicates (every window touching the stray a0
+      // is unique to this doc): positions 1-10 cut, trailing kept
+      (2L, span + " a0 x1 x2"),
+      (3L, "short doc under ten tokens"),
+      (4L, span.toUpperCase + " y1 y2"))
+      .toDF("doc_id", "text")
+    val out = Dedup.removeRepeatedSpans(
+        corpus, col("doc_id"), col("text"), spanTokens = 10)
+      .collect().map(r => r.getLong(0) ->
+        (r.getInt(1), r.getInt(2), r.getString(3))).toMap
+    assert(out(0L) == ((12, 0, span + " tail0 tail1"))) // canonical
+    assert(out(1L) == ((22, 20, "u1 u2")))
+    assert(out(2L) == ((13, 10, "a0 x1 x2")))
+    assert(out(3L) == ((5, 0, "short doc under ten tokens")))
+    // case-insensitive match, ORIGINAL casing cut from the output
+    assert(out(4L) == ((12, 10, "y1 y2")))
+  }
+
+  test("removeRepeatedSpans overlap union counts each position once") {
+    // doc 0 owns both spans s and t; doc 1 holds s then t OVERLAPPING:
+    // s = a0..a9, t = a5..a9 b0..b4 — doc 1's text a0..a9 b0..b4 has
+    // window@1 = s and window@6 = t, covering positions 1-10 and 6-15:
+    // union is 15 positions, not 20.
+    val s = (0 until 10).map(i => s"a$i").mkString(" ")
+    val t = (5 until 10).map(i => s"a$i").mkString(" ") + " " +
+      (0 until 5).map(i => s"b$i").mkString(" ")
+    val corpus = Seq(
+      (0L, s + " z1 " + t),
+      (1L, s + " " + (0 until 5).map(i => s"b$i").mkString(" ") + " k1 k2"))
+      .toDF("doc_id", "text")
+    val out = Dedup.removeRepeatedSpans(
+        corpus, col("doc_id"), col("text"), spanTokens = 10)
+      .collect().map(r => r.getLong(0) ->
+        (r.getInt(1), r.getInt(2), r.getString(3))).toMap
+    assert(out(0L)._2 == 0)
+    assert(out(1L) == ((17, 15, "k1 k2")))
+  }
 }

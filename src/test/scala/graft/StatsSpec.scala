@@ -201,4 +201,33 @@ class StatsSpec extends SparkSpec {
     // empty side: empty result, not a throw
     assert(Stats.psiDrift(df(1.0), df(), col("v"), 4, 0.0, 4.0).isEmpty)
   }
+
+  test("tokenBudgetPlan: water-filling hand example, all three regimes") {
+    // Three domains, one doc each: A=100, B=100, C=800 tokens.
+    // τ=2 → sw = (10, 10, 28.284271), W = 48.284271,
+    // wt = (0.2071.., 0.2071.., 0.5857..); maxEpochs=1 → caps = avail.
+    val docs = Seq(("A", 100), ("B", 100), ("C", 800)).toDF("d", "ntok")
+    def plan(budget: Double) =
+      Stats.tokenBudgetPlan(docs, col("d"), col("ntok"),
+          budget, invTemperature = 0.5, maxEpochs = 1.0)
+        .collect().map(r => r.getString(0) ->
+          (r.getDouble(3), r.getDouble(4), r.getDouble(5))).toMap
+    // B=500: A and B saturate at 1 epoch, C water-fills to exactly the
+    // residual 300 (λ* = 300·W/sw_C, alloc_C = wt_C·λ* = 300)
+    val p = plan(500.0)
+    assert(p("A")._1 == 100.0 && p("A")._2 == 1.0)
+    assert(p("B")._1 == 100.0 && p("B")._2 == 1.0)
+    assert(math.abs(p("C")._1 - 300.0) < 1e-4)
+    assert(math.abs(p("C")._2 - 0.375) < 1e-6)
+    assert(math.abs(p("A")._3 - 0.2) < 1e-6) // realized share
+    assert(math.abs(p("C")._3 - 0.6) < 1e-6)
+    // B=200: below every saturation level → pure proportional split
+    val q = plan(200.0)
+    assert(math.abs(q("A")._1 - 200.0 * 10.0 / 48.284271) < 1e-4)
+    assert(math.abs(q("C")._1 - 200.0 * 28.284271 / 48.284271) < 1e-4)
+    // B=2000 ≥ Σcap: every domain capped, budget under-used
+    val o = plan(2000.0)
+    assert(o("A")._1 == 100.0 && o("C")._1 == 800.0)
+    assert(o.values.map(_._2).forall(_ == 1.0))
+  }
 }
