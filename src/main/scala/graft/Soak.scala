@@ -170,6 +170,28 @@ object Soak {
           .agg(count(lit(1)).as("n_docs"), sum(col("keep")).as("n_kept"))
           .count()
       }),
+      // exact-substring span removal over the full corpus: window
+      // fingerprints are corpus-token rows through one hash groupBy;
+      // cross-copy windows are DISJOINT under ScaleSynth's per-copy
+      // token prefixes, so the measured duplicate rate stays the
+      // source corpus's own rate and the curve measures scale, not a
+      // synthetic dup regime (same argument as the dedup chain above)
+      "span_removal" -> (() =>
+        Dedup.removeRepeatedSpans(
+          t.documents.select(col("doc_id"), col("text")),
+          col("doc_id"), col("text"), spanTokens = 10).count()),
+      // water-filling budget plan: one corpus-scan aggregate + a
+      // #domains-row window (domain grid is copy-invariant — lang and
+      // source carry verbatim across ScaleSynth copies), so the data
+      // term is the scan and the plan frame stays constant-size
+      "token_budget_plan" -> (() =>
+        graft.stats.Stats.tokenBudgetPlan(
+          t.documents.select(
+            concat(col("lang"), lit("/"), col("source")).as("d"),
+            size(split(col("text"), "\\s+")).as("ntok")),
+          col("d"), col("ntok"),
+          budgetTokens = 4.0e6, invTemperature = 0.5,
+          maxEpochs = 2.0).count()),
       // ANN baseline vs scale path at the same recall task (queries =
       // proportional 5% slice): brute force is the quadratic-input
       // baseline (pairs grow ×(sf)²); IVF-PQ is what actually ships at
