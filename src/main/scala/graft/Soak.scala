@@ -176,10 +176,19 @@ object Soak {
       // token prefixes, so the measured duplicate rate stays the
       // source corpus's own rate and the curve measures scale, not a
       // synthetic dup regime (same argument as the dedup chain above)
+      // NOT .count(): a count-only plan prunes the final left join's
+      // aggregate right side and the text rebuild (measured: 0 shuffle
+      // records, flat wall at every sf) — aggregate over BOTH output
+      // columns so the window fingerprints, the covered-position
+      // union, and the clean-text rebuild all execute
       "span_removal" -> (() =>
         Dedup.removeRepeatedSpans(
-          t.documents.select(col("doc_id"), col("text")),
-          col("doc_id"), col("text"), spanTokens = 10).count()),
+            t.documents.select(col("doc_id"), col("text")),
+            col("doc_id"), col("text"), spanTokens = 10)
+          .agg(sum(col("n_removed")).as("r"),
+               sum(length(col("clean_text"))).as("l"))
+          .select((col("r") + col("l")).cast("long"))
+          .head.getLong(0)),
       // water-filling budget plan: one corpus-scan aggregate + a
       // #domains-row window (domain grid is copy-invariant — lang and
       // source carry verbatim across ScaleSynth copies), so the data

@@ -514,6 +514,41 @@ object Dedup {
       .withColumn("keep", (row_number().over(w) === 1).cast("int"))
   }
 
+  /** Dedup-aware (leakage-safe) train/test split: near-duplicate
+    * documents must land in the SAME fold, or held-out evaluation
+    * scores the model on paraphrases of its own training data — the
+    * contamination that document-level random splits cannot prevent
+    * (the reason decontamination pipelines cluster BEFORE splitting).
+    * The fold is an md5 bucket of the CLUSTER id — the duplicate
+    * cluster is the sampling unit, not the document — so co-assignment
+    * is structural, deterministic across engines and reruns, and
+    * stable under corpus growth (a new near-dup of an existing doc
+    * joins its cluster and inherits its fold).
+    *
+    * `pairs` are verified near-dup edges (an LSH + Jaccard chain's
+    * output); docs absent from `pairs` are singleton clusters of
+    * themselves. Scale shape: pointer-jumping components (O(log
+    * diameter) rounds) + one key-partitioned join + a scan-speed hash
+    * bucket — nothing all-pairs, nothing on the driver.
+    *
+    * Returns (doc_id, cluster, split ∈ {train, test}). */
+  def leakageSafeSplit(docs: DataFrame, id: Column, pairs: DataFrame,
+                       trainFrac: Double): DataFrame = {
+    require(trainFrac >= 0.0 && trainFrac <= 1.0,
+            s"trainFrac $trainFrac outside [0, 1]")
+    val cc = connectedComponents(pairs).withColumnRenamed("node", "doc_id")
+    // floor-threshold on the first 8 md5 hex digits — the engine-
+    // portable bucket rule of [[graft.stats.Stats.mixtureSample]]
+    val thr = math.floor(trainFrac * 4294967296.0).toLong
+    docs.select(id.as("doc_id"))
+      .join(cc, Seq("doc_id"), "left")
+      .withColumn("cluster", coalesce(col("cluster"), col("doc_id")))
+      .withColumn("split",
+        when(conv(substring(md5(col("cluster").cast("string")), 1, 8),
+                  16, 10).cast("long") < thr, lit("train"))
+          .otherwise(lit("test")))
+  }
+
   /** Exact-duplicate removal keeping the first (smallest-id) copy of
     * each distinct text — the inline form of [[exactDupGroups]] for
     * pipeline use: one md5 per row, one hash-keyed min aggregate, one

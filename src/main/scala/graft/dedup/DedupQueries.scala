@@ -499,6 +499,80 @@ object DedupQueries {
         |    AS INT) AS keep
         |FROM cc JOIN corpus c2 USING (doc_id)""".stripMargin)),
 
+    // Leakage-safe split on the q99 planted corpus: the fold is an md5
+    // bucket of the CLUSTER id, so each planted near-dup (+1000) lands
+    // in the same fold as its original by construction — the
+    // contamination a doc-level random split cannot prevent. Singleton
+    // docs (no near-dup edge) cluster as themselves.
+    Q("q182_leakage_safe_split", { t =>
+        val base = t.documents.filter(col("doc_id") < 100)
+          .select(col("doc_id"), col("text"))
+        val docs = base.unionByName(
+          base.select((col("doc_id") + 1000L).as("doc_id"),
+                      concat(col("text"),
+                             lit(" planted near duplicate tail")).as("text")))
+        val sh = Dedup.shingles(docs, col("doc_id"), col("text"), 3)
+          .withColumnRenamed("shingle", "tok")
+        val pairs = sh.select(col("doc_id").as("a"))
+          .distinct()
+          .crossJoin(sh.select(col("doc_id").as("b")).distinct())
+          .filter(col("a") < col("b"))
+        val nearDup = Dedup.jaccardForPairs(pairs, sh)
+          .filter(col("jaccard") >= 0.05)
+        Dedup.leakageSafeSplit(docs, col("doc_id"),
+                               nearDup.select("a", "b"), trainFrac = 0.8)
+      },
+      Some("""WITH RECURSIVE corpus AS (
+        |  SELECT doc_id, text FROM documents WHERE doc_id < 100
+        |  UNION ALL
+        |  SELECT doc_id + 1000, text || ' planted near duplicate tail'
+        |  FROM documents WHERE doc_id < 100
+        |), toks AS (
+        |  SELECT doc_id, i AS pos,
+        |    list_extract(string_split_regex(lower(text), '\s+'),
+        |                 CAST(i AS INT)) AS tok
+        |  FROM corpus,
+        |    UNNEST(generate_series(1,
+        |      len(string_split_regex(lower(text), '\s+')))) t(i)
+        |), sh AS (
+        |  SELECT DISTINCT doc_id, tok || ' ' || t1 || ' ' || t2 AS shingle
+        |  FROM (
+        |    SELECT doc_id, tok,
+        |      LEAD(tok, 1) OVER w AS t1, LEAD(tok, 2) OVER w AS t2
+        |    FROM toks WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+        |  ) x WHERE t2 IS NOT NULL
+        |), sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY 1),
+        |inter AS (
+        |  SELECT a.doc_id AS a, b.doc_id AS b, COUNT(*) AS inter
+        |  FROM sh a JOIN sh b ON a.shingle = b.shingle
+        |    AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2
+        |), pairs AS (
+        |  SELECT inter.a, inter.b
+        |  FROM inter
+        |  JOIN sizes sa ON sa.doc_id = inter.a
+        |  JOIN sizes sb ON sb.doc_id = inter.b
+        |  WHERE CAST(inter AS DOUBLE) / (sa.n + sb.n - inter) >= 0.05
+        |), edges AS (
+        |  SELECT a AS src, b AS dst FROM pairs
+        |  UNION
+        |  SELECT b, a FROM pairs
+        |), reach(node, lab) AS (
+        |  SELECT src, src FROM edges
+        |  UNION
+        |  SELECT e.dst, r.lab FROM reach r JOIN edges e ON e.src = r.node
+        |), cc AS (
+        |  SELECT node AS doc_id, MIN(lab) AS cluster
+        |  FROM reach GROUP BY node
+        |)
+        |SELECT c.doc_id,
+        |  COALESCE(cc.cluster, c.doc_id) AS cluster,
+        |  CASE WHEN ('0x' || substr(md5(CAST(
+        |           COALESCE(cc.cluster, c.doc_id) AS VARCHAR)), 1, 8))
+        |         ::BIGINT < 3435973836
+        |       THEN 'train' ELSE 'test' END AS split
+        |FROM corpus c LEFT JOIN cc USING (doc_id)""".stripMargin)),
+
     // Shingle CONTAINMENT (|A∩B|/min sizes): planted SUBSET documents
     // — each twin keeps only the first half of its source's text — so
     // pairs where Jaccard stays low but containment approaches 1 are

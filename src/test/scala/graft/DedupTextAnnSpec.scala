@@ -761,6 +761,30 @@ class DedupTextAnnSpec extends SparkSpec {
     assert(out(4L) == ((12, 10, "y1 y2")))
   }
 
+  test("leakageSafeSplit co-assigns clusters, singletons bucket alone") {
+    // edges chain 1-2-3 into one cluster; 4-5 another; 6 a singleton.
+    val ids = Seq(1L, 2L, 3L, 4L, 5L, 6L).toDF("doc_id")
+    val edges = Seq((1L, 2L), (2L, 3L), (4L, 5L)).toDF("a", "b")
+    val out = Dedup.leakageSafeSplit(ids, col("doc_id"), edges, 0.8)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getString(2)))
+      .toMap
+    assert(out.size == 6)
+    // structural co-assignment: one cluster → one fold
+    assert(Set(out(1L), out(2L), out(3L)).size == 1)
+    assert(out(1L)._1 == 1L)
+    assert(out(4L) == out(5L) && out(4L)._1 == 4L)
+    assert(out(6L)._1 == 6L)
+    // the fold is a pure function of the cluster id: md5("1") buckets
+    // below 0.8·2^32 → train (hand-checked: 0xc4ca4238 = 3301589560)
+    assert(out(1L)._2 == "train")
+    // degenerate fractions: 0 → all test, 1 → all train
+    val all0 = Dedup.leakageSafeSplit(ids, col("doc_id"), edges, 0.0)
+      .collect().map(_.getString(2)).toSet
+    val all1 = Dedup.leakageSafeSplit(ids, col("doc_id"), edges, 1.0)
+      .collect().map(_.getString(2)).toSet
+    assert(all0 == Set("test") && all1 == Set("train"))
+  }
+
   test("removeRepeatedSpans overlap union counts each position once") {
     // doc 0 owns both spans s and t; doc 1 holds s then t OVERLAPPING:
     // s = a0..a9, t = a5..a9 b0..b4 — doc 1's text a0..a9 b0..b4 has
