@@ -435,17 +435,23 @@ object Dedup {
                                col("pos") + (spanTokens - 1))).as("tp"))
       .groupBy("doc_id")
       .agg(collect_set("tp").as("cut"))
+    // Rebuild via array_except(sequence, cut) + element_at — hash-set
+    // semantics, O(n + |cut|) per row and order-preserving on the
+    // ascending sequence. (A per-token array_contains(cut, i) filter
+    // is O(n·|cut|): quadratic in doc length for a heavily-duplicated
+    // long document — exactly the rows this operator cuts hardest.)
     val origArr = split(col("text"), "\\s+")
+    val keptPos = array_except(
+      sequence(lit(1), size(origArr)),
+      coalesce(col("cut"), array().cast("array<int>")))
     base.join(covered, Seq("doc_id"), "left")
       .select(
         col("doc_id"),
         size(origArr).as("n_tokens"),
         coalesce(size(col("cut")), lit(0)).as("n_removed"),
         concat_ws(" ",
-          filter(origArr, (_, i) =>
-            !array_contains(coalesce(col("cut"),
-                                     array().cast("array<int>")),
-                            i + 1))).as("clean_text"))
+          transform(keptPos, i => element_at(origArr, i)))
+          .as("clean_text"))
   }
 
   /** SemDeDup-style semantic deduplication over an embedding corpus
