@@ -335,4 +335,43 @@ class PlanSpec extends SparkSpec {
       _.exists(_.isInstanceOf[graft.functions.DotProduct]))
     assert(!missFired, "rewrite must not fire on a non-dot aggregate")
   }
+
+  test("removeRepeatedSpans plans with no cartesian, no window: " +
+       "hash aggregates + hash joins only") {
+    // the scale contract of the span cutter: window fingerprints flow
+    // through key-partitioned aggregates and joins — an accidental
+    // cartesian (the all-pairs shape) or a per-doc ranking window
+    // would break the measured linear curve (SURVEY 6.y)
+    val docs = (0 until 30).map(i =>
+      (i.toLong, (0 until 20).map(j => s"t${(i * j) % 7}").mkString(" ")))
+      .toDF("doc_id", "text")
+    val q = graft.dedup.Dedup.removeRepeatedSpans(
+      docs, col("doc_id"), col("text"), spanTokens = 10)
+    val plan = q.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"),
+           s"no all-pairs stage may exist:\n$plan")
+    assert(!plan.contains("Window"), s"no ranking window:\n$plan")
+    assert(plan.contains("HashAggregate"),
+           s"fingerprint dedup must be a hash aggregate:\n$plan")
+  }
+
+  test("tokenBudgetPlan's corpus scan aggregates map-side before the " +
+       "shuffle; no cartesian beyond broadcast scalars") {
+    val docs = (0 until 100).map(i => (s"d${i % 5}", 10 + i % 7))
+      .toDF("d", "ntok")
+    val q = graft.stats.Stats.tokenBudgetPlan(
+      docs, col("d"), col("ntok"), 500.0, 0.5, 2.0)
+    val plan = q.queryExecution.executedPlan.toString
+    // the only corpus-sized stage is the domain aggregate: partial
+    // (map-side combine) before its exchange
+    assert(plan.contains("HashAggregate(keys=[d"),
+           s"domain aggregate must be hash-keyed:\n$plan")
+    assert(plan.contains("partial_sum") || plan.contains("partial"),
+           s"domain aggregate must combine map-side:\n$plan")
+    // scalar joins (W, lambda*, total alloc) broadcast one-row sides;
+    // BroadcastNestedLoopJoin on a one-row side is the intended shape,
+    // CartesianProduct is not
+    assert(!plan.contains("CartesianProduct"),
+           s"scalar joins must broadcast:\n$plan")
+  }
 }
