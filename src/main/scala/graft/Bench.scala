@@ -88,6 +88,9 @@ object Bench {
     val firstRun = scala.collection.mutable.LinkedHashMap[String, Double]()
     val secondRun = scala.collection.mutable.LinkedHashMap[String, Double]()
     val thirdRun = scala.collection.mutable.LinkedHashMap[String, Double]()
+    // populated ONLY when the 2×-spread instability rule fires
+    val fourthRun = scala.collection.mutable.LinkedHashMap[String, Double]()
+    val fifthRun = scala.collection.mutable.LinkedHashMap[String, Double]()
     val medianRun = scala.collection.mutable.LinkedHashMap[String, Double]()
     val loadBefore = scala.collection.mutable.LinkedHashMap[String, Double]()
     val loadAfter = scala.collection.mutable.LinkedHashMap[String, Double]()
@@ -148,7 +151,22 @@ object Bench {
             val t3 = once()
             thirdRun(q.name) = t3
             loadAfter(q.name) = loadavg()
-            val med = Seq(t1, t2, t3).sorted.apply(1) // median of three
+            // median of three absorbs ONE stalled rep; the round-11
+            // canonical caught q135 with TWO (80.0/35.1/93.2 — median
+            // 80 while a 4-rep idle probe medians 25.4). When the rep
+            // spread exceeds 2×, the environment is demonstrably
+            // unstable for this query — take two more reps and median
+            // five, bounding the damage a stalled pair can do
+            val first3 = Seq(t1, t2, t3)
+            val spreadUnstable =
+              first3.min > 0 && first3.max / first3.min > 2.0
+            val all = if (spreadUnstable) {
+              clearState(); val t4 = once()
+              clearState(); val t5 = once()
+              fourthRun(q.name) = t4; fifthRun(q.name) = t5
+              first3 ++ Seq(t4, t5)
+            } else first3
+            val med = all.sorted.apply(all.size / 2)
             // queries_median mirrors the medianized value for every
             // re-run query (rep mode OR the heavy/adaptive path) — the
             // field used to fill only in rep mode, so committed
@@ -167,7 +185,7 @@ object Bench {
     val loadEnd = loadavg()
     val extBusyEnd = core.BenchUtil.extBusyFrac(1000)
     val line =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"queries_first_run":${jmap(firstRun)},"queries_second_run":${jmap(secondRun)},"queries_third_run":${jmap(thirdRun)},"queries_median":${jmap(medianRun)},"load_before":${jmap(loadBefore)},"load_after":${jmap(loadAfter)},"load_initial":$loadInitial,"load_start":$loadStart,"load_end":$loadEnd,"ext_busy_start":$extBusyStart,"ext_busy_end":$extBusyEnd,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"queries_first_run":${jmap(firstRun)},"queries_second_run":${jmap(secondRun)},"queries_third_run":${jmap(thirdRun)},"queries_fourth_run":${jmap(fourthRun)},"queries_fifth_run":${jmap(fifthRun)},"queries_median":${jmap(medianRun)},"load_before":${jmap(loadBefore)},"load_after":${jmap(loadAfter)},"load_initial":$loadInitial,"load_start":$loadStart,"load_end":$loadEnd,"ext_busy_start":$extBusyStart,"ext_busy_end":$extBusyEnd,"sf":"$sfDir"}"""
     // ONE canonical artifact per round (VERDICT r7 bookkeeping): the
     // full record — every raw rep, medians, load samples — goes ONLY
     // to bench_out.json; stdout carries exactly one final JSON record
