@@ -6,6 +6,15 @@ import org.apache.spark.sql.SparkSession
   * scale factor and prints one JSON line. Queries run in declaration
   * order (stable across rounds, so per-query numbers are comparable);
   * each is materialized by count().
+  *
+  * Measurement convention, kept deliberately for cross-round
+  * comparability: count() times the COUNT PLAN, which Catalyst may
+  * prune below the full projection — a query whose output is a
+  * per-row projection over its input (q180's cleaned text, q51's
+  * per-doc features) times near the scan floor here. Operator-level
+  * cost with every column materialized is the SOAK's job
+  * ([[Soak]] aggregates over output columns; Verify writes full
+  * parquet), not this suite's.
   */
 object Bench {
   def main(args: Array[String]): Unit = {

@@ -527,9 +527,16 @@ object Dedup {
     * (the reason decontamination pipelines cluster BEFORE splitting).
     * The fold is an md5 bucket of the CLUSTER id — the duplicate
     * cluster is the sampling unit, not the document — so co-assignment
-    * is structural, deterministic across engines and reruns, and
-    * stable under corpus growth (a new near-dup of an existing doc
-    * joins its cluster and inherits its fold).
+    * is structural and deterministic across engines and reruns.
+    * Stability under corpus growth holds for the common case: a new
+    * doc (ids assigned increasing) joining ONE existing cluster leaves
+    * that cluster's min-id label, hence every existing fold,
+    * unchanged. The documented exception is a BRIDGE doc whose edges
+    * merge two previously separate clusters: the merged component
+    * takes the smaller of the two labels, so the other side's members
+    * re-bucket — which is the correct outcome (they are now mutual
+    * near-duplicates and must share one fold) but means folds are
+    * stable per cluster, not per document, under adversarial growth.
     *
     * `pairs` are verified near-dup edges (an LSH + Jaccard chain's
     * output); docs absent from `pairs` are singleton clusters of

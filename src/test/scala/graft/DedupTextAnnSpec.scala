@@ -785,6 +785,32 @@ class DedupTextAnnSpec extends SparkSpec {
     assert(all0 == Set("test") && all1 == Set("train"))
   }
 
+  test("leakageSafeSplit growth: joining a cluster preserves folds, " +
+       "bridging re-keys the merged side") {
+    val ids = Seq(1L, 2L, 5L, 6L).toDF("doc_id")
+    val edges = Seq((1L, 2L), (5L, 6L)).toDF("a", "b")
+    def folds(d: org.apache.spark.sql.DataFrame,
+              e: org.apache.spark.sql.DataFrame) =
+      Dedup.leakageSafeSplit(d, col("doc_id"), e, 0.5)
+        .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getString(2)))
+        .toMap
+    val before = folds(ids, edges)
+    // growth case 1: doc 9 near-dups doc 2 — joins cluster 1, every
+    // existing doc's fold unchanged, the newcomer inherits fold(1)
+    val grown = folds(Seq(1L, 2L, 5L, 6L, 9L).toDF("doc_id"),
+                      edges.union(Seq((2L, 9L)).toDF("a", "b")))
+    assert(Seq(1L, 2L, 5L, 6L).forall(d => grown(d) == before(d)))
+    assert(grown(9L) == grown(1L))
+    // growth case 2: doc 9 bridges clusters 1 and 5 — the merged
+    // component takes label 1, so 5/6 re-bucket to cluster 1's fold
+    // (correct: all six are now mutual near-dups, one fold)
+    val bridged = folds(Seq(1L, 2L, 5L, 6L, 9L).toDF("doc_id"),
+                        edges.union(Seq((2L, 9L), (9L, 5L)).toDF("a", "b")))
+    assert(bridged.values.map(_._1).toSet == Set(1L))
+    assert(bridged.values.map(_._2).toSet.size == 1)
+    assert(bridged(1L) == before(1L)) // the surviving label keeps its fold
+  }
+
   test("removeRepeatedSpans overlap union counts each position once") {
     // doc 0 owns both spans s and t; doc 1 holds s then t OVERLAPPING:
     // s = a0..a9, t = a5..a9 b0..b4 — doc 1's text a0..a9 b0..b4 has
