@@ -173,6 +173,10 @@ object Bench {
               clearState(); val t4 = once()
               clearState(); val t5 = once()
               fourthRun(q.name) = t4; fifthRun(q.name) = t5
+              // loadAfter was sampled after t3; the extra reps ran on a
+              // demonstrably unstable box, so re-sample — the recorded
+              // after-load must bracket EVERY rep that fed the median
+              loadAfter(q.name) = loadavg()
               first3 ++ Seq(t4, t5)
             } else first3
             val med = all.sorted.apply(all.size / 2)

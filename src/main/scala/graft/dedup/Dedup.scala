@@ -408,7 +408,11 @@ object Dedup {
     * token array.
     *
     * Returns (doc_id, n_tokens, n_removed, clean_text); documents with
-    * nothing removed pass through with n_removed = 0. */
+    * nothing removed pass through VERBATIM (original whitespace
+    * intact) with n_removed = 0. A document that was cut is rebuilt
+    * from its surviving tokens joined by single spaces — token-level
+    * surgery cannot know what whitespace surrounded a removed span, so
+    * normalization of CUT documents is inherent and declared. */
   def removeRepeatedSpans(docs: DataFrame, id: Column, text: Column,
                           spanTokens: Int): DataFrame = {
     val base = graft.core.CacheScope.persist(
@@ -449,8 +453,11 @@ object Dedup {
         col("doc_id"),
         size(origArr).as("n_tokens"),
         coalesce(size(col("cut")), lit(0)).as("n_removed"),
-        concat_ws(" ",
-          transform(keptPos, i => element_at(origArr, i)))
+        // untouched docs pass through VERBATIM — only cut docs are
+        // rebuilt (and thereby whitespace-normalized, see scaladoc)
+        when(col("cut").isNull, col("text"))
+          .otherwise(concat_ws(" ",
+            transform(keptPos, i => element_at(origArr, i))))
           .as("clean_text"))
   }
 
@@ -550,9 +557,10 @@ object Dedup {
     require(trainFrac >= 0.0 && trainFrac <= 1.0,
             s"trainFrac $trainFrac outside [0, 1]")
     val cc = connectedComponents(pairs).withColumnRenamed("node", "doc_id")
-    // floor-threshold on the first 8 md5 hex digits — the engine-
-    // portable bucket rule of [[graft.stats.Stats.mixtureSample]]
-    val thr = math.floor(trainFrac * 4294967296.0).toLong
+    // floor-threshold on the first 8 md5 hex digits — the sampling
+    // family's centralized bucket rule (any convention change there
+    // must move every consumer at once)
+    val thr = graft.stats.Stats.rateThreshold(trainFrac)
     docs.select(id.as("doc_id"))
       .join(cc, Seq("doc_id"), "left")
       .withColumn("cluster", coalesce(col("cluster"), col("doc_id")))

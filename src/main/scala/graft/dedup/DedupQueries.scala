@@ -159,7 +159,7 @@ object DedupQueries {
         |      ' ') AS text
         |  FROM documents WHERE doc_id < 10
         |), toks AS (
-        |  SELECT doc_id, string_split_regex(text, '\s+') AS tk,
+        |  SELECT doc_id, text, string_split_regex(text, '\s+') AS tk,
         |         string_split_regex(lower(text), '\s+') AS lt
         |  FROM corpus
         |), occ AS (
@@ -191,7 +191,8 @@ object DedupQueries {
         |SELECT t.doc_id,
         |  CAST(len(t.tk) AS INT) AS n_tokens,
         |  CAST(COALESCE(n.n_removed, 0) AS INT) AS n_removed,
-        |  COALESCE(a.s, '') AS clean_text
+        |  CASE WHEN n.n_removed IS NULL THEN t.text
+        |       ELSE COALESCE(a.s, '') END AS clean_text
         |FROM toks t
         |LEFT JOIN ncov n USING (doc_id)
         |LEFT JOIN agg a USING (doc_id)""".stripMargin)),

@@ -785,6 +785,24 @@ class DedupTextAnnSpec extends SparkSpec {
     assert(all0 == Set("test") && all1 == Set("train"))
   }
 
+  test("removeRepeatedSpans: untouched docs pass through verbatim, " +
+       "only cut docs are whitespace-normalized") {
+    val span = (0 until 10).map(i => s"a$i").mkString(" ")
+    val corpus = Seq(
+      (0L, span),                    // canonical owner — untouched
+      (1L, span + " tail"),          // cut: rebuilt from tokens
+      (2L, "no\tdup here\n x  y"))   // untouched structural whitespace
+      .toDF("doc_id", "text")
+    val out = Dedup.removeRepeatedSpans(
+        corpus, col("doc_id"), col("text"), spanTokens = 10)
+      .collect().map(r => r.getLong(0) ->
+        (r.getInt(2), r.getString(3))).toMap
+    assert(out(0L) == ((0, span)))
+    assert(out(1L) == ((10, "tail")))
+    // tabs, newline, and the double space survive exactly
+    assert(out(2L) == ((0, "no\tdup here\n x  y")))
+  }
+
   test("leakageSafeSplit growth: joining a cluster preserves folds, " +
        "bridging re-keys the merged side") {
     val ids = Seq(1L, 2L, 5L, 6L).toDF("doc_id")

@@ -363,11 +363,15 @@ class PlanSpec extends SparkSpec {
       docs, col("d"), col("ntok"), 500.0, 0.5, 2.0)
     val plan = q.queryExecution.executedPlan.toString
     // the only corpus-sized stage is the domain aggregate: partial
-    // (map-side combine) before its exchange
-    assert(plan.contains("HashAggregate(keys=[d"),
-           s"domain aggregate must be hash-keyed:\n$plan")
-    assert(plan.contains("partial_sum") || plan.contains("partial"),
-           s"domain aggregate must combine map-side:\n$plan")
+    // (map-side combine) before its exchange — anchor the assertion to
+    // the domain-keyed aggregate's own line so an unrelated partial
+    // elsewhere in the plan cannot satisfy it
+    val domAgg = plan.linesIterator
+      .filter(l => l.contains("HashAggregate(keys=[d") &&
+                   l.contains("partial_sum"))
+    assert(domAgg.nonEmpty,
+           s"domain aggregate must be hash-keyed with a map-side " +
+           s"partial_sum:\n$plan")
     // scalar joins (W, lambda*, total alloc) broadcast one-row sides;
     // BroadcastNestedLoopJoin on a one-row side is the intended shape,
     // CartesianProduct is not
