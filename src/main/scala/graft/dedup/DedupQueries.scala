@@ -574,6 +574,69 @@ object DedupQueries {
         |       THEN 'train' ELSE 'test' END AS split
         |FROM corpus c LEFT JOIN cc USING (doc_id)""".stripMargin)),
 
+    // The cut → pack chain (q130's convention for the round's new op):
+    // exact-substring span removal runs BEFORE sequence packing in a
+    // real data build — cut tokens must not occupy training-sequence
+    // budget. Verbatim copies (+5000) are cut to zero tokens and must
+    // vanish from the packed layout entirely; partially-cut docs pack
+    // at their POST-cut token counts.
+    Q("q183_cut_then_pack", { t =>
+        val base = t.documents.select(col("doc_id"), col("text"))
+        val planted = base.filter(col("doc_id") < 10)
+          .select((col("doc_id") + 5000L).as("doc_id"), col("text"))
+        val cleaned = graft.dedup.Dedup.removeRepeatedSpans(
+          base.unionByName(planted), col("doc_id"), col("text"),
+          spanTokens = 10)
+        graft.text.TextOps.packSequences(
+          cleaned.filter(col("n_removed") < col("n_tokens"))
+            .select(col("doc_id"), col("clean_text")),
+          col("doc_id"), col("clean_text"), budget = 256L)
+      },
+      Some("""WITH corpus AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 5000, text FROM documents WHERE doc_id < 10
+        |), toks AS (
+        |  SELECT doc_id, string_split_regex(lower(text), '\s+') AS lt
+        |  FROM corpus
+        |), occ AS (
+        |  SELECT doc_id, i AS pos,
+        |    md5(array_to_string(list_slice(
+        |      lt, CAST(i AS INT), CAST(i + 9 AS INT)), ' ')) AS h
+        |  FROM toks, UNNEST(generate_series(1, len(lt) - 9)) t(i)
+        |  WHERE len(lt) >= 10
+        |), dup AS (
+        |  SELECT h, MIN(doc_id) AS keep_doc FROM occ GROUP BY h
+        |  HAVING COUNT(DISTINCT doc_id) > 1
+        |), cov AS (
+        |  SELECT DISTINCT o.doc_id, o.pos + j.j AS tp
+        |  FROM occ o JOIN dup d USING (h),
+        |       UNNEST(generate_series(0, 9)) j(j)
+        |  WHERE o.doc_id <> d.keep_doc
+        |), ncov AS (
+        |  SELECT doc_id, COUNT(*) AS n_removed FROM cov GROUP BY doc_id
+        |), cleaned AS (
+        |  SELECT t.doc_id,
+        |    CAST(len(t.lt) - COALESCE(n.n_removed, 0) AS INT)
+        |      AS n_tokens
+        |  FROM toks t LEFT JOIN ncov n USING (doc_id)
+        |  WHERE len(t.lt) - COALESCE(n.n_removed, 0) > 0
+        |), counted AS (
+        |  SELECT doc_id, n_tokens, md5(CAST(doc_id AS VARCHAR)) AS h
+        |  FROM cleaned
+        |), ordered AS (
+        |  SELECT doc_id, n_tokens,
+        |    CAST(ROW_NUMBER() OVER w AS BIGINT) AS pos,
+        |    CAST(SUM(n_tokens) OVER w AS BIGINT) AS cum
+        |  FROM counted WINDOW w AS (ORDER BY h, doc_id)
+        |)
+        |SELECT doc_id, n_tokens, pos,
+        |  CAST(FLOOR((cum - n_tokens) / 256.0) AS BIGINT) AS seq_id,
+        |  (cum - n_tokens)
+        |    - CAST(FLOOR((cum - n_tokens) / 256.0) AS BIGINT) * 256
+        |    AS offset
+        |FROM ordered""".stripMargin)),
+
     // Shingle CONTAINMENT (|A∩B|/min sizes): planted SUBSET documents
     // — each twin keeps only the first half of its source's text — so
     // pairs where Jaccard stays low but containment approaches 1 are
