@@ -449,6 +449,59 @@ object Ann {
       .select(col("s"), col("id").as("cid"), col("sub").as("cent"))
   }
 
+  /** Per-subspace Lloyd refinement of PQ codebooks — the standard
+    * k-means codebook training (Jégou et al. 2011 §III trains each
+    * subquantizer with k-means; sampling is only the init). Each
+    * iteration: assign every corpus subvector to its nearest entry
+    * (the [[pqEncode]] argmin), recompute entries as the per-(s, cid,
+    * dim) means. Means follow the engine's determinism discipline —
+    * components round to 6 decimals and accumulate as exact
+    * DECIMAL(28,6), so the division is one IEEE op on identical
+    * operands in any engine and the refined books are reproducible
+    * bit-for-bit. A code that loses all members keeps its previous
+    * entry (k-means' empty-cluster convention here: freeze, don't
+    * respawn — deterministic).
+    *
+    * Scale shape per iteration: one broadcast join (books are
+    * m·nCodes rows), one per-(id, s) argmin window partitioned on the
+    * corpus axis, one grouped mean of m·nCodes·subDim cells. */
+  def pqCodebooksLloyd(corpus: DataFrame, m: Int, subDim: Int,
+                       nCodes: Int, iters: Int): DataFrame = {
+    val subs = graft.core.CacheScope.persist(pqSubvectors(corpus, m, subDim))
+    // entries as array<double> so the refined means coalesce with the
+    // sampled init regardless of the corpus element type
+    var books = pqCodebooks(corpus, m, subDim, nCodes)
+      .withColumn("cent", transform(col("cent"), _.cast("double")))
+    for (_ <- 0 until iters) {
+      val scored = subs.join(broadcast(books), "s")
+        .withColumn("d2", subDist2(col("sub"), col("cent")))
+      val w = Window.partitionBy("id", "s")
+        .orderBy(asc_nulls_last("d2"), asc("cid"))
+      val best = scored.withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("id"), col("s"), col("cid"), col("sub"))
+      val means = best
+        .select(col("s"), col("cid"),
+                posexplode(col("sub")).as(Seq("dim", "x")))
+        .groupBy("s", "cid", "dim")
+        .agg((sum(round(col("x").cast("double"), 6)
+                    .cast("decimal(28,6)")) /
+              count(lit(1))).cast("double").as("mx"))
+        .groupBy("s", "cid")
+        .agg(transform(
+          array_sort(collect_list(struct(col("dim"), col("mx")))),
+          e => e.getField("mx")).as("cent"))
+      // freeze empty codes at their previous entry
+      books = graft.core.CacheScope.persist(
+        books.select(col("s"), col("cid"), col("cent").as("prev"))
+          .join(means.withColumnRenamed("cent", "next"),
+                Seq("s", "cid"), "left")
+          .select(col("s"), col("cid"),
+                  coalesce(col("next"), col("prev")).as("cent")))
+    }
+    books
+  }
+
   /** PQ encoding: each (vector, subspace) maps to its nearest-L2
     * codebook entry — codes are m small ints per vector, the 8-byte
     * stand-in for a 256-byte float32 embedding. d² is rounded to 6
@@ -536,6 +589,85 @@ object Ann {
     * key; the lookup table broadcasts (`broadcastLut`, same contract
     * and fallback as [[pqAdcTopK]]); nothing corpus-sized is broadcast
     * or collected. */
+  /** Residual frame: every vector minus its assigned cell centroid,
+    * in DOUBLE (float subtraction would round to 24 bits and
+    * desynchronize from any double-arithmetic twin; double(a) −
+    * double(b) on float inputs is one exact-operand IEEE op both
+    * engines perform identically). Returns (id, cell,
+    * embedding: array<double>). Centroids broadcast — the cell table
+    * is √N-sized under the production auto-sizing. */
+  def residuals(vectors: DataFrame, centroids: DataFrame): DataFrame = {
+    val assign = ivfAssign(vectors, centroids, 1)
+    vectors.join(assign, "id")
+      .join(broadcast(centroids.select(col("cid").as("cell"),
+                                       col("centroid"))), "cell")
+      .select(col("id"), col("cell"),
+        zip_with(col("embedding"), col("centroid"),
+          (a, b) => a.cast("double") - b.cast("double")).as("embedding"))
+  }
+
+  /** IVF-PQ with RESIDUAL encoding — the IVFADC formulation actually
+    * served at scale (Jégou et al. 2011 §V-A; FAISS `IndexIVFPQ`
+    * defaults to it): codes quantize v − centroid(cell(v)) instead of
+    * v. Residuals concentrate near the origin, so the same
+    * m·log₂(nCodes) bits buy a finer quantizer than over the raw
+    * spread-out vectors. The price is the lookup table: the query
+    * must be re-expressed in EACH probed cell's residual frame, so
+    * the LUT is per-(query, probed cell) — nProbe× the raw-PQ LUT,
+    * still |queries|·nProbe·m·nCodes rows, broadcastable for the
+    * bounded query batches ADC is for (`broadcastLut` contract and
+    * fallback as in [[pqAdcTopK]]). Candidates join co-partitioned on
+    * the cell key; nothing corpus-sized broadcasts.
+    *
+    * Trains codebooks and encodes internally (codes are only
+    * meaningful against the residual frame they were trained in);
+    * returns (qid, vid, adist, rank). */
+  def ivfPqResidualTopK(queries: DataFrame, corpus: DataFrame,
+                        centroids: DataFrame, nProbe: Int, m: Int,
+                        subDim: Int, nCodes: Int, k: Int,
+                        broadcastLut: Boolean = true,
+                        lloydIters: Int = 0): DataFrame = {
+    val res = graft.core.CacheScope.persist(residuals(corpus, centroids))
+    val books =
+      if (lloydIters > 0)
+        pqCodebooksLloyd(res.select("id", "embedding"), m, subDim,
+                         nCodes, lloydIters)
+      else pqCodebooks(res.select("id", "embedding"), m, subDim, nCodes)
+    val codes = pqEncode(res.select("id", "embedding"), books, m, subDim)
+    val cells = res.select(col("id").as("vid"), col("cell"))
+    val probes = ivfAssign(queries, centroids, nProbe)
+      .select(col("id").as("qid"), col("cell"))
+    // the query's residual in each probed cell's frame
+    val qres = queries
+      .select(col("id").as("qid"), col("embedding").as("qv"))
+      .join(probes, "qid")
+      .join(broadcast(centroids.select(col("cid").as("cell"),
+                                       col("centroid"))), "cell")
+      .select(col("qid"), col("cell"),
+        zip_with(col("qv"), col("centroid"),
+          (a, b) => a.cast("double") - b.cast("double")).as("qr"))
+    val lut0 = qres
+      .select(col("qid"), col("cell"),
+        posexplode(transform(sequence(lit(0), lit(m - 1)),
+            s => slice(col("qr"), s * subDim + 1, lit(subDim))))
+          .as(Seq("s", "sub")))
+      .join(broadcast(books), "s")
+      .withColumn("d2",
+        subDist2(col("sub"), col("cent")).cast("decimal(18,6)"))
+      .select(col("qid"), col("cell"), col("s"), col("cid"), col("d2"))
+    val lut = if (broadcastLut) broadcast(lut0) else lut0
+    // a vector lives in exactly one cell (ivfAssign(…, 1)), so
+    // (qid, vid) pairs are already unique across probed cells
+    val cand = probes.join(cells, "cell")
+      .filter(col("qid") =!= col("vid"))
+      .select("qid", "cell", "vid")
+    val candCodes = cand.join(
+      codes.select(col("id").as("vid"), col("s"),
+                   col("code").as("cid")), "vid")
+    adcAggregateAndRank(
+      candCodes.join(lut, Seq("qid", "cell", "s", "cid")), k)
+  }
+
   def ivfPqTopK(queries: DataFrame, corpus: DataFrame,
                 centroids: DataFrame, codes: DataFrame,
                 codebooks: DataFrame, nProbe: Int, m: Int, subDim: Int,

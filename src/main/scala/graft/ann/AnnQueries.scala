@@ -627,6 +627,126 @@ object AnnQueries {
         |  FROM adc) r
         |WHERE rank <= 3""".stripMargin)),
 
+    // IVF-PQ with RESIDUAL encoding (IVFADC, q162's production
+    // upgrade): codes quantize v − centroid(cell(v)), the query is
+    // re-expressed in each probed cell's residual frame, so the LUT
+    // carries a cell key. Residual arithmetic is double-exact on both
+    // engines (float operands, one IEEE subtraction).
+    Q("q184_ivf_pq_residual", { t =>
+        val emb = t.embeddings.select(col("vec_id").as("id"),
+                                      col("embedding"))
+        val queries = emb.filter(col("id") % 20 === 0)
+        val cents = Ann.ivfCentroids(emb, 16)
+        Ann.ivfPqResidualTopK(queries, emb, cents, nProbe = 2, m = 8,
+                              subDim = 8, nCodes = 16, k = 3)
+      },
+      Some(evCte + """,
+        |cent AS (
+        |  SELECT vec_id AS ccid FROM embeddings
+        |  ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 16
+        |), cdots AS (
+        |  SELECT a.vec_id AS vid, c.ccid, SUM(a.v * b.v) AS dot
+        |  FROM ev a
+        |  CROSS JOIN cent c
+        |  JOIN ev b ON b.vec_id = c.ccid AND a.d = b.d
+        |  GROUP BY 1, 2
+        |), ccos AS (
+        |  SELECT vid, ccid,
+        |    round(dot / sqrt(na.nn * nb.nn), 6) AS ccos
+        |  FROM cdots
+        |  JOIN norms na ON vid = na.vec_id
+        |  JOIN norms nb ON ccid = nb.vec_id
+        |), assign AS (
+        |  SELECT vid, cell FROM (
+        |    SELECT vid, ccid AS cell,
+        |      ROW_NUMBER() OVER (PARTITION BY vid
+        |        ORDER BY ccos DESC, ccid) AS rn
+        |    FROM ccos) a
+        |  WHERE rn = 1
+        |), probe AS (
+        |  SELECT qid, cell FROM (
+        |    SELECT vid AS qid, ccid AS cell,
+        |      ROW_NUMBER() OVER (PARTITION BY vid
+        |        ORDER BY ccos DESC, ccid) AS rn
+        |    FROM ccos WHERE vid % 20 = 0) p
+        |  WHERE rn <= 2
+        |), rres AS (
+        |  SELECT a.vec_id, a.d, a.v - b.v AS v
+        |  FROM ev a
+        |  JOIN assign ON assign.vid = a.vec_id
+        |  JOIN ev b ON b.vec_id = assign.cell AND b.d = a.d
+        |), rbook AS (
+        |  SELECT vec_id AS bid FROM embeddings
+        |  ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 16
+        |), rsub AS (
+        |  SELECT vec_id, CAST(d // 8 AS INT) AS s, d % 8 AS sd, v
+        |  FROM rres
+        |), bsub AS (
+        |  SELECT r.bid, t.s, t.sd, t.v
+        |  FROM rbook r JOIN rsub t ON t.vec_id = r.bid
+        |), rssq AS (
+        |  SELECT vec_id, s, SUM(v * v) AS nn FROM rsub GROUP BY 1, 2
+        |), bssq AS (
+        |  SELECT bid, s, SUM(v * v) AS nn FROM bsub GROUP BY 1, 2
+        |), rdot AS (
+        |  SELECT a.vec_id, a.s, b.bid AS cid, SUM(a.v * b.v) AS dot
+        |  FROM rsub a JOIN bsub b ON b.s = a.s AND b.sd = a.sd
+        |  GROUP BY 1, 2, 3
+        |), rdd AS (
+        |  SELECT rdot.vec_id, rdot.s, rdot.cid,
+        |    round(sa.nn + sb.nn - 2 * dot, 6) AS d2
+        |  FROM rdot
+        |  JOIN rssq sa ON sa.vec_id = rdot.vec_id AND sa.s = rdot.s
+        |  JOIN bssq sb ON sb.bid = rdot.cid AND sb.s = rdot.s
+        |), rcodes AS (
+        |  SELECT vec_id, s, cid AS code FROM (
+        |    SELECT vec_id, s, cid, d2,
+        |      ROW_NUMBER() OVER (PARTITION BY vec_id, s
+        |        ORDER BY d2, cid) AS rn
+        |    FROM rdd) t
+        |  WHERE rn = 1
+        |), qres AS (
+        |  SELECT p.qid, p.cell, a.d, a.v - b.v AS v
+        |  FROM probe p
+        |  JOIN ev a ON a.vec_id = p.qid
+        |  JOIN ev b ON b.vec_id = p.cell AND b.d = a.d
+        |), qsub AS (
+        |  SELECT qid, cell, CAST(d // 8 AS INT) AS s, d % 8 AS sd, v
+        |  FROM qres
+        |), qssq AS (
+        |  SELECT qid, cell, s, SUM(v * v) AS nn
+        |  FROM qsub GROUP BY 1, 2, 3
+        |), qdot AS (
+        |  SELECT a.qid, a.cell, a.s, b.bid AS cid, SUM(a.v * b.v) AS dot
+        |  FROM qsub a JOIN bsub b ON b.s = a.s AND b.sd = a.sd
+        |  GROUP BY 1, 2, 3, 4
+        |), qlut AS (
+        |  SELECT qdot.qid, qdot.cell, qdot.s, qdot.cid,
+        |    CAST(round(sa.nn + sb.nn - 2 * dot, 6) AS DECIMAL(18,6))
+        |      AS d2
+        |  FROM qdot
+        |  JOIN qssq sa ON sa.qid = qdot.qid AND sa.cell = qdot.cell
+        |    AND sa.s = qdot.s
+        |  JOIN bssq sb ON sb.bid = qdot.cid AND sb.s = qdot.s
+        |), cand AS (
+        |  SELECT probe.qid, probe.cell, assign.vid
+        |  FROM probe JOIN assign USING (cell)
+        |  WHERE assign.vid <> probe.qid
+        |), adc AS (
+        |  SELECT cand.qid, cand.vid, SUM(l.d2) AS adist
+        |  FROM cand
+        |  JOIN rcodes c ON c.vec_id = cand.vid
+        |  JOIN qlut l ON l.qid = cand.qid AND l.cell = cand.cell
+        |    AND l.s = c.s AND l.cid = c.code
+        |  GROUP BY 1, 2
+        |)
+        |SELECT qid, vid, CAST(adist AS DOUBLE) AS adist, rank FROM (
+        |  SELECT qid, vid, adist,
+        |    ROW_NUMBER() OVER (PARTITION BY qid
+        |      ORDER BY adist, vid) AS rank
+        |  FROM adc) r
+        |WHERE rank <= 3""".stripMargin)),
+
     // Matryoshka truncation-recall curve: retrieval quality of the
     // first-16 / first-32 / full-64 dimension prefixes against the
     // full-dimension exact top-3 (micro-averaged over integer

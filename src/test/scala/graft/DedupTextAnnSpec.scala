@@ -733,6 +733,51 @@ class DedupTextAnnSpec extends SparkSpec {
     assert(rec.getDouble(1) >= 0.6, s"min recall ${rec.getDouble(1)}")
   }
 
+  test("residual IVF-PQ beats raw IVF-PQ when clusters outnumber codes") {
+    import org.apache.spark.sql.expressions.Window
+    // 40 clusters × 5 members at LARGE lattice offsets: a 16-code raw
+    // subquantizer cannot span 40 distinct center patterns, so its
+    // quantization error is inter-cluster-sized; residuals remove the
+    // offsets and the same 16 codes only carry the within-cell spread
+    // — the regime IVFADC exists for (a few codes vs a huge corpus
+    // diameter). Both sides get Lloyd-trained codebooks.
+    val vecs = (for { cl <- 0 until 40; mm <- 0 until 5 } yield {
+      val id = cl * 5 + mm
+      val v = Array.tabulate(16) { d =>
+        ((cl * 13 + d * 5) % 29) * 10.0f +
+          (((id * 31 + d * 7) % 11) - 5) * 0.1f
+      }
+      (id, v)
+    }).toDF("id", "embedding")
+    val queries = vecs.filter(col("id") % 5 === 0)
+    val cents = Ann.ivfCentroids(vecs, 16)
+    val resTop = Ann.ivfPqResidualTopK(queries, vecs, cents,
+      nProbe = 2, m = 4, subDim = 4, nCodes = 16, k = 4, lloydIters = 3)
+    val rawBooks = Ann.pqCodebooksLloyd(vecs, 4, 4, 16, iters = 3)
+    val rawTop = Ann.ivfPqTopK(queries, vecs, cents,
+      Ann.pqEncode(vecs, rawBooks, 4, 4), rawBooks,
+      nProbe = 2, m = 4, subDim = 4, k = 4)
+    val q = queries.select(col("id").as("qid"), col("embedding").as("qv"))
+    val cv = vecs.select(col("id").as("vid"), col("embedding").as("cv"))
+    val d2 = Ann.norm2(col("qv")) + Ann.norm2(col("cv")) -
+      lit(2.0) * Ann.dot(col("qv"), col("cv"))
+    val w = Window.partitionBy("qid").orderBy(asc("d2"), asc("vid"))
+    val exact = cv.join(broadcast(q), col("qid") =!= col("vid"))
+      .withColumn("d2", round(d2, 6))
+      .withColumn("rank", row_number().over(w)).filter(col("rank") <= 4)
+      .select("qid", "vid")
+    def avgRecall(top: org.apache.spark.sql.DataFrame): Double =
+      Ann.recallAtK(top, exact).agg(avg("recall")).head().getDouble(0)
+    val (rr, raw) = (avgRecall(resTop), avgRecall(rawTop))
+    // md5-deterministic end to end, so these are exact reproducible
+    // values: residual 0.73125 vs raw 0.675 at this geometry. The
+    // floors leave headroom for benign re-tuning; the ORDER is the
+    // claim under test.
+    assert(rr > raw, s"residual $rr must beat raw $raw here")
+    assert(rr >= 0.7, s"residual recall $rr")
+    assert(raw >= 0.6, s"raw recall $raw (fixture sanity)")
+  }
+
   test("removeRepeatedSpans cuts non-canonical spans, merging overlaps") {
     // a0..a9 is a 10-token span; doc 0 owns it (smallest id) and
     // survives untouched. Doc 3 is short (< 10 tokens) and passes
