@@ -212,6 +212,20 @@ object Soak {
         val queries = emb.filter(col("id") % 20 === 0)
         graft.ann.Ann.bruteForceCosineTopK(queries, emb, 5).count()
       }),
+      // the residual (IVFADC) formulation with one Lloyd iteration —
+      // same candidate-join shape as ann_ivf_pq plus the bounded
+      // codebook-training pass and the per-(query, probed-cell) LUT
+      "ann_ivf_pq_residual" -> (() => {
+        val emb = graft.core.CacheScope.persist(
+          t.embeddings.select(col("vec_id").as("id"), col("embedding")))
+        val queries = emb.filter(col("id") % 20 === 0)
+        val nCells = graft.ann.Ann.ivfAutoCells(emb)
+        val cents = graft.ann.Ann.ivfCentroids(emb, nCells)
+        graft.ann.Ann.ivfPqResidualTopK(queries, emb, cents,
+            nProbe = 2, m = 8, subDim = 8, nCodes = 16, k = 3,
+            lloydIters = 1)
+          .count()
+      }),
       "ann_ivf_pq" -> (() => {
         val emb = graft.core.CacheScope.persist(
           t.embeddings.select(col("vec_id").as("id"), col("embedding")))
