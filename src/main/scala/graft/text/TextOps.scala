@@ -551,4 +551,58 @@ object TextOps {
       .withColumn("novelty",
                   round(col("n_unique") / col("n_shingles"), 6))
   }
+
+  /** Okapi BM25 text RETRIEVAL: top-k corpus documents per query —
+    * the hard-negative-mining / sparse-RAG workhorse, distinct from
+    * [[graft.similarity.Weighting.bm25]] which weights a user-item
+    * matrix. Classic inverted-index shape: the corpus term-frequency
+    * table joins query terms ON THE TERM KEY (only documents sharing
+    * a query term are ever scored — the posting-list pruning that
+    * makes BM25 serveable over a 100 TB corpus), df and doc-length
+    * tables broadcast (vocabulary- and doc-count-sized aggregates),
+    * one (qid, doc) sum, one per-query top-k window.
+    *
+    * Query terms are DISTINCT (qtf = 1 — the common web-search
+    * reading; declared, since repeated query terms otherwise multiply
+    * their contribution). Determinism discipline: idf and each
+    * per-term score round to 6 decimals, per-pair sums accumulate as
+    * exact decimals, the rank orders on the decimal (ties → doc_id).
+    *
+    * Returns (qid, doc_id, score, rank ≤ k). */
+  def searchBm25(docs: DataFrame, docId: Column, text: Column,
+                 queries: DataFrame, queryId: Column, queryText: Column,
+                 k: Int, k1: Double = 1.2, b: Double = 0.75)
+      : DataFrame = {
+    val dtoks = graft.core.CacheScope.persist(
+      docs.select(docId.as("doc_id"), explode(tokens(text)).as("tok")))
+    val tf = dtoks.groupBy("doc_id", "tok").agg(count(lit(1)).as("tf"))
+    val dlen = dtoks.groupBy("doc_id").agg(count(lit(1)).as("len"))
+    val stats = dlen.agg(count(lit(1)).as("nd"), sum("len").as("ntok"))
+      .select(col("nd"),
+              (col("ntok").cast("double") / col("nd")).as("avg_len"))
+    val df = tf.groupBy("tok").agg(count(lit(1)).as("df"))
+    val qt = queries.select(queryId.as("qid"),
+        explode(array_distinct(tokens(queryText))).as("tok"))
+    val term = qt
+      .join(tf, "tok")
+      .join(broadcast(df), "tok")
+      .join(broadcast(dlen), "doc_id")
+      .crossJoin(broadcast(stats))
+      .withColumn("idf",
+        round(log((col("nd").cast("double") - col("df") + 0.5) /
+                  (col("df") + 0.5)), 6))
+      .withColumn("contrib", round(
+        col("idf") * col("tf") * (k1 + 1) /
+          (col("tf") + lit(k1) *
+            (lit(1 - b) + lit(b) * col("len") / col("avg_len"))), 6)
+        .cast("decimal(18,6)"))
+    val scored = term.groupBy("qid", "doc_id")
+      .agg(sum("contrib").as("score_dec"))
+    val w = Window.partitionBy("qid")
+      .orderBy(desc("score_dec"), asc("doc_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("qid"), col("doc_id"),
+              col("score_dec").cast("double").as("score"), col("rank"))
+  }
 }

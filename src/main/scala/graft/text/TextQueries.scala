@@ -593,6 +593,65 @@ object TextQueries {
         |  FROM tf JOIN dft USING (tok) CROSS JOIN n) x
         |WHERE rk <= 5""".stripMargin)),
 
+    // BM25 text retrieval: top-5 corpus docs per query through the
+    // inverted-index join — queries are the first-5-token prefixes of
+    // every 25th document, so each query's own source document must
+    // surface (exact-match terms, shortest competing lengths).
+    Q("q185_bm25_search", { t =>
+        val corpus = t.documents.select(col("doc_id"), col("text"))
+        val queries = corpus.filter(col("doc_id") % 25 === 0)
+          .select(col("doc_id").as("qid"),
+            concat_ws(" ",
+              slice(split(lower(col("text")), "\\s+"), 1, 5)).as("qtext"))
+        TextOps.searchBm25(corpus, col("doc_id"), col("text"),
+                           queries, col("qid"), col("qtext"), k = 5)
+      },
+      Some("""WITH dtoks AS (
+        |  SELECT doc_id,
+        |    unnest(string_split_regex(lower(text), '\s+')) AS tok
+        |  FROM documents
+        |), tf AS (
+        |  SELECT doc_id, tok, COUNT(*) AS tf FROM dtoks GROUP BY 1, 2
+        |), dlen AS (
+        |  SELECT doc_id, COUNT(*) AS len FROM dtoks GROUP BY 1
+        |), stats AS (
+        |  SELECT COUNT(*) AS nd,
+        |    CAST(SUM(len) AS DOUBLE) / COUNT(*) AS avg_len
+        |  FROM dlen
+        |), dfq AS (SELECT tok, COUNT(*) AS df FROM tf GROUP BY 1
+        |), q AS (
+        |  SELECT doc_id AS qid,
+        |    array_to_string(list_slice(
+        |      string_split_regex(lower(text), '\s+'), 1, 5), ' ')
+        |      AS qtext
+        |  FROM documents WHERE doc_id % 25 = 0
+        |), qt AS (
+        |  SELECT DISTINCT qid,
+        |    unnest(string_split_regex(qtext, '\s+')) AS tok
+        |  FROM q
+        |), term AS (
+        |  SELECT qt.qid, tf.doc_id,
+        |    CAST(round(
+        |      round(ln((nd - df + 0.5) / (df + 0.5)), 6)
+        |        * tf * 2.2
+        |        / (tf + 1.2 * (0.25 + 0.75 * len / avg_len)),
+        |      6) AS DECIMAL(18,6)) AS contrib
+        |  FROM qt
+        |  JOIN tf USING (tok)
+        |  JOIN dfq USING (tok)
+        |  JOIN dlen ON dlen.doc_id = tf.doc_id
+        |  CROSS JOIN stats
+        |), scored AS (
+        |  SELECT qid, doc_id, SUM(contrib) AS score
+        |  FROM term GROUP BY 1, 2
+        |)
+        |SELECT qid, doc_id, CAST(score AS DOUBLE) AS score, rank FROM (
+        |  SELECT qid, doc_id, score,
+        |    ROW_NUMBER() OVER (PARTITION BY qid
+        |      ORDER BY score DESC, doc_id) AS rank
+        |  FROM scored) r
+        |WHERE rank <= 5""".stripMargin)),
+
     // Per-document 3-gram novelty: the share of a doc's distinct
     // shingles with corpus df=1 — the unique-n-gram diversity signal
     // of corpus curation (low novelty = boilerplate/template text).

@@ -830,6 +830,32 @@ class DedupTextAnnSpec extends SparkSpec {
     assert(all0 == Set("test") && all1 == Set("train"))
   }
 
+  test("searchBm25: term-covering doc ranks first, unseen terms yield " +
+       "no postings, query term repetition is idempotent (qtf = 1)") {
+    val corpus = Seq(
+      (1L, "apple banana cherry"),
+      (2L, "apple banana"),
+      (3L, "durian elderberry fig grape"),
+      (4L, "apple apple apple durian")).toDF("doc_id", "text")
+    def run(qs: Seq[(Long, String)]) =
+      TextOps.searchBm25(corpus, col("doc_id"), col("text"),
+          qs.toDF("qid", "qtext"), col("qid"), col("qtext"), k = 3)
+        .collect()
+        .map(r => (r.getLong(0), r.getInt(3)) ->
+          (r.getLong(1), r.getDouble(2))).toMap
+    val out = run(Seq((10L, "banana cherry"), (20L, "zzz"),
+                      (30L, "elderberry")))
+    // doc 1 covers both query terms; doc 2 only one
+    assert(out((10L, 1))._1 == 1L)
+    assert(out((10L, 2))._1 == 2L)
+    // a term with no posting list scores nothing — the query is absent
+    assert(!out.keys.exists(_._1 == 20L))
+    assert(out((30L, 1))._1 == 3L)
+    // distinct-term reading: repeating a query term changes nothing
+    val rep = run(Seq((40L, "elderberry elderberry")))
+    assert(rep((40L, 1))._2 == out((30L, 1))._2)
+  }
+
   test("removeRepeatedSpans: untouched docs pass through verbatim, " +
        "only cut docs are whitespace-normalized") {
     val span = (0 until 10).map(i => s"a$i").mkString(" ")
