@@ -170,6 +170,24 @@ object Soak {
           .agg(count(lit(1)).as("n_docs"), sum(col("keep")).as("n_kept"))
           .count()
       }),
+      // BM25 retrieval with a FIXED 20-query batch — the serving
+      // shape (like ADC's bounded-batch contract): per-query cost is
+      // the posting lists its terms touch, which grow linearly with
+      // the corpus under this synthetic fixed vocabulary. A
+      // proportional query slice would multiply that by the query
+      // axis and read quadratic BY CONSTRUCTION of the tiny vocab
+      // (every doc shares terms with every query), which is a corpus
+      // artifact, not the operator's shape
+      "bm25_search" -> (() => {
+        val corpus = t.documents.select(col("doc_id"), col("text"))
+        val queries = corpus.filter(col("doc_id") < 20)
+          .select(col("doc_id").as("qid"),
+            concat_ws(" ", slice(split(lower(col("text")), "\\s+"),
+                                 1, 5)).as("qtext"))
+        graft.text.TextOps.searchBm25(corpus, col("doc_id"),
+            col("text"), queries, col("qid"), col("qtext"), k = 5)
+          .count()
+      }),
       // exact-substring span removal over the full corpus: window
       // fingerprints are corpus-token rows through one hash groupBy;
       // cross-copy windows are DISJOINT under ScaleSynth's per-copy
