@@ -180,10 +180,9 @@ object Soak {
       // artifact, not the operator's shape
       "bm25_search" -> (() => {
         val corpus = t.documents.select(col("doc_id"), col("text"))
-        val queries = corpus.filter(col("doc_id") < 20)
-          .select(col("doc_id").as("qid"),
-            concat_ws(" ", slice(split(lower(col("text")), "\\s+"),
-                                 1, 5)).as("qtext"))
+        val queries = graft.text.TextOps.prefixQueries(
+          corpus.filter(col("doc_id") < 20),
+          col("doc_id"), col("text"), nTokens = 5)
         graft.text.TextOps.searchBm25(corpus, col("doc_id"),
             col("text"), queries, col("qid"), col("qtext"), k = 5)
           .count()

@@ -580,15 +580,6 @@ object Ann {
               col("adist_dec").cast("double").as("adist"), col("rank"))
   }
 
-  /** IVF-PQ (the production composition, Jégou et al. 2011 §V): IVF
-    * cells prune the corpus to the probed ~nProbe/nCells fraction,
-    * then ADC prices ONLY those candidates from the per-query lookup
-    * table — coarse quantizer for the search scope, product quantizer
-    * for the distance, which is how a 100 TB embedding table is
-    * actually served. The candidate join is co-partitioned on the cell
-    * key; the lookup table broadcasts (`broadcastLut`, same contract
-    * and fallback as [[pqAdcTopK]]); nothing corpus-sized is broadcast
-    * or collected. */
   /** Residual frame: every vector minus its assigned cell centroid,
     * in DOUBLE (float subtraction would round to 24 bits and
     * desynchronize from any double-arithmetic twin; double(a) −
@@ -628,11 +619,22 @@ object Ann {
                         broadcastLut: Boolean = true,
                         lloydIters: Int = 0): DataFrame = {
     val res = graft.core.CacheScope.persist(residuals(corpus, centroids))
+    // Codebooks must NOT sample the coarse-centroid rows: a centroid's
+    // own residual is exactly the zero vector, and the md5 sample that
+    // picks centroids would pick the same lowest ids again — with
+    // nCodes ≤ nCells every sampled entry would be 0 and ADC distances
+    // would carry no candidate information at all. Train on the
+    // residuals of NON-centroid rows (anti-join on the bounded
+    // centroid id set).
+    val trainRes = res.join(
+      broadcast(centroids.select(col("cid").as("id"))),
+      Seq("id"), "left_anti")
     val books =
       if (lloydIters > 0)
-        pqCodebooksLloyd(res.select("id", "embedding"), m, subDim,
+        pqCodebooksLloyd(trainRes.select("id", "embedding"), m, subDim,
                          nCodes, lloydIters)
-      else pqCodebooks(res.select("id", "embedding"), m, subDim, nCodes)
+      else pqCodebooks(trainRes.select("id", "embedding"), m, subDim,
+                       nCodes)
     val codes = pqEncode(res.select("id", "embedding"), books, m, subDim)
     val cells = res.select(col("id").as("vid"), col("cell"))
     val probes = ivfAssign(queries, centroids, nProbe)
@@ -668,6 +670,15 @@ object Ann {
       candCodes.join(lut, Seq("qid", "cell", "s", "cid")), k)
   }
 
+  /** IVF-PQ (the production composition, Jégou et al. 2011 §V): IVF
+    * cells prune the corpus to the probed ~nProbe/nCells fraction,
+    * then ADC prices ONLY those candidates from the per-query lookup
+    * table — coarse quantizer for the search scope, product quantizer
+    * for the distance, which is how a 100 TB embedding table is
+    * actually served. The candidate join is co-partitioned on the cell
+    * key; the lookup table broadcasts (`broadcastLut`, same contract
+    * and fallback as [[pqAdcTopK]]); nothing corpus-sized is broadcast
+    * or collected. */
   def ivfPqTopK(queries: DataFrame, corpus: DataFrame,
                 centroids: DataFrame, codes: DataFrame,
                 codebooks: DataFrame, nProbe: Int, m: Int, subDim: Int,

@@ -677,6 +677,7 @@ object AnnQueries {
         |  JOIN ev b ON b.vec_id = assign.cell AND b.d = a.d
         |), rbook AS (
         |  SELECT vec_id AS bid FROM embeddings
+        |  WHERE vec_id NOT IN (SELECT ccid FROM cent)
         |  ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 16
         |), rsub AS (
         |  SELECT vec_id, CAST(d // 8 AS INT) AS s, d % 8 AS sd, v

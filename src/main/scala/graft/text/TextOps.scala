@@ -564,9 +564,20 @@ object TextOps {
     *
     * Query terms are DISTINCT (qtf = 1 — the common web-search
     * reading; declared, since repeated query terms otherwise multiply
-    * their contribution). Determinism discipline: idf and each
-    * per-term score round to 6 decimals, per-pair sums accumulate as
-    * exact decimals, the rank orders on the decimal (ties → doc_id).
+    * their contribution). The idf is Lucene's NON-NEGATIVE form
+    * ln(1 + (N − df + 0.5)/(df + 0.5)) — classic Robertson idf goes
+    * NEGATIVE for terms in more than half the corpus, letting a
+    * document that covers MORE query terms rank below a partial
+    * match; the +1 keeps every matched term a non-negative signal.
+    * Determinism discipline: idf and each per-term score round to 6
+    * decimals, per-pair sums accumulate as exact decimals, the rank
+    * orders on the decimal (ties → doc_id).
+    *
+    * The term-frequency and doc-length tables are corpus-sized and
+    * deliberately NOT broadcast-hinted — both derive from the same
+    * token explode and shuffle on their natural keys (tok, doc_id);
+    * only the one-row corpus stats broadcast. At 10⁹ documents a
+    * forced dlen broadcast would be the driver OOM, not a plan.
     *
     * Returns (qid, doc_id, score, rank ≤ k). */
   def searchBm25(docs: DataFrame, docId: Column, text: Column,
@@ -585,11 +596,12 @@ object TextOps {
         explode(array_distinct(tokens(queryText))).as("tok"))
     val term = qt
       .join(tf, "tok")
-      .join(broadcast(df), "tok")
-      .join(broadcast(dlen), "doc_id")
+      .join(df, "tok")
+      .join(dlen, "doc_id")
       .crossJoin(broadcast(stats))
       .withColumn("idf",
-        round(log((col("nd").cast("double") - col("df") + 0.5) /
+        round(log(lit(1.0) +
+                  (col("nd").cast("double") - col("df") + 0.5) /
                   (col("df") + 0.5)), 6))
       .withColumn("contrib", round(
         col("idf") * col("tf") * (k1 + 1) /
@@ -605,4 +617,13 @@ object TextOps {
       .select(col("qid"), col("doc_id"),
               col("score_dec").cast("double").as("score"), col("rank"))
   }
+
+  /** First-n-token prefix queries over a document frame — the shared
+    * query-construction rule of the q185 gate and the soak's
+    * bm25_search op (one definition, so the gate and the scale
+    * measurement cannot silently diverge). */
+  def prefixQueries(docs: DataFrame, id: Column, text: Column,
+                    nTokens: Int): DataFrame =
+    docs.select(id.as("qid"),
+      concat_ws(" ", slice(tokens(text), 1, nTokens)).as("qtext"))
 }

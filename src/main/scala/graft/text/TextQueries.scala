@@ -599,10 +599,9 @@ object TextQueries {
     // surface (exact-match terms, shortest competing lengths).
     Q("q185_bm25_search", { t =>
         val corpus = t.documents.select(col("doc_id"), col("text"))
-        val queries = corpus.filter(col("doc_id") % 25 === 0)
-          .select(col("doc_id").as("qid"),
-            concat_ws(" ",
-              slice(split(lower(col("text")), "\\s+"), 1, 5)).as("qtext"))
+        val queries = TextOps.prefixQueries(
+          corpus.filter(col("doc_id") % 25 === 0),
+          col("doc_id"), col("text"), nTokens = 5)
         TextOps.searchBm25(corpus, col("doc_id"), col("text"),
                            queries, col("qid"), col("qtext"), k = 5)
       },
@@ -632,7 +631,7 @@ object TextQueries {
         |), term AS (
         |  SELECT qt.qid, tf.doc_id,
         |    CAST(round(
-        |      round(ln((nd - df + 0.5) / (df + 0.5)), 6)
+        |      round(ln(1.0 + (nd - df + 0.5) / (df + 0.5)), 6)
         |        * tf * 2.2
         |        / (tf + 1.2 * (0.25 + 0.75 * len / avg_len)),
         |      6) AS DECIMAL(18,6)) AS contrib

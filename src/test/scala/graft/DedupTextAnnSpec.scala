@@ -770,11 +770,13 @@ class DedupTextAnnSpec extends SparkSpec {
       Ann.recallAtK(top, exact).agg(avg("recall")).head().getDouble(0)
     val (rr, raw) = (avgRecall(resTop), avgRecall(rawTop))
     // md5-deterministic end to end, so these are exact reproducible
-    // values: residual 0.73125 vs raw 0.675 at this geometry. The
-    // floors leave headroom for benign re-tuning; the ORDER is the
-    // claim under test.
+    // values: residual 0.89375 vs raw 0.675 at this geometry (the
+    // margin widened from 0.73125 when codebook sampling started
+    // excluding the coarse-centroid rows, whose residuals are exactly
+    // zero). The floors leave headroom for benign re-tuning; the
+    // ORDER is the claim under test.
     assert(rr > raw, s"residual $rr must beat raw $raw here")
-    assert(rr >= 0.7, s"residual recall $rr")
+    assert(rr >= 0.8, s"residual recall $rr")
     assert(raw >= 0.6, s"raw recall $raw (fixture sanity)")
   }
 
