@@ -103,6 +103,12 @@ object Bench {
     val medianRun = scala.collection.mutable.LinkedHashMap[String, Double]()
     val loadBefore = scala.collection.mutable.LinkedHashMap[String, Double]()
     val loadAfter = scala.collection.mutable.LinkedHashMap[String, Double]()
+    // adaptive path only: the load sample taken after rep 3, BEFORE the
+    // two extra reps — kept separately so both rep groups stay
+    // load-bracketed in the artifact (loadBefore..loadAfterFirst3 for
+    // t1-t3, loadAfterFirst3..loadAfter for t4-t5)
+    val loadAfterFirst3 =
+      scala.collection.mutable.LinkedHashMap[String, Double]()
     // 1-minute loadavg: the mechanical machine-vs-code discriminator
     def loadavg(): Double = core.BenchUtil.loadavg()
     // Near-idle gate (VERDICT r7 task #6 / r8 "what's wrong" #1): this
@@ -116,6 +122,25 @@ object Bench {
     val gateDeadline = System.nanoTime() + 300L * 1000 * 1000 * 1000
     while (loadavg() > 4.0 && System.nanoTime() < gateDeadline)
       Thread.sleep(10000)
+    // loadavg alone is a proven-weak instrument on this box (it decays
+    // from FINISHED JVMs — the r11 soak read 17-33 with nothing
+    // running, and conversely can read < 4 while another process burns
+    // CPU), so the gate additionally waits — same bounded deadline —
+    // for the external-CPU fraction (/proc/stat jiffies minus this
+    // JVM's own) to fall under 5%. This is the handshake that keeps
+    // driver-harness re-runs from embedding load-contaminated numbers
+    // next to the canonical ones (recurring since r9): the driver
+    // cannot skip a bench, but the bench can refuse to START until the
+    // box is demonstrably quiet (or the deadline passes, in which case
+    // ext_busy_start records exactly how dirty the recording is).
+    val extGate = sys.env.getOrElse("SPARK_GRAFT_BENCH_EXT_BUSY",
+                                    "0.05").toDouble
+    var ebProbe = core.BenchUtil.extBusyFrac(1000)
+    while (ebProbe >= 0 && ebProbe > extGate &&
+           System.nanoTime() < gateDeadline) {
+      Thread.sleep(5000)
+      ebProbe = core.BenchUtil.extBusyFrac(1000)
+    }
     val loadStart = loadavg()
     // the soak's round-11 instrument, recorded alongside loadavg: the
     // fraction of box CPU spent by OTHER processes over a 1s window.
@@ -173,9 +198,12 @@ object Bench {
               clearState(); val t4 = once()
               clearState(); val t5 = once()
               fourthRun(q.name) = t4; fifthRun(q.name) = t5
-              // loadAfter was sampled after t3; the extra reps ran on a
-              // demonstrably unstable box, so re-sample — the recorded
-              // after-load must bracket EVERY rep that fed the median
+              // the post-t3 sample moves to load_after_first3 (NOT
+              // discarded — instability attribution is the whole point
+              // of the extra reps) and loadAfter re-samples so the
+              // recorded after-load brackets EVERY rep that fed the
+              // median
+              loadAfterFirst3(q.name) = loadAfter(q.name)
               loadAfter(q.name) = loadavg()
               first3 ++ Seq(t4, t5)
             } else first3
@@ -198,7 +226,7 @@ object Bench {
     val loadEnd = loadavg()
     val extBusyEnd = core.BenchUtil.extBusyFrac(1000)
     val line =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"queries_first_run":${jmap(firstRun)},"queries_second_run":${jmap(secondRun)},"queries_third_run":${jmap(thirdRun)},"queries_fourth_run":${jmap(fourthRun)},"queries_fifth_run":${jmap(fifthRun)},"queries_median":${jmap(medianRun)},"load_before":${jmap(loadBefore)},"load_after":${jmap(loadAfter)},"load_initial":$loadInitial,"load_start":$loadStart,"load_end":$loadEnd,"ext_busy_start":$extBusyStart,"ext_busy_end":$extBusyEnd,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"queries_first_run":${jmap(firstRun)},"queries_second_run":${jmap(secondRun)},"queries_third_run":${jmap(thirdRun)},"queries_fourth_run":${jmap(fourthRun)},"queries_fifth_run":${jmap(fifthRun)},"queries_median":${jmap(medianRun)},"load_before":${jmap(loadBefore)},"load_after":${jmap(loadAfter)},"load_after_first3":${jmap(loadAfterFirst3)},"load_initial":$loadInitial,"load_start":$loadStart,"load_end":$loadEnd,"ext_busy_start":$extBusyStart,"ext_busy_end":$extBusyEnd,"sf":"$sfDir"}"""
     // ONE canonical artifact per round (VERDICT r7 bookkeeping): the
     // full record — every raw rep, medians, load samples — goes ONLY
     // to bench_out.json; stdout carries exactly one final JSON record

@@ -113,7 +113,10 @@ object Soak {
         val dt = graft.core.CacheScope.persist(
           Dedup.docTokens(corpus, col("doc_id"), col("text")))
         val sigs = Dedup.minhashSignatures(dt, 6)
-        val cand = Dedup.lshCandidatePairs(sigs, 6, 2)
+        // maxBucketSize = 0: the EXPLICIT unbounded opt-in (the default
+        // flipped to capped in r12) — this op deliberately measures the
+        // uncapped chain's broadcast-dependent super-linearity
+        val cand = Dedup.lshCandidatePairs(sigs, 6, 2, maxBucketSize = 0)
         val dup = Dedup.jaccardForPairs(cand, dt)
           .filter(col("jaccard") >= 0.97)
         val cc = Dedup.connectedComponents(dup.select("a", "b"))
@@ -141,35 +144,17 @@ object Soak {
       // accepting the documented near-dup recall trade on degenerate
       // groups. Candidate pairs per bucket are then ≤ cap², linear in
       // bucket count hence in corpus.
-      "dedup_e2e_capped" -> (() => {
-        val corpus = graft.core.CacheScope.persist(
-          t.documents.select(col("doc_id"), col("source"), col("text")))
-        val dt = graft.core.CacheScope.persist(
-          Dedup.docTokens(corpus, col("doc_id"), col("text")))
-        val sigs = Dedup.minhashSignatures(dt, 6)
-        val cand = Dedup.lshCandidatePairs(sigs, 6, 2,
-                                           maxBucketSize = 1000)
-        val near = Dedup.jaccardForPairs(cand, dt)
-          .filter(col("jaccard") >= 0.97).select("a", "b")
-        val norm = md5(regexp_replace(lower(trim(col("text"))),
-                                      "\\s+", " "))
-        val hashed = corpus.select(col("doc_id"), norm.as("h"))
-        val exactEdges = hashed
-          .join(Dedup.exactDupGroups(corpus, col("doc_id"), col("text")),
-                "h")
-          .filter(col("doc_id") =!= col("canonical"))
-          .select(col("canonical").as("a"), col("doc_id").as("b"))
-        val cc = Dedup.connectedComponents(
-            near.unionByName(exactEdges))
-          .withColumnRenamed("node", "doc_id")
-        corpus.join(cc, Seq("doc_id"), "left")
-          .withColumn("keep",
-            (col("cluster").isNull ||
-             col("cluster") === col("doc_id")).cast("long"))
+      "dedup_e2e_capped" -> (() =>
+        // since r12 this is the PRODUCTION operator itself
+        // (Dedup.fuzzyDedupBounded, gated by q186) — the soak measures
+        // the exact composition users call, not a hand-assembled twin
+        Dedup.fuzzyDedupBounded(
+            t.documents.select(col("doc_id"), col("source"), col("text")),
+            col("doc_id"), col("text"),
+            jaccardThreshold = 0.97, maxBucketSize = 1000)
           .groupBy("source")
           .agg(count(lit(1)).as("n_docs"), sum(col("keep")).as("n_kept"))
-          .count()
-      }),
+          .count()),
       // BM25 retrieval with a FIXED 20-query batch — the serving
       // shape (like ADC's bounded-batch contract): per-query cost is
       // the posting lists its terms touch, which grow linearly with
@@ -238,6 +223,34 @@ object Soak {
         val queries = emb.filter(col("id") % 20 === 0)
         val nCells = graft.ann.Ann.ivfAutoCells(emb)
         val cents = graft.ann.Ann.ivfCentroids(emb, nCells)
+        // broadcastLut = false: queries here are a PROPORTIONAL 5%
+        // corpus slice, so the LUT (|queries|·nProbe·m·nCodes ≈ 12.8
+        // rows per corpus row) grows linearly with sf — broadcasting it
+        // would contradict the operator's bounded-batch broadcast
+        // contract and turn the soak curve into a broadcast-cost
+        // measurement (ADVICE r11). The broadcast default is exercised
+        // by the fixed-batch op below, the serving shape it exists for.
+        graft.ann.Ann.ivfPqResidualTopK(queries, emb, cents,
+            nProbe = 2, m = 8, subDim = 8, nCodes = 16, k = 3,
+            lloydIters = 1, broadcastLut = false)
+          .count()
+      }),
+      // the SAME residual operator at the SERVING shape: a FIXED
+      // 20-query batch (the q185 bm25_search convention), so the
+      // record/byte exponent measures the operator's corpus-side cost
+      // — per-query candidates ∝ nProbe·N/√N = √N plus the linear cell
+      // assignment scan — not the |q|·2√N ∝ N^1.5 geometry the
+      // proportional-slice op above documents around (VERDICT r11
+      // next #4). Fixed batch ⇒ the LUT is bounded and the default
+      // broadcast is the correct production posture here.
+      "ann_ivf_pq_residual_batch" -> (() => {
+        val emb = graft.core.CacheScope.persist(
+          t.embeddings.select(col("vec_id").as("id"), col("embedding")))
+        // ids < 20 live in ScaleSynth copy 0 at every sf — the batch is
+        // literally the same 20 vectors at every scale point
+        val queries = emb.filter(col("id") < 20)
+        val nCells = graft.ann.Ann.ivfAutoCells(emb)
+        val cents = graft.ann.Ann.ivfCentroids(emb, nCells)
         graft.ann.Ann.ivfPqResidualTopK(queries, emb, cents,
             nProbe = 2, m = 8, subDim = 8, nCodes = 16, k = 3,
             lloydIters = 1)
@@ -258,8 +271,11 @@ object Soak {
         val books = graft.ann.Ann.pqCodebooks(emb, m = 8, subDim = 8,
                                               nCodes = 16)
         val codes = graft.ann.Ann.pqEncode(emb, books, m = 8, subDim = 8)
+        // broadcastLut = false for the same proportional-slice reason
+        // as ann_ivf_pq_residual above (ADVICE r11)
         graft.ann.Ann.ivfPqTopK(queries, emb, cents, codes, books,
-                                nProbe = 2, m = 8, subDim = 8, k = 3)
+                                nProbe = 2, m = 8, subDim = 8, k = 3,
+                                broadcastLut = false)
           .count()
       }),
       // scan-speed text filters over the full corpus

@@ -49,16 +49,27 @@ object Dedup {
     * signature components hash to a band bucket; documents sharing any
     * bucket become candidate pairs (a < b).
     *
-    * `maxBucketSize` (0 = unlimited) drops buckets larger than the cap
-    * before the pair join: a bucket of B docs costs O(B²) pairs, and at
-    * corpus scale the giant buckets are boilerplate collisions (empty
-    * shingles, templates) whose pairs are near-duplicates of each other
-    * anyway — capping bounds the worst-case join fan-out at B²·nBands
-    * per bucket instead of the corpus quadratic. Capped runs trade a
+    * `maxBucketSize` drops buckets larger than the cap before the pair
+    * join: a bucket of B docs costs O(B²) pairs, and at corpus scale
+    * the giant buckets are boilerplate collisions (empty shingles,
+    * templates) whose pairs are near-duplicates of each other anyway —
+    * capping bounds the worst-case join fan-out at B²·nBands per
+    * bucket instead of the corpus quadratic. Capped runs trade a
     * bounded amount of recall on those degenerate groups; route them
-    * through [[exactDupGroups]] instead. */
+    * through [[exactDupGroups]] instead (the composition
+    * [[fuzzyDedupBounded]] does exactly that).
+    *
+    * BOUNDED IS THE DEFAULT (cap 1000, promoted from soak-only by the
+    * r11 sf3 finding): the uncapped plan's apparent linearity at small
+    * scale is an artifact of the bucket self-join's build side fitting
+    * broadcast range — once it outgrows that (sf3: 486 M pair rows,
+    * byte exponent 2.55 sf1→sf3), the FULL per-bucket-quadratic pair
+    * fan-out shuffles, a condition every 100 TB corpus meets. The
+    * capped posture measured byte exponents 1.00/1.03/1.02 across the
+    * same four scale points. Unbounded fan-out is an explicit opt-in:
+    * pass `maxBucketSize = 0`. */
   def lshCandidatePairs(sigs: DataFrame, k: Int, rowsPerBand: Int,
-                        maxBucketSize: Long = 0L): DataFrame = {
+                        maxBucketSize: Long = 1000L): DataFrame = {
     val nBands = k / rowsPerBand
     val bandCols = (0 until nBands).map { b =>
       val parts = (0 until rowsPerBand).map(r => col(s"mh_${b * rowsPerBand + r}"))
@@ -600,6 +611,93 @@ object Dedup {
     val firsts = withH.groupBy(hc, nc).agg(min(col(ic)).as(ic))
     withH.join(firsts, Seq(hc, nc, ic), "left_semi")
       .drop(hc, nc, ic)
+  }
+
+  /** The PRODUCTION fuzzy-dedup pipeline at the bounded (100 TB-safe)
+    * posture, composed end to end: MinHash signatures → bucket-capped
+    * LSH banding → exact-Jaccard verification → exact-duplicate
+    * routing for the capped-out buckets → connected components →
+    * keep-smallest-id survivorship.
+    *
+    * Why the composition exists (r11 sf3 finding, measured at four
+    * scale points): the UNCAPPED LSH chain is linear only while the
+    * bucket self-join's build side fits broadcast range — its join
+    * output then stays clustered by doc_id and the pair distinct needs
+    * no exchange. Once the bucket frame outgrows broadcast (a
+    * condition every 100 TB corpus meets), the full per-bucket-
+    * quadratic pair fan-out shuffles: byte exponent 2.55 sf1→sf3,
+    * 486 M pair rows at sf3. Capping giant buckets restores measured
+    * linearity (1.00/1.03/1.02 across sf0.1/0.3/1/3) at the price of
+    * near-dup recall INSIDE over-cap buckets — and at corpus scale
+    * those are boilerplate collisions whose members are mostly exact
+    * duplicates of each other, so the lost edges are recovered by
+    * routing every exact-duplicate group (a hash aggregate, linear at
+    * any group size) into the component graph as canonical→member
+    * stars. What the cap genuinely drops — near-dups that share an
+    * over-cap bucket but are NOT exact dups — is a measured number
+    * (the q187 gate), not prose.
+    *
+    * Contract: ids unique, non-null, long-castable (the component
+    * labels are longs). Null-text docs remain singletons (md5(NULL)
+    * never equi-joins, so no exact edge can reach them; they carry no
+    * tokens, so no signature either).
+    *
+    * Returns the input rows with two appended columns: `cluster` (the
+    * duplicate component's min doc id; NULL for singletons) and `keep`
+    * (1 ⇔ singleton or cluster canonical — the survivor flag). */
+  def fuzzyDedupBounded(docs: DataFrame, id: Column, text: Column,
+                        numHashes: Int = 6, rowsPerBand: Int = 2,
+                        jaccardThreshold: Double = 0.97,
+                        maxBucketSize: Long = 1000L): DataFrame = {
+    require(maxBucketSize > 0,
+      s"maxBucketSize $maxBucketSize must be > 0 — unbounded fan-out " +
+      "is the scale hazard this operator exists to prevent; call the " +
+      "stage operators directly (lshCandidatePairs maxBucketSize = 0) " +
+      "to opt into it explicitly")
+    require(numHashes % rowsPerBand == 0,
+      s"rowsPerBand $rowsPerBand must divide numHashes $numHashes")
+    require(jaccardThreshold > 0.0 && jaccardThreshold <= 1.0,
+      s"jaccardThreshold $jaccardThreshold outside (0, 1]")
+    require(!docs.columns.exists(Set("cluster", "keep")),
+      "input must not contain reserved output columns cluster/keep")
+    // the corpus frame feeds the token explode AND the exact-hash
+    // routing; the token frame feeds the signature build and both
+    // sides of the verification join — persist each once
+    val corpus = graft.core.CacheScope.persist(
+      docs.select(id.cast("long").as("doc_id"), text.as("text")))
+    val dt = graft.core.CacheScope.persist(
+      docTokens(corpus, col("doc_id"), col("text")))
+    val sigs = minhashSignatures(dt, numHashes)
+    val cand = lshCandidatePairs(sigs, numHashes, rowsPerBand,
+                                 maxBucketSize)
+    val near = jaccardForPairs(cand, dt)
+      .filter(col("jaccard") >= jaccardThreshold)
+      .select("a", "b")
+    // exact-dup routing: every member of an exact-duplicate group gets
+    // a star edge to the group canonical — O(members) per group at ANY
+    // group size, which is what recovers the over-cap buckets' exact
+    // duplicates after the cap dropped their LSH pairs (exact dups
+    // share every band bucket by construction)
+    val norm = md5(regexp_replace(lower(trim(col("text"))), "\\s+", " "))
+    val hashed = corpus.select(col("doc_id"), norm.as("h"))
+    val exactEdges = hashed
+      .join(exactDupGroups(corpus, col("doc_id"), col("text")), "h")
+      .filter(col("doc_id") =!= col("canonical"))
+      .select(col("canonical").as("a"), col("doc_id").as("b"))
+    val cc = connectedComponents(near.unionByName(exactEdges))
+    // join the labels back on the caller's id — cc's node column gets
+    // a reserved name so a caller column named doc_id is never shadowed
+    val nid = "_node__graft_fdb"
+    require(!docs.columns.contains(nid),
+      s"input must not contain reserved column $nid")
+    val lab = cc.select(col("node").as(nid), col("cluster"))
+    val idChecked = when(id.isNull,
+      raise_error(lit("fuzzyDedupBounded: null doc id"))).otherwise(id)
+    docs.join(lab, idChecked.cast("long") === col(nid), "left")
+      .withColumn("keep",
+        (col("cluster").isNull ||
+         col("cluster") === id.cast("long")).cast("long"))
+      .drop(nid)
   }
 
   /** MinHash-LSH parameter calibration: pick the (bands, rowsPerBand)

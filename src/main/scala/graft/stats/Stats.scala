@@ -243,6 +243,15 @@ object Stats {
   def tokenBudgetPlan(docs: DataFrame, domain: Column, tokens: Column,
                       budgetTokens: Double, invTemperature: Double,
                       maxEpochs: Double): DataFrame = {
+    // module validation convention (see leakageSafeSplit): reject the
+    // degenerate parameterizations that would otherwise surface as
+    // NULL/NaN rows downstream — budget ≤ 0 turns the λ(0) fallback
+    // into negative allocations, and budget 0 makes totA = 0 so
+    // realized_wt divides by zero
+    require(budgetTokens > 0.0, s"budgetTokens $budgetTokens must be > 0")
+    require(invTemperature >= 0.0,
+            s"invTemperature $invTemperature must be >= 0")
+    require(maxEpochs > 0.0, s"maxEpochs $maxEpochs must be > 0")
     val dom = docs.groupBy(domain.as("domain"))
       .agg(sum(tokens.cast("long")).as("avail"))
     val w = dom.withColumn("sw",

@@ -558,9 +558,11 @@ object TextOps {
     * matrix. Classic inverted-index shape: the corpus term-frequency
     * table joins query terms ON THE TERM KEY (only documents sharing
     * a query term are ever scored — the posting-list pruning that
-    * makes BM25 serveable over a 100 TB corpus), df and doc-length
-    * tables broadcast (vocabulary- and doc-count-sized aggregates),
-    * one (qid, doc) sum, one per-query top-k window.
+    * makes BM25 serveable over a 100 TB corpus); the term-frequency
+    * and doc-length tables shuffle on their natural keys (see the
+    * design note below — they are corpus-sized and must NOT be
+    * broadcast), only the one-row corpus stats broadcast; then one
+    * (qid, doc) sum and one per-query top-k window.
     *
     * Query terms are DISTINCT (qtf = 1 — the common web-search
     * reading; declared, since repeated query terms otherwise multiply

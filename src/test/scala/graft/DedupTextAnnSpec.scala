@@ -166,7 +166,7 @@ class DedupTextAnnSpec extends SparkSpec {
   test("LSH bucket-size cap drops oversized buckets only") {
     val dt = Dedup.docTokens(docs, col("doc_id"), col("text"))
     val sigs = Dedup.minhashSignatures(dt, 6)
-    val uncapped = Dedup.lshCandidatePairs(sigs, 6, 2)
+    val uncapped = Dedup.lshCandidatePairs(sigs, 6, 2, maxBucketSize = 0)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     // cap of 1 removes every bucket that could produce a pair
     val capped = Dedup.lshCandidatePairs(sigs, 6, 2, maxBucketSize = 1)
@@ -175,6 +175,69 @@ class DedupTextAnnSpec extends SparkSpec {
     val wide = Dedup.lshCandidatePairs(sigs, 6, 2, maxBucketSize = 100)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(wide == uncapped)
+  }
+
+  test("fuzzyDedupBounded: exact route recovers over-cap group; LSH " +
+       "fires under cap; the cap's recall trade has teeth") {
+    // 25 ROTATIONS of one 25-token sentence: identical token SETS (so
+    // identical MinHash signatures — guaranteed same band buckets, no
+    // md5 luck) but distinct normalized texts (NOT exact dups). The
+    // family's bucket size 25 exceeds cap 10, so the capped chain must
+    // drop its pairs and exact routing cannot recover them.
+    val toks = (0 until 25).map(i => s"w$i")
+    val rotFam = (0 until 25).map { j =>
+      (200L + j, (toks.drop(j) ++ toks.take(j)).mkString(" "))
+    }
+    // 5 verbatim copies: an exact-dup group, also over a cap of 3
+    val exact = (0 until 5).map(j => (100L + j, "same exact text here"))
+    val single = Seq((300L, "completely unrelated singleton content"))
+    // near pair UNDER the cap: shuffled word order (same token set →
+    // same buckets), different text → found via LSH + jaccard 1.0
+    val nearPair = Seq((400L, "alpha beta gamma delta"),
+                       (401L, "delta gamma beta alpha"))
+    val corpus = (rotFam ++ exact ++ single ++ nearPair)
+      .toDF("doc_id", "text")
+    val out = Dedup.fuzzyDedupBounded(corpus, col("doc_id"), col("text"),
+        jaccardThreshold = 0.9, maxBucketSize = 10)
+      .collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+             (Option(r.getAs[java.lang.Long]("cluster")),
+              r.getAs[Long]("keep"))).toMap
+    // exact group: bucket 5 ≤ 10 so LSH finds it too, but the point is
+    // survivorship — canonical kept, the rest dropped
+    assert(out(100L) == (Some(100L), 1L))
+    (101L to 104L).foreach(d => assert(out(d) == (Some(100L), 0L)))
+    // rotation family: over cap, not exact — the measured recall
+    // trade: every member survives as its own singleton
+    (200L to 224L).foreach(d => assert(out(d)._2 == 1L))
+    assert(out(200L)._1.isEmpty) // no cluster label at all
+    // singleton: NULL cluster, kept
+    assert(out(300L) == (None, 1L))
+    // near pair under cap: LSH path fires, min id survives
+    assert(out(400L) == (Some(400L), 1L))
+    assert(out(401L) == (Some(400L), 0L))
+
+    // TEETH: a cap that admits the rotation family's bucket collapses
+    // it to one survivor — maxBucketSize demonstrably changes output
+    val wide = Dedup.fuzzyDedupBounded(corpus, col("doc_id"),
+        col("text"), jaccardThreshold = 0.9, maxBucketSize = 100)
+      .collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("keep")).toMap
+    assert(wide(200L) == 1L)
+    (201L to 224L).foreach(d => assert(wide(d) == 0L))
+  }
+
+  test("fuzzyDedupBounded rejects unbounded fan-out and reserved columns") {
+    val df = Seq((1L, "a b c")).toDF("doc_id", "text")
+    val e = intercept[IllegalArgumentException] {
+      Dedup.fuzzyDedupBounded(df, col("doc_id"), col("text"),
+                              maxBucketSize = 0)
+    }
+    assert(e.getMessage.contains("unbounded"))
+    intercept[IllegalArgumentException] {
+      Dedup.fuzzyDedupBounded(df.withColumn("keep", lit(1)),
+                              col("doc_id"), col("text"))
+    }
   }
 
   test("simhash: identical docs share signatures; hamming 0") {

@@ -229,5 +229,18 @@ class StatsSpec extends SparkSpec {
     val o = plan(2000.0)
     assert(o("A")._1 == 100.0 && o("C")._1 == 800.0)
     assert(o.values.map(_._2).forall(_ == 1.0))
+    // degenerate parameterizations are rejected at entry, not emitted
+    // as NULL/NaN rows (budget 0 would divide realized_wt by totA = 0;
+    // negative budget flips the λ(0) fallback to negative allocations)
+    intercept[IllegalArgumentException] { plan(0.0) }
+    intercept[IllegalArgumentException] { plan(-1.0) }
+    intercept[IllegalArgumentException] {
+      Stats.tokenBudgetPlan(docs, col("d"), col("ntok"),
+          500.0, invTemperature = -0.1, maxEpochs = 1.0)
+    }
+    intercept[IllegalArgumentException] {
+      Stats.tokenBudgetPlan(docs, col("d"), col("ntok"),
+          500.0, invTemperature = 0.5, maxEpochs = 0.0)
+    }
   }
 }
