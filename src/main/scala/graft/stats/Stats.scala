@@ -293,6 +293,45 @@ object Stats {
           .as("realized_wt"))
   }
 
+  /** Epoch-aware mixture MATERIALIZATION — the repeat-factor
+    * upsampling [[mixtureSample]] declares out of scope, applied from
+    * a [[tokenBudgetPlan]] row set: a domain granted `epochs` passes
+    * emits ⌊epochs⌋ full copies of every document plus one more with
+    * probability frac(epochs), decided by the engine's deterministic
+    * md5Uniform(seed, doc_id) draw — documents stay whole (the
+    * fractional epoch drops documents, never truncates one), and the
+    * expected materialized tokens per domain equal the plan's
+    * alloc_tokens exactly (⌊e⌋·avail + frac(e)·avail = e·avail);
+    * realized tokens differ only by the binomial noise of the
+    * per-document draws.
+    *
+    * Scale shape: the plan frame is #domains rows and broadcasts; the
+    * corpus side is one scan with a fan-out bounded by ⌈maxEpochs⌉ —
+    * NO shuffle anywhere, so the materializer runs at scan speed on
+    * any corpus (the explode is the row-repeat, not a join). Output
+    * one row per (document, rep ∈ 1..n_rep) with the domain and token
+    * count carried for downstream packing. Reproducible on any
+    * engine and any partitioning, like every draw in the engine. */
+  def materializeMixturePlan(docs: DataFrame, id: Column,
+                             domain: Column, tokens: Column,
+                             plan: DataFrame, seed: Long = 7L)
+      : DataFrame = {
+    val p = plan.select(col("domain"), col("epochs"))
+    val joined = docs.select(id.as("doc_id"), domain.as("domain"),
+                             tokens.cast("long").as("n_tokens"))
+      .join(broadcast(p), Seq("domain"))
+    val nFull = floor(col("epochs")).cast("long")
+    val frac = col("epochs") - floor(col("epochs"))
+    val extra = when(md5Uniform(lit(seed), col("doc_id")) < frac, 1L)
+      .otherwise(0L)
+    joined
+      .withColumn("n_rep", nFull + extra)
+      .filter(col("n_rep") >= 1L)
+      .select(col("doc_id"), col("domain"), col("n_tokens"),
+              col("n_rep"),
+              explode(sequence(lit(1L), col("n_rep"))).as("rep"))
+  }
+
   /** Robust per-group outlier detection via MAD (median absolute
     * deviation): med = exact median of `value`, mad = exact median of
     * |value − med|, outlier ⇔ |value − med| > k · 1.4826 · mad (the

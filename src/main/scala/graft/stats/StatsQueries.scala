@@ -514,6 +514,91 @@ object StatsQueries {
         |    AS realized_wt
         |FROM alloc, ta""".stripMargin)),
 
+    // The water-filling plan APPLIED: epoch-aware mixture
+    // materialization (q181's plan drives the repeat-factor upsampler
+    // mixtureSample declares out of scope) — ⌊epochs⌋ full copies per
+    // document plus a deterministic md5 fractional draw, documents
+    // kept whole. Row-level gate: the exact survivor set, repeat
+    // counts, and rep indices must match the oracle's replay of the
+    // same plan and the same draws.
+    Q("q189_mixture_materialize", { t =>
+        val docs = t.documents.select(
+          col("doc_id"),
+          concat(col("lang"), lit("/"), col("source")).as("d"),
+          size(split(col("text"), "\\s+")).as("ntok"))
+        val plan = Stats.tokenBudgetPlan(
+          docs, col("d"), col("ntok"),
+          budgetTokens = 40000.0, invTemperature = 0.5,
+          maxEpochs = 2.0)
+        Stats.materializeMixturePlan(docs, col("doc_id"), col("d"),
+                                     col("ntok"), plan, seed = 7L)
+          .withColumnRenamed("domain", "d")
+      },
+      Some("""WITH dom AS (
+        |  SELECT lang || '/' || source AS domain,
+        |    CAST(SUM(len(string_split_regex(text, '\s+'))) AS BIGINT)
+        |      AS avail
+        |  FROM documents GROUP BY 1
+        |), w AS (
+        |  SELECT domain, avail,
+        |    CAST(round(power(CAST(avail AS DOUBLE), 0.5), 6)
+        |         AS DECIMAL(28,6)) AS sw
+        |  FROM dom
+        |), tot AS (SELECT SUM(sw) AS W FROM w
+        |), r AS (
+        |  SELECT domain, avail, sw, W,
+        |    CAST(sw AS DOUBLE) / CAST(W AS DOUBLE) AS wt,
+        |    2.0 * avail AS cap,
+        |    (2.0 * avail) / (CAST(sw AS DOUBLE) / CAST(W AS DOUBLE))
+        |      AS sat_level
+        |  FROM w, tot
+        |), s AS (
+        |  SELECT *,
+        |    ROW_NUMBER() OVER (ORDER BY sat_level, domain) AS rn,
+        |    SUM(CAST(cap AS DECIMAL(28,6)))
+        |      OVER (ORDER BY sat_level, domain) AS cumcap,
+        |    SUM(sw) OVER (ORDER BY sat_level, domain) AS cumsw
+        |  FROM r
+        |), lam AS (
+        |  SELECT rn, sat_level,
+        |    CASE WHEN CAST(W - cumsw AS DOUBLE) > 0.0
+        |         THEN (40000.0 - CAST(cumcap AS DOUBLE))
+        |              * CAST(W AS DOUBLE) / CAST(W - cumsw AS DOUBLE)
+        |         ELSE -1.0 END AS lam
+        |  FROM s
+        |), lev AS (
+        |  SELECT COALESCE((SELECT lam FROM lam WHERE sat_level <= lam
+        |                   ORDER BY rn DESC LIMIT 1),
+        |                  40000.0) AS lamstar
+        |), alloc AS (
+        |  SELECT domain, avail,
+        |    CAST(round(least(cap, wt * lamstar), 6) AS DECIMAL(28,6))
+        |      AS a6
+        |  FROM r, lev
+        |), plan AS (
+        |  SELECT domain,
+        |    round(CAST(a6 AS DOUBLE) / avail, 6) AS epochs
+        |  FROM alloc
+        |), d2 AS (
+        |  SELECT doc_id, lang || '/' || source AS domain,
+        |    CAST(len(string_split_regex(text, '\s+')) AS BIGINT)
+        |      AS n_tokens
+        |  FROM documents
+        |), j AS (
+        |  SELECT d2.doc_id, d2.domain, d2.n_tokens,
+        |    CAST(FLOOR(epochs) AS BIGINT) +
+        |    CASE WHEN (('0x' || substr(md5('7:' ||
+        |                CAST(doc_id AS VARCHAR)), 1, 13))::BIGINT
+        |               + 0.5) / 4503599627370496.0
+        |              < epochs - FLOOR(epochs)
+        |         THEN 1 ELSE 0 END AS n_rep
+        |  FROM d2 JOIN plan USING (domain)
+        |)
+        |SELECT doc_id, domain AS d, n_tokens, n_rep,
+        |  CAST(r AS BIGINT) AS rep
+        |FROM j, UNNEST(generate_series(1, n_rep)) t(r)
+        |WHERE n_rep >= 1""".stripMargin)),
+
     // Robust MAD outlier detection per source (Hampel's rule at k=3):
     // median and MAD are exact interpolated percentiles on both
     // engines, the comparison is pure IEEE arithmetic — per-source

@@ -628,4 +628,123 @@ object TextOps {
                     nTokens: Int): DataFrame =
     docs.select(id.as("qid"),
       concat_ws(" ", slice(tokens(text), 1, nTokens)).as("qtext"))
+
+  /** Hashed n-gram features of a document frame: unigrams and bigrams
+    * (within-document adjacency — bigrams never cross a document
+    * boundary) hashed into `nBuckets` buckets via the engine's md5
+    * convention. The DSIR featurizer (Xie et al., NeurIPS 2023), but
+    * exposed on its own: the hashed bag is also the engine-portable
+    * input for any linear text model. One scan + one per-doc ordered
+    * window (the `Dedup.shingles` shape); empty tokens from leading /
+    * trailing whitespace are dropped on BOTH engines. */
+  def hashedNgramFeatures(docs: DataFrame, id: Column, text: Column,
+                          nBuckets: Int): DataFrame = {
+    require(nBuckets > 0, s"nBuckets must be positive, got $nBuckets")
+    val toks = docs.select(
+        id.as("doc_id"),
+        posexplode(tokens(text)).as(Seq("pos", "tok")))
+      .filter(length(col("tok")) > 0)
+    val w = Window.partitionBy("doc_id").orderBy("pos")
+    val uni = toks.select(col("doc_id"), col("tok").as("ngram"))
+    val bi = toks
+      .withColumn("t1", lead("tok", 1).over(w))
+      .filter(col("t1").isNotNull)
+      .select(col("doc_id"),
+              concat_ws(" ", col("tok"), col("t1")).as("ngram"))
+    uni.union(bi)
+      .withColumn("bucket",
+        pmod(conv(substring(md5(col("ngram")), 1, 8), 16, 10)
+               .cast("long"),
+             lit(nBuckets.toLong)))
+      .select("doc_id", "bucket")
+  }
+
+  /** DSIR data selection (Xie et al., NeurIPS 2023, "Data Selection
+    * for Language Models via Importance Resampling"): choose the `k`
+    * raw documents whose hashed-n-gram distribution best matches a
+    * (typically small, curated) TARGET corpus, by sampling from the
+    * importance-weight distribution rather than taking a hard top-k
+    * of weights — the paper's correction for the selection bias a
+    * plain argmax induces.
+    *
+    * Mechanics, each stage keyed and corpus-parallel:
+    *  1. featurize both corpora with [[hashedNgramFeatures]]
+    *     (unigram+bigram bag hashed into `nBuckets`);
+    *  2. fit two add-α-smoothed bag-of-ngrams models over the bucket
+    *     space and take per-bucket log ratios
+    *     w_b = ln( p̂_target(b) / q̂_raw(b) ), rounded to 6 decimals
+    *     (the transcendental-aggregate convention); the weight frame
+    *     is ≤ `nBuckets` rows, joined back to the raw feature stream
+    *     CO-PARTITIONED on bucket (it reuses the fit's own hash
+    *     partitioning — no extra exchange on the corpus side);
+    *  3. per-document log importance weight
+    *     log ŵ_i = Σ_b f_ib · w_b as an exact decimal sum;
+    *  4. Gumbel top-k (Vieira 2014): keep the k documents maximizing
+    *     log ŵ_i + g_i with g_i = −ln(−ln(u_i)) — equivalent to
+    *     sampling k docs WITHOUT replacement proportionally to ŵ_i.
+    *     u_i is the engine's deterministic md5Uniform(seed, doc_id)
+    *     draw, so the selection is partition-invariant and
+    *     reproducible on any engine.
+    *
+    * Scale shape: two scans + per-doc windows (featurize), two
+    * bucket-keyed aggregates + one ≤nBuckets-row weight frame (fit),
+    * one doc-keyed aggregate (score), and a distributed TakeOrdered
+    * for the final k — per-partition heads, then a k-row merge; the
+    * only driver-sized object is the k-row result. Nothing assumes
+    * the target is broadcastable, but DSIR's premise is a small
+    * curated target, so its fit cost is negligible next to the raw
+    * scan. Documents whose text yields no tokens have no features and
+    * are never selected (declared; the oracle agrees by
+    * construction).
+    *
+    * Returns (doc_id, n_feats, logw, rank ≤ k) ordered by the Gumbel
+    * key (ties → doc_id); `logw` is the document's log importance
+    * weight, the quantity the paper thresholds when diagnosing
+    * domain match. */
+  def dsirSelect(raw: DataFrame, rawId: Column, rawText: Column,
+                 target: DataFrame, targetId: Column,
+                 targetText: Column, k: Int, nBuckets: Int = 10000,
+                 alpha: Double = 0.5, seed: Long = 7L): DataFrame = {
+    require(k > 0, s"k must be positive, got $k")
+    require(alpha > 0, s"alpha must be positive, got $alpha")
+    val rFeats = graft.core.CacheScope.persist(
+      hashedNgramFeatures(raw, rawId, rawText, nBuckets))
+    val tFeats = hashedNgramFeatures(target, targetId, targetText,
+                                     nBuckets)
+    val tCounts = tFeats.groupBy("bucket").agg(count(lit(1)).as("ct"))
+    val tTot = tFeats.agg(count(lit(1)).as("nt"))
+    val rCounts = rFeats.groupBy("bucket").agg(count(lit(1)).as("cr"))
+    val rTot = rFeats.agg(count(lit(1)).as("nr"))
+    // Only buckets the raw corpus realizes matter (weights apply per
+    // raw occurrence); target-only buckets carry no raw mass. The
+    // left join keeps raw buckets absent from the target at ct = 0,
+    // where the α smoothing prices them.
+    val aB = alpha * nBuckets
+    val weights = rCounts.join(tCounts, Seq("bucket"), "left")
+      .na.fill(0L, Seq("ct"))
+      .crossJoin(broadcast(tTot)).crossJoin(broadcast(rTot))
+      .withColumn("w",
+        round(log(((col("ct") + alpha) / (col("nt") + aB)) /
+                  ((col("cr") + alpha) / (col("nr") + aB))), 6)
+          .cast("decimal(18,6)"))
+      .select("bucket", "w")
+    val scored = rFeats.join(weights, "bucket")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_feats"), sum(col("w")).as("logw_dec"))
+    val gumbel = round(
+        -log(-log(graft.stats.Stats.md5Uniform(
+          lit(seed), col("doc_id")))), 6)
+      .cast("decimal(18,6)")
+    val keyed = scored
+      .withColumn("key", col("logw_dec") + gumbel)
+    // TakeOrdered picks the k winners distributed; the rank window
+    // then runs over the k-row frame only (bounded by construction —
+    // the same discipline as recommendGlobal's m-row head).
+    val top = keyed.orderBy(desc("key"), asc("doc_id")).limit(k)
+    top
+      .withColumn("rank",
+        row_number().over(Window.orderBy(desc("key"), asc("doc_id"))))
+      .select(col("doc_id"), col("n_feats"),
+              col("logw_dec").cast("double").as("logw"), col("rank"))
+  }
 }

@@ -900,6 +900,95 @@ object TextQueries {
         |  (cum - n_tokens)
         |    - CAST(FLOOR((cum - n_tokens) / 256.0) AS BIGINT) * 256
         |    AS offset
-        |FROM ordered""".stripMargin))
+        |FROM ordered""".stripMargin)),
+
+    // DSIR importance resampling (Xie et al. 2023): select the 50 raw
+    // documents (source ∉ {src1, src2}) whose hashed unigram+bigram
+    // distribution best matches the curated target slice (src1∪src2),
+    // via smoothed log-ratio weights + deterministic Gumbel top-k.
+    // The oracle rebuilds the whole pipeline — featurize, fit, score,
+    // Gumbel key — in DuckDB from the same md5 conventions.
+    Q("q188_dsir_select", { t =>
+        val raw = t.documents
+          .filter(!col("source").isin("src1", "src2"))
+        val target = t.documents
+          .filter(col("source").isin("src1", "src2"))
+        TextOps.dsirSelect(raw, col("doc_id"), col("text"),
+                           target, col("doc_id"), col("text"),
+                           k = 50, nBuckets = 2000, alpha = 0.5,
+                           seed = 7L)
+      },
+      Some("""WITH rawd AS (
+        |  SELECT doc_id, text FROM documents
+        |  WHERE source NOT IN ('src1', 'src2')
+        |), tgtd AS (
+        |  SELECT doc_id, text FROM documents
+        |  WHERE source IN ('src1', 'src2')
+        |), rtoks AS (
+        |  SELECT doc_id, i AS pos,
+        |    list_extract(string_split_regex(lower(text), '\s+'),
+        |                 CAST(i AS INT)) AS tok
+        |  FROM rawd, UNNEST(generate_series(1,
+        |    len(string_split_regex(lower(text), '\s+')))) t(i)
+        |  WHERE len(tok) > 0
+        |), ttoks AS (
+        |  SELECT doc_id, i AS pos,
+        |    list_extract(string_split_regex(lower(text), '\s+'),
+        |                 CAST(i AS INT)) AS tok
+        |  FROM tgtd, UNNEST(generate_series(1,
+        |    len(string_split_regex(lower(text), '\s+')))) t(i)
+        |  WHERE len(tok) > 0
+        |), rfeat AS (
+        |  SELECT doc_id,
+        |    (('0x' || substr(md5(ngram), 1, 8))::BIGINT) % 2000
+        |      AS bucket
+        |  FROM (
+        |    SELECT doc_id, tok AS ngram FROM rtoks
+        |    UNION ALL
+        |    SELECT doc_id, tok || ' ' || t1 AS ngram FROM (
+        |      SELECT doc_id, tok,
+        |        LEAD(tok, 1) OVER (PARTITION BY doc_id ORDER BY pos)
+        |          AS t1
+        |      FROM rtoks) x WHERE t1 IS NOT NULL)
+        |), tfeat AS (
+        |  SELECT doc_id,
+        |    (('0x' || substr(md5(ngram), 1, 8))::BIGINT) % 2000
+        |      AS bucket
+        |  FROM (
+        |    SELECT doc_id, tok AS ngram FROM ttoks
+        |    UNION ALL
+        |    SELECT doc_id, tok || ' ' || t1 AS ngram FROM (
+        |      SELECT doc_id, tok,
+        |        LEAD(tok, 1) OVER (PARTITION BY doc_id ORDER BY pos)
+        |          AS t1
+        |      FROM ttoks) x WHERE t1 IS NOT NULL)
+        |), rcnt AS (SELECT bucket, COUNT(*) AS cr FROM rfeat GROUP BY 1
+        |), tcnt AS (SELECT bucket, COUNT(*) AS ct FROM tfeat GROUP BY 1
+        |), rtot AS (SELECT COUNT(*) AS nr FROM rfeat
+        |), ttot AS (SELECT COUNT(*) AS nt FROM tfeat
+        |), wts AS (
+        |  SELECT rcnt.bucket,
+        |    CAST(round(ln(((COALESCE(ct, 0) + 0.5) / (nt + 1000.0)) /
+        |                  ((cr + 0.5) / (nr + 1000.0))), 6)
+        |      AS DECIMAL(18,6)) AS w
+        |  FROM rcnt LEFT JOIN tcnt ON rcnt.bucket = tcnt.bucket
+        |  CROSS JOIN rtot CROSS JOIN ttot
+        |), scored AS (
+        |  SELECT doc_id, COUNT(*) AS n_feats, SUM(w) AS logw_dec
+        |  FROM rfeat JOIN wts USING (bucket) GROUP BY 1
+        |), keyed AS (
+        |  SELECT doc_id, n_feats, logw_dec,
+        |    logw_dec + CAST(round(-ln(-ln(
+        |      (('0x' || substr(md5('7:' || CAST(doc_id AS VARCHAR)),
+        |                       1, 13))::BIGINT + 0.5)
+        |        / 4503599627370496.0)), 6) AS DECIMAL(18,6)) AS gkey
+        |  FROM scored
+        |)
+        |SELECT doc_id, n_feats, CAST(logw_dec AS DOUBLE) AS logw, rank
+        |FROM (
+        |  SELECT doc_id, n_feats, logw_dec,
+        |    ROW_NUMBER() OVER (ORDER BY gkey DESC, doc_id) AS rank
+        |  FROM keyed) z
+        |WHERE rank <= 50""".stripMargin))
   )
 }

@@ -243,4 +243,43 @@ class StatsSpec extends SparkSpec {
           500.0, invTemperature = 0.5, maxEpochs = 0.0)
     }
   }
+
+  test("materializeMixturePlan: integer epochs conserve tokens " +
+       "exactly, fractional epochs draw deterministically, reps " +
+       "enumerate 1..n_rep") {
+    import spark.implicits._
+    val docs = ((1L to 50L).map(i => (i, "full", 10)) ++
+                (101L to 200L).map(i => (i, "half", 10)))
+      .toDF("doc_id", "d", "ntok")
+    val plan = Seq(("full", 2.0), ("half", 0.5))
+      .toDF("domain", "epochs")
+    val out = Stats.materializeMixturePlan(
+        docs, col("doc_id"), col("d"), col("ntok"), plan, seed = 7L)
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+                 r.getLong(3), r.getLong(4)))
+    // integer epochs: every doc exactly twice, tokens conserved to
+    // the plan's alloc (2.0 * 500) with zero binomial noise
+    val full = out.filter(_._2 == "full")
+    assert(full.length == 100)
+    assert((1L to 50L).forall(i =>
+      full.filter(_._1 == i).map(_._5).sorted.toSeq == Seq(1L, 2L)))
+    assert(full.map(_._3).sum == 1000L)
+    // fractional epochs: kept docs appear once, and the draw is the
+    // md5 convention — a re-run selects the SAME subset
+    val half = out.filter(_._2 == "half")
+    assert(half.forall(r => r._4 == 1L && r._5 == 1L))
+    assert(half.length > 20 && half.length < 80)
+    val again = Stats.materializeMixturePlan(
+        docs, col("doc_id"), col("d"), col("ntok"), plan, seed = 7L)
+      .filter(col("domain") === "half")
+      .collect().map(_.getLong(0)).toSet
+    assert(again == half.map(_._1).toSet)
+    // a different seed keeps a different subset (fixed md5 draws)
+    val seeded = Stats.materializeMixturePlan(
+        docs, col("doc_id"), col("d"), col("ntok"), plan, seed = 8L)
+      .filter(col("domain") === "half")
+      .collect().map(_.getLong(0)).toSet
+    assert(seeded != again)
+  }
 }
