@@ -332,6 +332,61 @@ object Stats {
               explode(sequence(lit(1L), col("n_rep"))).as("rep"))
   }
 
+  /** Deterministic two-level epoch shuffle (the shuffle-block scheme of
+    * streaming training loaders, e.g. MosaicML StreamingDataset's
+    * block shuffles): documents are grouped into consecutive
+    * `blockSize`-document blocks IN SOURCE ORDER, then the block order
+    * and the order within each block are both shuffled by seeded md5
+    * keys. Every epoch position is a pure function of (seed, doc set) —
+    * partition-count-invariant, resumable mid-epoch, and reproducible
+    * across runs, which a `rand()` sort is not.
+    *
+    * Why two-level instead of one global sort by a random key: blocks
+    * are contiguous runs of the source order, so a trainer streaming
+    * positions [offset, offset+n) reads each source shard sequentially
+    * (block-sized IO locality), while block-order shuffling still mixes
+    * the corpus globally — the standard locality/randomness trade of
+    * streaming loaders.
+    *
+    * Scale shape: the source rank comes from the two-pass
+    * range-partitioned rank ([[graft.core.Ranking]] — no single-reducer
+    * window); the intra-block row_number windows on the block key with
+    * ≤ blockSize rows per group; block offsets are a prefix sum over
+    * the #blocks frame (corpus/blockSize rows — reduced, but NOT
+    * broadcast: at 10¹¹ docs it is still tens of millions of rows, so
+    * it joins back co-partitioned on block instead).
+    *
+    * Returns (doc_id, block_id, block_ord, epoch_pos): epoch_pos is a
+    * bijection onto 1..N and a block's documents occupy a contiguous
+    * position run. */
+  def epochBlockShuffle(docs: DataFrame, id: Column, blockSize: Int,
+                        seed: Long): DataFrame = {
+    require(blockSize >= 1, s"blockSize must be >= 1, got $blockSize")
+    val ranked = graft.core.Ranking.withGlobalRank(
+      docs.select(id.as("doc_id")), Seq(col("doc_id")), "src_rank")
+    val blocked = CacheScope.persist(
+      ranked.withColumn("block_id",
+        ((col("src_rank") - 1) / blockSize).cast("long")))
+    val intraW = Window.partitionBy("block_id")
+      .orderBy(col("ikey"), col("doc_id"))
+    val intra = blocked
+      .withColumn("ikey",
+        md5(concat_ws(":", lit(seed), lit("i"), col("doc_id"))))
+      .withColumn("intra", row_number().over(intraW).cast("long"))
+    val blocks = blocked.groupBy("block_id")
+      .agg(count(lit(1)).as("n"))
+      .withColumn("bkey",
+        md5(concat_ws(":", lit(seed), lit("b"), col("block_id"))))
+    val offsets = graft.core.Ranking
+      .withGlobalRankAndCumSum(blocks, Seq(col("bkey"), col("block_id")),
+                               col("n"), "block_ord", "cum")
+      .select(col("block_id"), col("block_ord"),
+              (col("cum") - col("n")).as("off"))
+    intra.join(offsets, Seq("block_id"))
+      .select(col("doc_id"), col("block_id"), col("block_ord"),
+              (col("off") + col("intra")).as("epoch_pos"))
+  }
+
   /** Robust per-group outlier detection via MAD (median absolute
     * deviation): med = exact median of `value`, mad = exact median of
     * |value − med|, outlier ⇔ |value − med| > k · 1.4826 · mad (the

@@ -663,6 +663,44 @@ object StatsQueries {
       Some("""SELECT doc_id, n_chars,
         |  CAST(ROW_NUMBER() OVER (ORDER BY n_chars, doc_id) - 1
         |    AS DOUBLE) / (COUNT(*) OVER () - 1) AS pct
-        |FROM documents""".stripMargin))
+        |FROM documents""".stripMargin)),
+
+    // Deterministic two-level epoch shuffle (streaming-loader block
+    // shuffle): 64-doc source-order blocks, md5-seeded block order and
+    // intra-block order, positions via the two-pass prefix sum over
+    // the blocks frame. Pure integer + md5 arithmetic — bit-identical
+    // across engines, no rounding anywhere.
+    Q("q192_epoch_shuffle",
+      t => Stats.epochBlockShuffle(t.documents, col("doc_id"),
+                                   blockSize = 64, seed = 7L),
+      Some("""WITH base AS (
+        |  SELECT doc_id,
+        |    ROW_NUMBER() OVER (ORDER BY doc_id) AS sr
+        |  FROM documents
+        |), b AS (
+        |  SELECT doc_id,
+        |    CAST(FLOOR((sr - 1) / 64) AS BIGINT) AS block_id
+        |  FROM base
+        |), ir AS (
+        |  SELECT doc_id, block_id,
+        |    ROW_NUMBER() OVER (PARTITION BY block_id
+        |      ORDER BY md5('7:i:' || CAST(doc_id AS VARCHAR)), doc_id)
+        |      AS intra
+        |  FROM b
+        |), bl AS (
+        |  SELECT block_id, COUNT(*) AS n,
+        |    md5('7:b:' || CAST(block_id AS VARCHAR)) AS bkey
+        |  FROM b GROUP BY 1
+        |), off AS (
+        |  SELECT block_id,
+        |    CAST(ROW_NUMBER() OVER (ORDER BY bkey, block_id) AS BIGINT)
+        |      AS block_ord,
+        |    SUM(n) OVER (ORDER BY bkey, block_id
+        |                 ROWS UNBOUNDED PRECEDING) - n AS off
+        |  FROM bl
+        |)
+        |SELECT doc_id, block_id, block_ord,
+        |  CAST(off + intra AS BIGINT) AS epoch_pos
+        |FROM ir JOIN off USING (block_id)""".stripMargin))
   )
 }

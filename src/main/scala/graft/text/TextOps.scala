@@ -383,6 +383,73 @@ object TextOps {
              .as("avg_logp"))
   }
 
+  /** Interpolated Kneser–Ney bigram LM score (Kneser & Ney, ICASSP
+    * 1995; the smoothing family behind KenLM and therefore behind
+    * CCNet-style perplexity filtering) — per document, the average
+    * log2 of
+    *
+    *   p(w2|w1) = max(c(w1,w2) − d, 0)/c(w1·)
+    *            + d · N1+(w1·)/c(w1·) · N1+(·w2)/B
+    *
+    * with absolute discount d = 0.75 (exact in binary), where c(w1·)
+    * counts w1 AS A HISTORY (last tokens of a document head no bigram
+    * and are not histories), N1+(w1·)/N1+(·w2) are the
+    * distinct-continuation/distinct-history type counts, and B is the
+    * corpus's distinct bigram-type count. Unlike [[bigramLogProb]]'s
+    * add-1, the backoff mass goes to tokens by how many CONTEXTS they
+    * complete, not how often they occur — "francisco" is frequent but
+    * follows only "san", so KN (correctly) scores it low in a fresh
+    * context. Scored over the corpus's own counts, so every bigram is
+    * observed and the discounted term never vanishes entirely.
+    *
+    * Scale shape: one bigram explode feeds ONE (w1,w2) count shuffle;
+    * the history aggregate (c1, N1+(w1·)) reduces that bigram-TYPE
+    * frame — already grouped on w1, no second pass over the corpus —
+    * and joins back on w1/w2. None of the count frames broadcast: a
+    * web-scale vocabulary (typos, URLs) is itself a corpus-sized axis,
+    * so the history and continuation joins shuffle on their natural
+    * keys and only the two scalar totals broadcast. Per-term round-6
+    * log2 + exact-decimal accumulation (the engine's cross-engine
+    * convention); documents with fewer than two tokens produce no
+    * row. */
+  def kneserNeyBigram(docs: DataFrame, id: Column, text: Column,
+                      d: Double = 0.75): DataFrame = {
+    require(d > 0 && d < 1, s"discount d must be in (0,1), got $d")
+    val tarr = tokens(text)
+    val bg = graft.core.CacheScope.persist(
+      docs.select(id.as("doc_id"),
+          explode(filter(
+            zip_with(tarr, slice(tarr, lit(2),
+                                 greatest(size(tarr) - 1, lit(0))),
+                     (a, b) => struct(a.as("w1"), b.as("w2"))),
+            p => p.getField("w2").isNotNull)).as("p"))
+        .select(col("doc_id"), col("p.w1").as("w1"), col("p.w2").as("w2")))
+    // bigram types: the single corpus-scale shuffle; everything below
+    // reduces or joins this frame
+    val c12 = graft.core.CacheScope.persist(
+      bg.groupBy("w1", "w2").agg(count(lit(1)).as("c12")))
+    val hist = c12.groupBy("w1")
+      .agg(sum("c12").as("c1"), count(lit(1)).as("n1l"))
+    val cont = c12.groupBy("w2").agg(count(lit(1)).as("n1r"))
+    val totals = c12.agg(count(lit(1)).as("b_types"))
+    bg.join(c12, Seq("w1", "w2"))
+      .join(hist, Seq("w1"))
+      .join(cont, Seq("w2"))
+      .crossJoin(broadcast(totals))
+      .withColumn("logp",
+        round(log2(
+          (greatest(col("c12") - lit(d), lit(0.0)) +
+            lit(d) * col("n1l") * col("n1r") / col("b_types")) /
+          col("c1")), 6).cast("decimal(18,6)"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_bigrams"),
+           // decimal total is the gated score; the avg rides along
+           // unrounded (the q126 boundary lesson)
+           sum(col("logp")).cast("double").as("sum_logp"),
+           (sum(col("logp")).cast("double") / count(lit(1)))
+             .as("avg_logp"))
+  }
+
   /** PII pattern scan: per-document counts of email-shaped and
     * NANP-phone-shaped substrings — the redaction/filter pre-pass of
     * corpus hygiene. Codegen'd regexp over the scan, no UDF; the
@@ -628,6 +695,46 @@ object TextOps {
                     nTokens: Int): DataFrame =
     docs.select(id.as("qid"),
       concat_ws(" ", slice(tokens(text), 1, nTokens)).as("qtext"))
+
+  /** Reciprocal-rank fusion (Cormack, Clarke & Buettcher, SIGIR 2009)
+    * of N ranked retrieval lists: each list contributes
+    * 1/(kRrf + rank) for the documents it ranked, the fused score is
+    * the sum, and ties break on doc_id. RRF is the standard
+    * sparse+dense hybrid-retrieval combiner (BM25 ∪ embedding ANN)
+    * because it needs no score calibration — only ranks — so lists
+    * from incommensurable scorers fuse without per-list normalization.
+    *
+    * Inputs are (qid, doc_id, rank) frames from any retrievers (e.g.
+    * [[searchBm25]] and `Ann.bruteForceCosineTopK`/`ivfPqResidualTopK`
+    * — the operator is agnostic to how each list was built, including
+    * whether a list excludes the query's own document). Scale shape:
+    * union of the per-query candidate lists (each already ≤ k·|Q|
+    * rows — NOT corpus-sized) and one (qid, doc_id) sum-aggregate +
+    * one per-query top-k window; nothing broadcasts. Determinism:
+    * each reciprocal rounds to 6 decimals and accumulates as exact
+    * decimal; `n_lists` reports how many lists ranked the document
+    * (the fusion-coverage diagnostic).
+    *
+    * Returns (qid, doc_id, n_lists, score, rank ≤ topK). */
+  def rrfFuse(rankings: Seq[DataFrame], topK: Int, kRrf: Int = 60)
+      : DataFrame = {
+    require(rankings.nonEmpty, "need at least one ranking to fuse")
+    require(kRrf >= 1, s"kRrf must be >= 1, got $kRrf")
+    val normalized = rankings.map(_.select(
+      col("qid"), col("doc_id"),
+      round(lit(1.0) / (lit(kRrf) + col("rank")), 6)
+        .cast("decimal(18,6)").as("w")))
+    val scored = normalized.reduce(_ unionByName _)
+      .groupBy("qid", "doc_id")
+      .agg(count(lit(1)).cast("int").as("n_lists"),
+           sum("w").as("score_dec"))
+    val w = Window.partitionBy("qid")
+      .orderBy(desc("score_dec"), asc("doc_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= topK)
+      .select(col("qid"), col("doc_id"), col("n_lists"),
+              col("score_dec").cast("double").as("score"), col("rank"))
+  }
 
   /** Hashed n-gram features of a document frame: unigrams and bigrams
     * (within-document adjacency — bigrams never cross a document

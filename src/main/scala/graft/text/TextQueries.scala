@@ -989,6 +989,154 @@ object TextQueries {
         |  SELECT doc_id, n_feats, logw_dec,
         |    ROW_NUMBER() OVER (ORDER BY gkey DESC, doc_id) AS rank
         |  FROM keyed) z
-        |WHERE rank <= 50""".stripMargin))
+        |WHERE rank <= 50""".stripMargin)),
+
+    // Interpolated Kneser-Ney bigram LM (the KenLM/CCNet smoothing
+    // family): per-doc avg log2 p(w2|w1) with absolute discount 0.75
+    // and continuation-count backoff. The oracle rebuilds the full
+    // count tower (bigram types, history counts, distinct
+    // continuations/histories, type total) in DuckDB.
+    Q("q190_kneser_ney_lm",
+      t => TextOps.kneserNeyBigram(t.documents, col("doc_id"),
+                                   col("text")),
+      Some("""WITH toks AS (
+        |  SELECT doc_id, i AS pos,
+        |    list_extract(string_split_regex(lower(text), '\s+'),
+        |                 CAST(i AS INT)) AS tok
+        |  FROM documents,
+        |    UNNEST(generate_series(1,
+        |      len(string_split_regex(lower(text), '\s+')))) t(i)
+        |), bg AS (
+        |  SELECT doc_id, tok AS w1, t1 AS w2 FROM (
+        |    SELECT doc_id, tok,
+        |      LEAD(tok, 1) OVER (PARTITION BY doc_id ORDER BY pos) AS t1
+        |    FROM toks) x
+        |  WHERE t1 IS NOT NULL
+        |), c12 AS (
+        |  SELECT w1, w2, COUNT(*) AS c12 FROM bg GROUP BY 1, 2
+        |), hist AS (
+        |  SELECT w1, SUM(c12) AS c1, COUNT(*) AS n1l FROM c12 GROUP BY 1
+        |), cont AS (
+        |  SELECT w2, COUNT(*) AS n1r FROM c12 GROUP BY 1
+        |), tot AS (SELECT COUNT(*) AS b_types FROM c12)
+        |SELECT doc_id, COUNT(*) AS n_bigrams,
+        |  CAST(SUM(lp) AS DOUBLE) AS sum_logp,
+        |  CAST(SUM(lp) AS DOUBLE) / COUNT(*) AS avg_logp
+        |FROM (
+        |  SELECT bg.doc_id,
+        |    CAST(round(log2(
+        |      (greatest(c12 - 0.75, 0.0) + 0.75 * n1l * n1r / b_types)
+        |        / c1), 6) AS DECIMAL(18,6)) AS lp
+        |  FROM bg
+        |  JOIN c12 USING (w1, w2)
+        |  JOIN hist USING (w1)
+        |  JOIN cont USING (w2)
+        |  CROSS JOIN tot) z
+        |GROUP BY doc_id""".stripMargin)),
+
+    // Hybrid retrieval: BM25 (first-5-token prefix queries, every 25th
+    // doc, self kept) fused with brute-force embedding cosine (same
+    // query ids, self excluded per Ann's contract) via reciprocal-rank
+    // fusion, k_rrf = 60 — ranks only cross the fusion boundary, so
+    // the gate inherits q185's and q58's proven rank parity.
+    Q("q191_hybrid_rrf", { t =>
+        val corpus = t.documents.select(col("doc_id"), col("text"))
+        val queries = TextOps.prefixQueries(
+          corpus.filter(col("doc_id") % 25 === 0),
+          col("doc_id"), col("text"), nTokens = 5)
+        val sparse = TextOps.searchBm25(
+          corpus, col("doc_id"), col("text"),
+          queries, col("qid"), col("qtext"), k = 20)
+        val emb = t.embeddings.select(col("vec_id").as("id"),
+                                      col("embedding"))
+        val dense = graft.ann.Ann.bruteForceCosineTopK(
+            emb.filter(col("id") % 25 === 0), emb, 20)
+          .withColumnRenamed("vid", "doc_id")
+        TextOps.rrfFuse(
+          Seq(sparse.select("qid", "doc_id", "rank"),
+              dense.select("qid", "doc_id", "rank")),
+          topK = 10)
+      },
+      Some("""WITH dtoks AS (
+        |  SELECT doc_id,
+        |    unnest(string_split_regex(lower(text), '\s+')) AS tok
+        |  FROM documents
+        |), tf AS (
+        |  SELECT doc_id, tok, COUNT(*) AS tf FROM dtoks GROUP BY 1, 2
+        |), dlen AS (
+        |  SELECT doc_id, COUNT(*) AS len FROM dtoks GROUP BY 1
+        |), stats AS (
+        |  SELECT COUNT(*) AS nd,
+        |    CAST(SUM(len) AS DOUBLE) / COUNT(*) AS avg_len
+        |  FROM dlen
+        |), dfq AS (SELECT tok, COUNT(*) AS df FROM tf GROUP BY 1
+        |), q AS (
+        |  SELECT doc_id AS qid,
+        |    array_to_string(list_slice(
+        |      string_split_regex(lower(text), '\s+'), 1, 5), ' ')
+        |      AS qtext
+        |  FROM documents WHERE doc_id % 25 = 0
+        |), qt AS (
+        |  SELECT DISTINCT qid,
+        |    unnest(string_split_regex(qtext, '\s+')) AS tok
+        |  FROM q
+        |), term AS (
+        |  SELECT qt.qid, tf.doc_id,
+        |    CAST(round(
+        |      round(ln(1.0 + (nd - df + 0.5) / (df + 0.5)), 6)
+        |        * tf * 2.2
+        |        / (tf + 1.2 * (0.25 + 0.75 * len / avg_len)),
+        |      6) AS DECIMAL(18,6)) AS contrib
+        |  FROM qt
+        |  JOIN tf USING (tok)
+        |  JOIN dfq USING (tok)
+        |  JOIN dlen ON dlen.doc_id = tf.doc_id
+        |  CROSS JOIN stats
+        |), sparse AS (
+        |  SELECT qid, doc_id, rank FROM (
+        |    SELECT qid, doc_id,
+        |      ROW_NUMBER() OVER (PARTITION BY qid
+        |        ORDER BY SUM(contrib) DESC, doc_id) AS rank
+        |    FROM term GROUP BY qid, doc_id) r
+        |  WHERE rank <= 20
+        |), ev AS (
+        |  SELECT vec_id, CAST(i - 1 AS BIGINT) AS d,
+        |    CAST(embedding[CAST(i AS INT)] AS DOUBLE) AS v
+        |  FROM embeddings,
+        |    UNNEST(generate_series(1, len(embedding))) t(i)
+        |), norms AS (
+        |  SELECT vec_id, SUM(v * v) AS nn FROM ev GROUP BY 1
+        |), dots AS (
+        |  SELECT a.vec_id AS qid, b.vec_id AS doc_id,
+        |    SUM(a.v * b.v) AS dot
+        |  FROM ev a JOIN ev b ON a.d = b.d
+        |    AND a.vec_id % 25 = 0 AND a.vec_id <> b.vec_id
+        |  GROUP BY 1, 2
+        |), dense AS (
+        |  SELECT qid, doc_id, rank FROM (
+        |    SELECT dots.qid, dots.doc_id,
+        |      ROW_NUMBER() OVER (PARTITION BY dots.qid
+        |        ORDER BY round(dot / sqrt(na.nn * nb.nn), 6) DESC,
+        |                 dots.doc_id) AS rank
+        |    FROM dots
+        |    JOIN norms na ON dots.qid = na.vec_id
+        |    JOIN norms nb ON dots.doc_id = nb.vec_id) r
+        |  WHERE rank <= 20
+        |), fused AS (
+        |  SELECT qid, doc_id,
+        |    CAST(COUNT(*) AS INT) AS n_lists,
+        |    SUM(CAST(round(1.0 / (60 + rank), 6)
+        |             AS DECIMAL(18,6))) AS score_dec
+        |  FROM (SELECT * FROM sparse UNION ALL SELECT * FROM dense) u
+        |  GROUP BY 1, 2
+        |)
+        |SELECT qid, doc_id, n_lists,
+        |  CAST(score_dec AS DOUBLE) AS score, rank
+        |FROM (
+        |  SELECT qid, doc_id, n_lists, score_dec,
+        |    ROW_NUMBER() OVER (PARTITION BY qid
+        |      ORDER BY score_dec DESC, doc_id) AS rank
+        |  FROM fused) z
+        |WHERE rank <= 10""".stripMargin))
   )
 }

@@ -1037,4 +1037,60 @@ class DedupTextAnnSpec extends SparkSpec {
     val o8 = sel(4, 8L).sortBy(_._3).map(_._1).toSeq
     assert(o7.toSet == o8.toSet && o7 != o8)
   }
+
+  test("kneserNeyBigram: hand-derived counts, exact pins, short docs " +
+       "drop, discount validated") {
+    // corpus: c12 = {(a,b):2, (b,a):1, (a,c):1}, B = 3 types;
+    // hist: a -> (c1=3, n1l=2), b -> (c1=1, n1l=1);
+    // cont: n1r(a) = n1r(b) = n1r(c) = 1
+    val docs = Seq((1L, "a b a b"), (2L, "a c"), (3L, "b"))
+      .toDF("doc_id", "text")
+    val out = TextOps.kneserNeyBigram(docs, col("doc_id"), col("text"))
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getDouble(2))).toMap
+    assert(out.keySet == Set(1L, 2L)) // "b" has no bigram -> no row
+    // doc 2: p(c|a) = (1-0.75 + 0.75*2*(1/3))/3 = 0.25 -> log2 = -2
+    assert(out(2L) == ((1L, -2.0)))
+    // doc 1: two (a,b) at p = (1.25 + 0.5)/3 = 7/12, one (b,a) at
+    // p = (0.25 + 0.25)/1 = 0.5 -> sum = 2*r6(log2(7/12)) - 1
+    val lpAB = BigDecimal(math.log(7.0 / 12) / math.log(2.0))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP)
+    assert(out(1L)._1 == 3L)
+    assert(out(1L)._2 == (lpAB * 2 - 1).toDouble)
+    // KN vs add-1 direction: "francisco" is frequent but follows only
+    // "san", so its continuation weight stays at 1/B regardless of its
+    // raw frequency — the history count of "san" carries the mass
+    intercept[IllegalArgumentException] {
+      TextOps.kneserNeyBigram(docs, col("doc_id"), col("text"), d = 1.5)
+    }
+  }
+
+  test("rrfFuse: both-list docs beat single-list docs at equal ranks, " +
+       "exact reciprocal pins, tie-break on doc_id") {
+    val listA = Seq((1L, 10L, 1), (1L, 11L, 2), (1L, 12L, 3))
+      .toDF("qid", "doc_id", "rank")
+    val listB = Seq((1L, 10L, 2), (1L, 13L, 1))
+      .toDF("qid", "doc_id", "rank")
+    val out = TextOps.rrfFuse(Seq(listA, listB), topK = 10)
+      .collect()
+      .map(r => r.getLong(1) -> (r.getInt(2), r.getDouble(3), r.getInt(4)))
+      .toMap
+    // doc 10: 1/61 + 1/62 -> 0.016393 + 0.016129 = 0.032522, rank 1
+    assert(out(10L) == ((2, 0.032522, 1)))
+    // doc 13 (rank 1 in one list) beats doc 11 (rank 2 in one list)
+    assert(out(13L) == ((1, 0.016393, 2)))
+    assert(out(11L) == ((1, 0.016129, 3)))
+    assert(out(12L)._3 == 4)
+    // equal fused scores break on doc_id: two docs each at rank 3 in
+    // exactly one list
+    val tieA = Seq((9L, 20L, 3)).toDF("qid", "doc_id", "rank")
+    val tieB = Seq((9L, 19L, 3)).toDF("qid", "doc_id", "rank")
+    val tie = TextOps.rrfFuse(Seq(tieA, tieB), topK = 2)
+      .collect().map(r => (r.getLong(1), r.getInt(4))).toMap
+    assert(tie(19L) == 1 && tie(20L) == 2)
+    intercept[IllegalArgumentException] { TextOps.rrfFuse(Nil, 5) }
+    intercept[IllegalArgumentException] {
+      TextOps.rrfFuse(Seq(listA), topK = 5, kRrf = 0)
+    }
+  }
 }

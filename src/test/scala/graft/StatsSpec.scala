@@ -282,4 +282,37 @@ class StatsSpec extends SparkSpec {
       .collect().map(_.getLong(0)).toSet
     assert(seeded != again)
   }
+
+  test("epochBlockShuffle: bijection onto 1..N, blocks contiguous, " +
+       "source-order blocking, seeded and deterministic") {
+    val docs = (0L until 103L).map(i => Tuple1(i)).toDF("doc_id")
+    def run(seed: Long) = Stats.epochBlockShuffle(
+        docs, col("doc_id"), blockSize = 10, seed = seed)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val out = run(7L)
+    // bijection: positions are exactly 1..103
+    assert(out.map(_._4).sorted.toSeq == (1L to 103L))
+    // source-order blocking: doc 0..9 -> block 0, ..., doc 100..102 ->
+    // block 10 (the partial tail block)
+    assert(out.forall { case (d, b, _, _) => b == d / 10 })
+    // each block's positions are one contiguous run of its size
+    out.groupBy(_._2).foreach { case (b, rows) =>
+      val pos = rows.map(_._4)
+      assert(pos.max - pos.min + 1 == rows.length,
+             s"block $b positions not contiguous")
+    }
+    // block_ord is consistent: same block -> same ord, ords are 1..11
+    assert(out.groupBy(_._2).values
+      .forall(rows => rows.map(_._3).distinct.length == 1))
+    assert(out.map(_._3).distinct.sorted.toSeq == (1L to 11L))
+    // deterministic per seed; a different seed permutes differently
+    assert(run(7L).toSeq == out.toSeq)
+    val bySeed7 = out.map(t => t._1 -> t._4).toMap
+    val bySeed8 = run(8L).map(t => t._1 -> t._4).toMap
+    assert(bySeed7 != bySeed8)
+    intercept[IllegalArgumentException] {
+      Stats.epochBlockShuffle(docs, col("doc_id"), 0, 7L)
+    }
+  }
 }
