@@ -387,6 +387,76 @@ object Stats {
               (col("off") + col("intra")).as("epoch_pos"))
   }
 
+  /** Exact distributed ROC-AUC via the Mann–Whitney U statistic with
+    * midrank tie handling — THE evaluation primitive for
+    * classifier-based corpus filtering (is the quality/langid model's
+    * score actually separating the classes it gates on?). AUC equals
+    * the probability a random positive out-scores a random negative,
+    * computed as (Σ_pos avgrank − n_pos(n_pos+1)/2) / (n_pos·n_neg);
+    * tied scores take the midrank of their run, the textbook
+    * correction without which duplicate scores bias the estimate.
+    *
+    * Exactness: everything stays integer until one final division —
+    * per-value 2·avgrank = 2·cumcount − (n−1) — so the result is
+    * bit-identical across engines with zero rounding. Scale shape:
+    * one groupBy(score) reduction (the distinct-score axis may remain
+    * corpus-sized for continuous scores), then the two-pass
+    * range-partitioned cumulative count ([[graft.core.Ranking]] — no
+    * single-reducer ORDER BY window), then a scalar aggregate.
+    * Degenerate inputs (a single class) yield auc = NULL, not a
+    * division crash.
+    *
+    * Returns one row: (n_pos, n_neg, auc). */
+  def aucRoc(df0: DataFrame, score: Column, label: Column): DataFrame = {
+    val df = df0.select(score.cast("double").as("s"),
+                        label.cast("boolean").cast("int").as("y"))
+      .filter(col("s").isNotNull && col("y").isNotNull)
+    val byScore = df.groupBy("s")
+      .agg(count(lit(1)).as("n"), sum("y").as("np"))
+    val ranked = graft.core.Ranking.withGlobalRankAndCumSum(
+      byScore, Seq(col("s")), col("n"), "vrank", "cum")
+    ranked
+      .select(
+        (col("np") * (lit(2) * col("cum") - (col("n") - 1))).as("pos2r"),
+        col("np"), (col("n") - col("np")).as("nn"))
+      .agg(sum("np").as("n_pos"), sum("nn").as("n_neg"),
+           sum("pos2r").as("s2r"))
+      .select(col("n_pos"), col("n_neg"),
+        when(col("n_pos") > 0 && col("n_neg") > 0,
+          (col("s2r") - col("n_pos") * (col("n_pos") + 1))
+            .cast("double") /
+            (lit(2.0) * col("n_pos") * col("n_neg")))
+          .as("auc"))
+  }
+
+  /** k-anonymity audit over a quasi-identifier combination: the group
+    * sizes plus a violation flag for groups smaller than k — the
+    * re-identification check of training-data governance (a
+    * quasi-identifier combo shared by fewer than k rows singles
+    * individuals out). One grouped count at any corpus size. */
+  def kAnonymity(df: DataFrame, keys: Seq[String], k: Int): DataFrame = {
+    require(k >= 2, s"k-anonymity needs k >= 2, got $k")
+    require(keys.nonEmpty, "need at least one quasi-identifier column")
+    df.groupBy(keys.map(col): _*)
+      .agg(count(lit(1)).as("n"))
+      .withColumn("violates", (col("n") < k).cast("int"))
+  }
+
+  /** k-anonymity enforcement by suppression: drop every row whose
+    * quasi-identifier combination has fewer than k members (the
+    * standard small-group suppression that makes the released frame
+    * k-anonymous on those keys). The group frame is the REDUCED
+    * key-combination axis, joined back CO-PARTITIONED on the keys —
+    * not broadcast, since a high-cardinality quasi-identifier
+    * combination is itself corpus-sized. */
+  def suppressBelowK(df: DataFrame, keys: Seq[String], k: Int)
+      : DataFrame = {
+    val keep = kAnonymity(df, keys, k)
+      .filter(col("violates") === 0)
+      .drop("n", "violates")
+    df.join(keep, keys)
+  }
+
   /** Robust per-group outlier detection via MAD (median absolute
     * deviation): med = exact median of `value`, mad = exact median of
     * |value − med|, outlier ⇔ |value − med| > k · 1.4826 · mad (the

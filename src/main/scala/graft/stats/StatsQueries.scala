@@ -701,6 +701,25 @@ object StatsQueries {
         |)
         |SELECT doc_id, block_id, block_ord,
         |  CAST(off + intra AS BIGINT) AS epoch_pos
-        |FROM ir JOIN off USING (block_id)""".stripMargin))
+        |FROM ir JOIN off USING (block_id)""".stripMargin)),
+
+    // k-anonymity enforcement by suppression: customers whose
+    // (nationkey, mktsegment) quasi-identifier combination has fewer
+    // than 8 members are dropped (at sf0.01 the group sizes span
+    // 5..21, so the k = 8 cut genuinely splits the data); the gate
+    // compares the surviving rows verbatim.
+    Q("q195_k_anonymity",
+      t => Stats.suppressBelowK(
+          t.customer.select(col("c_custkey"), col("c_nationkey"),
+                            col("c_mktsegment")),
+          Seq("c_nationkey", "c_mktsegment"), k = 8)
+        .select("c_custkey", "c_nationkey", "c_mktsegment"),
+      Some("""WITH g AS (
+        |  SELECT c_nationkey, c_mktsegment FROM customer
+        |  GROUP BY 1, 2 HAVING COUNT(*) >= 8
+        |)
+        |SELECT c_custkey, c_nationkey, c_mktsegment
+        |FROM customer JOIN g USING (c_nationkey, c_mktsegment)"""
+        .stripMargin))
   )
 }

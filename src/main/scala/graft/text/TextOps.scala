@@ -464,6 +464,27 @@ object TextOps {
       regexp_count(lower(text), lit(emailPattern)).as("n_email"),
       regexp_count(text, lit(phonePattern)).as("n_phone"))
 
+  /** PII redaction: replace email-shaped and NANP-phone-shaped
+    * substrings with placeholder tags — the masking counterpart of
+    * [[piiCounts]] (a training corpus needs the REDACTED text, not
+    * just the audit number). Case-insensitive email matching on the
+    * ORIGINAL text (unlike the count's lowercase scan, redaction must
+    * preserve the surrounding text verbatim), same
+    * dialect-divergence-free patterns. Codegen'd regexp_replace over
+    * the scan — no UDF, scan speed at any corpus size. Returns
+    * (doc_id, text, n_email, n_phone) with the counts of what was
+    * masked, so the redaction is auditable row-by-row. */
+  val emailPatternCi =
+    "[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\.[a-zA-Z]{2,}"
+  def redactPii(docs: DataFrame, id: Column, text: Column): DataFrame =
+    docs.select(
+      id.as("doc_id"),
+      regexp_replace(
+        regexp_replace(text, lit(emailPatternCi), lit("<EMAIL>")),
+        lit(phonePattern), lit("<PHONE>")).as("text"),
+      regexp_count(text, lit(emailPatternCi)).as("n_email"),
+      regexp_count(text, lit(phonePattern)).as("n_phone"))
+
   /** Composite corpus filter — the C4/Gopher-style keep/drop decision
     * that production training pipelines run over every document:
     * length band, heuristic quality score, within-document repetition,

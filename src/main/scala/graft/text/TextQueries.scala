@@ -1137,6 +1137,95 @@ object TextQueries {
         |    ROW_NUMBER() OVER (PARTITION BY qid
         |      ORDER BY score_dec DESC, doc_id) AS rank
         |  FROM fused) z
-        |WHERE rank <= 10""".stripMargin))
+        |WHERE rank <= 10""".stripMargin)),
+
+    // Exact ROC-AUC of the q157 log-odds quality classifier against
+    // its own training labels (lang = 'en') — the Mann-Whitney U with
+    // midrank ties, integer arithmetic until one final division, so
+    // the gate is bit-exact with zero rounding. The filtering-model
+    // evaluation primitive: a classifier-gated corpus keep/drop is
+    // only as good as this number.
+    Q("q193_classifier_auc", { t =>
+        val scored = TextOps.logOddsQuality(
+          t.documents, col("doc_id"), col("text"), col("lang") === "en")
+        val labeled = scored.join(
+          t.documents.select(col("doc_id"),
+                             (col("lang") === "en").as("y")),
+          "doc_id")
+        graft.stats.Stats.aucRoc(labeled, col("score"), col("y"))
+      },
+      Some("""WITH toks AS (
+        |  SELECT doc_id, (lang = 'en') AS pos,
+        |    unnest(string_split_regex(lower(text), '\s+')) AS tok
+        |  FROM documents
+        |), pt AS (
+        |  SELECT tok,
+        |    SUM(CASE WHEN pos THEN 1 ELSE 0 END) AS cpos,
+        |    SUM(CASE WHEN pos THEN 0 ELSE 1 END) AS cneg
+        |  FROM toks GROUP BY tok
+        |), tot AS (
+        |  SELECT SUM(cpos) AS npos, SUM(cneg) AS nneg, COUNT(*) AS v
+        |  FROM pt
+        |), w AS (
+        |  SELECT tok,
+        |    CAST(round(log2(((cpos + 0.5) / (npos + 0.5 * v))
+        |                    / ((cneg + 0.5) / (nneg + 0.5 * v))), 6)
+        |         AS DECIMAL(18,6)) AS w
+        |  FROM pt CROSS JOIN tot
+        |), sc AS (
+        |  SELECT doc_id,
+        |    round(CAST(SUM(w) AS DOUBLE) / COUNT(*), 6) AS s
+        |  FROM toks JOIN w USING (tok) GROUP BY doc_id
+        |), lab AS (
+        |  SELECT s, CASE WHEN d.lang = 'en' THEN 1 ELSE 0 END AS y
+        |  FROM sc JOIN documents d USING (doc_id)
+        |), g AS (
+        |  SELECT s, COUNT(*) AS n, SUM(y) AS np FROM lab GROUP BY 1
+        |), r AS (
+        |  SELECT np, n,
+        |    SUM(n) OVER (ORDER BY s ROWS UNBOUNDED PRECEDING) AS cum
+        |  FROM g
+        |)
+        |SELECT CAST(SUM(np) AS BIGINT) AS n_pos,
+        |  CAST(SUM(n - np) AS BIGINT) AS n_neg,
+        |  CAST(SUM(np * (2 * cum - (n - 1)))
+        |       - SUM(np) * (SUM(np) + 1) AS DOUBLE)
+        |    / (2 * SUM(np) * SUM(n - np)) AS auc
+        |FROM r""".stripMargin)),
+
+    // PII redaction with planted PII (the q103 planting, emails now
+    // MIXED-CASE to exercise the case-insensitive matcher): masked
+    // text plus per-row audit counts, compared verbatim.
+    Q("q194_pii_redact", { t =>
+        val planted = t.documents.select(col("doc_id"),
+          concat(col("text"),
+            when(col("doc_id") % 5 === 0,
+              concat(lit(" contact User"), col("doc_id").cast("string"),
+                     lit("@Example.COM now"))).otherwise(lit("")),
+            when(col("doc_id") % 6 === 0,
+              lit(" call 555-867-5309 or 555-123-4567"))
+              .otherwise(lit(""))).as("text"))
+        TextOps.redactPii(planted, col("doc_id"), col("text"))
+      },
+      Some("""WITH planted AS (
+        |  SELECT doc_id, text
+        |    || CASE WHEN doc_id % 5 = 0
+        |       THEN ' contact User' || CAST(doc_id AS VARCHAR)
+        |            || '@Example.COM now' ELSE '' END
+        |    || CASE WHEN doc_id % 6 = 0
+        |       THEN ' call 555-867-5309 or 555-123-4567' ELSE '' END
+        |    AS text
+        |  FROM documents)
+        |SELECT doc_id,
+        |  regexp_replace(regexp_replace(text,
+        |    '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}',
+        |    '<EMAIL>', 'g'),
+        |    '[0-9]{3}-[0-9]{3}-[0-9]{4}', '<PHONE>', 'g') AS text,
+        |  CAST(len(regexp_extract_all(text,
+        |    '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}')) AS INT)
+        |    AS n_email,
+        |  CAST(len(regexp_extract_all(text,
+        |    '[0-9]{3}-[0-9]{3}-[0-9]{4}')) AS INT) AS n_phone
+        |FROM planted""".stripMargin))
   )
 }

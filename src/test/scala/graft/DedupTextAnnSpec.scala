@@ -1093,4 +1093,17 @@ class DedupTextAnnSpec extends SparkSpec {
       TextOps.rrfFuse(Seq(listA), topK = 5, kRrf = 0)
     }
   }
+
+  test("redactPii masks mixed-case emails and phones, counts the " +
+       "masked spans, leaves clean text verbatim") {
+    val in = Seq(
+      (1L, "reach Bob.Smith+x@Mail.Example.ORG or 555-867-5309 now"),
+      (2L, "nothing sensitive here at all"))
+      .toDF("doc_id", "text")
+    val out = TextOps.redactPii(in, col("doc_id"), col("text"))
+      .collect().map(r => r.getLong(0) ->
+        (r.getString(1), r.getInt(2), r.getInt(3))).toMap
+    assert(out(1L) == (("reach <EMAIL> or <PHONE> now", 1, 1)))
+    assert(out(2L) == (("nothing sensitive here at all", 0, 0)))
+  }
 }

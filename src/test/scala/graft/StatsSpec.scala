@@ -315,4 +315,55 @@ class StatsSpec extends SparkSpec {
       Stats.epochBlockShuffle(docs, col("doc_id"), 0, 7L)
     }
   }
+
+  test("aucRoc: perfect 1, reversed 0, all-tied 0.5, hand value with " +
+       "and without ties, single class yields null") {
+    def auc(rows: Seq[(Double, Int)]): Option[Double] = {
+      val r = Stats.aucRoc(rows.toDF("s", "y"), col("s"), col("y"))
+        .collect().head
+      if (r.isNullAt(2)) None else Some(r.getDouble(2))
+    }
+    assert(auc(Seq((3.0, 1), (2.0, 1), (1.0, 0), (0.0, 0)))
+             .contains(1.0))
+    assert(auc(Seq((3.0, 0), (2.0, 0), (1.0, 1), (0.0, 1)))
+             .contains(0.0))
+    assert(auc(Seq((5.0, 1), (5.0, 0), (5.0, 1), (5.0, 0)))
+             .contains(0.5))
+    // pos ranks {4, 2}: U = 6 - 3 = 3, auc = 3/4
+    assert(auc(Seq((3.0, 1), (2.0, 0), (1.0, 1), (0.0, 0)))
+             .contains(0.75))
+    // midrank tie: pos {2, 1}, neg {1, 0} -> R_pos = 4 + 2.5 = 6.5,
+    // auc = 3.5/4 (exact in binary)
+    assert(auc(Seq((2.0, 1), (1.0, 1), (1.0, 0), (0.0, 0)))
+             .contains(0.875))
+    assert(auc(Seq((1.0, 1), (0.0, 1))).isEmpty)
+    // counts surface
+    val r = Stats.aucRoc(Seq((2.0, 1), (1.0, 0), (0.0, 0)).toDF("s", "y"),
+                         col("s"), col("y")).collect().head
+    assert(r.getLong(0) == 1L && r.getLong(1) == 2L)
+  }
+
+  test("kAnonymity flags small groups; suppressBelowK drops exactly " +
+       "their rows; k validated") {
+    val rows = Seq(
+      ("a", "x", 1L), ("a", "x", 2L),      // size 2
+      ("b", "x", 3L),                      // size 1 -> violates k=2
+      ("b", "y", 4L), ("b", "y", 5L), ("b", "y", 6L)) // size 3
+      .toDF("qi1", "qi2", "id")
+    val audit = Stats.kAnonymity(rows, Seq("qi1", "qi2"), k = 2)
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getInt(3))).toMap
+    assert(audit(("a", "x")) == ((2L, 0)))
+    assert(audit(("b", "x")) == ((1L, 1)))
+    assert(audit(("b", "y")) == ((3L, 0)))
+    val kept = Stats.suppressBelowK(rows, Seq("qi1", "qi2"), k = 2)
+      .collect().map(_.getAs[Long]("id")).toSet
+    assert(kept == Set(1L, 2L, 4L, 5L, 6L))
+    intercept[IllegalArgumentException] {
+      Stats.kAnonymity(rows, Seq("qi1"), k = 1)
+    }
+    intercept[IllegalArgumentException] {
+      Stats.kAnonymity(rows, Nil, k = 2)
+    }
+  }
 }
