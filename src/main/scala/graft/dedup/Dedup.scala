@@ -613,6 +613,38 @@ object Dedup {
       .drop(hc, nc, ic)
   }
 
+  /** Content-hash snapshot diff between two corpus versions — the
+    * dataset-versioning audit (what did this refresh ADD / REMOVE /
+    * CHANGE?) that a training pipeline runs before retraining on an
+    * updated crawl. Rows pair on id across the two frames; content
+    * identity is md5 with [[keepFirstExact]]'s null discipline (a
+    * present row with NULL text is distinct from an absent row — the
+    * status column derives from row PRESENCE, the hash from content).
+    *
+    * One co-partitioned full-outer join on the id — scan speed at any
+    * corpus size; the hashes ride along so downstream consumers can
+    * route changed ids without re-reading either snapshot.
+    *
+    * Returns (doc_id, status ∈ added|removed|changed|unchanged,
+    * old_hash, new_hash). */
+  def snapshotDiff(oldDocs: DataFrame, newDocs: DataFrame,
+                   id: Column, text: Column): DataFrame = {
+    def side(df: DataFrame, h: String, p: String): DataFrame =
+      df.select(id.as("doc_id"),
+                when(text.isNull, lit(null).cast("string"))
+                  .otherwise(md5(text)).as(h),
+                lit(1).as(p))
+    val o = side(oldDocs, "old_hash", "_old_present")
+    val n = side(newDocs, "new_hash", "_new_present")
+    o.join(n, Seq("doc_id"), "full_outer")
+      .select(col("doc_id"),
+        when(col("_old_present").isNull, lit("added"))
+          .when(col("_new_present").isNull, lit("removed"))
+          .when(col("old_hash") <=> col("new_hash"), lit("unchanged"))
+          .otherwise(lit("changed")).as("status"),
+        col("old_hash"), col("new_hash"))
+  }
+
   /** The PRODUCTION fuzzy-dedup pipeline at the bounded (100 TB-safe)
     * posture, composed end to end: MinHash signatures → bucket-capped
     * LSH banding → exact-Jaccard verification → exact-duplicate

@@ -1149,6 +1149,42 @@ object DedupQueries {
         |  (SELECT COUNT(*) FROM pc) AS n_pairs_capped,
         |  (SELECT COUNT(*) FROM
         |     (SELECT a, b FROM pu EXCEPT SELECT a, b FROM pc) d)
-        |    AS n_pairs_dropped""".stripMargin))
+        |    AS n_pairs_dropped""".stripMargin)),
+
+    // Content-hash snapshot diff between two corpus versions — the
+    // refresh planted in-query so both engines diff identical
+    // snapshots: every 7th doc removed, every surviving 10th changed
+    // (" v2" appended), five fresh ids added.
+    Q("q197_snapshot_diff", { t =>
+        val old = t.documents.select(col("doc_id"), col("text"))
+        val newer = old.filter(col("doc_id") % 7 =!= 0)
+          .withColumn("text",
+            when(col("doc_id") % 10 === 0,
+                 concat(col("text"), lit(" v2")))
+              .otherwise(col("text")))
+          .unionByName(old.filter(col("doc_id") < 5)
+            .select((col("doc_id") + 100000).as("doc_id"),
+                    concat(lit("fresh "), col("text")).as("text")))
+        Dedup.snapshotDiff(old, newer, col("doc_id"), col("text"))
+      },
+      Some("""WITH oldd AS (
+        |  SELECT doc_id, md5(text) AS old_hash FROM documents
+        |), newd AS (
+        |  SELECT doc_id,
+        |    md5(CASE WHEN doc_id % 10 = 0 THEN text || ' v2'
+        |        ELSE text END) AS new_hash
+        |  FROM documents WHERE doc_id % 7 <> 0
+        |  UNION ALL
+        |  SELECT doc_id + 100000, md5('fresh ' || text)
+        |  FROM documents WHERE doc_id < 5
+        |)
+        |SELECT COALESCE(oldd.doc_id, newd.doc_id) AS doc_id,
+        |  CASE WHEN oldd.doc_id IS NULL THEN 'added'
+        |       WHEN newd.doc_id IS NULL THEN 'removed'
+        |       WHEN old_hash = new_hash THEN 'unchanged'
+        |       ELSE 'changed' END AS status,
+        |  old_hash, new_hash
+        |FROM oldd FULL OUTER JOIN newd ON oldd.doc_id = newd.doc_id"""
+        .stripMargin))
   )
 }

@@ -81,6 +81,13 @@ object Models {
            epsilon: Double = 1.0): (DataFrame, DataFrame) = {
     require(Set("linear", "log")(confidenceScaling),
       s"confidence_scaling must be linear|log, got $confidenceScaling")
+    // 64-bit id spaces (the r12 sf3 finding): densify, fit, re-key
+    if (idsExceedIntRange(urm, "u", "i")) {
+      val (uMap, iMap, urmD, _) = denseRemapUi(urm, None)
+      val (uf, itf) = ials(urmD, rank, reg, alpha, iters, seed,
+                           confidenceScaling, epsilon)
+      return (rekeyTo(uf, "id", uMap), rekeyTo(itf, "id", iMap))
+    }
     val v = col("v").cast("double")
     val scaled = confidenceScaling match {
       case "linear" => v
@@ -100,6 +107,79 @@ object Models {
                                    col("i").cast("int").as("i"),
                                    scaled.cast("float").as("v")))
     (model.userFactors, model.itemFactors)
+  }
+
+  /** True iff any id in columns `a`/`b` falls outside 32-bit range.
+    * Skipped without a job when both columns are already int-typed;
+    * otherwise one cheap aggregate — the fits this guards are
+    * iterative heavyweights, the check is noise. */
+  private def idsExceedIntRange(df: DataFrame, a: String, b: String)
+      : Boolean = {
+    import org.apache.spark.sql.types.IntegerType
+    val dt = df.schema
+    if (dt(a).dataType == IntegerType && dt(b).dataType == IntegerType)
+      false
+    else {
+      val r = df.agg(max(greatest(abs(col(a).cast("long")),
+                                  abs(col(b).cast("long"))))).head()
+      !r.isNullAt(0) && r.getLong(0) > Int.MaxValue.toLong
+    }
+  }
+
+  /** Dense remap of the (u, i) axes for the int-addressed production
+    * fits (ml.ALS's user/item columns are int — a Spark MLlib API
+    * constraint; the distributed BPR state partitioner indexes by int
+    * too). The r12 sf3 soak caught the raw cast overflowing at
+    * 30-copy offset key spaces (ids ~2.2·10⁹): any 100 TB corpus with
+    * a 64-bit id space hits the same wall, so ids beyond int range
+    * engage the reference's own dict-mapper design
+    * (Data_manager/IncrementalSparseMatrix.py:95-127, already exposed
+    * as [[graft.etl.Urm.denseIndex]]): contiguous [0, n) indices in,
+    * factor frames re-keyed to the ORIGINAL ids out. Below int range
+    * the ids pass through UNTOUCHED — ALS factor initialization is
+    * keyed by id blocks, so an unconditional remap would perturb the
+    * value-pinned gates for no scale benefit.
+    *
+    * The optional `extra` frame (BPR impressions) shares the id
+    * space, so both maps are built over the union. Indices must
+    * themselves fit int — beyond 2³¹ DISTINCT entities the int-
+    * addressed fit genuinely cannot run, and the require says so
+    * instead of wrapping. */
+  private def denseRemapUi(urm: DataFrame, extra: Option[DataFrame])
+      : (DataFrame, DataFrame, DataFrame, Option[DataFrame]) = {
+    import graft.etl.Urm
+    def axis(c: String): DataFrame = extra match {
+      case Some(e) => urm.select(c).unionByName(e.select(c))
+      case None    => urm.select(c)
+    }
+    val uMap = graft.core.CacheScope.persist(
+      Urm.denseIndex(axis("u"), col("u")))
+    val iMap = graft.core.CacheScope.persist(
+      Urm.denseIndex(axis("i"), col("i")))
+    Seq("user" -> uMap, "item" -> iMap).foreach { case (ax, m) =>
+      require(m.count() <= Int.MaxValue.toLong,
+        s"$ax axis has more than 2^31 distinct ids - an int-addressed " +
+        "fit cannot run at this cardinality")
+    }
+    def remap(df: DataFrame): DataFrame = df
+      .join(uMap.select(col("orig").as("u"), col("idx").as("_du")), "u")
+      .join(iMap.select(col("orig").as("i"), col("idx").as("_di")), "i")
+      .drop("u", "i")
+      .withColumnRenamed("_du", "u")
+      .withColumnRenamed("_di", "i")
+    (uMap, iMap, remap(urm), extra.map(remap))
+  }
+
+  /** Replace the dense index in `keyCol` with the original id from
+    * `map`, preserving the column order. */
+  private def rekeyTo(df: DataFrame, keyCol: String, map: DataFrame)
+      : DataFrame = {
+    val order = df.columns
+    df.join(map.select(col("idx").as("_k"), col("orig")),
+            col(keyCol) === col("_k"))
+      .drop(keyCol, "_k")
+      .withColumnRenamed("orig", keyCol)
+      .select(order.map(col).toSeq: _*)
   }
 
   /** Set a session-local checkpoint dir (under java.io.tmpdir) iff the
@@ -276,6 +356,12 @@ object Models {
     * weights. This is the factorization scale path for explicit feedback. */
   def alsExplicit(urm: DataFrame, rank: Int, reg: Double, iters: Int,
                   seed: Long): (DataFrame, DataFrame) = {
+    // 64-bit id spaces (the r12 sf3 finding): densify, fit, re-key
+    if (idsExceedIntRange(urm, "u", "i")) {
+      val (uMap, iMap, urmD, _) = denseRemapUi(urm, None)
+      val (uf, itf) = alsExplicit(urmD, rank, reg, iters, seed)
+      return (rekeyTo(uf, "id", uMap), rekeyTo(itf, "id", iMap))
+    }
     val als = new ALS()
       .setUserCol("u").setItemCol("i").setRatingCol("v")
       .setImplicitPrefs(false).setRank(rank).setRegParam(reg)
@@ -1064,6 +1150,20 @@ object Models {
     import spark.implicits._
     require(Seq("none", "inside", "outside").contains(samplingMode))
     require(Seq("sgd", "adagrad", "rmsprop", "adam").contains(sgdMode))
+    // 64-bit id spaces (the r12 sf3 finding): densify over the union
+    // with the impressions frame (it shares the id space), fit on
+    // [0, n) indices — below int range the draws/init see the very
+    // same integer ids as before, so the value-pinned gates hold —
+    // and re-key both factor frames to the original ids
+    if (idsExceedIntRange(urm, "u", "i") ||
+        impressions.exists(idsExceedIntRange(_, "u", "i"))) {
+      val (uMap, iMap, urmD, impD) = denseRemapUi(urm, impressions)
+      val (uf, itf) = mfBprDistributed(spark, urmD, rank, epochs,
+        samplesPerEpoch, lr, reg, seed, impD, samplingMode, sgdMode,
+        negativeReg, userReg, batchSize, maxBatchesPerEpoch,
+        dropoutQuota)
+      return (rekeyTo(uf, "u", uMap), rekeyTo(itf, "i", iMap))
+    }
     val triplesBase = graft.core.CacheScope.persist(
       urm.select(col("u").cast("int").as("u"),
                  col("i").cast("int").as("i")))

@@ -757,6 +757,33 @@ object TextOps {
               col("score_dec").cast("double").as("score"), col("rank"))
   }
 
+  /** Hard-negative mining for retrieval training (the DPR recipe,
+    * Karpukhin et al., EMNLP 2020: the strongest negatives are the
+    * top-ranked retrieved documents that are NOT relevant): from a
+    * candidate ranking (qid, doc_id, rank) — BM25 or ANN, the miner
+    * is retriever-agnostic like [[rrfFuse]] — drop each query's
+    * positives and keep the `nNeg` best-ranked survivors, re-ranked
+    * densely so downstream samplers see 1..nNeg without gaps.
+    *
+    * Scale shape: one LEFT ANTI join co-partitioned on (qid, doc_id)
+    * — both sides are per-query lists (≤ k·|Q| rows, never
+    * corpus-sized) — then the per-query top-n window. Deterministic:
+    * ties in the source rank cannot occur (ranks are row_numbers), so
+    * the output is a pure function of its inputs.
+    *
+    * Returns (qid, doc_id, rank, neg_rank ≤ nNeg). */
+  def mineHardNegatives(candidates: DataFrame, positives: DataFrame,
+                        nNeg: Int): DataFrame = {
+    require(nNeg >= 1, s"nNeg must be >= 1, got $nNeg")
+    val neg = candidates.select("qid", "doc_id", "rank")
+      .join(positives.select("qid", "doc_id"), Seq("qid", "doc_id"),
+            "left_anti")
+    val w = Window.partitionBy("qid")
+      .orderBy(asc("rank"), asc("doc_id"))
+    neg.withColumn("neg_rank", row_number().over(w))
+      .filter(col("neg_rank") <= nNeg)
+  }
+
   /** Hashed n-gram features of a document frame: unigrams and bigrams
     * (within-document adjacency — bigrams never cross a document
     * boundary) hashed into `nBuckets` buckets via the engine's md5

@@ -1226,6 +1226,75 @@ object TextQueries {
         |    AS n_email,
         |  CAST(len(regexp_extract_all(text,
         |    '[0-9]{3}-[0-9]{3}-[0-9]{4}')) AS INT) AS n_phone
-        |FROM planted""".stripMargin))
+        |FROM planted""".stripMargin)),
+
+    // DPR-style hard-negative mining: BM25 top-10 per prefix query,
+    // the query's own source doc is the gold positive, the 5
+    // best-ranked non-gold survivors become training negatives with a
+    // dense re-rank (Karpukhin et al. 2020 — BM25-mined negatives for
+    // dense-retriever training).
+    Q("q196_hard_negatives", { t =>
+        val corpus = t.documents.select(col("doc_id"), col("text"))
+        val queries = TextOps.prefixQueries(
+          corpus.filter(col("doc_id") % 25 === 0),
+          col("doc_id"), col("text"), nTokens = 5)
+        val cand = TextOps.searchBm25(
+          corpus, col("doc_id"), col("text"),
+          queries, col("qid"), col("qtext"), k = 10)
+        val gold = queries.select(col("qid"),
+                                  col("qid").as("doc_id"))
+        TextOps.mineHardNegatives(cand, gold, nNeg = 5)
+      },
+      Some("""WITH dtoks AS (
+        |  SELECT doc_id,
+        |    unnest(string_split_regex(lower(text), '\s+')) AS tok
+        |  FROM documents
+        |), tf AS (
+        |  SELECT doc_id, tok, COUNT(*) AS tf FROM dtoks GROUP BY 1, 2
+        |), dlen AS (
+        |  SELECT doc_id, COUNT(*) AS len FROM dtoks GROUP BY 1
+        |), stats AS (
+        |  SELECT COUNT(*) AS nd,
+        |    CAST(SUM(len) AS DOUBLE) / COUNT(*) AS avg_len
+        |  FROM dlen
+        |), dfq AS (SELECT tok, COUNT(*) AS df FROM tf GROUP BY 1
+        |), q AS (
+        |  SELECT doc_id AS qid,
+        |    array_to_string(list_slice(
+        |      string_split_regex(lower(text), '\s+'), 1, 5), ' ')
+        |      AS qtext
+        |  FROM documents WHERE doc_id % 25 = 0
+        |), qt AS (
+        |  SELECT DISTINCT qid,
+        |    unnest(string_split_regex(qtext, '\s+')) AS tok
+        |  FROM q
+        |), term AS (
+        |  SELECT qt.qid, tf.doc_id,
+        |    CAST(round(
+        |      round(ln(1.0 + (nd - df + 0.5) / (df + 0.5)), 6)
+        |        * tf * 2.2
+        |        / (tf + 1.2 * (0.25 + 0.75 * len / avg_len)),
+        |      6) AS DECIMAL(18,6)) AS contrib
+        |  FROM qt
+        |  JOIN tf USING (tok)
+        |  JOIN dfq USING (tok)
+        |  JOIN dlen ON dlen.doc_id = tf.doc_id
+        |  CROSS JOIN stats
+        |), sparse AS (
+        |  SELECT qid, doc_id, rank FROM (
+        |    SELECT qid, doc_id,
+        |      ROW_NUMBER() OVER (PARTITION BY qid
+        |        ORDER BY SUM(contrib) DESC, doc_id) AS rank
+        |    FROM term GROUP BY qid, doc_id) r
+        |  WHERE rank <= 10
+        |), neg AS (
+        |  SELECT qid, doc_id, rank FROM sparse WHERE doc_id <> qid
+        |)
+        |SELECT qid, doc_id, rank, neg_rank FROM (
+        |  SELECT qid, doc_id, rank,
+        |    ROW_NUMBER() OVER (PARTITION BY qid
+        |      ORDER BY rank, doc_id) AS neg_rank
+        |  FROM neg) z
+        |WHERE neg_rank <= 5""".stripMargin))
   )
 }

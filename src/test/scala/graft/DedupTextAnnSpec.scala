@@ -1106,4 +1106,46 @@ class DedupTextAnnSpec extends SparkSpec {
     assert(out(1L) == (("reach <EMAIL> or <PHONE> now", 1, 1)))
     assert(out(2L) == (("nothing sensitive here at all", 0, 0)))
   }
+
+  test("mineHardNegatives drops positives, re-ranks densely, bounds " +
+       "at nNeg, validates") {
+    val cand = Seq(
+      (1L, 10L, 1), (1L, 11L, 2), (1L, 12L, 3), (1L, 13L, 4),
+      (2L, 20L, 1), (2L, 21L, 2))
+      .toDF("qid", "doc_id", "rank")
+    val gold = Seq((1L, 10L), (1L, 12L), (2L, 99L))
+      .toDF("qid", "doc_id")
+    val out = TextOps.mineHardNegatives(cand, gold, nNeg = 2)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> (r.getInt(2), r.getInt(3)))
+      .toMap
+    // qid 1: golds 10 and 12 removed; survivors 11 (rank 2) and 13
+    // (rank 4) re-rank densely to 1, 2
+    assert(out((1L, 11L)) == ((2, 1)))
+    assert(out((1L, 13L)) == ((4, 2)))
+    // qid 2: its gold never appeared in the candidates — both keep
+    assert(out((2L, 20L)) == ((1, 1)))
+    assert(out((2L, 21L)) == ((2, 2)))
+    assert(out.size == 4)
+    intercept[IllegalArgumentException] {
+      TextOps.mineHardNegatives(cand, gold, nNeg = 0)
+    }
+  }
+
+  test("snapshotDiff: four statuses, null text is content not " +
+       "absence") {
+    val old = Seq((1L, Some("same")), (2L, Some("before")),
+                  (3L, Some("gone")), (4L, None), (5L, None))
+      .toDF("doc_id", "text")
+    val neu = Seq((1L, Some("same")), (2L, Some("after")),
+                  (4L, None), (5L, Some("filled")), (6L, Some("new")))
+      .toDF("doc_id", "text")
+    val out = Dedup.snapshotDiff(old, neu, col("doc_id"), col("text"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out == Map(1L -> "unchanged", 2L -> "changed",
+                      3L -> "removed",
+                      4L -> "unchanged", // null text on both sides
+                      5L -> "changed",   // null -> 'filled'
+                      6L -> "added"))
+  }
 }

@@ -521,4 +521,40 @@ class ModelsSpec extends SparkSpec {
     assert(base._1(0).toSeq != rev._1(0).toSeq,
       "tripleOrder is inert in the gate's path")
   }
+
+  test("64-bit id spaces: ials and mfBprDistributed densify beyond " +
+       "int range and re-key to the original ids (r12 sf3 finding)") {
+    val Off = 3000000000L // > Int.MaxValue
+    // contiguous small ids: the raw path's ALS input EQUALS the dense
+    // indices of the offset twin (denseIndex ranks ascending), so the
+    // two fits see bit-identical matrices and must return identical
+    // factor values — the remap provably changes keys, not math
+    val small = Seq((0L, 0L, 1.0), (0L, 1L, 2.0), (1L, 1L, 1.0),
+                    (1L, 2L, 3.0), (2L, 2L, 2.0), (2L, 0L, 1.0))
+      .toDF("u", "i", "v")
+    val big = small.select((col("u") + Off).as("u"),
+                           (col("i") + Off).as("i"), col("v"))
+    val (ufS, itfS) = Models.ials(small, rank = 2, reg = 0.1,
+                                  alpha = 1.0, iters = 3, seed = 5)
+    val (ufB, itfB) = Models.ials(big, rank = 2, reg = 0.1,
+                                  alpha = 1.0, iters = 3, seed = 5)
+    def fmap(df: org.apache.spark.sql.DataFrame, off: Long = 0L) =
+      df.collect().map(r => (r.getAs[Number]("id").longValue + off) ->
+        r.getAs[scala.collection.Seq[Float]]("features").toSeq).toMap
+    assert(fmap(ufS, Off) == fmap(ufB))
+    assert(fmap(itfS, Off) == fmap(itfB))
+    // distributed BPR: same twin discipline on its own path
+    val (buS, biS) = Models.mfBprDistributed(spark, small.drop("v"),
+      rank = 4, epochs = 1, samplesPerEpoch = 6, lr = 0.05,
+      reg = 1e-4, seed = 7)
+    val (buB, biB) = Models.mfBprDistributed(spark, big.drop("v"),
+      rank = 4, epochs = 1, samplesPerEpoch = 6, lr = 0.05,
+      reg = 1e-4, seed = 7)
+    def amap(df: org.apache.spark.sql.DataFrame, key: String,
+             off: Long = 0L) =
+      df.collect().map(r => (r.getAs[Number](key).longValue + off) ->
+        r.getAs[scala.collection.Seq[Double]]("factors").toSeq).toMap
+    assert(amap(buS, "u", Off) == amap(buB, "u"))
+    assert(amap(biS, "i", Off) == amap(biB, "i"))
+  }
 }
