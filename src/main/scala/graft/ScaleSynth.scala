@@ -27,13 +27,22 @@ import org.apache.spark.sql.functions._
   */
 object ScaleSynth {
 
-  private val Off = 100000000L
+  private val DefaultOff = 100000000L
 
   def main(args: Array[String]): Unit = {
-    require(args.length == 3, "usage: ScaleSynth <srcDir> <outDir> <copies>")
-    val Array(src, out, copiesStr) = args
-    val copies = copiesStr.toInt
+    require(args.length == 3 || args.length == 4,
+      "usage: ScaleSynth <srcDir> <outDir> <copies> [keyOffset]")
+    val src = args(0); val out = args(1)
+    val copies = args(2).toInt
+    // Optional key-offset stride. The default 10^8 at >= 22 copies
+    // pushes ids past 2^31 — which is itself a useful corpus shape
+    // (the r12 sf3 soak caught the model tier's int-cast overflow with
+    // it) — but a compact stride (e.g. 10^7) keeps every id in int
+    // range so the SAME scale point can also measure an operator's
+    // own curve without engaging the id-densify path.
+    val Off = if (args.length == 4) args(3).toLong else DefaultOff
     require(copies >= 1)
+    require(Off >= 1000000L, s"keyOffset $Off implausibly small")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
