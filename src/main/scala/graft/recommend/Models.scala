@@ -81,13 +81,28 @@ object Models {
            epsilon: Double = 1.0): (DataFrame, DataFrame) = {
     require(Set("linear", "log")(confidenceScaling),
       s"confidence_scaling must be linear|log, got $confidenceScaling")
-    // 64-bit id spaces (the r12 sf3 finding): densify, fit, re-key
-    if (idsExceedIntRange(urm, "u", "i")) {
-      val (uMap, iMap, urmD, _) = denseRemapUi(urm, None)
-      val (uf, itf) = ials(urmD, rank, reg, alpha, iters, seed,
-                           confidenceScaling, epsilon)
-      return (rekeyTo(uf, "id", uMap), rekeyTo(itf, "id", iMap))
+    // 64-bit id spaces (the r12 sf3 finding): TRY the raw int path —
+    // zero added cost for the overwhelmingly common in-range case
+    // (an eager range aggregate per fit taxed the search tiers,
+    // which run hundreds of tiny fits) — and only on the ANSI cast
+    // overflow densify, refit, re-key. The overflow surfaces in the
+    // fit's first job, so the discarded work is one early stage.
+    try { ialsRaw(urm, rank, reg, alpha, iters, seed,
+                  confidenceScaling, epsilon) }
+    catch {
+      case e: Throwable
+          if isCastOverflow(e) && idsExceedIntRange(urm, "u", "i") =>
+        val (uMap, iMap, urmD, _) = denseRemapUi(urm, None)
+        val (uf, itf) = ialsRaw(urmD, rank, reg, alpha, iters, seed,
+                                confidenceScaling, epsilon)
+        (rekeyTo(uf, "id", uMap), rekeyTo(itf, "id", iMap))
     }
+  }
+
+  private def ialsRaw(urm: DataFrame, rank: Int, reg: Double,
+                      alpha: Double, iters: Int, seed: Long,
+                      confidenceScaling: String, epsilon: Double)
+      : (DataFrame, DataFrame) = {
     val v = col("v").cast("double")
     val scaled = confidenceScaling match {
       case "linear" => v
@@ -111,8 +126,11 @@ object Models {
 
   /** True iff any id in columns `a`/`b` falls outside 32-bit range.
     * Skipped without a job when both columns are already int-typed;
-    * otherwise one cheap aggregate — the fits this guards are
-    * iterative heavyweights, the check is noise. */
+    * otherwise one aggregate. Only ever evaluated on the EXCEPTIONAL
+    * path (after a cast overflow surfaced) — an eager per-fit check
+    * measurably taxed the search tiers, which run hundreds of tiny
+    * fits (q135 read +60% in the r12 canonical bench before the
+    * try-first restructure). */
   private def idsExceedIntRange(df: DataFrame, a: String, b: String)
       : Boolean = {
     import org.apache.spark.sql.types.IntegerType
@@ -125,6 +143,16 @@ object Models {
       !r.isNullAt(0) && r.getLong(0) > Int.MaxValue.toLong
     }
   }
+
+  /** Does this failure chain contain the ANSI int-cast overflow the
+    * 64-bit-id guard retries on? Job failures arrive wrapped in
+    * SparkException layers; walk a bounded cause chain. */
+  private def isCastOverflow(e: Throwable): Boolean =
+    Iterator.iterate(e)(_.getCause).takeWhile(_ != null).take(12)
+      .exists { t =>
+        t.getClass.getSimpleName == "SparkArithmeticException" ||
+        Option(t.getMessage).exists(_.contains("CAST_OVERFLOW"))
+      }
 
   /** Dense remap of the (u, i) axes for the int-addressed production
     * fits (ml.ALS's user/item columns are int — a Spark MLlib API
@@ -356,12 +384,20 @@ object Models {
     * weights. This is the factorization scale path for explicit feedback. */
   def alsExplicit(urm: DataFrame, rank: Int, reg: Double, iters: Int,
                   seed: Long): (DataFrame, DataFrame) = {
-    // 64-bit id spaces (the r12 sf3 finding): densify, fit, re-key
-    if (idsExceedIntRange(urm, "u", "i")) {
-      val (uMap, iMap, urmD, _) = denseRemapUi(urm, None)
-      val (uf, itf) = alsExplicit(urmD, rank, reg, iters, seed)
-      return (rekeyTo(uf, "id", uMap), rekeyTo(itf, "id", iMap))
+    // 64-bit id spaces: try raw, densify only on overflow (see ials)
+    try { alsExplicitRaw(urm, rank, reg, iters, seed) }
+    catch {
+      case e: Throwable
+          if isCastOverflow(e) && idsExceedIntRange(urm, "u", "i") =>
+        val (uMap, iMap, urmD, _) = denseRemapUi(urm, None)
+        val (uf, itf) = alsExplicitRaw(urmD, rank, reg, iters, seed)
+        (rekeyTo(uf, "id", uMap), rekeyTo(itf, "id", iMap))
     }
+  }
+
+  private def alsExplicitRaw(urm: DataFrame, rank: Int, reg: Double,
+                             iters: Int, seed: Long)
+      : (DataFrame, DataFrame) = {
     val als = new ALS()
       .setUserCol("u").setItemCol("i").setRatingCol("v")
       .setImplicitPrefs(false).setRank(rank).setRegParam(reg)
@@ -1150,20 +1186,15 @@ object Models {
     import spark.implicits._
     require(Seq("none", "inside", "outside").contains(samplingMode))
     require(Seq("sgd", "adagrad", "rmsprop", "adam").contains(sgdMode))
-    // 64-bit id spaces (the r12 sf3 finding): densify over the union
-    // with the impressions frame (it shares the id space), fit on
-    // [0, n) indices — below int range the draws/init see the very
-    // same integer ids as before, so the value-pinned gates hold —
-    // and re-key both factor frames to the original ids
-    if (idsExceedIntRange(urm, "u", "i") ||
-        impressions.exists(idsExceedIntRange(_, "u", "i"))) {
-      val (uMap, iMap, urmD, impD) = denseRemapUi(urm, impressions)
-      val (uf, itf) = mfBprDistributed(spark, urmD, rank, epochs,
-        samplesPerEpoch, lr, reg, seed, impD, samplingMode, sgdMode,
-        negativeReg, userReg, batchSize, maxBatchesPerEpoch,
-        dropoutQuota)
-      return (rekeyTo(uf, "u", uMap), rekeyTo(itf, "i", iMap))
-    }
+    // 64-bit id spaces (the r12 sf3 finding): try the raw int path
+    // (zero overhead in range — the draws/init see the very same
+    // integer ids as before, so the value-pinned gates hold) and on
+    // the ANSI cast overflow densify over the union with the
+    // impressions frame (it shares the id space), refit on [0, n)
+    // indices, and re-key both factor frames to the original ids.
+    // The overflow surfaces at the triples persist — the first
+    // action — so the discarded work is one early stage.
+    try {
     val triplesBase = graft.core.CacheScope.persist(
       urm.select(col("u").cast("int").as("u"),
                  col("i").cast("int").as("i")))
@@ -1225,6 +1256,17 @@ object Models {
     }
     (state.userFactors.mapValues(_.f).toDF("u", "factors"),
      state.itemFactors.mapValues(_.f).toDF("i", "factors"))
+    } catch {
+      case e: Throwable if isCastOverflow(e) &&
+          (idsExceedIntRange(urm, "u", "i") ||
+           impressions.exists(idsExceedIntRange(_, "u", "i"))) =>
+        val (uMap, iMap, urmD, impD) = denseRemapUi(urm, impressions)
+        val (uf, itf) = mfBprDistributed(spark, urmD, rank, epochs,
+          samplesPerEpoch, lr, reg, seed, impD, samplingMode, sgdMode,
+          negativeReg, userReg, batchSize, maxBatchesPerEpoch,
+          dropoutQuota)
+        (rekeyTo(uf, "u", uMap), rekeyTo(itf, "i", iMap))
+    }
   }
 
   /** L22 result: factor matrices, bias terms, and the per-epoch train
