@@ -191,6 +191,36 @@ object Soak {
                sum(length(col("clean_text"))).as("l"))
           .select((col("r") + col("l")).cast("long"))
           .head.getLong(0)),
+      // paragraph dedup over the full corpus with q198's planting
+      // (two 10-token slices + a global boilerplate paragraph): the
+      // paragraph-TYPE frame grows with the corpus, so this measures
+      // the three key-partitioned shuffles (explode → first-occurrence
+      // aggregate → join-back → doc regroup) — NOT .count(): a
+      // count-only plan would prune the reassembly; aggregate over the
+      // rebuilt text length so the full pipeline executes
+      "paragraph_dedup" -> (() => {
+        val toks = split(lower(col("text")), "\\s+")
+        val planted = t.documents.select(col("doc_id"),
+          concat_ws("\n\n",
+            array_join(slice(toks, 1, 10), " "),
+            lit("subscribe to our newsletter today"),
+            array_join(slice(toks, 11, 10), " ")).as("text"))
+        Dedup.paragraphDedup(planted, col("doc_id"), col("text"))
+          .agg(sum(length(col("text"))).as("l"),
+               sum(col("n_paras_kept")).as("k"))
+          .select((col("l") + col("k")).cast("long")).head.getLong(0)
+      }),
+      // cross-corpus KN perplexity: LM towers on the even-id half,
+      // every doc scored — both axes (bigram types, target bigrams)
+      // grow with the corpus, so the curve measures the count-tower
+      // shuffle plus the three key-partitioned left joins
+      "kn_perplexity" -> (() =>
+        graft.text.TextOps.knPerplexityFilter(
+            t.documents.filter(col("doc_id") % 2 === 0),
+            col("doc_id"), col("text"),
+            t.documents, col("doc_id"), col("text"))
+          .agg(sum(col("sum_logp")).cast("long").as("s"))
+          .head.getLong(0)),
       // water-filling budget plan: one corpus-scan aggregate + a
       // #domains-row window (domain grid is copy-invariant — lang and
       // source carry verbatim across ScaleSynth copies), so the data

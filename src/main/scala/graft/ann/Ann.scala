@@ -698,4 +698,98 @@ object Ann {
     val lut = if (broadcastLut) broadcast(lut0) else lut0
     adcAggregateAndRank(candCodes.join(lut, Seq("qid", "s", "cid")), k)
   }
+
+  /** Maximal-marginal-relevance diversification (Carbonell &
+    * Goldstein, SIGIR 1998) — re-rank a retriever's per-query
+    * candidate list so the top k trades relevance against redundancy:
+    * at each step pick argmax λ·rel − (1−λ)·max_{s∈selected} cos(d,s)
+    * (empty selected ⇒ the second term is 0, so step 1 is the pure
+    * relevance argmax). The standard last stage of a RAG / retrieval
+    * pipeline after [[graft.text.TextOps.rrfFuse]]: without it, a
+    * near-dup-heavy corpus returns k copies of one document.
+    *
+    * `candidates` is a per-query list (qid, doc_id, rel, emb) — ≤
+    * retriever-k rows per query, NEVER corpus-sized; that bound is
+    * what makes the per-query candidate self-join (the pairwise
+    * cosine frame, ≤ n² rows per query, co-partitioned on qid) safe
+    * at any corpus scale. The greedy loop is k driver-side PLAN
+    * iterations (k is a constant, not a data axis): each round one
+    * anti-join drops the already-selected rows, one co-partitioned
+    * join + max aggregate prices redundancy, and one per-query
+    * row_number picks the winner — no per-group collect, no UDF, so
+    * |Q| can be arbitrarily large.
+    *
+    * Determinism: pairwise cosine is rounded to 6 decimals (the
+    * [[bruteForceCosineTopK]] convention); the MMR score itself is
+    * then computed in EXACT decimal arithmetic — λ at 6-decimal
+    * precision times the 6-decimal rel/sim values, scale-12 products,
+    * one final double conversion (exact: scale-12 unscaled values of
+    * unit-magnitude scores stay under 2⁵³). Rounding the score
+    * instead would sit ON a half boundary whenever λ·(rel − maxsim)
+    * has an odd final digit — λ = 0.5 makes that a coin flip per row,
+    * and cross-engine round implementations disagree there (caught by
+    * this operator's first strict-gate run). Ties → doc_id, so the
+    * selection sequence is engine-independent given round-6 `rel`.
+    *
+    * Returns (qid, doc_id, mmr_rank ≤ k, mmr_score). */
+  def mmrDiversify(candidates: DataFrame, lambda: Double, k: Int)
+      : DataFrame = {
+    require(lambda >= 0.0 && lambda <= 1.0,
+      s"lambda $lambda outside [0, 1]")
+    require(k > 0, s"k must be positive, got $k")
+    val cand = graft.core.CacheScope.persist(
+      candidates.select(col("qid"), col("doc_id"), col("rel"),
+                        col("emb")))
+    val a = cand.select(col("qid"), col("doc_id").as("a"),
+                        col("emb").as("ea"))
+    val b = cand.select(col("qid"), col("doc_id").as("b"),
+                        col("emb").as("eb"))
+    val sims = graft.core.CacheScope.persist(
+      a.join(b, Seq("qid")).filter(col("a") =!= col("b"))
+        .select(col("qid"), col("a"), col("b"),
+          round(dot(col("ea"), col("eb")) /
+            (sqrt(norm2(col("ea"))) * sqrt(norm2(col("eb")))), 6)
+            .as("sim")))
+    val w = Window.partitionBy("qid")
+      .orderBy(desc("mmr_score"), asc("doc_id"))
+    var selected = cand
+      .select(col("qid"), col("doc_id"), lit(0).as("mmr_rank"),
+              lit(0.0).as("mmr_score"))
+      .limit(0)
+    for (step <- 1 to k) {
+      val remaining = cand.join(selected.select("qid", "doc_id"),
+                                Seq("qid", "doc_id"), "left_anti")
+      val maxSim = sims
+        .join(selected.select(col("qid"), col("doc_id").as("b")),
+              Seq("qid", "b"))
+        .groupBy(col("qid"), col("a").as("doc_id"))
+        .agg(max(col("sim")).as("msim"))
+      val lamDec = new java.math.BigDecimal(lambda)
+        .setScale(6, java.math.RoundingMode.HALF_UP)
+      val omlDec = java.math.BigDecimal.ONE.subtract(lamDec)
+      val pick = remaining
+        .join(maxSim, Seq("qid", "doc_id"), "left")
+        .withColumn("mmr_score",
+          (lit(lamDec).cast("decimal(18,6)") *
+             col("rel").cast("decimal(18,6)") -
+           lit(omlDec).cast("decimal(18,6)") *
+             coalesce(col("msim"), lit(0.0)).cast("decimal(18,6)"))
+            .cast("double"))
+        .withColumn("_rn", row_number().over(w))
+        .filter(col("_rn") === 1)
+        .select(col("qid"), col("doc_id"),
+                lit(step).as("mmr_rank"), col("mmr_score"))
+      // lineage cut (the connectedComponents discipline): each round
+      // references `selected` three times (anti-join, redundancy join,
+      // union), so leaving it a logical plan grows analysis ~3^k — the
+      // snapshot rebases the next round on a LogicalRDD leaf, keeping
+      // per-round analysis constant. The RDD is scope-tracked like any
+      // other persist.
+      val u = selected.unionByName(pick)
+      val snap = graft.core.CacheScope.current.persistRdd(
+        u.rdd, org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      selected = u.sparkSession.createDataFrame(snap, u.schema)
+    }
+    selected
+  }
 }

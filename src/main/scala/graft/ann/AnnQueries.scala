@@ -811,6 +811,96 @@ object AnnQueries {
         |  round((SELECT CAST(COUNT(*) AS DOUBLE) FROM top$d t
         |           JOIN fulltop f ON t.qid = f.qid AND t.vid = f.vid)
         |        / (SELECT COUNT(*) FROM fulltop), 6) AS recall""".stripMargin }
-        .mkString("\nUNION ALL"))))
+        .mkString("\nUNION ALL")))),
+
+    // MMR diversification (Carbonell & Goldstein 1998) over the brute
+    // top-10 candidate lists of every 50th vector, lambda = 0.5,
+    // k = 4. The oracle unrolls the greedy selection as four chained
+    // CTE steps — each picks the per-query argmax of the EXACT-decimal
+    // score 0.5*rel - 0.5*maxsim among not-yet-selected candidates
+    // (ties -> doc id), exactly the engine's iteration. Rounding the
+    // score instead sits ON a 7th-decimal half boundary whenever the
+    // odd-digit case fires (caught strict on this gate's first run).
+    Q("q201_mmr_diversify", { t =>
+        val emb = t.embeddings.select(col("vec_id").as("id"),
+                                      col("embedding"))
+        val top = Ann.bruteForceCosineTopK(
+          emb.filter(col("id") % 50 === 0), emb, 10)
+        val cand = top.join(
+            t.embeddings.select(col("vec_id").as("vid"),
+                                col("embedding").as("emb")), "vid")
+          .select(col("qid"), col("vid").as("doc_id"),
+                  col("cos").as("rel"), col("emb"))
+        Ann.mmrDiversify(cand, lambda = 0.5, k = 4)
+      },
+      Some(evCte + """,
+        |dots AS (
+        |  SELECT a.vec_id AS qid, b.vec_id AS vid, SUM(a.v * b.v) AS dot
+        |  FROM ev a JOIN ev b ON a.d = b.d
+        |    AND a.vec_id % 50 = 0 AND a.vec_id <> b.vec_id
+        |  GROUP BY 1, 2
+        |), cand AS (
+        |  SELECT qid, vid, cos AS rel FROM (
+        |    SELECT qid, vid, cos,
+        |      ROW_NUMBER() OVER (PARTITION BY qid
+        |        ORDER BY cos DESC, vid) AS rank
+        |    FROM (
+        |      SELECT qid, vid, round(dot / sqrt(na.nn * nb.nn), 6) AS cos
+        |      FROM dots
+        |      JOIN norms na ON qid = na.vec_id
+        |      JOIN norms nb ON vid = nb.vec_id) c) r
+        |  WHERE rank <= 10
+        |), simdots AS (
+        |  SELECT x.qid, x.vid AS a, y.vid AS b, SUM(ea.v * eb.v) AS dot
+        |  FROM cand x JOIN cand y ON x.qid = y.qid AND x.vid <> y.vid
+        |  JOIN ev ea ON ea.vec_id = x.vid
+        |  JOIN ev eb ON eb.vec_id = y.vid AND eb.d = ea.d
+        |  GROUP BY 1, 2, 3
+        |), sims AS (
+        |  SELECT sd.qid, sd.a, sd.b,
+        |    round(sd.dot / sqrt(na.nn * nb.nn), 6) AS sim
+        |  FROM simdots sd
+        |  JOIN norms na ON sd.a = na.vec_id
+        |  JOIN norms nb ON sd.b = nb.vec_id
+        |), sel1 AS (
+        |  SELECT qid, vid AS doc_id, 1 AS mmr_rank, score AS mmr_score
+        |  FROM (
+        |    SELECT qid, vid, score,
+        |      ROW_NUMBER() OVER (PARTITION BY qid
+        |        ORDER BY score DESC, vid) AS rn
+        |    FROM (SELECT qid, vid,
+        |            CAST(CAST(0.5 AS DECIMAL(18,6))
+        |                 * CAST(rel AS DECIMAL(18,6)) AS DOUBLE)
+        |              AS score
+        |          FROM cand) y) z
+        |  WHERE rn = 1
+        |)""".stripMargin + (2 to 4).map { n => s"""
+        |, pick$n AS (
+        |  SELECT qid, vid AS doc_id, $n AS mmr_rank, score AS mmr_score
+        |  FROM (
+        |    SELECT qid, vid, score,
+        |      ROW_NUMBER() OVER (PARTITION BY qid
+        |        ORDER BY score DESC, vid) AS rn
+        |    FROM (
+        |      SELECT c.qid, c.vid,
+        |        CAST(CAST(0.5 AS DECIMAL(18,6))
+        |               * CAST(c.rel AS DECIMAL(18,6))
+        |             - CAST(0.5 AS DECIMAL(18,6))
+        |               * CAST(COALESCE(m.msim, 0.0) AS DECIMAL(18,6))
+        |          AS DOUBLE) AS score
+        |      FROM cand c
+        |      LEFT JOIN (
+        |        SELECT s.qid, s.a AS vid, MAX(s.sim) AS msim
+        |        FROM sims s JOIN sel${n - 1} p
+        |          ON p.qid = s.qid AND p.doc_id = s.b
+        |        GROUP BY 1, 2) m ON m.qid = c.qid AND m.vid = c.vid
+        |      WHERE NOT EXISTS (SELECT 1 FROM sel${n - 1} p
+        |                        WHERE p.qid = c.qid AND p.doc_id = c.vid)
+        |    ) y) z WHERE rn = 1
+        |), sel$n AS (
+        |  SELECT * FROM sel${n - 1} UNION ALL SELECT * FROM pick$n
+        |)""".stripMargin }.mkString + """
+        |SELECT qid, doc_id, mmr_rank, mmr_score FROM sel4"""
+        .stripMargin))
   )
 }

@@ -787,4 +787,57 @@ object Dedup {
         Window.orderBy(col("err"), col("b"))) === 1)
       .select("b", "r", "fp", "fn", "err", "chosen")
   }
+
+  /** Paragraph-level exact dedup with document reassembly — the
+    * sub-document granularity of web-corpus pipelines (e.g. Dolma,
+    * RefinedWeb): boilerplate paragraphs (nav bars, cookie banners,
+    * license footers) repeat across millions of pages whose documents
+    * are NOT near-duplicates, so document-level dedup never sees them.
+    * Reference context: the whole-row dedup surface
+    * (`Utils/dataset.py`'s drop_duplicates paths) — this is its
+    * sub-row counterpart for the documents table.
+    *
+    * Semantics: split each document on `sep`, drop whitespace-only
+    * paragraphs, and keep only the corpus-wide FIRST occurrence of
+    * each normalized paragraph (lowercase, whitespace-collapsed md5;
+    * first = smallest (doc_id, para_idx), so a repeat WITHIN one
+    * document is dropped too). Each document is reassembled from its
+    * surviving paragraphs in original order; documents that lose every
+    * paragraph come back with empty text rather than vanishing — the
+    * caller decides whether empty docs survive (chain
+    * [[graft.text.TextOps.qualityFilter]]).
+    *
+    * Scale shape: three key-partitioned shuffles, nothing broadcast —
+    * explode → min-struct aggregate on the paragraph hash (the
+    * paragraph-TYPE frame), join back ON THE HASH (co-partitioned; the
+    * type frame is corpus-sized for web text, so it must not
+    * broadcast), then one groupBy doc_id to reassemble. Per-doc state
+    * is bounded by the document's own paragraph count. */
+  def paragraphDedup(docs: DataFrame, id: Column, text: Column,
+                     sep: String = "\n\n"): DataFrame = {
+    require(sep.nonEmpty, "separator must be non-empty")
+    val paras = docs
+      .select(id.as("doc_id"),
+              posexplode(split(text, java.util.regex.Pattern.quote(sep)))
+                .as(Seq("para_idx", "para")))
+      .filter(trim(col("para")) =!= "")
+      .withColumn("h",
+        md5(regexp_replace(lower(trim(col("para"))), "\\s+", " ")))
+    // first occurrence per paragraph type: ONE aggregate over the
+    // exploded frame; min(struct) orders by (doc_id, para_idx)
+    val first = paras.groupBy("h")
+      .agg(min(struct(col("doc_id"), col("para_idx"))).as("keeper"))
+    val kept = paras.join(first, Seq("h"))
+      .withColumn("is_first",
+        col("doc_id") === col("keeper.doc_id") &&
+        col("para_idx") === col("keeper.para_idx"))
+    kept.groupBy("doc_id")
+      .agg(
+        array_join(transform(
+            array_sort(collect_list(when(col("is_first"),
+              struct(col("para_idx"), col("para"))))),
+            p => p.getField("para")), sep).as("text"),
+        sum(col("is_first").cast("long")).as("n_paras_kept"),
+        sum((!col("is_first")).cast("long")).as("n_paras_dropped"))
+  }
 }

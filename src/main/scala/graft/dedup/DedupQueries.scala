@@ -1185,6 +1185,57 @@ object DedupQueries {
         |       ELSE 'changed' END AS status,
         |  old_hash, new_hash
         |FROM oldd FULL OUTER JOIN newd ON oldd.doc_id = newd.doc_id"""
-        .stripMargin))
+        .stripMargin)),
+
+    // Paragraph-level exact dedup with reassembly (Dolma/RefinedWeb
+    // granularity): paragraphs planted in-query — two 10-token slices
+    // of each doc plus a global boilerplate paragraph (and every 7th
+    // doc repeats its own first slice), so cross-doc boilerplate,
+    // natural slice collisions, and intra-doc repeats all occur.
+    Q("q198_paragraph_dedup", { t =>
+        val toks = split(lower(col("text")), "\\s+")
+        val p1 = array_join(slice(toks, 1, 10), " ")
+        val p2 = array_join(slice(toks, 11, 10), " ")
+        val planted = t.documents.select(col("doc_id"),
+          concat_ws("\n\n", p1,
+            lit("subscribe to our newsletter today"), p2,
+            when(col("doc_id") % 7 === 0, p1)).as("text"))
+        Dedup.paragraphDedup(planted, col("doc_id"), col("text"))
+      },
+      Some("""WITH planted AS (
+        |  SELECT doc_id,
+        |    concat_ws(chr(10) || chr(10),
+        |      array_to_string(list_slice(
+        |        string_split_regex(lower(text), '\s+'), 1, 10), ' '),
+        |      'subscribe to our newsletter today',
+        |      array_to_string(list_slice(
+        |        string_split_regex(lower(text), '\s+'), 11, 20), ' '),
+        |      CASE WHEN doc_id % 7 = 0 THEN array_to_string(list_slice(
+        |        string_split_regex(lower(text), '\s+'), 1, 10), ' ')
+        |      END) AS text
+        |  FROM documents
+        |), paras AS (
+        |  SELECT doc_id, CAST(i - 1 AS INT) AS para_idx,
+        |    list_extract(string_split(text, chr(10) || chr(10)),
+        |                 CAST(i AS INT)) AS para
+        |  FROM planted,
+        |    UNNEST(generate_series(1,
+        |      len(string_split(text, chr(10) || chr(10))))) t(i)
+        |), hashed AS (
+        |  SELECT doc_id, para_idx, para,
+        |    ROW_NUMBER() OVER (
+        |      PARTITION BY md5(regexp_replace(lower(trim(para)),
+        |                                      '\s+', ' ', 'g'))
+        |      ORDER BY doc_id, para_idx) AS rn
+        |  FROM paras WHERE trim(para) <> ''
+        |)
+        |SELECT doc_id,
+        |  COALESCE(string_agg(CASE WHEN rn = 1 THEN para END,
+        |    chr(10) || chr(10) ORDER BY para_idx), '') AS text,
+        |  CAST(SUM(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_paras_kept,
+        |  CAST(SUM(CASE WHEN rn = 1 THEN 0 ELSE 1 END) AS BIGINT)
+        |    AS n_paras_dropped
+        |FROM hashed GROUP BY doc_id""".stripMargin))
   )
 }

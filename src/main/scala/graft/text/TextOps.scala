@@ -902,4 +902,118 @@ object TextOps {
       .select(col("doc_id"), col("n_feats"),
               col("logw_dec").cast("double").as("logw"), col("rank"))
   }
+
+  /** C4-style line-level corpus cleaning (Raffel et al., JMLR 2020
+    * §2.2): the line rules keep only lines that (a) end in a terminal
+    * punctuation mark (`.` `!` `?` `"`), (b) carry at least
+    * `minWordsPerLine` whitespace words, and (c) do not mention
+    * "javascript" (case-insensitive — the classic scraped-page
+    * artifact); the page rules then drop any document whose CLEANED
+    * line count falls below `minLinesPerDoc`, any document containing
+    * "lorem ipsum" (case-insensitive), and any document containing a
+    * curly brace (code masquerading as prose). Survivors come back
+    * reassembled from their kept lines in original order, with
+    * kept/dropped line counts for auditability.
+    *
+    * Scale shape: the line rules run INSIDE a higher-order
+    * `filter` over the split array — per-row array work, zero
+    * explode, zero shuffle, fully codegen'd; the page rules are plain
+    * predicates on the same row. Scan speed at any corpus size. */
+  def cleanLinesC4(docs: DataFrame, id: Column, text: Column,
+                   minWordsPerLine: Int = 5,
+                   minLinesPerDoc: Int = 3): DataFrame = {
+    require(minWordsPerLine > 0, "minWordsPerLine must be positive")
+    require(minLinesPerDoc > 0, "minLinesPerDoc must be positive")
+    val keepLine = (l: Column) => {
+      val t = trim(l)
+      (t =!= "") &&
+      substring(rtrim(l), -1, 1).isin(".", "!", "?", "\"") &&
+      (size(split(t, "\\s+")) >= minWordsPerLine) &&
+      !lower(l).contains("javascript")
+    }
+    docs
+      .select(id.as("doc_id"), text.as("_raw"))
+      .withColumn("_kept", filter(split(col("_raw"), "\n"), keepLine))
+      .withColumn("_nonempty",
+        size(filter(split(col("_raw"), "\n"), l => trim(l) =!= "")))
+      .filter(size(col("_kept")) >= minLinesPerDoc &&
+              !lower(col("_raw")).contains("lorem ipsum") &&
+              !col("_raw").contains("{"))
+      .select(col("doc_id"),
+              array_join(col("_kept"), "\n").as("text"),
+              size(col("_kept")).cast("long").as("n_lines_kept"),
+              (col("_nonempty") - size(col("_kept"))).cast("long")
+                .as("n_lines_dropped"))
+  }
+
+  /** Cross-corpus Kneser–Ney perplexity filter — the CCNet recipe
+    * (Wenzek et al., LREC 2020): train a KN-smoothed LM on a CURATED
+    * reference corpus, score every candidate document's perplexity
+    * under it, and keep/bucket by that score. [[kneserNeyBigram]]
+    * scores a corpus against its own counts (every bigram observed);
+    * this operator scores UNSEEN text, so it carries the full backoff
+    * chain:
+    *
+    *   seen history h:  p(w|h) = max(c(h,w) − d, 0)/c(h)
+    *                           + d · N1+(h·)/c(h) · p_cont(w)
+    *   unseen history:  p(w|h) = p_cont(w)
+    *   p_cont(w) = N1+(·w)/B for in-vocabulary w; OOV continuations
+    *   take the <unk> convention of one pseudo-type, p_cont = 1/B
+    *   (KenLM routes OOV tokens to <unk> the same way).
+    *
+    * Returns per target document: n_bigrams, n_oov (bigrams whose
+    * (h,w) pair the reference never saw), the exact-decimal sum of
+    * log2 p, and `ppl_log2` = −avg log2 p — log2 of the perplexity
+    * CCNet thresholds into head/middle/tail buckets (kept in log
+    * space, the [[perplexityBuckets]] convention: 2^x would reopen
+    * the cross-libm pow drift the round-6 decimal discipline
+    * closes).
+    *
+    * Scale shape: the reference counts are the [[kneserNeyBigram]]
+    * towers (one bigram-type shuffle); the target side explodes once
+    * and LEFT-joins the three count frames ON THEIR NATURAL KEYS —
+    * none broadcast, since a web-scale vocabulary makes every tower
+    * corpus-sized. Only the scalar type total broadcasts. Per-term
+    * round-6 log2, exact-decimal accumulation (the engine's
+    * cross-engine convention). */
+  def knPerplexityFilter(ref: DataFrame, refId: Column, refText: Column,
+                         target: DataFrame, tgtId: Column,
+                         tgtText: Column, d: Double = 0.75): DataFrame = {
+    require(d > 0 && d < 1, s"discount d must be in (0,1), got $d")
+    def bigrams(df: DataFrame, id: Column, text: Column): DataFrame = {
+      val tarr = tokens(text)
+      df.select(id.as("doc_id"),
+          explode(filter(
+            zip_with(tarr, slice(tarr, lit(2),
+                                 greatest(size(tarr) - 1, lit(0))),
+                     (a, b) => struct(a.as("w1"), b.as("w2"))),
+            p => p.getField("w2").isNotNull)).as("p"))
+        .select(col("doc_id"), col("p.w1").as("w1"), col("p.w2").as("w2"))
+    }
+    val c12 = graft.core.CacheScope.persist(
+      bigrams(ref, refId, refText)
+        .groupBy("w1", "w2").agg(count(lit(1)).as("c12")))
+    val hist = c12.groupBy("w1")
+      .agg(sum("c12").as("c1"), count(lit(1)).as("n1l"))
+    val cont = c12.groupBy("w2").agg(count(lit(1)).as("n1r"))
+    val totals = c12.agg(count(lit(1)).as("b_types"))
+    // p_cont with the <unk> pseudo-type for OOV continuations
+    val pCont = coalesce(col("n1r"), lit(1L)) / col("b_types")
+    val p = when(col("c1").isNotNull,
+        (greatest(coalesce(col("c12"), lit(0L)) - lit(d), lit(0.0)) +
+          lit(d) * col("n1l") * pCont) / col("c1"))
+      .otherwise(pCont)
+    bigrams(target, tgtId, tgtText)
+      .join(c12, Seq("w1", "w2"), "left")
+      .join(hist, Seq("w1"), "left")
+      .join(cont, Seq("w2"), "left")
+      .crossJoin(broadcast(totals))
+      .withColumn("logp", round(log2(p), 6).cast("decimal(18,6)"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_bigrams"),
+           sum(col("c12").isNull.cast("long")).as("n_oov"),
+           sum(col("logp")).cast("double").as("sum_logp"),
+           round(-(sum(col("logp")).cast("double") / count(lit(1))), 6)
+             .as("ppl_log2"))
+  }
 }

@@ -1295,6 +1295,252 @@ object TextQueries {
         |    ROW_NUMBER() OVER (PARTITION BY qid
         |      ORDER BY rank, doc_id) AS neg_rank
         |  FROM neg) z
-        |WHERE neg_rank <= 5""".stripMargin))
+        |WHERE neg_rank <= 5""".stripMargin)),
+
+    // C4 line+page cleaning rules over planted multi-line documents:
+    // three token-slice sentences with terminal punctuation (kept), a
+    // no-punctuation line and a short line (line-dropped), a
+    // javascript line (line-dropped); every 11th doc gains a brace and
+    // every 13th a lorem-ipsum line (page-dropped). Survivor text is
+    // compared VERBATIM.
+    Q("q199_c4_line_filter", { t =>
+        val toks = split(lower(col("text")), "\\s+")
+        val planted = t.documents.select(col("doc_id"),
+          concat_ws("\n",
+            concat(array_join(slice(toks, 1, 8), " "), lit(".")),
+            array_join(slice(toks, 9, 6), " "),
+            concat(array_join(slice(toks, 1, 3), " "), lit("!")),
+            lit("please enable javascript to view this content."),
+            concat(array_join(slice(toks, 15, 8), " "), lit("!")),
+            when(col("doc_id") % 11 === 0, lit("code { risk }")),
+            when(col("doc_id") % 13 === 0,
+                 lit("standard lorem ipsum filler text.")),
+            concat(array_join(slice(toks, 5, 9), " "), lit("?")))
+            .as("text"))
+        TextOps.cleanLinesC4(planted, col("doc_id"), col("text"))
+      },
+      Some("""WITH planted AS (
+        |  SELECT doc_id, concat_ws(chr(10),
+        |    array_to_string(list_slice(
+        |      string_split_regex(lower(text), '\s+'), 1, 8), ' ') || '.',
+        |    array_to_string(list_slice(
+        |      string_split_regex(lower(text), '\s+'), 9, 14), ' '),
+        |    array_to_string(list_slice(
+        |      string_split_regex(lower(text), '\s+'), 1, 3), ' ') || '!',
+        |    'please enable javascript to view this content.',
+        |    array_to_string(list_slice(
+        |      string_split_regex(lower(text), '\s+'), 15, 22), ' ') || '!',
+        |    CASE WHEN doc_id % 11 = 0 THEN 'code { risk }' END,
+        |    CASE WHEN doc_id % 13 = 0
+        |         THEN 'standard lorem ipsum filler text.' END,
+        |    array_to_string(list_slice(
+        |      string_split_regex(lower(text), '\s+'), 5, 13), ' ') || '?'
+        |    ) AS text
+        |  FROM documents
+        |), split_docs AS (
+        |  SELECT doc_id, text,
+        |    list_filter(string_split(text, chr(10)), l ->
+        |      trim(l) <> ''
+        |      AND right(rtrim(l), 1) IN ('.', '!', '?', '"')
+        |      AND len(string_split_regex(trim(l), '\s+')) >= 5
+        |      AND NOT contains(lower(l), 'javascript')) AS kept,
+        |    len(list_filter(string_split(text, chr(10)),
+        |        l -> trim(l) <> '')) AS n_nonempty
+        |  FROM planted
+        |)
+        |SELECT doc_id,
+        |  array_to_string(kept, chr(10)) AS text,
+        |  CAST(len(kept) AS BIGINT) AS n_lines_kept,
+        |  CAST(n_nonempty - len(kept) AS BIGINT) AS n_lines_dropped
+        |FROM split_docs
+        |WHERE len(kept) >= 3
+        |  AND NOT contains(lower(text), 'lorem ipsum')
+        |  AND NOT contains(text, '{')""".stripMargin)),
+
+    // Cross-corpus Kneser-Ney perplexity filter (the CCNet recipe):
+    // LM trained on the even-id half of the corpus, every document
+    // scored under it with the full backoff chain (seen pair /
+    // OOV continuation / unseen history), so odd docs genuinely
+    // exercise the backoff paths the self-scored q190 never hits.
+    Q("q200_kn_perplexity_filter", { t =>
+        val ref = t.documents.filter(col("doc_id") % 2 === 0)
+        TextOps.knPerplexityFilter(
+          ref, col("doc_id"), col("text"),
+          t.documents, col("doc_id"), col("text"))
+      },
+      Some("""WITH toks AS (
+        |  SELECT doc_id, i AS pos,
+        |    list_extract(string_split_regex(lower(text), '\s+'),
+        |                 CAST(i AS INT)) AS tok
+        |  FROM documents,
+        |    UNNEST(generate_series(1,
+        |      len(string_split_regex(lower(text), '\s+')))) t(i)
+        |), bg AS (
+        |  SELECT doc_id, tok AS w1, t1 AS w2 FROM (
+        |    SELECT doc_id, tok,
+        |      LEAD(tok, 1) OVER (PARTITION BY doc_id ORDER BY pos) AS t1
+        |    FROM toks) x
+        |  WHERE t1 IS NOT NULL
+        |), rbg AS (SELECT * FROM bg WHERE doc_id % 2 = 0
+        |), c12 AS (
+        |  SELECT w1, w2, COUNT(*) AS c12 FROM rbg GROUP BY 1, 2
+        |), hist AS (
+        |  SELECT w1, SUM(c12) AS c1, COUNT(*) AS n1l FROM c12 GROUP BY 1
+        |), cont AS (
+        |  SELECT w2, COUNT(*) AS n1r FROM c12 GROUP BY 1
+        |), tot AS (SELECT COUNT(*) AS b_types FROM c12)
+        |SELECT doc_id, COUNT(*) AS n_bigrams,
+        |  CAST(SUM(CASE WHEN c12 IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_oov,
+        |  CAST(SUM(lp) AS DOUBLE) AS sum_logp,
+        |  round(-(CAST(SUM(lp) AS DOUBLE) / COUNT(*)), 6) AS ppl_log2
+        |FROM (
+        |  SELECT bg.doc_id, c12.c12,
+        |    CAST(round(log2(CASE WHEN hist.c1 IS NOT NULL THEN
+        |      (greatest(COALESCE(c12.c12, 0) - 0.75, 0.0)
+        |        + 0.75 * hist.n1l
+        |          * (COALESCE(cont.n1r, 1) / b_types)) / hist.c1
+        |      ELSE COALESCE(cont.n1r, 1) / b_types END), 6)
+        |      AS DECIMAL(18,6)) AS lp
+        |  FROM bg
+        |  LEFT JOIN c12 USING (w1, w2)
+        |  LEFT JOIN hist USING (w1)
+        |  LEFT JOIN cont USING (w2)
+        |  CROSS JOIN tot) z
+        |GROUP BY doc_id""".stripMargin)),
+
+    // The standard web-corpus curation pipeline CHAINED end to end
+    // (the q130/q183 whole-chain convention): C4 line+page cleaning
+    // (q199's planting) -> line-granular paragraph dedup (Dolma's
+    // paragraph = line) -> cross-corpus KN perplexity scoring with the
+    // LM trained on the even-id half of the CURATED text. Docs whose
+    // curated text drops below two tokens leave the report (no
+    // bigrams to score) — the inner join is the contract.
+    Q("q202_curation_chain", { t =>
+        val toks = split(lower(col("text")), "\\s+")
+        val planted = t.documents.select(col("doc_id"),
+          concat_ws("\n",
+            concat(array_join(slice(toks, 1, 8), " "), lit(".")),
+            array_join(slice(toks, 9, 6), " "),
+            concat(array_join(slice(toks, 1, 3), " "), lit("!")),
+            lit("please enable javascript to view this content."),
+            concat(array_join(slice(toks, 15, 8), " "), lit("!")),
+            when(col("doc_id") % 11 === 0, lit("code { risk }")),
+            when(col("doc_id") % 13 === 0,
+                 lit("standard lorem ipsum filler text.")),
+            concat(array_join(slice(toks, 5, 9), " "), lit("?")))
+            .as("text"))
+        val cleaned = TextOps.cleanLinesC4(planted, col("doc_id"),
+                                           col("text"))
+        val deduped = graft.dedup.Dedup.paragraphDedup(
+          cleaned.select(col("doc_id"), col("text")),
+          col("doc_id"), col("text"), sep = "\n")
+        val scored = TextOps.knPerplexityFilter(
+          deduped.filter(col("doc_id") % 2 === 0),
+          col("doc_id"), col("text"),
+          deduped, col("doc_id"), col("text"))
+        deduped.join(scored, "doc_id")
+          .select(col("doc_id"), col("text"), col("n_paras_kept"),
+                  col("n_bigrams"), col("n_oov"), col("sum_logp"),
+                  col("ppl_log2"))
+      },
+      Some("""WITH planted AS (
+        |  SELECT doc_id, concat_ws(chr(10),
+        |    array_to_string(list_slice(
+        |      string_split_regex(lower(text), '\s+'), 1, 8), ' ') || '.',
+        |    array_to_string(list_slice(
+        |      string_split_regex(lower(text), '\s+'), 9, 14), ' '),
+        |    array_to_string(list_slice(
+        |      string_split_regex(lower(text), '\s+'), 1, 3), ' ') || '!',
+        |    'please enable javascript to view this content.',
+        |    array_to_string(list_slice(
+        |      string_split_regex(lower(text), '\s+'), 15, 22), ' ') || '!',
+        |    CASE WHEN doc_id % 11 = 0 THEN 'code { risk }' END,
+        |    CASE WHEN doc_id % 13 = 0
+        |         THEN 'standard lorem ipsum filler text.' END,
+        |    array_to_string(list_slice(
+        |      string_split_regex(lower(text), '\s+'), 5, 13), ' ') || '?'
+        |    ) AS text
+        |  FROM documents
+        |), filt AS (
+        |  SELECT doc_id, text,
+        |    list_filter(string_split(text, chr(10)), l ->
+        |      trim(l) <> ''
+        |      AND right(rtrim(l), 1) IN ('.', '!', '?', '"')
+        |      AND len(string_split_regex(trim(l), '\s+')) >= 5
+        |      AND NOT contains(lower(l), 'javascript')) AS kept
+        |  FROM planted
+        |), cleaned AS (
+        |  SELECT doc_id, array_to_string(kept, chr(10)) AS text
+        |  FROM filt
+        |  WHERE len(kept) >= 3
+        |    AND NOT contains(lower(text), 'lorem ipsum')
+        |    AND NOT contains(text, '{')
+        |), paras AS (
+        |  SELECT doc_id, CAST(i - 1 AS INT) AS para_idx,
+        |    list_extract(string_split(text, chr(10)),
+        |                 CAST(i AS INT)) AS para
+        |  FROM cleaned,
+        |    UNNEST(generate_series(1,
+        |      len(string_split(text, chr(10))))) t(i)
+        |), hashed AS (
+        |  SELECT doc_id, para_idx, para,
+        |    ROW_NUMBER() OVER (
+        |      PARTITION BY md5(regexp_replace(lower(trim(para)),
+        |                                      '\s+', ' ', 'g'))
+        |      ORDER BY doc_id, para_idx) AS rn
+        |  FROM paras WHERE trim(para) <> ''
+        |), dedup AS (
+        |  SELECT doc_id,
+        |    COALESCE(string_agg(CASE WHEN rn = 1 THEN para END,
+        |      chr(10) ORDER BY para_idx), '') AS text,
+        |    CAST(SUM(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_paras_kept
+        |  FROM hashed GROUP BY doc_id
+        |), toks AS (
+        |  SELECT doc_id, i AS pos,
+        |    list_extract(string_split_regex(lower(text), '\s+'),
+        |                 CAST(i AS INT)) AS tok
+        |  FROM dedup,
+        |    UNNEST(generate_series(1,
+        |      len(string_split_regex(lower(text), '\s+')))) t(i)
+        |), bg AS (
+        |  SELECT doc_id, tok AS w1, t1 AS w2 FROM (
+        |    SELECT doc_id, tok,
+        |      LEAD(tok, 1) OVER (PARTITION BY doc_id ORDER BY pos) AS t1
+        |    FROM toks) x
+        |  WHERE t1 IS NOT NULL
+        |), rbg AS (SELECT * FROM bg WHERE doc_id % 2 = 0
+        |), c12 AS (
+        |  SELECT w1, w2, COUNT(*) AS c12 FROM rbg GROUP BY 1, 2
+        |), hist AS (
+        |  SELECT w1, SUM(c12) AS c1, COUNT(*) AS n1l FROM c12 GROUP BY 1
+        |), cont AS (
+        |  SELECT w2, COUNT(*) AS n1r FROM c12 GROUP BY 1
+        |), tot AS (SELECT COUNT(*) AS b_types FROM c12
+        |), scored AS (
+        |  SELECT doc_id, COUNT(*) AS n_bigrams,
+        |    CAST(SUM(CASE WHEN c12 IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_oov,
+        |    CAST(SUM(lp) AS DOUBLE) AS sum_logp,
+        |    round(-(CAST(SUM(lp) AS DOUBLE) / COUNT(*)), 6) AS ppl_log2
+        |  FROM (
+        |    SELECT bg.doc_id, c12.c12,
+        |      CAST(round(log2(CASE WHEN hist.c1 IS NOT NULL THEN
+        |        (greatest(COALESCE(c12.c12, 0) - 0.75, 0.0)
+        |          + 0.75 * hist.n1l
+        |            * (COALESCE(cont.n1r, 1) / b_types)) / hist.c1
+        |        ELSE COALESCE(cont.n1r, 1) / b_types END), 6)
+        |        AS DECIMAL(18,6)) AS lp
+        |    FROM bg
+        |    LEFT JOIN c12 USING (w1, w2)
+        |    LEFT JOIN hist USING (w1)
+        |    LEFT JOIN cont USING (w2)
+        |    CROSS JOIN tot) z
+        |  GROUP BY doc_id
+        |)
+        |SELECT d.doc_id, d.text, d.n_paras_kept, s.n_bigrams,
+        |  s.n_oov, s.sum_logp, s.ppl_log2
+        |FROM dedup d JOIN scored s USING (doc_id)""".stripMargin))
   )
 }

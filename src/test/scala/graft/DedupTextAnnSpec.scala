@@ -1148,4 +1148,103 @@ class DedupTextAnnSpec extends SparkSpec {
                       5L -> "changed",   // null -> 'filled'
                       6L -> "added"))
   }
+
+  test("paragraphDedup: corpus-wide first occurrence wins, docs " +
+       "reassemble in order, intra-doc repeats drop too") {
+    val corpus = Seq(
+      (0L, "alpha text one\n\nbeta text two\n\nsubscribe now"),
+      (1L, "Subscribe   NOW\n\ngamma text three"), // normalized dup
+      (2L, "alpha text one\n\nalpha text one"),    // intra-doc repeat
+      (3L, "subscribe now")).toDF("doc_id", "text")
+    val out = Dedup.paragraphDedup(corpus, col("doc_id"), col("text"))
+      .collect().map(r => r.getLong(0) ->
+        ((r.getString(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(out(0L) == (("alpha text one\n\nbeta text two\n\n" +
+                        "subscribe now", 3L, 0L)))
+    assert(out(1L) == (("gamma text three", 1L, 1L)))
+    assert(out(2L) == (("", 0L, 2L))) // both copies lose to doc 0
+    assert(out(3L) == (("", 0L, 1L)))
+  }
+
+  test("cleanLinesC4: line rules and page rules") {
+    val corpus = Seq(
+      (0L, "This is a perfectly fine sentence here.\n" + // kept
+           "No terminal punctuation on this long line\n" + // dropped
+           "Too short.\n" +                              // dropped
+           "Enable JavaScript to view comments please.\n" + // dropped
+           "Another good long sentence stands right here!\n" + // kept
+           "A third quality sentence completes this document.\n" + // kept
+           "   \n"),                                     // whitespace
+      (1L, "Good sentence number one sits right here.\n" +
+           "Good sentence number two sits right here."), // < 3 kept
+      (2L, "One fine sentence with lorem ipsum inside it.\n" +
+           "Second fine sentence stands right over here.\n" +
+           "Third fine sentence stands right over here."), // page drop
+      (3L, "One fine sentence without any brace risk.\n" +
+           "function f() { return 1; } is code text.\n" +
+           "Third fine sentence stands right over here.")) // page drop
+      .toDF("doc_id", "text")
+    val out = TextOps.cleanLinesC4(corpus, col("doc_id"), col("text"))
+      .collect().map(r => r.getLong(0) ->
+        ((r.getString(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(out.keySet == Set(0L))
+    val (txt, kept, dropped) = out(0L)
+    assert(kept == 3L && dropped == 3L)
+    assert(txt == "This is a perfectly fine sentence here.\n" +
+                  "Another good long sentence stands right here!\n" +
+                  "A third quality sentence completes this document.")
+    intercept[IllegalArgumentException] {
+      TextOps.cleanLinesC4(corpus, col("doc_id"), col("text"),
+                           minWordsPerLine = 0)
+    }
+  }
+
+  test("knPerplexityFilter: backoff chain hand-derived") {
+    // ref "a b a b a c": c12 = {ab:2, ba:2, ac:1}; hist a:(c1=3,n1l=2),
+    // b:(c1=2,n1l=1); cont n1r(a)=1,(b)=1,(c)=1; B=3 bigram types
+    val ref = Seq((0L, "a b a b a c")).toDF("doc_id", "text")
+    val tgt = Seq(
+      (10L, "a b"), // seen pair: (2-.75)/3 + .75*2*(1/3)/3 = 1.75/3
+      (11L, "a z"), // OOV continuation: .75*2*(1/3)/3 = 0.5/3
+      (12L, "z a")  // unseen history: p_cont(a) = 1/3
+      ).toDF("doc_id", "text")
+    val out = TextOps.knPerplexityFilter(ref, col("doc_id"), col("text"),
+        tgt, col("doc_id"), col("text"))
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    def lg(p: Double) = BigDecimal(math.log(p) / math.log(2))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(out(10L) == ((1L, 0L, lg(1.75 / 3))))
+    assert(out(11L) == ((1L, 1L, lg(0.5 / 3))))
+    assert(out(12L) == ((1L, 1L, lg(1.0 / 3))))
+    intercept[IllegalArgumentException] {
+      TextOps.knPerplexityFilter(ref, col("doc_id"), col("text"),
+        tgt, col("doc_id"), col("text"), d = 1.0)
+    }
+  }
+
+  test("mmrDiversify: redundancy loses to diversity; lambda=1 is " +
+       "pure relevance") {
+    // docs 1,2 nearly parallel (sim 1.0), doc 3 orthogonal
+    val cand = Seq(
+      (7L, 1L, 0.95, Array(1.0f, 0.0f)),
+      (7L, 2L, 0.90, Array(1.0f, 0.0f)),
+      (7L, 3L, 0.50, Array(0.0f, 1.0f)))
+      .toDF("qid", "doc_id", "rel", "emb")
+    val out = Ann.mmrDiversify(cand, lambda = 0.5, k = 2)
+      .collect().map(r => r.getInt(2) -> r.getLong(1)).toMap
+    // step 1: top rel = doc 1. step 2: doc 2 scores .5*.9-.5*1 = -0.05,
+    // doc 3 scores .5*.5-.5*0 = 0.25 -> diversity wins
+    assert(out == Map(1 -> 1L, 2 -> 3L))
+    val pure = Ann.mmrDiversify(cand, lambda = 1.0, k = 3)
+      .collect().map(r => r.getInt(2) -> r.getLong(1)).toMap
+    assert(pure == Map(1 -> 1L, 2 -> 2L, 3 -> 3L))
+    // k beyond the candidate list: every candidate selected once
+    val all = Ann.mmrDiversify(cand, lambda = 0.5, k = 10).collect()
+    assert(all.map(_.getLong(1)).toSet == Set(1L, 2L, 3L) &&
+           all.length == 3)
+    intercept[IllegalArgumentException] {
+      Ann.mmrDiversify(cand, lambda = 1.5, k = 2)
+    }
+  }
 }

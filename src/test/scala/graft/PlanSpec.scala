@@ -378,4 +378,59 @@ class PlanSpec extends SparkSpec {
     assert(!plan.contains("CartesianProduct"),
            s"scalar joins must broadcast:\n$plan")
   }
+
+  test("cleanLinesC4 is a pure scan: no exchange, no generate") {
+    // the line rules live inside a higher-order filter over the split
+    // array — an explode (Generate) or any shuffle would break the
+    // scan-speed contract
+    val q = graft.text.TextOps.cleanLinesC4(
+      t.documents, col("doc_id"), col("text"))
+    val plan = q.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange") && !plan.contains("Generate"),
+           s"line cleaning must not shuffle or explode:\n$plan")
+  }
+
+  test("paragraphDedup: no cartesian, no window, no broadcast hint — " +
+       "the paragraph-type frame joins on its key") {
+    val q = graft.dedup.Dedup.paragraphDedup(
+      t.documents, col("doc_id"), col("text"), sep = " ")
+    // zero hints: the first-occurrence frame is corpus-sized for web
+    // boilerplate, so it must reach the join unhinted (AQE may still
+    // broadcast a small one at runtime — the desired degradation)
+    assert(!q.queryExecution.analyzed.toString.contains("ResolvedHint"),
+           "no frame may be broadcast-hinted")
+    val plan = q.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") && !plan.contains("Window"),
+           s"key-partitioned aggregates/joins only:\n$plan")
+    assert(plan.contains("HashAggregate"),
+           s"first-occurrence pick must be a hash aggregate:\n$plan")
+  }
+
+  test("knPerplexityFilter broadcasts only the type-total scalar; " +
+       "count towers join on their natural keys") {
+    val q = graft.text.TextOps.knPerplexityFilter(
+      t.documents.filter(col("doc_id") % 2 === 0), col("doc_id"),
+      col("text"), t.documents, col("doc_id"), col("text"))
+    val analyzed = q.queryExecution.analyzed.toString
+    assert("ResolvedHint".r.findAllIn(analyzed).size == 1,
+           s"only the b_types scalar may be broadcast-hinted:\n$analyzed")
+    assert(!q.queryExecution.executedPlan.toString
+             .contains("CartesianProduct"))
+    graft.core.CacheScope.global.release()
+  }
+
+  test("mmrDiversify: lineage cut to an RDD leaf; no cartesian") {
+    val cand = (0 until 12).map(i =>
+      (i % 3L, i.toLong, 0.5 + (i % 7) * 0.05,
+       Array((i % 5).toFloat, 1.0f)))
+      .toDF("qid", "doc_id", "rel", "emb")
+    val q = graft.ann.Ann.mmrDiversify(cand, lambda = 0.5, k = 3)
+    val plan = q.queryExecution.executedPlan.toString
+    // each greedy round rebases `selected` on a LogicalRDD leaf — the
+    // final frame must be an RDD scan, not a k-round logical tree
+    // (3 references per round would grow analysis ~3^k otherwise)
+    assert(plan.contains("Scan ExistingRDD"),
+           s"selected must be lineage-cut per round:\n$plan")
+    graft.core.CacheScope.global.release()
+  }
 }
