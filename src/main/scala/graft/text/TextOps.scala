@@ -903,6 +903,115 @@ object TextOps {
               col("logw_dec").cast("double").as("logw"), col("rank"))
   }
 
+  /** Train a binary quality classifier as full-batch logistic
+    * regression over [[hashedNgramFeatures]] — the fastText-style
+    * linear-text-model recipe behind classifier-gated corpora
+    * (DCLM / FineWeb-Edu: score every document with a cheap linear
+    * model over hashed n-grams, keep the top fraction). Full-batch
+    * gradient descent, `epochs` plan-level iterations:
+    *
+    *   p_d = σ(b + Σ_b w_b · x_db),   w ← w − η/N · Σ_d (p_d − y_d)·x_d
+    *
+    * Scale shape per epoch: the dot products are one co-partitioned
+    * LEFT join of the (doc, bucket, count) frame to the ≤`nBuckets`
+    * weight frame plus a doc-keyed aggregate; the gradient is the
+    * mirror join plus a bucket-keyed aggregate. The weight frame is
+    * joined ON THE BUCKET KEY, not broadcast (the hash dimension is a
+    * tuning knob — at web scale it is millions of buckets), and the
+    * only driver traffic is ONE scalar per epoch (the bias gradient,
+    * the connectedComponents convention). Per-epoch lineage is cut to
+    * an RDD leaf (the [[graft.ann.Ann.mmrDiversify]] discipline).
+    *
+    * Determinism: weights live as exact DECIMAL(18,6); dot products
+    * and gradients are exact decimal sums (counts × decimal weights);
+    * the only transcendental, σ, is rounded to 6 decimals per doc and
+    * the update step rounds η·g/N to 6 decimals — both engines round
+    * the same IEEE double, the engine's cross-engine convention.
+    *
+    * Returns the model as (bucket, w) rows plus the bias as the
+    * reserved bucket = −1 row; score with
+    * [[scoreQualityClassifier]]. */
+  def fitQualityClassifier(docs: DataFrame, id: Column, text: Column,
+                           label: Column, nBuckets: Int = 2000,
+                           epochs: Int = 2, lr: Double = 0.5)
+      : DataFrame = {
+    require(epochs >= 1 && epochs <= 50,
+      s"epochs $epochs outside [1, 50]")
+    require(lr > 0, s"learning rate must be positive, got $lr")
+    val zeroDec = lit(java.math.BigDecimal.ZERO.setScale(6))
+      .cast("decimal(18,6)")
+    val lab = graft.core.CacheScope.persist(
+      docs.select(id.as("doc_id"), label.cast("long").as("y")))
+    val x = graft.core.CacheScope.persist(
+      hashedNgramFeatures(docs, id, text, nBuckets)
+        .groupBy("doc_id", "bucket").agg(count(lit(1)).as("x")))
+    val n = lab.count()
+    require(n > 0, "no labeled documents")
+    var w = x.select(col("bucket"), zeroDec.as("w")).limit(0)
+    var b = java.math.BigDecimal.ZERO.setScale(6)
+    for (_ <- 1 to epochs) {
+      val dots = x.join(w, Seq("bucket"), "left")
+        .groupBy("doc_id")
+        .agg(sum(col("x") * coalesce(col("w"), zeroDec)).as("dot"))
+      val resid = graft.core.CacheScope.persist(
+        lab.join(dots, Seq("doc_id"), "left")
+          .withColumn("logit",
+            coalesce(col("dot"), zeroDec) + lit(b))
+          .withColumn("p",
+            round(lit(1.0) /
+                    (lit(1.0) + exp(-col("logit").cast("double"))), 6)
+              .cast("decimal(18,6)"))
+          .select(col("doc_id"), (col("p") - col("y")).as("r")))
+      val gradW = x.join(resid, Seq("doc_id"))
+        .groupBy("bucket").agg(sum(col("x") * col("r")).as("g"))
+      // one scalar to the driver per epoch: the bias gradient
+      val gradB = resid.agg(sum(col("r")).as("gb")).head.getDecimal(0)
+      b = b.subtract(new java.math.BigDecimal(
+        gradB.doubleValue() * lr / n)
+        .setScale(6, java.math.RoundingMode.HALF_UP))
+      val wNext = gradW.join(w, Seq("bucket"), "left")
+        .select(col("bucket"),
+          (coalesce(col("w"), zeroDec) -
+           round(col("g").cast("double") * lr / n, 6)
+             .cast("decimal(18,6)")).as("w"))
+      // lineage cut: each epoch references w twice (dot + update)
+      val snap = graft.core.CacheScope.current.persistRdd(
+        wNext.rdd, org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      w = wNext.sparkSession.createDataFrame(snap, wNext.schema)
+    }
+    w.unionByName(
+      lab.limit(1).select(lit(-1L).as("bucket"),
+                          lit(b).cast("decimal(18,6)").as("w")))
+  }
+
+  /** Score documents under a [[fitQualityClassifier]] model: per doc,
+    * the exact-decimal dot of its hashed-n-gram counts with the weight
+    * frame (joined on the bucket key, never broadcast) plus the
+    * bias (the model's bucket = −1 row), and σ(logit) rounded to 6.
+    * Docs with no features score at σ(bias). */
+  def scoreQualityClassifier(docs: DataFrame, id: Column, text: Column,
+                             model: DataFrame, nBuckets: Int)
+      : DataFrame = {
+    val zeroDec = lit(java.math.BigDecimal.ZERO.setScale(6))
+      .cast("decimal(18,6)")
+    val wts = model.filter(col("bucket") >= 0)
+    val biasRow = model.filter(col("bucket") === -1)
+      .select(col("w").as("b"))
+    val x = hashedNgramFeatures(docs, id, text, nBuckets)
+      .groupBy("doc_id", "bucket").agg(count(lit(1)).as("x"))
+    val dots = x.join(wts, Seq("bucket"), "left")
+      .groupBy("doc_id")
+      .agg(sum(col("x") * coalesce(col("w"), zeroDec)).as("dot"))
+    docs.select(id.as("doc_id"))
+      .join(dots, Seq("doc_id"), "left")
+      .crossJoin(broadcast(biasRow))
+      .withColumn("logit",
+        (coalesce(col("dot"), zeroDec) + col("b")).cast("double"))
+      .withColumn("p_hat",
+        round(lit(1.0) / (lit(1.0) + exp(-col("logit"))), 6))
+      .select("doc_id", "logit", "p_hat")
+  }
+
   /** C4-style line-level corpus cleaning (Raffel et al., JMLR 2020
     * §2.2): the line rules keep only lines that (a) end in a terminal
     * punctuation mark (`.` `!` `?` `"`), (b) carry at least

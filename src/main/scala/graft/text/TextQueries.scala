@@ -1541,6 +1541,104 @@ object TextQueries {
         |)
         |SELECT d.doc_id, d.text, d.n_paras_kept, s.n_bigrams,
         |  s.n_oov, s.sum_logp, s.ppl_log2
-        |FROM dedup d JOIN scored s USING (doc_id)""".stripMargin))
+        |FROM dedup d JOIN scored s USING (doc_id)""".stripMargin)),
+
+    // fastText-style quality classifier (the DCLM / FineWeb-Edu
+    // recipe): full-batch logistic regression over hashed n-gram
+    // counts, 2 GD epochs at lr 0.5, label = (lang = 'en'); every doc
+    // then scored under the trained weights. The oracle unrolls both
+    // epochs — epoch 1 starts from w = 0 (p = sigma(0) = 0.5 exactly),
+    // epoch 2 rescales from epoch 1's weights; weights stay exact
+    // DECIMAL(18,6) throughout, so only sigma and the eta*g/N step
+    // round (both engines round the same IEEE double).
+    Q("q203_logreg_quality", { t =>
+        val model = TextOps.fitQualityClassifier(
+          t.documents, col("doc_id"), col("text"),
+          (col("lang") === "en").cast("long"),
+          nBuckets = 500, epochs = 2, lr = 0.5)
+        TextOps.scoreQualityClassifier(
+          t.documents, col("doc_id"), col("text"), model,
+          nBuckets = 500)
+      },
+      Some("""WITH toks AS (
+        |  SELECT doc_id, i AS pos,
+        |    list_extract(string_split_regex(lower(text), '\s+'),
+        |                 CAST(i AS INT)) AS tok
+        |  FROM documents, UNNEST(generate_series(1,
+        |    len(string_split_regex(lower(text), '\s+')))) t(i)
+        |  WHERE len(tok) > 0
+        |), feats AS (
+        |  SELECT doc_id,
+        |    (('0x' || substr(md5(ngram), 1, 8))::BIGINT) % 500
+        |      AS bucket
+        |  FROM (
+        |    SELECT doc_id, tok AS ngram FROM toks
+        |    UNION ALL
+        |    SELECT doc_id, tok || ' ' || t1 AS ngram FROM (
+        |      SELECT doc_id, tok,
+        |        LEAD(tok, 1) OVER (PARTITION BY doc_id ORDER BY pos)
+        |          AS t1
+        |      FROM toks) z WHERE t1 IS NOT NULL)
+        |), x AS (
+        |  SELECT doc_id, bucket, COUNT(*) AS x
+        |  FROM feats GROUP BY 1, 2
+        |), lab AS (
+        |  SELECT doc_id,
+        |    CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y
+        |  FROM documents
+        |), nn AS (SELECT COUNT(*) AS n FROM lab
+        |), r1 AS (
+        |  SELECT doc_id, CAST(0.5 AS DECIMAL(18,6)) - y AS r FROM lab
+        |), g1 AS (
+        |  SELECT bucket, SUM(x * r) AS g
+        |  FROM x JOIN r1 USING (doc_id) GROUP BY 1
+        |), w1 AS (
+        |  SELECT bucket,
+        |    CAST(0 AS DECIMAL(18,6))
+        |      - CAST(round(CAST(g AS DOUBLE) * 0.5 / n, 6)
+        |             AS DECIMAL(18,6)) AS w
+        |  FROM g1 CROSS JOIN nn
+        |), b1 AS (
+        |  SELECT CAST(0 AS DECIMAL(18,6))
+        |    - CAST(round(CAST((SELECT SUM(r) FROM r1) AS DOUBLE)
+        |                 * 0.5 / (SELECT n FROM nn), 6)
+        |           AS DECIMAL(18,6)) AS b
+        |), dot2 AS (
+        |  SELECT x.doc_id,
+        |    SUM(x * COALESCE(w1.w, CAST(0 AS DECIMAL(18,6)))) AS dot
+        |  FROM x LEFT JOIN w1 USING (bucket) GROUP BY 1
+        |), r2 AS (
+        |  SELECT lab.doc_id,
+        |    CAST(round(1.0 / (1.0 + exp(-CAST(
+        |        COALESCE(dot, CAST(0 AS DECIMAL(18,6))) + b
+        |      AS DOUBLE))), 6) AS DECIMAL(18,6)) - y AS r
+        |  FROM lab LEFT JOIN dot2 USING (doc_id) CROSS JOIN b1
+        |), g2 AS (
+        |  SELECT bucket, SUM(x * r) AS g
+        |  FROM x JOIN r2 USING (doc_id) GROUP BY 1
+        |), w2 AS (
+        |  SELECT bucket,
+        |    COALESCE(w1.w, CAST(0 AS DECIMAL(18,6)))
+        |      - CAST(round(CAST(g AS DOUBLE) * 0.5 / n, 6)
+        |             AS DECIMAL(18,6)) AS w
+        |  FROM g2 LEFT JOIN w1 USING (bucket) CROSS JOIN nn
+        |), b2 AS (
+        |  SELECT (SELECT b FROM b1)
+        |    - CAST(round(CAST((SELECT SUM(r) FROM r2) AS DOUBLE)
+        |                 * 0.5 / (SELECT n FROM nn), 6)
+        |           AS DECIMAL(18,6)) AS b
+        |), dotf AS (
+        |  SELECT x.doc_id,
+        |    SUM(x * COALESCE(w2.w, CAST(0 AS DECIMAL(18,6)))) AS dot
+        |  FROM x LEFT JOIN w2 USING (bucket) GROUP BY 1
+        |)
+        |SELECT lab.doc_id,
+        |  CAST(COALESCE(dot, CAST(0 AS DECIMAL(18,6))) + b AS DOUBLE)
+        |    AS logit,
+        |  round(1.0 / (1.0 + exp(-CAST(
+        |      COALESCE(dot, CAST(0 AS DECIMAL(18,6))) + b
+        |    AS DOUBLE))), 6) AS p_hat
+        |FROM lab LEFT JOIN dotf USING (doc_id) CROSS JOIN b2"""
+        .stripMargin))
   )
 }

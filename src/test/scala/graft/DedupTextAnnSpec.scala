@@ -1223,6 +1223,53 @@ class DedupTextAnnSpec extends SparkSpec {
     }
   }
 
+  test("fitQualityClassifier separates a separable corpus; " +
+       "featureless docs score at the bias") {
+    val corpus = Seq(
+      (0L, "excellent prose flows here", 1L),
+      (1L, "excellent writing flows here", 1L),
+      (2L, "spam junk click now", 0L),
+      (3L, "junk spam buy now", 0L),
+      (4L, "", 0L)).toDF("doc_id", "text", "y")
+    val model = TextOps.fitQualityClassifier(
+      corpus, col("doc_id"), col("text"), col("y"),
+      nBuckets = 64, epochs = 3, lr = 1.0)
+    val wrows = model.collect()
+    // bias row present exactly once, under the reserved bucket
+    assert(wrows.count(_.getLong(0) == -1L) == 1)
+    val scored = TextOps.scoreQualityClassifier(
+        corpus, col("doc_id"), col("text"), model, nBuckets = 64)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getDouble(1), r.getDouble(2)))).toMap
+    // separable fixture: every positive doc outscores every negative
+    for (p <- Seq(0L, 1L); n <- Seq(2L, 3L))
+      assert(scored(p)._2 > scored(n)._2,
+             s"doc $p must outscore doc $n: $scored")
+    // epoch 1 runs from w = 0, so positive-exclusive n-grams get
+    // positive weight (r = 0.5 - 1 < 0 => w = -eta*g/N > 0)
+    val oneEpoch = TextOps.fitQualityClassifier(
+      corpus, col("doc_id"), col("text"), col("y"),
+      nBuckets = 64, epochs = 1, lr = 1.0).collect()
+      .map(r => r.getLong(0) -> r.getDecimal(1)).toMap
+    val exBucket = TextOps.hashedNgramFeatures(
+        corpus.filter(col("doc_id") === 0), col("doc_id"), col("text"),
+        64).select("bucket").collect().map(_.getLong(0)).toSet
+    val negBucket = TextOps.hashedNgramFeatures(
+        corpus.filter(col("y") === 0), col("doc_id"), col("text"),
+        64).select("bucket").collect().map(_.getLong(0)).toSet
+    (exBucket -- negBucket).foreach { bkt =>
+      assert(oneEpoch(bkt).signum > 0,
+             s"positive-exclusive bucket $bkt must get positive weight")
+    }
+    // the empty doc has no features: logit == bias exactly
+    val bias = wrows.find(_.getLong(0) == -1L).get.getDecimal(1)
+    assert(math.abs(scored(4L)._1 - bias.doubleValue()) < 1e-12)
+    intercept[IllegalArgumentException] {
+      TextOps.fitQualityClassifier(corpus, col("doc_id"), col("text"),
+        col("y"), nBuckets = 64, epochs = 0)
+    }
+  }
+
   test("mmrDiversify: redundancy loses to diversity; lambda=1 is " +
        "pure relevance") {
     // docs 1,2 nearly parallel (sim 1.0), doc 3 orthogonal

@@ -419,6 +419,27 @@ class PlanSpec extends SparkSpec {
     graft.core.CacheScope.global.release()
   }
 
+  test("quality classifier: weight frame joins on the bucket key " +
+       "unhinted; only the scoring bias row broadcasts") {
+    val lbl = (col("lang") === "en").cast("long")
+    val model = graft.text.TextOps.fitQualityClassifier(
+      t.documents, col("doc_id"), col("text"), lbl,
+      nBuckets = 64, epochs = 1)
+    // fit side: the weight frame is a tuning-knob-sized axis (millions
+    // of buckets at web scale) — it must reach its joins unhinted
+    assert(!model.queryExecution.analyzed.toString
+             .contains("ResolvedHint"),
+           "no fit-side frame may be broadcast-hinted")
+    val scored = graft.text.TextOps.scoreQualityClassifier(
+      t.documents, col("doc_id"), col("text"), model, nBuckets = 64)
+    val analyzed = scored.queryExecution.analyzed.toString
+    assert("ResolvedHint".r.findAllIn(analyzed).size == 1,
+           s"only the one-row bias may be broadcast-hinted:\n$analyzed")
+    assert(!scored.queryExecution.executedPlan.toString
+             .contains("CartesianProduct"))
+    graft.core.CacheScope.global.release()
+  }
+
   test("mmrDiversify: lineage cut to an RDD leaf; no cartesian") {
     val cand = (0 until 12).map(i =>
       (i % 3L, i.toLong, 0.5 + (i % 7) * 0.05,
