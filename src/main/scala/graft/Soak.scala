@@ -191,6 +191,18 @@ object Soak {
                sum(length(col("clean_text"))).as("l"))
           .select((col("r") + col("l")).cast("long"))
           .head.getLong(0)),
+      // exact set-similarity join over 3-shingle sets at tau = 0.8:
+      // prefix filtering needs the spread df distribution shingles
+      // give; ScaleSynth's per-copy token prefixes keep cross-copy
+      // shingle sets disjoint, so candidates stay within copies and
+      // the curve measures scale at the source corpus's own dup rate
+      "set_sim_join" -> (() => {
+        val sh = Dedup.shingles(
+          t.documents.select(col("doc_id"), col("text")),
+          col("doc_id"), col("text"), 3)
+          .withColumnRenamed("shingle", "tok")
+        Dedup.setSimJoin(sh, 0.8).count()
+      }),
       // paragraph dedup over the full corpus with q198's planting
       // (two 10-token slices + a global boilerplate paragraph): the
       // paragraph-TYPE frame grows with the corpus, so this measures

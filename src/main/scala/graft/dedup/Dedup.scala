@@ -788,6 +788,65 @@ object Dedup {
       .select("b", "r", "fp", "fn", "err", "chosen")
   }
 
+  /** EXACT all-pairs set-similarity join with prefix filtering
+    * (Bayardo, Ma & Srikant, WWW 2007; Xiao et al.'s ppjoin family) —
+    * every pair with Jaccard ≥ τ, no probabilistic recall loss: the
+    * deterministic counterpart of the MinHash/LSH chain, used when a
+    * dedup or plagiarism pass must be exhaustive. Input is the generic
+    * set representation (doc_id, tok) — pass [[docTokens]] for word
+    * sets or [[shingles]] (renamed to `tok`) for n-gram sets; shingle
+    * sets are the intended corpus-scale shape, because prefix
+    * filtering needs a spread df distribution to prune (a tiny
+    * vocabulary makes every prefix token common and the candidate set
+    * quadratic — the same degeneracy the LSH chain's bucket cap
+    * bounds).
+    *
+    * Mechanics: tokens per document are ranked by ascending global
+    * document frequency (rarest first, ties by token); a document of n
+    * tokens exposes only its first n − ⌈τ·n⌉ + 1 tokens (the Jaccard
+    * prefix — two sets with J ≥ τ MUST share a prefix token under any
+    * global order, so completeness is preserved); candidates are pairs
+    * sharing a prefix token that also pass the length filter
+    * τ·n_a ≤ n_b ∧ τ·n_b ≤ n_a; [[jaccardForPairs]] verifies exactly.
+    * ⌈τ·n⌉ is computed in EXACT decimal (τ taken at 2 decimals) — a
+    * double τ·n lands above an integer boundary whenever τ·n is whole,
+    * silently shortening the prefix.
+    *
+    * Scale shape: df is one token-keyed aggregate; the prefix rank is
+    * a per-document window (bounded by the document's own set size);
+    * the candidate join is token-keyed and co-partitioned — fan-out is
+    * Σ_tok df_prefix(tok)², bounded because prefixes hold each set's
+    * RAREST tokens; verification touches candidates only. Nothing
+    * broadcasts.
+    *
+    * Returns (a, b, jaccard ≥ τ) with a < b. */
+  def setSimJoin(docToks: DataFrame, tau: Double): DataFrame = {
+    require(tau > 0.0 && tau < 1.0, s"tau $tau outside (0, 1)")
+    val tauDec = new java.math.BigDecimal(tau)
+      .setScale(2, java.math.RoundingMode.HALF_UP)
+    val dt = graft.core.CacheScope.persist(
+      docToks.select(col("doc_id"), col("tok")).distinct())
+    val dfreq = dt.groupBy("tok").agg(count(lit(1)).as("df"))
+    val sizes = dt.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val prefixes = dt.join(dfreq, "tok")
+      .withColumn("rnk", row_number().over(
+        Window.partitionBy("doc_id").orderBy(col("df"), col("tok"))))
+      .join(sizes, "doc_id")
+      .filter(col("rnk") <=
+              col("n") - ceil(col("n") * lit(tauDec)) + 1)
+      .select(col("doc_id"), col("tok"), col("n"))
+    val a = prefixes.select(col("tok"), col("doc_id").as("a"),
+                            col("n").as("na"))
+    val b = prefixes.select(col("tok"), col("doc_id").as("b"),
+                            col("n").as("nb"))
+    val cand = a.join(b, Seq("tok"))
+      .filter(col("a") < col("b") &&
+              col("na") * lit(tauDec) <= col("nb") &&
+              col("nb") * lit(tauDec) <= col("na"))
+      .select("a", "b").distinct()
+    jaccardForPairs(cand, dt).filter(col("jaccard") >= tau)
+  }
+
   /** Paragraph-level exact dedup with document reassembly — the
     * sub-document granularity of web-corpus pipelines (e.g. Dolma,
     * RefinedWeb): boilerplate paragraphs (nav bars, cookie banners,

@@ -1236,6 +1236,78 @@ object DedupQueries {
         |    AS n_paras_kept,
         |  CAST(SUM(CASE WHEN rn = 1 THEN 0 ELSE 1 END) AS BIGINT)
         |    AS n_paras_dropped
-        |FROM hashed GROUP BY doc_id""".stripMargin))
+        |FROM hashed GROUP BY doc_id""".stripMargin)),
+
+    // EXACT set-similarity join (prefix filtering, ppjoin family) over
+    // 3-shingle sets at Jaccard >= 0.8 — every 25th doc gains a planted
+    // near-dup twin (last three tokens dropped), so true pairs exist at
+    // a spread of Jaccard values around the threshold. The jaccard
+    // column is an exact integer ratio in double — no rounding anywhere.
+    Q("q204_set_sim_join", { t =>
+        val toks = split(lower(col("text")), "\\s+")
+        val base = t.documents.select(col("doc_id"), col("text"))
+        val planted = base.unionByName(
+          t.documents.filter(col("doc_id") % 25 === 0)
+            .select((col("doc_id") + 100000).as("doc_id"),
+              array_join(
+                slice(toks, lit(1), greatest(size(toks) - 3, lit(1))),
+                " ").as("text")))
+        val sh = Dedup.shingles(planted, col("doc_id"), col("text"), 3)
+          .withColumnRenamed("shingle", "tok")
+        Dedup.setSimJoin(sh, 0.8)
+      },
+      Some("""WITH planted AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 100000 AS doc_id,
+        |    array_to_string(list_slice(
+        |      string_split_regex(lower(text), '\s+'), 1,
+        |      greatest(len(string_split_regex(lower(text), '\s+')) - 3,
+        |               1)), ' ') AS text
+        |  FROM documents WHERE doc_id % 25 = 0
+        |), stoks AS (
+        |  SELECT doc_id, i AS pos,
+        |    list_extract(string_split_regex(lower(text), '\s+'),
+        |                 CAST(i AS INT)) AS tok
+        |  FROM planted, UNNEST(generate_series(1,
+        |    len(string_split_regex(lower(text), '\s+')))) t(i)
+        |), sh AS (
+        |  SELECT DISTINCT doc_id, tok || ' ' || t1 || ' ' || t2 AS tok
+        |  FROM (
+        |    SELECT doc_id, tok,
+        |      LEAD(tok, 1) OVER (PARTITION BY doc_id ORDER BY pos) AS t1,
+        |      LEAD(tok, 2) OVER (PARTITION BY doc_id ORDER BY pos) AS t2
+        |    FROM stoks) z
+        |  WHERE t2 IS NOT NULL
+        |), dfreq AS (SELECT tok, COUNT(*) AS df FROM sh GROUP BY 1
+        |), sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY 1
+        |), pref AS (
+        |  SELECT doc_id, tok, n FROM (
+        |    SELECT s.doc_id, s.tok, z.n,
+        |      ROW_NUMBER() OVER (PARTITION BY s.doc_id
+        |        ORDER BY d.df, s.tok) AS rnk
+        |    FROM sh s JOIN dfreq d USING (tok)
+        |    JOIN sizes z USING (doc_id)) y
+        |  WHERE rnk <= n - ceil(n * CAST(0.80 AS DECIMAL(3,2))) + 1
+        |), cand AS (
+        |  SELECT DISTINCT a.doc_id AS a, b.doc_id AS b
+        |  FROM pref a JOIN pref b ON a.tok = b.tok
+        |    AND a.doc_id < b.doc_id
+        |    AND a.n * CAST(0.80 AS DECIMAL(3,2)) <= b.n
+        |    AND b.n * CAST(0.80 AS DECIMAL(3,2)) <= a.n
+        |), inter AS (
+        |  SELECT c.a, c.b, COUNT(*) AS i
+        |  FROM cand c
+        |  JOIN sh ta ON ta.doc_id = c.a
+        |  JOIN sh tb ON tb.doc_id = c.b AND tb.tok = ta.tok
+        |  GROUP BY 1, 2
+        |)
+        |SELECT a, b,
+        |  CAST(i AS DOUBLE) / (sa.n + sb.n - i) AS jaccard
+        |FROM inter
+        |JOIN sizes sa ON inter.a = sa.doc_id
+        |JOIN sizes sb ON inter.b = sb.doc_id
+        |WHERE CAST(i AS DOUBLE) / (sa.n + sb.n - i) >= 0.8"""
+        .stripMargin))
   )
 }

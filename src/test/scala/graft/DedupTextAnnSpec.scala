@@ -1223,6 +1223,33 @@ class DedupTextAnnSpec extends SparkSpec {
     }
   }
 
+  test("setSimJoin is exact: matches brute-force all-pairs verify") {
+    // token sets at a spread of jaccards around tau = 0.6, plus
+    // disjoint noise docs — prefix filtering must lose NOTHING
+    val corpus = Seq(
+      (0L, "a b c d e f g h i j"),
+      (1L, "a b c d e f g h i"),   // J(0,1) = 9/10
+      (2L, "a b c d e f g"),       // J(0,2) = 7/10
+      (3L, "a b c d e"),           // J(0,3) = 5/10 < tau
+      (4L, "p q r s t u v w"),
+      (5L, "p q r s t u v"),       // J(4,5) = 7/8
+      (6L, "x y z")).toDF("doc_id", "text")
+    val dt = Dedup.docTokens(corpus, col("doc_id"), col("text"))
+    val fast = Dedup.setSimJoin(dt, 0.6).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val ids = corpus.select(col("doc_id").as("a"))
+    val allPairs = ids.crossJoin(corpus.select(col("doc_id").as("b")))
+      .filter(col("a") < col("b"))
+    val brute = Dedup.jaccardForPairs(allPairs, dt)
+      .filter(col("jaccard") >= 0.6).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(fast == brute, s"fast=$fast brute=$brute")
+    assert(fast.contains((0L, 1L)) && fast.contains((0L, 2L)) &&
+           fast.contains((4L, 5L)) && !fast.contains((0L, 3L)))
+    assert(math.abs(fast((0L, 2L)) - 0.7) < 1e-15)
+    intercept[IllegalArgumentException] { Dedup.setSimJoin(dt, 1.0) }
+  }
+
   test("fitQualityClassifier separates a separable corpus; " +
        "featureless docs score at the bias") {
     val corpus = Seq(

@@ -419,6 +419,19 @@ class PlanSpec extends SparkSpec {
     graft.core.CacheScope.global.release()
   }
 
+  test("setSimJoin: token-keyed candidate join, no cartesian, no " +
+       "broadcast hint") {
+    val dt = graft.dedup.Dedup.docTokens(
+      t.documents, col("doc_id"), col("text"))
+    val q = graft.dedup.Dedup.setSimJoin(dt, 0.8)
+    assert(!q.queryExecution.analyzed.toString.contains("ResolvedHint"),
+           "no frame may be broadcast-hinted")
+    assert(!q.queryExecution.executedPlan.toString
+             .contains("CartesianProduct"),
+           "the candidate join must be token-keyed, not all-pairs")
+    graft.core.CacheScope.global.release()
+  }
+
   test("quality classifier: weight frame joins on the bucket key " +
        "unhinted; only the scoring bias row broadcasts") {
     val lbl = (col("lang") === "en").cast("long")
