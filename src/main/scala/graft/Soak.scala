@@ -201,7 +201,7 @@ object Soak {
           t.documents.select(col("doc_id"), col("text")),
           col("doc_id"), col("text"), 3)
           .withColumnRenamed("shingle", "tok")
-        Dedup.setSimJoin(sh, 0.8).count()
+        Dedup.setSimJoin(sh, 0.8, distinctInput = true).count()
       }),
       // paragraph dedup over the full corpus with q198's planting
       // (two 10-token slices + a global boilerplate paragraph): the

@@ -808,9 +808,14 @@ object Dedup {
     * global order, so completeness is preserved); candidates are pairs
     * sharing a prefix token that also pass the length filter
     * τ·n_a ≤ n_b ∧ τ·n_b ≤ n_a; [[jaccardForPairs]] verifies exactly.
-    * ⌈τ·n⌉ is computed in EXACT decimal (τ taken at 2 decimals) — a
-    * double τ·n lands above an integer boundary whenever τ·n is whole,
-    * silently shortening the prefix.
+    * ⌈τ'·n⌉ is computed in EXACT decimal — a double τ·n lands above an
+    * integer boundary whenever τ·n is whole, silently shortening the
+    * prefix — with τ' = τ FLOORED at 6 decimals used for candidate
+    * generation and the RAW τ for verification: τ' ≤ τ makes prefixes
+    * longer and the length filter looser, so the candidate set is a
+    * superset for ANY τ and exactness never depends on τ being
+    * decimal-representable (rounding τ up instead would drop
+    * threshold-straddling pairs before verification ever saw them).
     *
     * Scale shape: df is one token-keyed aggregate; the prefix rank is
     * a per-document window (bounded by the document's own set size);
@@ -819,13 +824,20 @@ object Dedup {
     * RAREST tokens; verification touches candidates only. Nothing
     * broadcasts.
     *
+    * `distinctInput = true` skips the defensive distinct when the
+    * caller guarantees set semantics ([[docTokens]] and [[shingles]]
+    * with default `distinctShingles` both do) — one corpus-sized
+    * shuffle saved on the largest frame in the plan.
+    *
     * Returns (a, b, jaccard ≥ τ) with a < b. */
-  def setSimJoin(docToks: DataFrame, tau: Double): DataFrame = {
+  def setSimJoin(docToks: DataFrame, tau: Double,
+                 distinctInput: Boolean = false): DataFrame = {
     require(tau > 0.0 && tau < 1.0, s"tau $tau outside (0, 1)")
     val tauDec = new java.math.BigDecimal(tau)
-      .setScale(2, java.math.RoundingMode.HALF_UP)
+      .setScale(6, java.math.RoundingMode.FLOOR)
+    val raw = docToks.select(col("doc_id"), col("tok"))
     val dt = graft.core.CacheScope.persist(
-      docToks.select(col("doc_id"), col("tok")).distinct())
+      if (distinctInput) raw else raw.distinct())
     val dfreq = dt.groupBy("tok").agg(count(lit(1)).as("df"))
     val sizes = dt.groupBy("doc_id").agg(count(lit(1)).as("n"))
     val prefixes = dt.join(dfreq, "tok")
@@ -890,7 +902,7 @@ object Dedup {
       .withColumn("is_first",
         col("doc_id") === col("keeper.doc_id") &&
         col("para_idx") === col("keeper.para_idx"))
-    kept.groupBy("doc_id")
+    val agg = kept.groupBy("doc_id")
       .agg(
         array_join(transform(
             array_sort(collect_list(when(col("is_first"),
@@ -898,5 +910,16 @@ object Dedup {
             p => p.getField("para")), sep).as("text"),
         sum(col("is_first").cast("long")).as("n_paras_kept"),
         sum((!col("is_first")).cast("long")).as("n_paras_dropped"))
+    // docs whose text is empty/null/whitespace-only have NO paragraph
+    // rows and would vanish from the aggregate — reinstate them with
+    // empty text and zero counts (the scaladoc contract: no document
+    // silently disappears; the caller's quality filter prices empties)
+    docs.select(id.as("doc_id"))
+      .join(agg, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+              coalesce(col("text"), lit("")).as("text"),
+              coalesce(col("n_paras_kept"), lit(0L)).as("n_paras_kept"),
+              coalesce(col("n_paras_dropped"), lit(0L))
+                .as("n_paras_dropped"))
   }
 }

@@ -1254,7 +1254,7 @@ object DedupQueries {
                 " ").as("text")))
         val sh = Dedup.shingles(planted, col("doc_id"), col("text"), 3)
           .withColumnRenamed("shingle", "tok")
-        Dedup.setSimJoin(sh, 0.8)
+        Dedup.setSimJoin(sh, 0.8, distinctInput = true)
       },
       Some("""WITH planted AS (
         |  SELECT doc_id, text FROM documents

@@ -15,6 +15,25 @@ import org.apache.spark.sql.expressions.Window
   */
 object TextOps {
 
+  /** Adjacent token pairs (doc_id, w1, w2) — the shared bigram
+    * builder behind [[bigramLogProb]], [[kneserNeyBigram]] and
+    * [[knPerplexityFilter]] (one definition: the cross-corpus scores
+    * are only comparable if all three pair texts identically).
+    * Documents with fewer than two tokens produce no row. Pure
+    * per-row array work (zip_with against the 1-shifted slice),
+    * exploded once. */
+  def bigramPairs(docs: DataFrame, id: Column, text: Column)
+      : DataFrame = {
+    val tarr = tokens(text)
+    docs.select(id.as("doc_id"),
+        explode(filter(
+          zip_with(tarr, slice(tarr, lit(2),
+                               greatest(size(tarr) - 1, lit(0))),
+                   (a, b) => struct(a.as("w1"), b.as("w2"))),
+          p => p.getField("w2").isNotNull)).as("p"))
+      .select(col("doc_id"), col("p.w1").as("w1"), col("p.w2").as("w2"))
+  }
+
   /** Whitespace tokenization of lowercased text. */
   def tokens(text: Column): Column = split(lower(text), "\\s+")
 
@@ -354,15 +373,7 @@ object TextOps {
       : DataFrame = {
     val toks = graft.core.CacheScope.persist(
       docs.select(id.as("doc_id"), explode(tokens(text)).as("tok")))
-    val tarr = tokens(text)
-    val bg = graft.core.CacheScope.persist(
-      docs.select(id.as("doc_id"),
-          explode(filter(
-            zip_with(tarr, slice(tarr, lit(2),
-                                 greatest(size(tarr) - 1, lit(0))),
-                     (a, b) => struct(a.as("w1"), b.as("w2"))),
-            p => p.getField("w2").isNotNull)).as("p"))
-        .select(col("doc_id"), col("p.w1").as("w1"), col("p.w2").as("w2")))
+    val bg = graft.core.CacheScope.persist(bigramPairs(docs, id, text))
     val c12 = bg.groupBy("w1", "w2").agg(count(lit(1)).as("c12"))
     val c1 = toks.groupBy(col("tok").as("w1")).agg(count(lit(1)).as("c1"))
     val v = toks.agg(countDistinct("tok").as("v"))
@@ -415,15 +426,7 @@ object TextOps {
   def kneserNeyBigram(docs: DataFrame, id: Column, text: Column,
                       d: Double = 0.75): DataFrame = {
     require(d > 0 && d < 1, s"discount d must be in (0,1), got $d")
-    val tarr = tokens(text)
-    val bg = graft.core.CacheScope.persist(
-      docs.select(id.as("doc_id"),
-          explode(filter(
-            zip_with(tarr, slice(tarr, lit(2),
-                                 greatest(size(tarr) - 1, lit(0))),
-                     (a, b) => struct(a.as("w1"), b.as("w2"))),
-            p => p.getField("w2").isNotNull)).as("p"))
-        .select(col("doc_id"), col("p.w1").as("w1"), col("p.w2").as("w2")))
+    val bg = graft.core.CacheScope.persist(bigramPairs(docs, id, text))
     // bigram types: the single corpus-scale shuffle; everything below
     // reduces or joins this frame
     val c12 = graft.core.CacheScope.persist(
@@ -940,8 +943,14 @@ object TextOps {
     require(lr > 0, s"learning rate must be positive, got $lr")
     val zeroDec = lit(java.math.BigDecimal.ZERO.setScale(6))
       .cast("decimal(18,6)")
+    // a null label would NULL the residual and silently drop the row
+    // from every gradient sum while n still counts it, deflating all
+    // updates — fail loudly instead (the keepFirstExact discipline)
+    val labelChecked = when(label.isNull,
+      raise_error(lit("fitQualityClassifier: null label")))
+      .otherwise(label)
     val lab = graft.core.CacheScope.persist(
-      docs.select(id.as("doc_id"), label.cast("long").as("y")))
+      docs.select(id.as("doc_id"), labelChecked.cast("long").as("y")))
     val x = graft.core.CacheScope.persist(
       hashedNgramFeatures(docs, id, text, nBuckets)
         .groupBy("doc_id", "bucket").agg(count(lit(1)).as("x")))
@@ -977,6 +986,12 @@ object TextOps {
       // lineage cut: each epoch references w twice (dot + update)
       val snap = graft.core.CacheScope.current.persistRdd(
         wNext.rdd, org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      // materialize the (≤ nBuckets-row) snapshot, then RELEASE the
+      // corpus-sized residual frame eagerly — the connectedComponents
+      // storage discipline; without it `epochs` cached |docs|-row
+      // frames pile up until scope release
+      snap.count()
+      resid.unpersist(false)
       w = wNext.sparkSession.createDataFrame(snap, wNext.schema)
     }
     w.unionByName(
@@ -997,6 +1012,12 @@ object TextOps {
     val wts = model.filter(col("bucket") >= 0)
     val biasRow = model.filter(col("bucket") === -1)
       .select(col("w").as("b"))
+    // a model without the reserved bias row would cross-join every
+    // document against zero rows — total silent data loss; fail fast
+    // (one job over a 1-row filter of the small model frame)
+    require(biasRow.limit(2).count() == 1,
+      "model must carry exactly one bias row (bucket = -1) — was it " +
+      "filtered out upstream?")
     val x = hashedNgramFeatures(docs, id, text, nBuckets)
       .groupBy("doc_id", "bucket").agg(count(lit(1)).as("x"))
     val dots = x.join(wts, Seq("bucket"), "left")
@@ -1040,11 +1061,16 @@ object TextOps {
       (size(split(t, "\\s+")) >= minWordsPerLine) &&
       !lower(l).contains("javascript")
     }
+    // split on \r?\n: a CRLF corpus would otherwise leave a trailing
+    // \r on every line (trim/rtrim strip spaces only), failing the
+    // terminal-punctuation check everywhere and silently dropping the
+    // whole document at the page rule
     docs
       .select(id.as("doc_id"), text.as("_raw"))
-      .withColumn("_kept", filter(split(col("_raw"), "\n"), keepLine))
+      .withColumn("_kept",
+        filter(split(col("_raw"), "\\r?\\n"), keepLine))
       .withColumn("_nonempty",
-        size(filter(split(col("_raw"), "\n"), l => trim(l) =!= "")))
+        size(filter(split(col("_raw"), "\\r?\\n"), l => trim(l) =!= "")))
       .filter(size(col("_kept")) >= minLinesPerDoc &&
               !lower(col("_raw")).contains("lorem ipsum") &&
               !col("_raw").contains("{"))
@@ -1089,18 +1115,8 @@ object TextOps {
                          target: DataFrame, tgtId: Column,
                          tgtText: Column, d: Double = 0.75): DataFrame = {
     require(d > 0 && d < 1, s"discount d must be in (0,1), got $d")
-    def bigrams(df: DataFrame, id: Column, text: Column): DataFrame = {
-      val tarr = tokens(text)
-      df.select(id.as("doc_id"),
-          explode(filter(
-            zip_with(tarr, slice(tarr, lit(2),
-                                 greatest(size(tarr) - 1, lit(0))),
-                     (a, b) => struct(a.as("w1"), b.as("w2"))),
-            p => p.getField("w2").isNotNull)).as("p"))
-        .select(col("doc_id"), col("p.w1").as("w1"), col("p.w2").as("w2"))
-    }
     val c12 = graft.core.CacheScope.persist(
-      bigrams(ref, refId, refText)
+      bigramPairs(ref, refId, refText)
         .groupBy("w1", "w2").agg(count(lit(1)).as("c12")))
     val hist = c12.groupBy("w1")
       .agg(sum("c12").as("c1"), count(lit(1)).as("n1l"))
@@ -1112,7 +1128,7 @@ object TextOps {
         (greatest(coalesce(col("c12"), lit(0L)) - lit(d), lit(0.0)) +
           lit(d) * col("n1l") * pCont) / col("c1"))
       .otherwise(pCont)
-    bigrams(target, tgtId, tgtText)
+    bigramPairs(target, tgtId, tgtText)
       .join(c12, Seq("w1", "w2"), "left")
       .join(hist, Seq("w1"), "left")
       .join(cont, Seq("w2"), "left")

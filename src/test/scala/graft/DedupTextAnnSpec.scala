@@ -1164,6 +1164,16 @@ class DedupTextAnnSpec extends SparkSpec {
     assert(out(1L) == (("gamma text three", 1L, 1L)))
     assert(out(2L) == (("", 0L, 2L))) // both copies lose to doc 0
     assert(out(3L) == (("", 0L, 1L)))
+    // empty / whitespace-only / null text: the doc must NOT vanish —
+    // it comes back with empty text and zero counts
+    val edge = Seq((7L, Some("  \n\n ")), (8L, Some("")),
+                   (9L, None: Option[String]))
+      .toDF("doc_id", "text")
+    val eout = Dedup.paragraphDedup(edge, col("doc_id"), col("text"))
+      .collect().map(r => r.getLong(0) ->
+        ((r.getString(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(eout == Map(7L -> (("", 0L, 0L)), 8L -> (("", 0L, 0L)),
+                       9L -> (("", 0L, 0L))))
   }
 
   test("cleanLinesC4: line rules and page rules") {
@@ -1197,6 +1207,16 @@ class DedupTextAnnSpec extends SparkSpec {
       TextOps.cleanLinesC4(corpus, col("doc_id"), col("text"),
                            minWordsPerLine = 0)
     }
+    // CRLF corpus: a trailing \r must not fail the punctuation rule —
+    // the CRLF doc must clean to the same text as its LF twin
+    val lf = corpus.filter(col("doc_id") === 0)
+    val crlf = lf.select(col("doc_id"),
+      regexp_replace(col("text"), "\n", "\r\n").as("text"))
+    val cleanLf = TextOps.cleanLinesC4(lf, col("doc_id"), col("text"))
+      .collect().head.getString(1)
+    val cleanCrlf = TextOps.cleanLinesC4(crlf, col("doc_id"),
+        col("text")).collect().head.getString(1)
+    assert(cleanCrlf == cleanLf)
   }
 
   test("knPerplexityFilter: backoff chain hand-derived") {
@@ -1248,6 +1268,19 @@ class DedupTextAnnSpec extends SparkSpec {
            fast.contains((4L, 5L)) && !fast.contains((0L, 3L)))
     assert(math.abs(fast((0L, 2L)) - 0.7) < 1e-15)
     intercept[IllegalArgumentException] { Dedup.setSimJoin(dt, 1.0) }
+    // a tau that is NOT 2-decimal-representable must stay exact:
+    // candidate-stage tau floors (superset), verification uses raw tau
+    val fast749 = Dedup.setSimJoin(dt, 0.749).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val brute749 = Dedup.jaccardForPairs(allPairs, dt)
+      .filter(col("jaccard") >= 0.749).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(fast749 == brute749, s"$fast749 vs $brute749")
+    // distinctInput skips the defensive distinct without changing
+    // the result on already-distinct input
+    val fastD = Dedup.setSimJoin(dt, 0.6, distinctInput = true)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(fastD == brute.keySet)
   }
 
   test("fitQualityClassifier separates a separable corpus; " +
@@ -1294,6 +1327,20 @@ class DedupTextAnnSpec extends SparkSpec {
     intercept[IllegalArgumentException] {
       TextOps.fitQualityClassifier(corpus, col("doc_id"), col("text"),
         col("y"), nBuckets = 64, epochs = 0)
+    }
+    // a null label must fail loudly, not silently deflate gradients
+    val nullLab = Seq((0L, "some text", Some(1L)),
+                      (1L, "more text", None: Option[Long]))
+      .toDF("doc_id", "text", "y")
+    intercept[Exception] {
+      TextOps.fitQualityClassifier(nullLab, col("doc_id"), col("text"),
+        col("y"), nBuckets = 64, epochs = 1)
+    }
+    // a model stripped of its bias row must fail fast, not score
+    // every document into the void
+    intercept[IllegalArgumentException] {
+      TextOps.scoreQualityClassifier(corpus, col("doc_id"),
+        col("text"), model.filter(col("bucket") >= 0), nBuckets = 64)
     }
   }
 
