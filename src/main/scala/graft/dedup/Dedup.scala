@@ -788,6 +788,55 @@ object Dedup {
       .select("b", "r", "fp", "fn", "err", "chosen")
   }
 
+  /** Incremental refresh dedup — the crawl-refresh pipeline: classify
+    * every new-snapshot document via [[snapshotDiff]], then dedup ONLY
+    * the delta (added/changed) against the standing (unchanged)
+    * portion by normalized-text hash, plus keep-first WITHIN the
+    * delta. Dedup work is proportional to the DELTA, not the corpus —
+    * re-running [[keepFirstExact]] over 100 TB because 0.1 % of pages
+    * refreshed is the anti-pattern this operator replaces.
+    *
+    * Returns one row per NEW-snapshot document: (doc_id, status ∈
+    * added|changed|unchanged, dup_of, keep). `dup_of` is the smallest
+    * unchanged doc id with the same normalized text, else the smallest
+    * SMALLER delta doc id with it (intra-delta keep-first), else NULL;
+    * keep = 1 ⇔ dup_of is NULL. Unchanged docs always keep (they were
+    * already adjudicated when first ingested — re-dropping them would
+    * churn the standing corpus).
+    *
+    * Scale shape: one full-outer diff join + one corpus-scan hash;
+    * the standing-hash frame reduces per hash and joins the delta ON
+    * THE HASH KEY (the delta side is the small one — AQE may broadcast
+    * it; the standing frame is corpus-sized and never hinted). */
+  def incrementalDedup(oldDocs: DataFrame, newDocs: DataFrame,
+                       id: Column, text: Column): DataFrame = {
+    val diff = snapshotDiff(oldDocs, newDocs, id, text)
+      .filter(col("status") =!= "removed")
+      .select("doc_id", "status")
+    val norm = md5(regexp_replace(lower(trim(text)), "\\s+", " "))
+    val hashed = newDocs.select(id.as("doc_id"), norm.as("nh"))
+    val d = graft.core.CacheScope.persist(
+      diff.join(hashed, "doc_id"))
+    val standing = d.filter(col("status") === "unchanged")
+      .groupBy("nh").agg(min(col("doc_id")).as("standing_dup"))
+    val delta = d.filter(col("status") =!= "unchanged")
+    val deltaCanon = delta.groupBy("nh")
+      .agg(min(col("doc_id")).as("delta_canon"))
+    val deltaOut = delta
+      .join(standing, Seq("nh"), "left")
+      .join(deltaCanon, Seq("nh"))
+      .withColumn("dup_of",
+        coalesce(col("standing_dup"),
+          when(col("delta_canon") < col("doc_id"),
+               col("delta_canon"))))
+      .select(col("doc_id"), col("status"), col("dup_of"),
+              col("dup_of").isNull.cast("long").as("keep"))
+    d.filter(col("status") === "unchanged")
+      .select(col("doc_id"), col("status"),
+              lit(null).cast("long").as("dup_of"), lit(1L).as("keep"))
+      .unionByName(deltaOut)
+  }
+
   /** EXACT all-pairs set-similarity join with prefix filtering
     * (Bayardo, Ma & Srikant, WWW 2007; Xiao et al.'s ppjoin family) —
     * every pair with Jaccard ≥ τ, no probabilistic recall loss: the

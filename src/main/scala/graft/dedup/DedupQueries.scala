@@ -1238,6 +1238,79 @@ object DedupQueries {
         |    AS n_paras_dropped
         |FROM hashed GROUP BY doc_id""".stripMargin)),
 
+    // Incremental refresh dedup: q197's refresh planting extended with
+    // three added exact copies of standing docs, one fresh unique doc,
+    // and an added intra-delta twin pair — dedup work runs on the
+    // DELTA only, unchanged docs always keep.
+    Q("q205_incremental_dedup", { t =>
+        val old = t.documents.select(col("doc_id"), col("text"))
+        val survivors = old.filter(col("doc_id") % 7 =!= 0)
+          .withColumn("text",
+            when(col("doc_id") % 10 === 0,
+                 concat(col("text"), lit(" v2")))
+              .otherwise(col("text")))
+        val copies = old.filter(col("doc_id").isin(1, 2, 3))
+          .select((col("doc_id") + 100000).as("doc_id"), col("text"))
+        val fresh = old.filter(col("doc_id") === 0)
+          .select(lit(100010L).as("doc_id"),
+                  lit("completely fresh addition text").as("text"))
+        val twins = old.filter(col("doc_id") < 2)
+          .select((col("doc_id") + 100020).as("doc_id"),
+                  lit("fresh twin text").as("text"))
+        val newer = survivors.unionByName(copies)
+          .unionByName(fresh).unionByName(twins)
+        Dedup.incrementalDedup(old, newer, col("doc_id"), col("text"))
+      },
+      Some("""WITH oldd AS (SELECT doc_id, text FROM documents
+        |), newer AS (
+        |  SELECT doc_id,
+        |    CASE WHEN doc_id % 10 = 0 THEN text || ' v2'
+        |         ELSE text END AS text
+        |  FROM documents WHERE doc_id % 7 <> 0
+        |  UNION ALL
+        |  SELECT doc_id + 100000, text FROM documents
+        |  WHERE doc_id IN (1, 2, 3)
+        |  UNION ALL
+        |  SELECT CAST(100010 AS BIGINT),
+        |    'completely fresh addition text'
+        |  FROM documents WHERE doc_id = 0
+        |  UNION ALL
+        |  SELECT doc_id + 100020, 'fresh twin text'
+        |  FROM documents WHERE doc_id < 2
+        |), diff AS (
+        |  SELECT COALESCE(o.doc_id, n.doc_id) AS doc_id,
+        |    CASE WHEN o.doc_id IS NULL THEN 'added'
+        |         WHEN n.doc_id IS NULL THEN 'removed'
+        |         WHEN md5(o.text) = md5(n.text) THEN 'unchanged'
+        |         ELSE 'changed' END AS status
+        |  FROM oldd o FULL OUTER JOIN newer n ON o.doc_id = n.doc_id
+        |), d AS (
+        |  SELECT diff.doc_id, status,
+        |    md5(regexp_replace(lower(trim(n.text)), '\s+', ' ', 'g'))
+        |      AS nh
+        |  FROM diff JOIN newer n ON n.doc_id = diff.doc_id
+        |  WHERE status <> 'removed'
+        |), standing AS (
+        |  SELECT nh, MIN(doc_id) AS standing_dup FROM d
+        |  WHERE status = 'unchanged' GROUP BY 1
+        |), deltac AS (
+        |  SELECT nh, MIN(doc_id) AS delta_canon FROM d
+        |  WHERE status <> 'unchanged' GROUP BY 1
+        |)
+        |SELECT doc_id, status, CAST(NULL AS BIGINT) AS dup_of,
+        |  CAST(1 AS BIGINT) AS keep
+        |FROM d WHERE status = 'unchanged'
+        |UNION ALL
+        |SELECT d.doc_id, d.status,
+        |  COALESCE(standing_dup,
+        |    CASE WHEN delta_canon < d.doc_id THEN delta_canon END)
+        |    AS dup_of,
+        |  CAST(CASE WHEN COALESCE(standing_dup,
+        |    CASE WHEN delta_canon < d.doc_id THEN delta_canon END)
+        |    IS NULL THEN 1 ELSE 0 END AS BIGINT) AS keep
+        |FROM d LEFT JOIN standing USING (nh) JOIN deltac USING (nh)
+        |WHERE d.status <> 'unchanged'""".stripMargin)),
+
     // EXACT set-similarity join (prefix filtering, ppjoin family) over
     // 3-shingle sets at Jaccard >= 0.8 — every 25th doc gains a planted
     // near-dup twin (last three tokens dropped), so true pairs exist at

@@ -1243,6 +1243,28 @@ class DedupTextAnnSpec extends SparkSpec {
     }
   }
 
+  test("incrementalDedup: delta-only dedup against the standing " +
+       "corpus, intra-delta keep-first, unchanged always keeps") {
+    val old = Seq((1L, "a"), (2L, "b"), (3L, "c"))
+      .toDF("doc_id", "text")
+    val neu = Seq((1L, "a"),   // unchanged
+                  (2L, "B"),   // changed, unique content -> keeps
+                  (4L, "a"),   // added dup of standing doc 1
+                  (5L, "x"),   // added unique -> keeps
+                  (6L, "x"))   // added twin of 5 -> intra-delta drop
+      .toDF("doc_id", "text")
+    val out = Dedup.incrementalDedup(old, neu, col("doc_id"),
+        col("text")).collect()
+      .map(r => r.getLong(0) ->
+        ((r.getString(1), Option(r.get(2)), r.getLong(3)))).toMap
+    assert(out(1L) == (("unchanged", None, 1L)))
+    assert(out(2L) == (("changed", None, 1L)))
+    assert(out(4L) == (("added", Some(1L), 0L)))
+    assert(out(5L) == (("added", None, 1L)))
+    assert(out(6L) == (("added", Some(5L), 0L)))
+    assert(!out.contains(3L)) // removed docs leave the report
+  }
+
   test("setSimJoin is exact: matches brute-force all-pairs verify") {
     // token sets at a spread of jaccards around tau = 0.6, plus
     // disjoint noise docs — prefix filtering must lose NOTHING
