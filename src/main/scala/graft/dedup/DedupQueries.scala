@@ -1311,6 +1311,129 @@ object DedupQueries {
         |FROM d LEFT JOIN standing USING (nh) JOIN deltac USING (nh)
         |WHERE d.status <> 'unchanged'""".stripMargin)),
 
+    // MEASURED LSH recall against exact ground truth: the MinHash/LSH
+    // chain (6 hashes, 3 bands of 2) evaluated against setSimJoin's
+    // EXACT pair set on the same 3-shingle corpus at tau = 0.8 — the
+    // probabilistic chain's recall was previously only theoretical
+    // (the q155 S-curve); setSimJoin makes it a measured number both
+    // engines must agree on. LSH-verified pairs are a SUBSET of the
+    // exact set by construction (same verification predicate over
+    // true sets), so the single output row is (n_exact, n_lsh_found,
+    // n_missed, recall) with recall an exact integer ratio in double.
+    // The default bucket cap (1000) cannot bind on this 520-doc
+    // fixture, so the uncapped oracle tower matches.
+    Q("q206_lsh_recall_vs_exact", { t =>
+        val toks = split(lower(col("text")), "\\s+")
+        val base = t.documents.select(col("doc_id"), col("text"))
+        val planted = base.unionByName(
+          t.documents.filter(col("doc_id") % 25 === 0)
+            .select((col("doc_id") + 100000).as("doc_id"),
+              array_join(
+                slice(toks, lit(1), greatest(size(toks) - 3, lit(1))),
+                " ").as("text")))
+        val sh = graft.core.CacheScope.persist(
+          Dedup.shingles(planted, col("doc_id"), col("text"), 3)
+            .withColumnRenamed("shingle", "tok"))
+        val exact = Dedup.setSimJoin(sh, 0.8, distinctInput = true)
+          .select("a", "b")
+        val sigs = Dedup.minhashSignatures(sh, 6)
+        val cand = Dedup.lshCandidatePairs(sigs, 6, 2)
+        val found = Dedup.jaccardForPairs(cand, sh)
+          .filter(col("jaccard") >= 0.8)
+          .select(col("a"), col("b"), lit(1L).as("f"))
+        exact.join(found, Seq("a", "b"), "left")
+          .agg(count(lit(1)).as("n_exact"),
+               sum(coalesce(col("f"), lit(0L))).as("n_lsh_found"),
+               (count(lit(1)) - sum(coalesce(col("f"), lit(0L))))
+                 .as("n_missed"),
+               (sum(coalesce(col("f"), lit(0L))).cast("double") /
+                count(lit(1))).as("recall"))
+      },
+      Some("""WITH planted AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 100000 AS doc_id,
+        |    array_to_string(list_slice(
+        |      string_split_regex(lower(text), '\s+'), 1,
+        |      greatest(len(string_split_regex(lower(text), '\s+')) - 3,
+        |               1)), ' ') AS text
+        |  FROM documents WHERE doc_id % 25 = 0
+        |), stoks AS (
+        |  SELECT doc_id, i AS pos,
+        |    list_extract(string_split_regex(lower(text), '\s+'),
+        |                 CAST(i AS INT)) AS tok
+        |  FROM planted, UNNEST(generate_series(1,
+        |    len(string_split_regex(lower(text), '\s+')))) t(i)
+        |), sh AS (
+        |  SELECT DISTINCT doc_id, tok || ' ' || t1 || ' ' || t2 AS tok
+        |  FROM (
+        |    SELECT doc_id, tok,
+        |      LEAD(tok, 1) OVER (PARTITION BY doc_id ORDER BY pos) AS t1,
+        |      LEAD(tok, 2) OVER (PARTITION BY doc_id ORDER BY pos) AS t2
+        |    FROM stoks) z
+        |  WHERE t2 IS NOT NULL
+        |), dfreq AS (SELECT tok, COUNT(*) AS df FROM sh GROUP BY 1
+        |), sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY 1
+        |), pref AS (
+        |  SELECT doc_id, tok, n FROM (
+        |    SELECT s.doc_id, s.tok, z.n,
+        |      ROW_NUMBER() OVER (PARTITION BY s.doc_id
+        |        ORDER BY d.df, s.tok) AS rnk
+        |    FROM sh s JOIN dfreq d USING (tok)
+        |    JOIN sizes z USING (doc_id)) y
+        |  WHERE rnk <= n - ceil(n * CAST(0.80 AS DECIMAL(8,6))) + 1
+        |), candE AS (
+        |  SELECT DISTINCT a.doc_id AS a, b.doc_id AS b
+        |  FROM pref a JOIN pref b ON a.tok = b.tok
+        |    AND a.doc_id < b.doc_id
+        |    AND a.n * CAST(0.80 AS DECIMAL(8,6)) <= b.n
+        |    AND b.n * CAST(0.80 AS DECIMAL(8,6)) <= a.n
+        |), interE AS (
+        |  SELECT c.a, c.b, COUNT(*) AS i
+        |  FROM candE c
+        |  JOIN sh ta ON ta.doc_id = c.a
+        |  JOIN sh tb ON tb.doc_id = c.b AND tb.tok = ta.tok
+        |  GROUP BY 1, 2
+        |), exact AS (
+        |  SELECT a, b FROM interE
+        |  JOIN sizes sa ON interE.a = sa.doc_id
+        |  JOIN sizes sb ON interE.b = sb.doc_id
+        |  WHERE CAST(i AS DOUBLE) / (sa.n + sb.n - i) >= 0.8
+        |), sigs AS (
+        |  SELECT doc_id,
+        |    MIN(md5('0:' || tok)) AS mh_0, MIN(md5('1:' || tok)) AS mh_1,
+        |    MIN(md5('2:' || tok)) AS mh_2, MIN(md5('3:' || tok)) AS mh_3,
+        |    MIN(md5('4:' || tok)) AS mh_4, MIN(md5('5:' || tok)) AS mh_5
+        |  FROM sh GROUP BY doc_id
+        |), buckets AS (
+        |  SELECT doc_id, 0 AS band, md5(mh_0 || mh_1) AS bucket FROM sigs
+        |  UNION ALL
+        |  SELECT doc_id, 1, md5(mh_2 || mh_3) FROM sigs
+        |  UNION ALL
+        |  SELECT doc_id, 2, md5(mh_4 || mh_5) FROM sigs
+        |), candL AS (
+        |  SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+        |  FROM buckets x JOIN buckets y
+        |    ON x.band = y.band AND x.bucket = y.bucket
+        |       AND x.doc_id < y.doc_id
+        |), interL AS (
+        |  SELECT c.a, c.b, COUNT(*) AS i
+        |  FROM candL c
+        |  JOIN sh ta ON ta.doc_id = c.a
+        |  JOIN sh tb ON tb.doc_id = c.b AND tb.tok = ta.tok
+        |  GROUP BY 1, 2
+        |), found AS (
+        |  SELECT a, b, 1 AS f FROM interL
+        |  JOIN sizes sa ON interL.a = sa.doc_id
+        |  JOIN sizes sb ON interL.b = sb.doc_id
+        |  WHERE CAST(i AS DOUBLE) / (sa.n + sb.n - i) >= 0.8
+        |)
+        |SELECT CAST(COUNT(*) AS BIGINT) AS n_exact,
+        |  CAST(SUM(COALESCE(f, 0)) AS BIGINT) AS n_lsh_found,
+        |  CAST(COUNT(*) - SUM(COALESCE(f, 0)) AS BIGINT) AS n_missed,
+        |  CAST(SUM(COALESCE(f, 0)) AS DOUBLE) / COUNT(*) AS recall
+        |FROM exact LEFT JOIN found USING (a, b)""".stripMargin)),
+
     // EXACT set-similarity join (prefix filtering, ppjoin family) over
     // 3-shingle sets at Jaccard >= 0.8 — every 25th doc gains a planted
     // near-dup twin (last three tokens dropped), so true pairs exist at

@@ -1243,6 +1243,40 @@ class DedupTextAnnSpec extends SparkSpec {
     }
   }
 
+  test("LSH recall vs exact truth: banding trades recall, verified " +
+       "pairs always a subset of the exact join") {
+    // 30 planted near-dup pairs at J = 9/11 = 0.818: doc i has 11
+    // pair-private tokens, its twin drops the last two. At one band
+    // of 6 rows the collision probability is 0.818^6 = 0.30 per pair
+    // so (for the fixed md5 hashes) some pairs deterministically
+    // miss; 3 bands of 2 recover most.
+    val rows = (0 until 30).flatMap { i =>
+      val toks = (0 until 11).map(j => s"p${i}w$j")
+      Seq((i.toLong, toks.mkString(" ")),
+          (i + 1000L, toks.dropRight(2).mkString(" ")))
+    }
+    val corpus = rows.toDF("doc_id", "text")
+    val dt = Dedup.docTokens(corpus, col("doc_id"), col("text"))
+      .cache()
+    val exact = Dedup.setSimJoin(dt, 0.8, distinctInput = true)
+      .select("a", "b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(exact.size == 30)
+    def lshFound(bands: Int, rows: Int): Set[(Long, Long)] =
+      Dedup.jaccardForPairs(
+          Dedup.lshCandidatePairs(
+            Dedup.minhashSignatures(dt, bands * rows),
+            bands * rows, rows), dt)
+        .filter(col("jaccard") >= 0.8).select("a", "b").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val f32 = lshFound(3, 2)
+    val f16 = lshFound(1, 6)
+    assert(f32.subsetOf(exact) && f16.subsetOf(exact))
+    assert(f16.size < exact.size,
+           s"1x6 banding must miss some pairs: ${f16.size}/30")
+    assert(f32.size >= f16.size)
+  }
+
   test("incrementalDedup: delta-only dedup against the standing " +
        "corpus, intra-delta keep-first, unchanged always keeps") {
     val old = Seq((1L, "a"), (2L, "b"), (3L, "c"))
