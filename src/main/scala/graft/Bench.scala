@@ -141,6 +141,26 @@ object Bench {
       Thread.sleep(5000)
       ebProbe = core.BenchUtil.extBusyFrac(1000)
     }
+    // …and the instrument the r12 round proved BOTH in-VM gates are
+    // blind to: hypervisor steal (/proc/stat field 9). The host can
+    // withhold 30-50% of a core while loadavg AND ext-busy read idle —
+    // every contaminated BENCH_r{9-12}.json traced to exactly this —
+    // so the gate also waits (same bounded deadline) for steal to fall
+    // under 10% of a core, and `steal_dirty` records mechanically
+    // whether a recording started hot anyway (the driver cannot skip a
+    // bench; the artifact must say what the host was doing).
+    val stealGate = sys.env.getOrElse("SPARK_GRAFT_BENCH_STEAL",
+                                      "0.10").toDouble
+    var stProbe = core.BenchUtil.stealCoreFrac(2000)
+    while (stProbe >= 0 && stProbe > stealGate &&
+           System.nanoTime() < gateDeadline) {
+      Thread.sleep(5000)
+      stProbe = core.BenchUtil.stealCoreFrac(2000)
+    }
+    val stealStart = stProbe
+    val stealDirty = stProbe >= 0 && stProbe > stealGate
+    val stealJ0 = core.BenchUtil.stealJiffies()
+    val wall0 = System.nanoTime()
     val loadStart = loadavg()
     // the soak's round-11 instrument, recorded alongside loadavg: the
     // fraction of box CPU spent by OTHER processes over a 1s window.
@@ -150,7 +170,14 @@ object Bench {
     // the bench regardless of box state; these columns say what state
     // that was)
     val extBusyStart = core.BenchUtil.extBusyFrac(1000)
+    // per-query steal attribution at ZERO wall cost: jiffy deltas
+    // across each query's own block (all reps + clears), ÷ elapsed —
+    // a drifted number is attributable to the host mechanically
+    val stealDuring =
+      scala.collection.mutable.LinkedHashMap[String, Double]()
     val results = selected.flatMap { q =>
+      val qSteal0 = core.BenchUtil.stealJiffies()
+      val qWall0 = System.nanoTime()
       def once(): Double = {
         val t0 = System.nanoTime()
         // scoped persists release at query exit (belt and braces with
@@ -160,7 +187,7 @@ object Bench {
         catch { case _: Throwable => -1L }
         (System.nanoTime() - t0) / 1e9
       }
-      reps match {
+      val out = reps match {
         case Some(n) =>
           val runs = (0 until n).map { _ =>
             clearState()
@@ -175,7 +202,7 @@ object Bench {
           clearState()
           val la0 = loadavg()
           val t1 = once()
-          val t = if (heavy(q.name) || t1 > heavyThresholdSec) {
+          val tq = if (heavy(q.name) || t1 > heavyThresholdSec) {
             firstRun(q.name) = t1
             loadBefore(q.name) = la0
             clearState()
@@ -216,8 +243,12 @@ object Bench {
             medianRun(q.name) = med
             med
           } else t1
-          Seq(q.name -> t)
+          Seq(q.name -> tq)
       }
+      stealDuring(q.name) = core.BenchUtil.stealCoreFracOver(
+        qSteal0, core.BenchUtil.stealJiffies(),
+        (System.nanoTime() - qWall0) / 1e9)
+      out
     }
     def jmap(m: scala.collection.Map[String, Double]): String =
       core.BenchUtil.jmap(m)
@@ -225,8 +256,16 @@ object Bench {
     val total = results.map(_._2).sum
     val loadEnd = loadavg()
     val extBusyEnd = core.BenchUtil.extBusyFrac(1000)
+    val stealEnd = core.BenchUtil.stealCoreFrac(2000)
+    // whole-run steal attribution: jiffies the host withheld across
+    // the ENTIRE timed span ÷ elapsed — the single number that says
+    // whether this recording is canonical-grade (≤ ~0.02 idle; the
+    // r12 contaminated band read 0.27-0.51)
+    val stealRun = core.BenchUtil.stealCoreFracOver(
+      stealJ0, core.BenchUtil.stealJiffies(),
+      (System.nanoTime() - wall0) / 1e9)
     val line =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"queries_first_run":${jmap(firstRun)},"queries_second_run":${jmap(secondRun)},"queries_third_run":${jmap(thirdRun)},"queries_fourth_run":${jmap(fourthRun)},"queries_fifth_run":${jmap(fifthRun)},"queries_median":${jmap(medianRun)},"load_before":${jmap(loadBefore)},"load_after":${jmap(loadAfter)},"load_after_first3":${jmap(loadAfterFirst3)},"load_initial":$loadInitial,"load_start":$loadStart,"load_end":$loadEnd,"ext_busy_start":$extBusyStart,"ext_busy_end":$extBusyEnd,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"queries_first_run":${jmap(firstRun)},"queries_second_run":${jmap(secondRun)},"queries_third_run":${jmap(thirdRun)},"queries_fourth_run":${jmap(fourthRun)},"queries_fifth_run":${jmap(fifthRun)},"queries_median":${jmap(medianRun)},"load_before":${jmap(loadBefore)},"load_after":${jmap(loadAfter)},"load_after_first3":${jmap(loadAfterFirst3)},"queries_steal":${core.BenchUtil.jmapRounded(stealDuring)},"load_initial":$loadInitial,"load_start":$loadStart,"load_end":$loadEnd,"ext_busy_start":$extBusyStart,"ext_busy_end":$extBusyEnd,"steal_start":$stealStart,"steal_end":$stealEnd,"steal_run":$stealRun,"steal_gate":$stealGate,"steal_dirty":$stealDirty,"sf":"$sfDir"}"""
     // ONE canonical artifact per round (VERDICT r7 bookkeeping): the
     // full record — every raw rep, medians, load samples — goes ONLY
     // to bench_out.json; stdout carries exactly one final JSON record
@@ -253,7 +292,7 @@ object Bench {
       .toSeq
     val medianSec =
       if (perQuery.isEmpty) 0.0 else core.BenchUtil.median(perQuery)
-    val head = s"""{"metric":"total","value":${math.round(total * 100) / 100.0},"unit":"sec","n_queries":${results.size},"median_sec":${math.round(medianSec * 1000) / 1000.0},"load_initial":$loadInitial,"load_start":$loadStart,"load_end":$loadEnd,"queries_full":"$outFile","sf":"$sfDir","queries":{"""
+    val head = s"""{"metric":"total","value":${math.round(total * 100) / 100.0},"unit":"sec","n_queries":${results.size},"median_sec":${math.round(medianSec * 1000) / 1000.0},"load_initial":$loadInitial,"load_start":$loadStart,"load_end":$loadEnd,"steal_run":${math.round(stealRun * 1000) / 1000.0},"steal_dirty":$stealDirty,"queries_full":"$outFile","sf":"$sfDir","queries":{"""
     val tailStr = "}}"
     val entries = scala.collection.mutable.ArrayBuffer[String]()
     var len = head.length + tailStr.length

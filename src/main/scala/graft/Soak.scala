@@ -42,6 +42,33 @@ object Soak {
     def simTop10: DataFrame = Similarity.topK(
       Similarity.itemSimilarity(urm, Similarity.Cosine), 10)
       .select(col("i"), col("j"), col("w"))
+    // Zipf-degree URM for the skew tier: a deterministic 1/31
+    // interaction slice rekeyed to power-law users over the full user
+    // universe (see the zipf ops' comment below for the geometry)
+    def zipfUrm: DataFrame = {
+      val base = urm.select("u", "i")
+      val nU = base.select(countDistinct(col("u"))).head.getLong(0)
+      graft.operators.Skew.zipfRekeyUsers(
+        base.filter(pmod(xxhash64(col("u"), col("i")), lit(31)) === 0),
+        nU)
+    }
+
+    // Persisted standing-corpus LSH bucket frame for the incremental
+    // near-dup op: in production this sketch state is computed when a
+    // corpus version is ingested and STORED (the q163/q164 incremental-
+    // sketch convention) — every refresh then does delta-sized probe
+    // work. Building it here, once per scale dir and untimed, is that
+    // ingest step; the timed op reads the parquet.
+    val standingBucketsPath =
+      s"/tmp/graft_soak_standing_${math.abs(sfDir.hashCode)}"
+    if (!java.nio.file.Files.exists(
+          java.nio.file.Paths.get(standingBucketsPath))) {
+      val standToks = Dedup.docTokens(
+        t.documents.select(col("doc_id"), col("text")),
+        col("doc_id"), col("text"))
+      Dedup.lshBuckets(Dedup.minhashSignatures(standToks, 6), 6, 2)
+        .write.mode("overwrite").parquet(standingBucketsPath)
+    }
 
     val ops: Seq[(String, () => Long)] = Seq(
       "cosine_topk" -> (() => simTop10.count()),
@@ -100,6 +127,67 @@ object Soak {
           u.filter(pmod(col("u"), lit(31)) === 0), sim, candidates)
           .count()
       }),
+      // ZIPF-DEGREE TIER (VERDICT r12 next #1): every exponent above
+      // was measured at ScaleSynth's CONSTANT per-user degree, but the
+      // pair engine's per-user fan-out is quadratic in degree and real
+      // interaction logs are power-law. zipfUrm rekeys a deterministic
+      // 1/31 interaction slice to Zipf(s=1) users over the FULL user
+      // universe — total interactions grow with sf AND the max degree
+      // grows with sf (T/H(N): ~500 at sf0.1 → ~12k at sf3), the shape
+      // AQE's skew split cannot fix (it rebalances pair rows, it
+      // cannot shrink the pair COUNT). The uncapped op documents the
+      // super-linear wall (expected records exponent ≈ 2: Σdᵣ² =
+      // (T/H)²·π²/6); the capped ops run the production posture
+      // (capUserDegree 64) whose fan-out is bounded by 64·|URM| —
+      // linear. The 1/31 thinning keeps the uncapped op finishable at
+      // sf3 (≈2.5·10⁸ pair rows) without changing either exponent.
+      "cosine_topk_zipf_uncapped" -> (() => {
+        val z = graft.core.CacheScope.persist(zipfUrm)
+        Similarity.topK(
+          Similarity.itemSimilarity(z, Similarity.Cosine), 10).count()
+      }),
+      "cosine_topk_zipf_capped" -> (() => {
+        val z = graft.core.CacheScope.persist(zipfUrm)
+        Similarity.topK(
+          Similarity.itemSimilarity(z, Similarity.Cosine,
+                                    maxUserDegree = 64), 10).count()
+      }),
+      "jaccard_topk_zipf_capped" -> (() => {
+        val z = graft.core.CacheScope.persist(zipfUrm)
+        Similarity.topK(
+          Similarity.itemSimilarity(z, Similarity.Jaccard,
+                                    maxUserDegree = 64), 10).count()
+      }),
+      // itemknn scoring on the Zipf URM at the capped posture: the
+      // score join fans out per-user (profile × neighbors), so heavy
+      // profiles hit it too — the cap bounds both stages
+      "itemknn_scores_zipf_capped" -> (() => {
+        val z = graft.core.CacheScope.persist(zipfUrm)
+        val capped = graft.core.CacheScope.persist(
+          Similarity.capUserDegree(z, 64))
+        val sim = Similarity.topK(
+          Similarity.itemSimilarity(capped, Similarity.Cosine), 10)
+          .select(col("i"), col("j"), col("w"))
+        Recommenders.scoreBySimilarity(
+          capped.filter(pmod(col("u"), lit(7)) === 0), sim).count()
+      }),
+      // dedup-chain skew analog: duplicate-CLUSTER size growing with
+      // the corpus (1/11 of all docs collapse to ONE boilerplate text
+      // — the exact-dup mega-cluster a crawl's error pages form). The
+      // bounded chain must stay linear: exact dups route through the
+      // hash aggregate + star edges (O(members)), never the LSH pair
+      // fan-out; the mega-bucket is over-cap and dropped by the
+      // bounded LSH stage by design
+      "dedup_megacluster" -> (() => {
+        val planted = t.documents.select(col("doc_id"),
+          when(col("doc_id") % 11 === 0,
+               lit("standard error page please try again later"))
+            .otherwise(col("text")).as("text"))
+        Dedup.fuzzyDedupBounded(planted, col("doc_id"), col("text"),
+            jaccardThreshold = 0.97, maxBucketSize = 1000)
+          .agg(count(lit(1)).as("n"), sum(col("keep")).as("k"))
+          .select((col("n") + col("k")).cast("long")).head.getLong(0)
+      }),
       // full item co-occurrence graph, 5 fixed-point iterations
       "pagerank_full" -> (() => {
         val edges = Similarity.pairDots(urm)
@@ -155,6 +243,33 @@ object Soak {
           .groupBy("source")
           .agg(count(lit(1)).as("n_docs"), sum(col("keep")).as("n_kept"))
           .count()),
+      // Incremental NEAR-dup refresh at the production posture: a
+      // FIXED 70-doc delta (50 changed + 20 paraphrase adds — copy-0
+      // ids exist at every sf) against a standing corpus that GROWS
+      // with sf, probing the PERSISTED standing bucket frame (written
+      // once per corpus, untimed, by the warmup below — the
+      // sketch-persistence convention). The timed work should be the
+      // snapshot-diff scan + delta-sized signature/probe/verify: the
+      // curve's slope is the corpus-scan floor, NOT the full dedup
+      // chain's (compare dedup_e2e_capped at the same sf)
+      "incremental_neardup_refresh" -> (() => {
+        val old = t.documents.select(col("doc_id"), col("text"))
+        val toksC = split(col("text"), "\\s+")
+        val changed = old.filter(col("doc_id") < 50)
+          .withColumn("text", concat(col("text"), lit(" refreshed")))
+        val adds = old.filter(col("doc_id") >= 50 && col("doc_id") < 70)
+          .select((col("doc_id") + 900000000L).as("doc_id"),
+            array_join(slice(toksC, lit(1),
+              greatest(size(toksC) - 3, lit(1))), " ").as("text"))
+        val newer = old.filter(col("doc_id") >= 50)
+          .unionByName(changed).unionByName(adds)
+        val standFrame = spark.read.parquet(standingBucketsPath)
+        Dedup.incrementalDedupNear(old, newer, col("doc_id"),
+            col("text"), jaccardThreshold = 0.8,
+            standingBuckets = Some(standFrame))
+          .agg(sum(col("keep")).as("k"), count(lit(1)).as("n"))
+          .select((col("k") + col("n")).cast("long")).head.getLong(0)
+      }),
       // BM25 retrieval with a FIXED 20-query batch — the serving
       // shape (like ADC's bounded-batch contract): per-query cost is
       // the posting lists its terms touch, which grow linearly with
@@ -231,7 +346,11 @@ object Soak {
             t.documents.filter(col("doc_id") % 2 === 0),
             col("doc_id"), col("text"),
             t.documents, col("doc_id"), col("text"))
-          .agg(sum(col("sum_logp")).cast("long").as("s"))
+          // fingerprint sums EXACT decimals of the (deterministic)
+          // per-doc sum_logp — a cross-doc double sum is partition-
+          // order-dependent and could flap the checksum between reps
+          .agg(sum(round(col("sum_logp"), 6).cast("decimal(28,6)"))
+                 .cast("long").as("s"))
           .head.getLong(0)),
       // water-filling budget plan: one corpus-scan aggregate + a
       // #domains-row window (domain grid is copy-invariant — lang and
@@ -500,16 +619,26 @@ object Soak {
     // artifact so every wall number is mechanically attributable.
     val extBusyGate = sys.env.getOrElse("SPARK_GRAFT_SOAK_EXT_BUSY",
                                         "0.05").toDouble
+    // hypervisor-steal gate (r12: the host withheld 27-51% of a core
+    // for hours while BOTH in-VM instruments read idle — the one
+    // contamination channel they cannot see); threshold is a fraction
+    // of one core
+    val stealGate = sys.env.getOrElse("SPARK_GRAFT_SOAK_STEAL",
+                                      "0.10").toDouble
     val gateDeadlineSec = sys.env.getOrElse("SPARK_GRAFT_SOAK_GATE_SEC",
                                             "60").toInt
-    def gateRep(): (Double, Double) = {
+    def gateRep(): (Double, Double, Double) = {
       var eb = core.BenchUtil.extBusyFrac(1000)
+      var st = core.BenchUtil.stealCoreFrac(1000)
       val deadline = System.nanoTime() + gateDeadlineSec * 1000L * 1000 * 1000
-      while (eb >= 0 && eb > extBusyGate && System.nanoTime() < deadline) {
+      while (((eb >= 0 && eb > extBusyGate) ||
+              (st >= 0 && st > stealGate)) &&
+             System.nanoTime() < deadline) {
         Thread.sleep(2000)
         eb = core.BenchUtil.extBusyFrac(1000)
+        st = core.BenchUtil.stealCoreFrac(1000)
       }
-      (loadavg(), eb)
+      (loadavg(), eb, st)
     }
     val runs = scala.collection.mutable.LinkedHashMap[String, Seq[Double]]()
     val medians = scala.collection.mutable.LinkedHashMap[String, Double]()
@@ -517,6 +646,13 @@ object Soak {
     val loadPerRep =
       scala.collection.mutable.LinkedHashMap[String, Seq[Double]]()
     val extBusyPerRep =
+      scala.collection.mutable.LinkedHashMap[String, Seq[Double]]()
+    // steal_probe: the 1s gate sample before the rep started; steal
+    // _during: jiffy delta across the rep itself ÷ elapsed — the rep's
+    // own host-contamination attribution at zero wall cost
+    val stealProbePerRep =
+      scala.collection.mutable.LinkedHashMap[String, Seq[Double]]()
+    val stealDuringPerRep =
       scala.collection.mutable.LinkedHashMap[String, Seq[Double]]()
     val shuffleMb = scala.collection.mutable.LinkedHashMap[String, Double]()
     val shuffleKrec = scala.collection.mutable.LinkedHashMap[String, Double]()
@@ -527,10 +663,13 @@ object Soak {
         shufRead.set(0L); shufWrite.set(0L); shufRecs.set(0L)
         val repLoads = scala.collection.mutable.ArrayBuffer[Double]()
         val repBusy = scala.collection.mutable.ArrayBuffer[Double]()
+        val repStealProbe = scala.collection.mutable.ArrayBuffer[Double]()
+        val repStealDuring = scala.collection.mutable.ArrayBuffer[Double]()
         val ts = (0 until reps).map { _ =>
           clearState()
-          val (la, eb) = gateRep()
-          repLoads += la; repBusy += eb
+          val (la, eb, st) = gateRep()
+          repLoads += la; repBusy += eb; repStealProbe += st
+          val sj0 = core.BenchUtil.stealJiffies()
           val t0 = System.nanoTime()
           // a FAILED rep records −1, not its elapsed time: the JSON is
           // transcribed into SURVEY scale tables, and a throwing op
@@ -539,11 +678,16 @@ object Soak {
             try { graft.core.CacheScope.scoped { body() }; true }
             catch { case e: Throwable =>
               System.err.println(s"$name failed: $e"); false }
-          if (ok) (System.nanoTime() - t0) / 1e9 else -1.0
+          val el = (System.nanoTime() - t0) / 1e9
+          repStealDuring += core.BenchUtil.stealCoreFracOver(
+            sj0, core.BenchUtil.stealJiffies(), el)
+          if (ok) el else -1.0
         }
         runs(name) = ts
         loadPerRep(name) = repLoads.toSeq
         extBusyPerRep(name) = repBusy.toSeq
+        stealProbePerRep(name) = repStealProbe.toSeq
+        stealDuringPerRep(name) = repStealDuring.toSeq
         medians(name) =
           if (ts.contains(-1.0)) -1.0 else core.BenchUtil.median(ts)
         Thread.sleep(500) // settle before the snapshot
@@ -576,7 +720,7 @@ object Soak {
         .mkString("{", ",", "}")
     val runsJson = jarr(runs)
     val line =
-      s"""{"sf":"$sfDir","medians":${jmap(medians)},"runs":$runsJson,"shuffle_mb_per_rep":${jmap(shuffleMb)},"shuffle_krec_per_rep":${jmap(shuffleKrec)},"load_at_start":${jmap(load)},"load_per_rep":${jarr(loadPerRep)},"ext_busy_per_rep":${jarr(extBusyPerRep)}}"""
+      s"""{"sf":"$sfDir","medians":${jmap(medians)},"runs":$runsJson,"shuffle_mb_per_rep":${jmap(shuffleMb)},"shuffle_krec_per_rep":${jmap(shuffleKrec)},"load_at_start":${jmap(load)},"load_per_rep":${jarr(loadPerRep)},"ext_busy_per_rep":${jarr(extBusyPerRep)},"steal_probe_per_rep":${jarr(stealProbePerRep)},"steal_during_per_rep":${jarr(stealDuringPerRep)}}"""
     println(line)
     // committed artifact (the BENCH_r{N}.json convention, VERDICT r9
     // #2): append one JSON line per soaked scale factor so a round's

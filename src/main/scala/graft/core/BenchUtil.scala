@@ -55,6 +55,43 @@ object BenchUtil {
     math.max(0.0, (b2 - b1 - (s2 - s1)).toDouble / dt)
   }
 
+  /** Cumulative hypervisor-steal jiffies (/proc/stat aggregate cpu
+    * line, field 9 = steal): CPU time the HOST withheld from this VM.
+    * The one contamination channel the in-VM instruments cannot see —
+    * extBusyFrac reads 0.000x while the host steals 30-50% of a core
+    * (the r9-r12 contaminated-BENCH class, SURVEY §6.w‴). −1 when
+    * unreadable (bare metal / non-Linux). */
+  def stealJiffies(): Long =
+    try scala.util.Using.resource(
+      scala.io.Source.fromFile("/proc/stat")) { src =>
+        val p = src.getLines().next().trim.split("\\s+").drop(1)
+          .map(_.toLong)
+        if (p.length > 7) p(7) else -1L
+      }
+    catch { case _: Throwable => -1L }
+
+  /** Steal over a sample window, expressed as a FRACTION OF ONE CORE
+    * (jiffies/sec ÷ USER_HZ 100 — the kernel's fixed /proc/stat tick):
+    * 0.3 means the host is withholding ~30% of a core, the magnitude
+    * band measured to inflate this box's wall clocks 1.3-3×. −1 when
+    * unreadable. */
+  def stealCoreFrac(windowMs: Int): Double = {
+    val s1 = stealJiffies()
+    if (s1 < 0) return -1.0
+    Thread.sleep(windowMs.toLong)
+    val s2 = stealJiffies()
+    if (s2 < 0) return -1.0
+    (s2 - s1) * 1000.0 / (windowMs * 100.0)
+  }
+
+  /** Steal-of-one-core fraction across an already-timed span: jiffy
+    * delta ÷ elapsed ÷ USER_HZ — zero extra wall cost, so every timed
+    * measurement can carry its own steal attribution. −1 when either
+    * sample was unreadable or the span is degenerate. */
+  def stealCoreFracOver(s1: Long, s2: Long, elapsedSec: Double): Double =
+    if (s1 < 0 || s2 < 0 || elapsedSec <= 0) -1.0
+    else (s2 - s1) / (elapsedSec * 100.0)
+
   /** Median; even N takes the mean of the two middle elements (the
     * upper-middle alone would bias toward the slower run). */
   def median(ts: Seq[Double]): Double = {

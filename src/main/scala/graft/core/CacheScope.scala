@@ -91,6 +91,25 @@ object CacheScope {
                     level: StorageLevel = StorageLevel.MEMORY_AND_DISK)
       : org.apache.spark.rdd.RDD[T] = current.persistRdd(rdd, level)
 
+  /** Persist AND cut lineage: the frame comes back as a LogicalRDD
+    * leaf over its persisted row RDD (the connectedComponents / MMR /
+    * GD-epoch discipline, generalized). Plain [[persist]] keeps the
+    * full logical subtree in every downstream reference — analysis,
+    * explain, and AQE's PER-STAGE re-optimization all re-walk it, and
+    * a frame referenced k times by operators that themselves nest
+    * multiplies the tree (measured: the incremental near-dup chain
+    * planned 858 nested InMemoryRelations / 2241 exchanges before the
+    * cut — tens of seconds of driver planning for seconds of
+    * execution). Use for frames consumed by several DEEP branches;
+    * plain persist remains right for leaf-ish shared subtrees (it
+    * keeps the columnar cache format and the optimizer's view). */
+  def persistCut(df: org.apache.spark.sql.DataFrame,
+                 level: StorageLevel = StorageLevel.MEMORY_AND_DISK)
+      : org.apache.spark.sql.DataFrame = {
+    val rdd = current.persistRdd(df.rdd, level)
+    df.sparkSession.createDataFrame(rdd, df.schema)
+  }
+
   /** Broadcast variant (operator-internal): release with the scope.
     * Only tracked inside a [[scoped]] block — the global scope holds
     * strong references until an explicit `release()`, so tracking

@@ -1240,7 +1240,10 @@ object DedupQueries {
 
     // Incremental refresh dedup: q197's refresh planting extended with
     // three added exact copies of standing docs, one fresh unique doc,
-    // and an added intra-delta twin pair — dedup work runs on the
+    // an added intra-delta twin pair, and an added NULL-text twin pair
+    // (the ADVICE r12 regression class: a raw-NULL hash key silently
+    // dropped null-text delta docs from the report — the sentinel hash
+    // must intra-delta dedup them instead) — dedup work runs on the
     // DELTA only, unchanged docs always keep.
     Q("q205_incremental_dedup", { t =>
         val old = t.documents.select(col("doc_id"), col("text"))
@@ -1257,8 +1260,11 @@ object DedupQueries {
         val twins = old.filter(col("doc_id") < 2)
           .select((col("doc_id") + 100020).as("doc_id"),
                   lit("fresh twin text").as("text"))
+        val nulls = old.filter(col("doc_id") < 2)
+          .select((col("doc_id") + 100031).as("doc_id"),
+                  lit(null).cast("string").as("text"))
         val newer = survivors.unionByName(copies)
-          .unionByName(fresh).unionByName(twins)
+          .unionByName(fresh).unionByName(twins).unionByName(nulls)
         Dedup.incrementalDedup(old, newer, col("doc_id"), col("text"))
       },
       Some("""WITH oldd AS (SELECT doc_id, text FROM documents
@@ -1277,17 +1283,22 @@ object DedupQueries {
         |  UNION ALL
         |  SELECT doc_id + 100020, 'fresh twin text'
         |  FROM documents WHERE doc_id < 2
+        |  UNION ALL
+        |  SELECT doc_id + 100031, CAST(NULL AS VARCHAR)
+        |  FROM documents WHERE doc_id < 2
         |), diff AS (
         |  SELECT COALESCE(o.doc_id, n.doc_id) AS doc_id,
         |    CASE WHEN o.doc_id IS NULL THEN 'added'
         |         WHEN n.doc_id IS NULL THEN 'removed'
-        |         WHEN md5(o.text) = md5(n.text) THEN 'unchanged'
+        |         WHEN md5(o.text) IS NOT DISTINCT FROM md5(n.text)
+        |           THEN 'unchanged'
         |         ELSE 'changed' END AS status
         |  FROM oldd o FULL OUTER JOIN newer n ON o.doc_id = n.doc_id
         |), d AS (
         |  SELECT diff.doc_id, status,
-        |    md5(regexp_replace(lower(trim(n.text)), '\s+', ' ', 'g'))
-        |      AS nh
+        |    COALESCE(
+        |      md5(regexp_replace(lower(trim(n.text)), '\s+', ' ', 'g')),
+        |      '__graft_null_text__') AS nh
         |  FROM diff JOIN newer n ON n.doc_id = diff.doc_id
         |  WHERE status <> 'removed'
         |), standing AS (
@@ -1320,8 +1331,6 @@ object DedupQueries {
     // exact set by construction (same verification predicate over
     // true sets), so the single output row is (n_exact, n_lsh_found,
     // n_missed, recall) with recall an exact integer ratio in double.
-    // The default bucket cap (1000) cannot bind on this 520-doc
-    // fixture, so the uncapped oracle tower matches.
     Q("q206_lsh_recall_vs_exact", { t =>
         val toks = split(lower(col("text")), "\\s+")
         val base = t.documents.select(col("doc_id"), col("text"))
@@ -1337,7 +1346,11 @@ object DedupQueries {
         val exact = Dedup.setSimJoin(sh, 0.8, distinctInput = true)
           .select("a", "b")
         val sigs = Dedup.minhashSignatures(sh, 6)
-        val cand = Dedup.lshCandidatePairs(sigs, 6, 2)
+        // maxBucketSize = 0: the EXPLICIT unbounded opt-in — the oracle
+        // tower below is uncapped, so the engine side must match
+        // STRUCTURALLY rather than rely on the fixture staying under
+        // the default cap (ADVICE r12)
+        val cand = Dedup.lshCandidatePairs(sigs, 6, 2, maxBucketSize = 0)
         val found = Dedup.jaccardForPairs(cand, sh)
           .filter(col("jaccard") >= 0.8)
           .select(col("a"), col("b"), lit(1L).as("f"))
@@ -1504,6 +1517,190 @@ object DedupQueries {
         |JOIN sizes sa ON inter.a = sa.doc_id
         |JOIN sizes sb ON inter.b = sb.doc_id
         |WHERE CAST(i AS DOUBLE) / (sa.n + sb.n - i) >= 0.8"""
+        .stripMargin)),
+
+    // Incremental NEAR-dup refresh (VERDICT r12 Missing #3): q205's
+    // refresh shape, with PARAPHRASES planted — an added doc carrying
+    // a standing doc's text minus its last 3 tokens re-enters the
+    // corpus under exact hashing but must be dropped by the LSH probe
+    // of the standing buckets (near_dup_of = the standing id). Also
+    // planted: one added exact copy (must route through the EXACT
+    // tier: dup_of set, near_dup_of null), an intra-delta near pair
+    // built from a REMOVED doc's text (keep-first within the delta),
+    // and a fresh unique doc (keeps). Delta plantings are BOUNDED
+    // to copy-0 ids (the q110 constant-bound convention) so the
+    // oracle's LSH tower and the bench cost stay constant across SFs
+    // -- the PROPORTIONAL-delta scale story is the soak op's job.
+    // The oracle mirrors the whole
+    // tower — exact tier, MinHash signatures, band buckets with BOTH
+    // side caps, the standing/delta probe, exact-Jaccard verify at
+    // tau = 0.8, and the (standing-first, then smallest-id) pick.
+    Q("q210_incremental_neardup", { t =>
+        val old = t.documents.select(col("doc_id"), col("text"))
+        val toks = split(col("text"), "\\s+")
+        def headToks(drop: Int) = array_join(
+          slice(toks, lit(1), greatest(size(toks) - drop, lit(1))), " ")
+        val survivors = old.filter(col("doc_id") % 7 =!= 0)
+          .withColumn("text",
+            when(col("doc_id") % 10 === 0 && col("doc_id") < 1000,
+                 concat(col("text"), lit(" v2")))
+              .otherwise(col("text")))
+        val paraphrases = old
+          .filter(col("doc_id") % 50 === 1 && col("doc_id") % 7 =!= 0 &&
+                  col("doc_id") < 1000)
+          .select((col("doc_id") + 100000).as("doc_id"),
+                  headToks(3).as("text"))
+        val exactCopy = old.filter(col("doc_id") === 2)
+          .select(lit(100500L).as("doc_id"), col("text"))
+        val intraA = old.filter(col("doc_id") === 7)
+          .select(lit(100900L).as("doc_id"), col("text"))
+        val intraB = old.filter(col("doc_id") === 7)
+          .select(lit(100901L).as("doc_id"), headToks(2).as("text"))
+        val fresh = old.filter(col("doc_id") === 0)
+          .select(lit(100910L).as("doc_id"),
+                  lit("totally novel fresh document text xyz").as("text"))
+        val newer = survivors.unionByName(paraphrases)
+          .unionByName(exactCopy).unionByName(intraA)
+          .unionByName(intraB).unionByName(fresh)
+        Dedup.incrementalDedupNear(old, newer, col("doc_id"),
+          col("text"), numHashes = 6, rowsPerBand = 2,
+          jaccardThreshold = 0.8)
+      },
+      Some("""WITH oldd AS (SELECT doc_id, text FROM documents
+        |), newer AS (
+        |  SELECT doc_id,
+        |    CASE WHEN doc_id % 10 = 0 AND doc_id < 1000
+        |         THEN text || ' v2'
+        |         ELSE text END AS text
+        |  FROM documents WHERE doc_id % 7 <> 0
+        |  UNION ALL
+        |  SELECT doc_id + 100000,
+        |    array_to_string(list_slice(string_split_regex(text, '\s+'),
+        |      1, greatest(len(string_split_regex(text, '\s+')) - 3, 1)),
+        |      ' ')
+        |  FROM documents
+        |  WHERE doc_id % 50 = 1 AND doc_id % 7 <> 0 AND doc_id < 1000
+        |  UNION ALL
+        |  SELECT CAST(100500 AS BIGINT), text FROM documents
+        |  WHERE doc_id = 2
+        |  UNION ALL
+        |  SELECT CAST(100900 AS BIGINT), text FROM documents
+        |  WHERE doc_id = 7
+        |  UNION ALL
+        |  SELECT CAST(100901 AS BIGINT),
+        |    array_to_string(list_slice(string_split_regex(text, '\s+'),
+        |      1, greatest(len(string_split_regex(text, '\s+')) - 2, 1)),
+        |      ' ')
+        |  FROM documents WHERE doc_id = 7
+        |  UNION ALL
+        |  SELECT CAST(100910 AS BIGINT),
+        |    'totally novel fresh document text xyz'
+        |  FROM documents WHERE doc_id = 0
+        |), diff AS (
+        |  SELECT COALESCE(o.doc_id, n.doc_id) AS doc_id,
+        |    CASE WHEN o.doc_id IS NULL THEN 'added'
+        |         WHEN n.doc_id IS NULL THEN 'removed'
+        |         WHEN md5(o.text) IS NOT DISTINCT FROM md5(n.text)
+        |           THEN 'unchanged'
+        |         ELSE 'changed' END AS status
+        |  FROM oldd o FULL OUTER JOIN newer n ON o.doc_id = n.doc_id
+        |), d AS (
+        |  SELECT diff.doc_id, status,
+        |    COALESCE(
+        |      md5(regexp_replace(lower(trim(n.text)), '\s+', ' ', 'g')),
+        |      '__graft_null_text__') AS nh
+        |  FROM diff JOIN newer n ON n.doc_id = diff.doc_id
+        |  WHERE status <> 'removed'
+        |), standing AS (
+        |  SELECT nh, MIN(doc_id) AS standing_dup FROM d
+        |  WHERE status = 'unchanged' GROUP BY 1
+        |), deltac AS (
+        |  SELECT nh, MIN(doc_id) AS delta_canon FROM d
+        |  WHERE status <> 'unchanged' GROUP BY 1
+        |), exact_out AS (
+        |  SELECT doc_id, status, CAST(NULL AS BIGINT) AS dup_of
+        |  FROM d WHERE status = 'unchanged'
+        |  UNION ALL
+        |  SELECT d.doc_id, d.status,
+        |    COALESCE(standing_dup,
+        |      CASE WHEN delta_canon < d.doc_id THEN delta_canon END)
+        |  FROM d LEFT JOIN standing USING (nh) JOIN deltac USING (nh)
+        |  WHERE d.status <> 'unchanged'
+        |), deltaids AS (
+        |  SELECT doc_id FROM exact_out
+        |  WHERE status <> 'unchanged' AND dup_of IS NULL
+        |), unchids AS (
+        |  SELECT doc_id FROM exact_out WHERE status = 'unchanged'
+        |), toks AS (
+        |  SELECT DISTINCT n.doc_id, tok
+        |  FROM newer n, UNNEST(string_split_regex(lower(n.text), '\s+'))
+        |    t(tok)
+        |), sigsD AS (
+        |  SELECT doc_id,
+        |    MIN(md5('0:' || tok)) AS mh_0, MIN(md5('1:' || tok)) AS mh_1,
+        |    MIN(md5('2:' || tok)) AS mh_2, MIN(md5('3:' || tok)) AS mh_3,
+        |    MIN(md5('4:' || tok)) AS mh_4, MIN(md5('5:' || tok)) AS mh_5
+        |  FROM toks WHERE doc_id IN (SELECT doc_id FROM deltaids)
+        |  GROUP BY doc_id
+        |), bD AS (
+        |  SELECT * FROM (
+        |    SELECT doc_id, 0 AS band, md5(mh_0 || mh_1) AS bucket
+        |    FROM sigsD
+        |    UNION ALL
+        |    SELECT doc_id, 1, md5(mh_2 || mh_3) FROM sigsD
+        |    UNION ALL
+        |    SELECT doc_id, 2, md5(mh_4 || mh_5) FROM sigsD) z
+        |  QUALIFY COUNT(*) OVER (PARTITION BY band, bucket) <= 1000
+        |), sigsS AS (
+        |  SELECT doc_id,
+        |    MIN(md5('0:' || tok)) AS mh_0, MIN(md5('1:' || tok)) AS mh_1,
+        |    MIN(md5('2:' || tok)) AS mh_2, MIN(md5('3:' || tok)) AS mh_3,
+        |    MIN(md5('4:' || tok)) AS mh_4, MIN(md5('5:' || tok)) AS mh_5
+        |  FROM toks WHERE doc_id IN (SELECT doc_id FROM unchids)
+        |  GROUP BY doc_id
+        |), bS AS (
+        |  SELECT * FROM (
+        |    SELECT doc_id, 0 AS band, md5(mh_0 || mh_1) AS bucket
+        |    FROM sigsS
+        |    UNION ALL
+        |    SELECT doc_id, 1, md5(mh_2 || mh_3) FROM sigsS
+        |    UNION ALL
+        |    SELECT doc_id, 2, md5(mh_4 || mh_5) FROM sigsS) z
+        |  QUALIFY COUNT(*) OVER (PARTITION BY band, bucket) <= 1000
+        |), cand AS (
+        |  SELECT DISTINCT dd.doc_id AS a, s.doc_id AS b
+        |  FROM bD dd JOIN bS s USING (band, bucket)
+        |  UNION
+        |  SELECT DISTINCT dd.doc_id AS a, e.doc_id AS b
+        |  FROM bD dd JOIN bD e USING (band, bucket)
+        |  WHERE e.doc_id < dd.doc_id
+        |), sizes AS (SELECT doc_id, COUNT(*) AS n FROM toks GROUP BY 1
+        |), inter AS (
+        |  SELECT c.a, c.b, COUNT(*) AS i
+        |  FROM cand c
+        |  JOIN toks ta ON ta.doc_id = c.a
+        |  JOIN toks tb ON tb.doc_id = c.b AND tb.tok = ta.tok
+        |  GROUP BY 1, 2
+        |), ver AS (
+        |  SELECT a, b FROM inter
+        |  JOIN sizes sa ON inter.a = sa.doc_id
+        |  JOIN sizes sb ON inter.b = sb.doc_id
+        |  WHERE CAST(i AS DOUBLE) / (sa.n + sb.n - i) >= 0.8
+        |), near AS (
+        |  SELECT doc_id, b AS near_dup_of FROM (
+        |    SELECT v.a AS doc_id, v.b,
+        |      ROW_NUMBER() OVER (PARTITION BY v.a ORDER BY
+        |        CASE WHEN u.doc_id IS NOT NULL THEN 0 ELSE 1 END, v.b)
+        |        AS rn
+        |    FROM ver v LEFT JOIN unchids u ON v.b = u.doc_id) z
+        |  WHERE rn = 1
+        |)
+        |SELECT e.doc_id, e.status, e.dup_of,
+        |  CASE WHEN e.dup_of IS NULL THEN n.near_dup_of END
+        |    AS near_dup_of,
+        |  CAST(CASE WHEN e.dup_of IS NULL AND n.near_dup_of IS NULL
+        |    THEN 1 ELSE 0 END AS BIGINT) AS keep
+        |FROM exact_out e LEFT JOIN near n USING (doc_id)"""
         .stripMargin))
   )
 }

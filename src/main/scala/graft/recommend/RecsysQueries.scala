@@ -624,6 +624,144 @@ object RecsysQueries {
         |  FROM train GROUP BY 1
         |)
         |SELECT round(sqrt(AVG(pow(m.score - t.r, 2))), 6) AS rmse
-        |FROM test t JOIN item_mean m ON t.i = m.i""".stripMargin))
+        |FROM test t JOIN item_mean m ON t.i = m.i""".stripMargin)),
+
+    // Degree-capped similarity engine on a PLANTED heavy-hitter URM
+    // (the q186 convention for the LSH bucket cap, applied to the pair
+    // engine's user axis): a synthetic user with a 200-item profile —
+    // 2.5x the 80-interaction cap, 39,800 mirrored pair rows uncapped —
+    // joins the star-schema URM; the capped engine must keep exactly
+    // the 80 md5-first interactions of EVERY over-cap profile (base
+    // users too) and compute cosine + top-10 of the capped frame
+    // bit-identically to the oracle's ROW_NUMBER tower. Light profiles
+    // pass through untouched, so the planted user's surviving items
+    // and every under-cap user's full ranking are both pinned.
+    Q("q207_degree_capped_cosine", { t =>
+        val s = t.lineitem.sparkSession
+        val base = Urm.fromOrders(t)
+          .select(col("u").cast("long").as("u"),
+                  col("i").cast("long").as("i"))
+        val heavy = s.range(1, 201)
+          .select(lit(99999999L).as("u"), col("id").as("i"))
+        Similarity.topK(
+            Similarity.itemSimilarity(base.unionByName(heavy),
+              Similarity.Cosine, maxUserDegree = 80), 10)
+          .select(col("i"), col("j"), round(col("w"), 6).as("w"),
+                  col("rank"))
+      },
+      Some("""WITH urm AS (
+        |  SELECT DISTINCT o_custkey AS u, l_partkey AS i
+        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |  UNION ALL
+        |  SELECT 99999999 AS u, r AS i FROM generate_series(1, 200) g(r)
+        |), capped AS (
+        |  SELECT u, i FROM (
+        |    SELECT u, i, ROW_NUMBER() OVER (PARTITION BY u
+        |      ORDER BY md5(CAST(u AS VARCHAR) || ',' ||
+        |                   CAST(i AS VARCHAR)), i) AS rk
+        |    FROM urm) z
+        |  WHERE rk <= 80
+        |), dots AS (
+        |  SELECT a.i AS i, b.i AS j, COUNT(*) AS dot
+        |  FROM capped a JOIN capped b ON a.u = b.u AND a.i <> b.i
+        |  GROUP BY 1, 2
+        |), norms AS (SELECT i, COUNT(*) AS n FROM capped GROUP BY 1),
+        |sim AS (
+        |  SELECT d.i, d.j,
+        |    CAST(d.dot AS DOUBLE) / (sqrt(ni.n) * sqrt(nj.n)) AS w
+        |  FROM dots d
+        |  JOIN norms ni ON d.i = ni.i
+        |  JOIN norms nj ON d.j = nj.i
+        |)
+        |SELECT i, j, round(w, 6) AS w, rank FROM (
+        |  SELECT i, j, w,
+        |    ROW_NUMBER() OVER (PARTITION BY j ORDER BY w DESC, i) AS rank
+        |  FROM sim) s
+        |WHERE rank <= 10""".stripMargin)),
+
+    // The degree cap's MEASURED recall trade (the q187 convention for
+    // the bucket cap): top-10 cosine edges of the capped engine vs the
+    // uncapped engine on the same planted heavy-hitter URM — one row
+    // (n_uncapped_topk, n_capped_topk, n_common, topk_recall), recall
+    // an exact integer ratio in double. The trade the 25-cap buys on
+    // this fixture is a cross-engine-gated number, not prose.
+    Q("q208_degree_cap_recall_trade", { t =>
+        val s = t.lineitem.sparkSession
+        val base = Urm.fromOrders(t)
+          .select(col("u").cast("long").as("u"),
+                  col("i").cast("long").as("i"))
+        val heavy = s.range(1, 201)
+          .select(lit(99999999L).as("u"), col("id").as("i"))
+        val urm = graft.core.CacheScope.persist(base.unionByName(heavy))
+        val un = Similarity.topK(
+            Similarity.itemSimilarity(urm, Similarity.Cosine), 10)
+          .select(col("i"), col("j"), lit(1L).as("fu"))
+        val cp = Similarity.topK(
+            Similarity.itemSimilarity(urm, Similarity.Cosine,
+                                      maxUserDegree = 80), 10)
+          .select(col("i"), col("j"), lit(1L).as("fc"))
+        un.join(cp, Seq("i", "j"), "full_outer")
+          .agg(sum(coalesce(col("fu"), lit(0L))).as("n_uncapped_topk"),
+               sum(coalesce(col("fc"), lit(0L))).as("n_capped_topk"),
+               sum(coalesce(col("fu"), lit(0L)) *
+                   coalesce(col("fc"), lit(0L))).as("n_common"),
+               (sum(coalesce(col("fu"), lit(0L)) *
+                    coalesce(col("fc"), lit(0L))).cast("double") /
+                sum(coalesce(col("fu"), lit(0L))))
+                 .as("topk_recall"))
+      },
+      Some("""WITH urm AS (
+        |  SELECT DISTINCT o_custkey AS u, l_partkey AS i
+        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |  UNION ALL
+        |  SELECT 99999999 AS u, r AS i FROM generate_series(1, 200) g(r)
+        |), capped AS (
+        |  SELECT u, i FROM (
+        |    SELECT u, i, ROW_NUMBER() OVER (PARTITION BY u
+        |      ORDER BY md5(CAST(u AS VARCHAR) || ',' ||
+        |                   CAST(i AS VARCHAR)), i) AS rk
+        |    FROM urm) z
+        |  WHERE rk <= 80
+        |), un AS (
+        |  SELECT i, j FROM (
+        |    SELECT s.i, s.j,
+        |      ROW_NUMBER() OVER (PARTITION BY s.j
+        |        ORDER BY s.w DESC, s.i) AS rank
+        |    FROM (
+        |      SELECT d.i, d.j,
+        |        CAST(d.dot AS DOUBLE) / (sqrt(ni.n) * sqrt(nj.n)) AS w
+        |      FROM (
+        |        SELECT a.i AS i, b.i AS j, COUNT(*) AS dot
+        |        FROM urm a JOIN urm b ON a.u = b.u AND a.i <> b.i
+        |        GROUP BY 1, 2) d
+        |      JOIN (SELECT i, COUNT(*) AS n FROM urm GROUP BY 1) ni
+        |        ON d.i = ni.i
+        |      JOIN (SELECT i, COUNT(*) AS n FROM urm GROUP BY 1) nj
+        |        ON d.j = nj.i) s) r
+        |  WHERE rank <= 10
+        |), cp AS (
+        |  SELECT i, j FROM (
+        |    SELECT s.i, s.j,
+        |      ROW_NUMBER() OVER (PARTITION BY s.j
+        |        ORDER BY s.w DESC, s.i) AS rank
+        |    FROM (
+        |      SELECT d.i, d.j,
+        |        CAST(d.dot AS DOUBLE) / (sqrt(ni.n) * sqrt(nj.n)) AS w
+        |      FROM (
+        |        SELECT a.i AS i, b.i AS j, COUNT(*) AS dot
+        |        FROM capped a JOIN capped b ON a.u = b.u AND a.i <> b.i
+        |        GROUP BY 1, 2) d
+        |      JOIN (SELECT i, COUNT(*) AS n FROM capped GROUP BY 1) ni
+        |        ON d.i = ni.i
+        |      JOIN (SELECT i, COUNT(*) AS n FROM capped GROUP BY 1) nj
+        |        ON d.j = nj.i) s) r
+        |  WHERE rank <= 10
+        |)
+        |SELECT
+        |  (SELECT COUNT(*) FROM un) AS n_uncapped_topk,
+        |  (SELECT COUNT(*) FROM cp) AS n_capped_topk,
+        |  (SELECT COUNT(*) FROM un JOIN cp USING (i, j)) AS n_common,
+        |  CAST((SELECT COUNT(*) FROM un JOIN cp USING (i, j)) AS DOUBLE)
+        |    / (SELECT COUNT(*) FROM un) AS topk_recall""".stripMargin))
   )
 }

@@ -144,6 +144,47 @@ object Similarity {
     !urm.groupBy("u").agg(count(lit(1)).as("n"))
       .filter(col("n") > threshold).isEmpty
 
+  /** Deterministic per-user profile cap — the pair engine's 100 TB
+    * skew bound. The self-join's fan-out is QUADRATIC in per-user
+    * degree (one 10⁵-interaction user emits 10¹⁰ pair rows), and no
+    * runtime re-plan can shrink it: AQE's skew split and the salted
+    * aggregation rebalance WHERE the pair rows are processed, never
+    * HOW MANY there are, so on a power-law interaction log (every
+    * real one) the uncapped engine is super-linear by construction —
+    * measured: Zipf-degree soak, records exponent ≈ 2 at four scale
+    * points vs ≤ ~1.1 capped (SURVEY §6.z″). Capping each profile to
+    * its `maxDegree` md5-first interactions bounds total pair fan-out
+    * by maxDegree · |URM| — linear in the corpus — at the price of a
+    * similarity estimated from a bounded uniform subsample of the
+    * heaviest profiles (the same trade the reference's blocked topK
+    * processing prices implicitly, Compute_Similarity_Python.py:
+    * 276-381, and DIMSUM-style samplers make explicit); the trade is
+    * a MEASURED number (the q208 gate), not prose.
+    *
+    * The kept subset is a pure key function (md5 of "u,i", the
+    * coldUserSplitHash convention — partition-invariant, oracle-
+    * expressible, and unbiased w.r.t. item identity: an interaction's
+    * survival is independent of its item's popularity). The
+    * row_number window shuffles once on u — the SAME key the pair
+    * self-join partitions by — and Spark 4's WindowGroupLimit rewrite
+    * prunes rank > maxDegree map-side before the exchange.
+    *
+    * Light profiles (degree ≤ maxDegree) pass through bit-identically:
+    * capped similarity differs from uncapped ONLY on pairs touching an
+    * over-cap profile. */
+  def capUserDegree(urm: DataFrame, maxDegree: Int): DataFrame = {
+    require(maxDegree > 0, s"maxDegree $maxDegree must be positive")
+    val rc = "_rk__graft_cap"
+    require(!urm.columns.contains(rc),
+      s"input must not contain reserved column $rc")
+    val ord = md5(concat_ws(",", col("u").cast("string"),
+                            col("i").cast("string")))
+    val w = Window.partitionBy("u").orderBy(ord, col("i"))
+    urm.withColumn(rc, row_number().over(w))
+      .filter(col(rc) <= maxDegree)
+      .drop(rc)
+  }
+
   /** Quantize a weighted URM's entries to exact decimal(18,9) — the
     * determinism device shared by every weighted-engine path: input
     * weights round to 9 decimals (far below any weighting scheme's
@@ -239,11 +280,23 @@ object Similarity {
     * aggregation routes through [[pairDotsSalted]] (0 disables the
     * probe). Heavy profiles fan out n² pair rows, concentrating hot
     * (i, j) keys; the salted two-phase aggregation spreads those
-    * reducers while AQE's skew split rebalances the join side. */
+    * reducers while AQE's skew split rebalances the join side.
+    *
+    * `maxUserDegree`: per-user profile cap (0 disables) — routes the
+    * input through [[capUserDegree]] BEFORE dots and norms, so the
+    * engine computes the exact similarity OF THE CAPPED URM (both
+    * numerator and denominators see the same frame — a capped dot
+    * over uncapped norms would be a biased hybrid no one can verify).
+    * Salting treats hot REDUCERS; the cap is the only lever that
+    * shrinks the quadratic pair COUNT itself, which is what binds on
+    * power-law degree at 100 TB (see [[capUserDegree]]). */
   def itemSimilarity(urm0: DataFrame, measure: Measure,
                      shrink: Double = 0.0,
-                     saltWhenHeavy: Long = 0L): DataFrame = {
-    val urm = graft.core.CacheScope.persist(urm0)
+                     saltWhenHeavy: Long = 0L,
+                     maxUserDegree: Int = 0): DataFrame = {
+    val urm = graft.core.CacheScope.persist(
+      if (maxUserDegree > 0) capUserDegree(urm0, maxUserDegree)
+      else urm0)
     val dots =
       if (saltWhenHeavy > 0 && hasHeavyUsers(urm, saltWhenHeavy))
         pairDotsSalted(urm, salts = 16)

@@ -994,9 +994,17 @@ object TextOps {
       resid.unpersist(false)
       w = wNext.sparkSession.createDataFrame(snap, wNext.schema)
     }
+    // reserved rows: bucket = -1 carries the bias, bucket = -2 carries
+    // the TRAINING nBuckets — scoring with a different bucket count
+    // would hash features into the wrong bucket space (every weight
+    // lookup silently missing), so the scorer validates it (ADVICE r12)
     w.unionByName(
       lab.limit(1).select(lit(-1L).as("bucket"),
                           lit(b).cast("decimal(18,6)").as("w")))
+     .unionByName(
+      lab.limit(1).select(lit(-2L).as("bucket"),
+                          lit(nBuckets.toLong).cast("decimal(18,6)")
+                            .as("w")))
   }
 
   /** Score documents under a [[fitQualityClassifier]] model: per doc,
@@ -1012,12 +1020,26 @@ object TextOps {
     val wts = model.filter(col("bucket") >= 0)
     val biasRow = model.filter(col("bucket") === -1)
       .select(col("w").as("b"))
-    // a model without the reserved bias row would cross-join every
-    // document against zero rows — total silent data loss; fail fast
-    // (one job over a 1-row filter of the small model frame)
-    require(biasRow.limit(2).count() == 1,
+    // reserved-row validation, ONE job over the tiny (< 3-row) filter
+    // of the small model frame: a model without the bias row would
+    // cross-join every document against zero rows (total silent data
+    // loss), and an nBuckets mismatch with training would hash every
+    // feature into the wrong bucket space — the left join would simply
+    // find no weights and mis-score every document (ADVICE r12)
+    val reserved = model.filter(col("bucket") < 0)
+      .select(col("bucket").cast("long"), col("w")).collect()
+    require(reserved.count(_.getLong(0) == -1L) == 1,
       "model must carry exactly one bias row (bucket = -1) — was it " +
       "filtered out upstream?")
+    val nbRows = reserved.filter(_.getLong(0) == -2L)
+    require(nbRows.length == 1,
+      "model must carry exactly one nBuckets row (bucket = -2) — " +
+      "refit with fitQualityClassifier, which stores it")
+    val trainedNb = nbRows(0).getDecimal(1).longValueExact()
+    require(trainedNb == nBuckets.toLong,
+      s"nBuckets $nBuckets does not match the model's training bucket " +
+      s"count $trainedNb — scoring would hash features into the wrong " +
+      "bucket space")
     val x = hashedNgramFeatures(docs, id, text, nBuckets)
       .groupBy("doc_id", "bucket").agg(count(lit(1)).as("x"))
     val dots = x.join(wts, Seq("bucket"), "left")

@@ -1299,6 +1299,91 @@ class DedupTextAnnSpec extends SparkSpec {
     assert(!out.contains(3L)) // removed docs leave the report
   }
 
+  test("incrementalDedup: null-text docs get rows (sentinel hash), " +
+       "dedup against standing null-text and among themselves, and " +
+       "stay distinct from empty text") {
+    // ADVICE r12 regression: a raw-NULL normalized hash made null-text
+    // delta docs vanish through the intra-delta canonical inner join
+    val old = Seq((1L, Some("a")), (7L, None: Option[String]))
+      .toDF("doc_id", "text")
+    val neu = Seq(
+      (1L, Some("a")),                // unchanged
+      (7L, None: Option[String]),     // unchanged null-text standing
+      (8L, None: Option[String]),     // added null -> dup of standing 7
+      (9L, None: Option[String]),     // added null -> dup of standing 7
+      (10L, Some("")))                // added EMPTY text: NOT a null dup
+      .toDF("doc_id", "text")
+    val out = Dedup.incrementalDedup(old, neu, col("doc_id"),
+        col("text")).collect()
+      .map(r => r.getLong(0) ->
+        ((r.getString(1), Option(r.get(2)), r.getLong(3)))).toMap
+    assert(out.size == 5, s"one row per NEW doc, got $out")
+    assert(out(7L) == (("unchanged", None, 1L)))
+    assert(out(8L) == (("added", Some(7L), 0L)))
+    assert(out(9L) == (("added", Some(7L), 0L)))
+    assert(out(10L) == (("added", None, 1L)))
+    // intra-delta only: no standing null doc -> keep-first among nulls
+    val out2 = Dedup.incrementalDedup(
+        Seq((1L, Some("a"))).toDF("doc_id", "text"),
+        Seq((1L, Some("a")), (8L, None: Option[String]),
+            (9L, None: Option[String])).toDF("doc_id", "text"),
+        col("doc_id"), col("text")).collect()
+      .map(r => r.getLong(0) ->
+        ((r.getString(1), Option(r.get(2)), r.getLong(3)))).toMap
+    assert(out2(8L) == (("added", None, 1L)))
+    assert(out2(9L) == (("added", Some(8L), 0L)))
+  }
+
+  test("incrementalDedupNear: a PARAPHRASE of a standing doc is " +
+       "dropped from the delta; persisted standing buckets give the " +
+       "same verdicts; stale standing ids are ignored") {
+    val t1 = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val t2 = "one two three four five six seven eight nine ten"
+    val old = Seq((1L, t1), (2L, t2), (3L, "unrelated short text here"))
+      .toDF("doc_id", "text")
+    val para1 = "alpha beta gamma delta epsilon zeta eta theta"  // -2 toks
+    val neu = Seq(
+      (1L, t1), (2L, t2), (3L, "unrelated short text here"),
+      (10L, para1),            // added PARAPHRASE of standing 1 -> drop
+      (11L, t2),               // added EXACT dup of standing 2 -> exact tier
+      (12L, "completely novel content with nothing shared at all"),
+      (13L, "one two three four five six seven eight nine"), // near of 2
+      (20L, "p q r s t u v w x y z aa bb cc"),
+      (21L, "p q r s t u v w x y z aa bb"))  // intra-delta near of 20
+      .toDF("doc_id", "text")
+    def runIt(standing: Option[org.apache.spark.sql.DataFrame]) =
+      Dedup.incrementalDedupNear(old, neu, col("doc_id"), col("text"),
+          jaccardThreshold = 0.75, standingBuckets = standing)
+        .collect()
+        .map(r => r.getLong(0) ->
+          ((r.getString(1), Option(r.get(2)), Option(r.get(3)),
+            r.getLong(4)))).toMap
+    val out = runIt(None)
+    assert(out(1L) == (("unchanged", None, None, 1L)))
+    assert(out(10L) == (("added", None, Some(1L), 0L)),
+           s"paraphrase must near-dup to standing 1: $out")
+    assert(out(11L) == (("added", Some(2L), None, 0L)),
+           "exact dup routes through the exact tier, not the LSH probe")
+    assert(out(12L) == (("added", None, None, 1L)))
+    assert(out(13L) == (("added", None, Some(2L), 0L)),
+           "a 9/10-token overlap with standing 2 is a near dup")
+    assert(out(20L) == (("added", None, None, 1L)))
+    assert(out(21L) == (("added", None, Some(20L), 0L)),
+           "intra-delta near pair keeps first")
+    // persisted standing frame (the production path), STALE on ids:
+    // contains doc 0 (same text as doc 1, SMALLER id) that no longer
+    // exists — if the unchanged semi-join were missing, doc 10 would
+    // near-dup to 0 instead of 1
+    val standToks = Dedup.docTokens(
+      old.unionByName(Seq((0L, t1)).toDF("doc_id", "text")),
+      col("doc_id"), col("text"))
+    val standFrame = Dedup.lshBuckets(
+      Dedup.minhashSignatures(standToks, 6), 6, 2)
+    val out2 = runIt(Some(standFrame))
+    assert(out2 == out,
+           "persisted standing buckets must reproduce the in-plan verdicts")
+  }
+
   test("setSimJoin is exact: matches brute-force all-pairs verify") {
     // token sets at a spread of jaccards around tau = 0.6, plus
     // disjoint noise docs — prefix filtering must lose NOTHING
@@ -1398,6 +1483,16 @@ class DedupTextAnnSpec extends SparkSpec {
       TextOps.scoreQualityClassifier(corpus, col("doc_id"),
         col("text"), model.filter(col("bucket") >= 0), nBuckets = 64)
     }
+    // the model carries its training nBuckets (reserved bucket = -2);
+    // scoring with a mismatched bucket count would hash features into
+    // the wrong space (every weight lookup silently missing) — fail
+    intercept[IllegalArgumentException] {
+      TextOps.scoreQualityClassifier(corpus, col("doc_id"),
+        col("text"), model, nBuckets = 128)
+    }
+    assert(wrows.count(_.getLong(0) == -2L) == 1)
+    assert(wrows.find(_.getLong(0) == -2L).get
+             .getDecimal(1).longValueExact() == 64L)
   }
 
   test("mmrDiversify: redundancy loses to diversity; lambda=1 is " +

@@ -453,6 +453,24 @@ class PlanSpec extends SparkSpec {
     graft.core.CacheScope.global.release()
   }
 
+  test("degree-capped similarity: the cap's rank filter gets the " +
+       "WindowGroupLimit map-side prune; no cartesian") {
+    val urm = graft.etl.Urm.fromOrders(t).select("u", "i")
+    val sim = graft.similarity.Similarity.itemSimilarity(
+      urm, graft.similarity.Similarity.Cosine, maxUserDegree = 25)
+    val plan = sim.queryExecution.executedPlan.toString
+    // Spark 4 rewrites rank <= k over a window into WindowGroupLimit,
+    // pruning each user's over-cap rows BEFORE the exchange — the cap
+    // must stay in that shape (a plain post-window filter would ship
+    // every heavy profile's full n rows through the shuffle first,
+    // defeating the cap's purpose at exactly the profiles it exists
+    // to bound)
+    assert(plan.contains("WindowGroupLimit"),
+           s"the cap must plan as a group limit:\n$plan")
+    assert(!plan.contains("CartesianProduct"))
+    graft.core.CacheScope.global.release()
+  }
+
   test("mmrDiversify: lineage cut to an RDD leaf; no cartesian") {
     val cand = (0 until 12).map(i =>
       (i % 3L, i.toLong, 0.5 + (i % 7) * 0.05,

@@ -145,4 +145,75 @@ class SimilaritySpec extends SparkSpec {
       .select("i", "j", "w", "rank").collect().map(key).sortBy(identity)
     assert(heap.nonEmpty && heap.sameElements(win))
   }
+
+  test("capUserDegree: exact cap, light profiles untouched, " +
+       "partition-invariant, and the capped engine routes through it") {
+    // one heavy user (degree 40), several light ones (degree <= 3)
+    val heavy = (0 until 40).map(i => (100L, i.toLong))
+    val light = Seq((1L, 0L), (1L, 1L), (2L, 5L), (2L, 6L), (2L, 7L),
+                    (3L, 9L))
+    val urm = (heavy ++ light).toDF("u", "i")
+    val capped = Similarity.capUserDegree(urm, 8)
+    val deg = capped.groupBy("u").count().collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(deg(100L) == 8L, s"heavy profile capped to 8: $deg")
+    assert(deg(1L) == 2L && deg(2L) == 3L && deg(3L) == 1L,
+           s"light profiles untouched: $deg")
+    // light rows pass through IDENTICALLY (not some other subset)
+    val keptLight = capped.filter(col("u") =!= 100)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(keptLight == light.toSet)
+    // pure key function: repartitioning must not change the kept set
+    val kept1 = capped.collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val kept2 = Similarity.capUserDegree(urm.repartition(7, col("i")), 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(kept1 == kept2, "md5 pick must be partition-invariant")
+    // the engine's maxUserDegree routes through the same cap: equal to
+    // running the uncapped engine on the pre-capped frame
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getLong(0), r.getLong(1), r.getDouble(2))
+    val viaParam = Similarity.itemSimilarity(
+        urm, Similarity.Cosine, maxUserDegree = 8)
+      .collect().map(key).sortBy(identity)
+    val viaPre = Similarity.itemSimilarity(
+        Similarity.capUserDegree(urm, 8), Similarity.Cosine)
+      .collect().map(key).sortBy(identity)
+    assert(viaParam.nonEmpty && viaParam.sameElements(viaPre))
+    intercept[IllegalArgumentException] {
+      Similarity.capUserDegree(urm, 0)
+    }
+  }
+
+  test("zipfRekeyUsers: power-law degrees, keys in range, " +
+       "partition-invariant") {
+    import graft.operators.Skew
+    // 6000 interactions over 600 items, rekeyed Zipf over 1000 users
+    val base = (0 until 6000).map(k => (k.toLong, (k % 600).toLong))
+      .toDF("u", "i")
+    val z = Skew.zipfRekeyUsers(base, nUsers = 1000, seed = 3)
+    val deg = z.groupBy("u").count().collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(deg.keys.forall(u => u >= 1L && u <= 1000L))
+    // s = 1 Zipf: expected degree of rank r is (T/ln N)/r; rank 1
+    // holds ~T/ln(N) ≈ 870 before item-collision dedup — assert the
+    // heavy head exists (well over 100x the median user)
+    val d1 = deg.getOrElse(1L, 0L)
+    val median = deg.values.toSeq.sorted.apply(deg.size / 2)
+    assert(d1 > 300, s"rank-1 degree $d1 must be a heavy hitter")
+    assert(d1 > 50 * median,
+           s"power law: rank-1 $d1 vs median $median")
+    // low ranks dominate: top-10 users hold ~H(10)/H(1000) ≈ 39% of
+    // all interactions before item-collision dedup — assert > 1/4
+    // (1% of users holding a quarter of the log is the skew regime)
+    val top10 = deg.toSeq.sortBy(-_._2).take(10).map(_._2).sum
+    assert(top10 * 4 > z.count(),
+           s"top-10 share must exceed a quarter: $top10")
+    // pure key function: partitioning must not change the output
+    val a = z.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val b = Skew.zipfRekeyUsers(base.repartition(13, col("i")),
+        nUsers = 1000, seed = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(a == b)
+  }
 }

@@ -455,4 +455,53 @@ class StreamingMultimodalSpec extends SparkSpec {
     val same = Multimodal.resizeNearest(td, 1, 2)
     assert(same.rgb.toSeq == td.rgb.toSeq)
   }
+
+  test("ImageIO decode: PNG and GIF roundtrip bit-exactly, JPEG " +
+       "within lossy tolerance, truncated payloads fall back") {
+    // a 5x4 ramp with all-distinct channel values (catches any channel
+    // swap or row-order slip in the getRGB read-out)
+    val px = (0 until 5 * 4 * 3).map(k => ((k * 7 + 3) % 256).toByte)
+      .toArray
+    val src = Multimodal.Decoded(5, 4, px)
+    for (fmt <- Seq("png", "gif")) {
+      val enc = Multimodal.encodeImageIO(src, fmt)
+      val dec = Multimodal.decode(enc)
+      assert(dec.isDefined, s"$fmt must decode")
+      assert(dec.get.width == 5 && dec.get.height == 4)
+      assert(dec.get.rgb.toSeq == px.toSeq,
+             s"$fmt is lossless: pixels must roundtrip bit-exactly")
+    }
+    // JPEG: lossy — dimensions exact, per-channel error bounded. The
+    // fixture must be SMOOTH (a 32x32 gradient): JPEG's 8x8 DCT blocks
+    // shred a high-frequency ramp (measured: 122-unit drift on the 5x4
+    // fixture above), which is codec physics, not a decode bug
+    val jpx = new Array[Byte](32 * 32 * 3)
+    for (y <- 0 until 32; x <- 0 until 32) {
+      val p = (y * 32 + x) * 3
+      jpx(p) = (x * 8).toByte; jpx(p + 1) = (y * 8).toByte
+      jpx(p + 2) = 128.toByte
+    }
+    val jsrc = Multimodal.Decoded(32, 32, jpx)
+    val jenc = Multimodal.encodeImageIO(jsrc, "jpg")
+    val jdec = Multimodal.decode(jenc)
+    assert(jdec.isDefined && jdec.get.width == 32 &&
+           jdec.get.height == 32)
+    val maxErr = jdec.get.rgb.zip(jpx)
+      .map { case (a, b) => math.abs((a & 0xff) - (b & 0xff)) }.max
+    assert(maxErr <= 32, s"jpeg decode drifted $maxErr > 32 units")
+    // the features chain runs the ImageIO path through the SAME
+    // batched operator as the raster formats
+    val feats = Multimodal.extractFeatures(
+        Seq(Multimodal.MediaRow(0L, "png",
+                                Multimodal.encodeImageIO(src, "png")))
+          .toDS()).collect().head
+    assert(feats.width == 5 && feats.height == 4)
+    assert(feats.embedding.sameElements(Multimodal.pixelFeatures(src)))
+    // malformed: a PNG magic with garbage body must fall back, not throw
+    val junk = Array[Byte](0x89.toByte, 'P', 'N', 'G', 13, 10, 26, 10,
+                           1, 2, 3)
+    assert(Multimodal.decode(junk).isEmpty)
+    val truncated = Multimodal.encodeImageIO(src, "png").take(20)
+    assert(Multimodal.decode(truncated).isEmpty)
+  }
 }
