@@ -24,13 +24,21 @@ object Soak {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val reps = sys.env.getOrElse("SPARK_GRAFT_SOAK_REPS", "3").toInt
     val only = sys.env.get("SPARK_GRAFT_SOAK_ONLY").map(_.split(",").toSet)
-    val spark = SparkSession.builder()
+    // SPARK_GRAFT_SOAK_NOBC=1: the auto-broadcast-off re-measure — the
+    // r12 instrument that separates broadcast→shuffle PLAN FLIPS from
+    // real super-scaling without reading a plan: under a uniform
+    // all-shuffle plan a flip artifact's exponent collapses to ~1
+    // while genuine quadratic growth survives
+    val noBC = sys.env.get("SPARK_GRAFT_SOAK_NOBC").contains("1")
+    val builder = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
-      .getOrCreate()
+    val spark = (if (noBC)
+      builder.config("spark.sql.autoBroadcastJoinThreshold", "-1")
+    else builder).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val t = core.Tables(spark, sfDir)
     import graft.similarity.Similarity
