@@ -158,7 +158,7 @@ object Bench {
       stProbe = core.BenchUtil.stealCoreFrac(2000)
     }
     val stealStart = stProbe
-    val stealDirty = stProbe >= 0 && stProbe > stealGate
+    val startedHot = stProbe >= 0 && stProbe > stealGate
     val stealJ0 = core.BenchUtil.stealJiffies()
     val wall0 = System.nanoTime()
     val loadStart = loadavg()
@@ -264,6 +264,11 @@ object Bench {
     val stealRun = core.BenchUtil.stealCoreFracOver(
       stealJ0, core.BenchUtil.stealJiffies(),
       (System.nanoTime() - wall0) / 1e9)
+    // dirty = started hot OR the run itself exceeded the gate — the
+    // start probe alone missed a mid-run steal storm (measured: a
+    // recording with steal_run 1.297 started clean and would have
+    // claimed dirty = false)
+    val stealDirty = startedHot || (stealRun >= 0 && stealRun > stealGate)
     val line =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"queries_first_run":${jmap(firstRun)},"queries_second_run":${jmap(secondRun)},"queries_third_run":${jmap(thirdRun)},"queries_fourth_run":${jmap(fourthRun)},"queries_fifth_run":${jmap(fifthRun)},"queries_median":${jmap(medianRun)},"load_before":${jmap(loadBefore)},"load_after":${jmap(loadAfter)},"load_after_first3":${jmap(loadAfterFirst3)},"queries_steal":${core.BenchUtil.jmapRounded(stealDuring)},"load_initial":$loadInitial,"load_start":$loadStart,"load_end":$loadEnd,"ext_busy_start":$extBusyStart,"ext_busy_end":$extBusyEnd,"steal_start":$stealStart,"steal_end":$stealEnd,"steal_run":$stealRun,"steal_gate":$stealGate,"steal_dirty":$stealDirty,"sf":"$sfDir"}"""
     // ONE canonical artifact per round (VERDICT r7 bookkeeping): the
