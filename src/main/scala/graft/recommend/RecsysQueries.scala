@@ -683,8 +683,9 @@ object RecsysQueries {
     // the bucket cap): top-10 cosine edges of the capped engine vs the
     // uncapped engine on the same planted heavy-hitter URM — one row
     // (n_uncapped_topk, n_capped_topk, n_common, topk_recall), recall
-    // an exact integer ratio in double. The trade the 25-cap buys on
-    // this fixture is a cross-engine-gated number, not prose.
+    // an exact integer ratio in double. The trade the 80-cap (≈ p99 of
+    // the fixture's degree distribution) buys is a cross-engine-gated
+    // number, not prose; q214 sweeps the cap for the full curve.
     Q("q208_degree_cap_recall_trade", { t =>
         val s = t.lineitem.sparkSession
         val base = Urm.fromOrders(t)
@@ -762,6 +763,249 @@ object RecsysQueries {
         |  (SELECT COUNT(*) FROM cp) AS n_capped_topk,
         |  (SELECT COUNT(*) FROM un JOIN cp USING (i, j)) AS n_common,
         |  CAST((SELECT COUNT(*) FROM un JOIN cp USING (i, j)) AS DOUBLE)
-        |    / (SELECT COUNT(*) FROM un) AS topk_recall""".stripMargin))
+        |    / (SELECT COUNT(*) FROM un) AS topk_recall""".stripMargin)),
+
+    // Degree-capped WEIGHTED similarity engine (VERDICT r13 next #1 —
+    // the one perf-weak item left after r13 capped the binary twin):
+    // the q207 planted-heavy-hitter convention applied to the
+    // TF-IDF-weighted engine the tuning spaces' feature_weighting
+    // dimension ships. TF-IDF is computed over the FULL frame (df/idf
+    // keep corpus semantics), THEN the cap keeps each over-cap
+    // profile's 80 md5-first interactions — weights ride along
+    // untouched — and dots AND norms see the capped weighted frame.
+    // Weights quantize to DECIMAL(18,9) and accumulate exactly (the
+    // q141 discipline), so capped weighted cosine + top-5 is
+    // bit-checkable against the oracle's ROW_NUMBER tower. Item range
+    // bounded (q141's bound) to keep the pair fan-out moderate.
+    Q("q211_degree_capped_weighted_cosine", { t =>
+        val s = t.lineitem.sparkSession
+        val base = Urm.fromOrders(t).filter(col("i") < 2000)
+          .select(col("u").cast("long").as("u"),
+                  col("i").cast("long").as("i"))
+        val heavy = s.range(1, 201)
+          .select(lit(99999999L).as("u"), col("id").as("i"))
+        val urm = base.unionByName(heavy)
+        val sim = Similarity.itemSimilarityWeighted(
+            Weighting.tfidf(urm.withColumn("v", lit(1))),
+            Similarity.Cosine, maxUserDegree = 80)
+          // rank on the ROUNDED weight (q141: the final double divide
+          // differs by 1 ulp between engines and would flip near-ties)
+          .withColumn("w", round(col("w"), 6))
+        Similarity.topK(sim, 5)
+          .select(col("i"), col("j"), col("w"), col("rank"))
+      },
+      Some("""WITH urm AS (
+        |  SELECT DISTINCT o_custkey AS u, l_partkey AS i
+        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |  WHERE l_partkey < 2000
+        |  UNION ALL
+        |  SELECT 99999999 AS u, r AS i FROM generate_series(1, 200) g(r)
+        |), df AS (SELECT i, COUNT(*) AS df FROM urm GROUP BY 1),
+        |nu AS (SELECT COUNT(DISTINCT u) AS n_users FROM urm),
+        |wts AS (
+        |  SELECT u, urm.i AS i,
+        |    CAST(round(sqrt(1.0) * ln(CAST(n_users AS DOUBLE) / (df + 1)), 9)
+        |         AS DECIMAL(18,9)) AS w
+        |  FROM urm JOIN df ON urm.i = df.i CROSS JOIN nu
+        |), capped AS (
+        |  SELECT u, i, w FROM (
+        |    SELECT u, i, w, ROW_NUMBER() OVER (PARTITION BY u
+        |      ORDER BY md5(CAST(u AS VARCHAR) || ',' ||
+        |                   CAST(i AS VARCHAR)), i) AS rk
+        |    FROM wts) z
+        |  WHERE rk <= 80
+        |), dots AS (
+        |  SELECT a.i AS i, b.i AS j, SUM(a.w * b.w) AS dot
+        |  FROM capped a JOIN capped b ON a.u = b.u AND a.i <> b.i
+        |  GROUP BY 1, 2
+        |), norms AS (SELECT i, SUM(w * w) AS n FROM capped GROUP BY 1),
+        |sim AS (
+        |  SELECT d.i, d.j,
+        |    CAST(d.dot AS DOUBLE)
+        |      / (sqrt(CAST(ni.n AS DOUBLE)) * sqrt(CAST(nj.n AS DOUBLE))
+        |         + 1e-6)
+        |      AS w
+        |  FROM dots d
+        |  JOIN norms ni ON d.i = ni.i
+        |  JOIN norms nj ON d.j = nj.i
+        |)
+        |SELECT i, j, w, rank FROM (
+        |  SELECT i, j, round(w, 6) AS w,
+        |    ROW_NUMBER() OVER (PARTITION BY j
+        |      ORDER BY round(w, 6) DESC, i) AS rank
+        |  FROM sim) s
+        |WHERE rank <= 5""".stripMargin)),
+
+    // The WEIGHTED cap's measured recall trade (q208 convention):
+    // top-10 TF-IDF-weighted cosine edges, capped engine vs uncapped
+    // engine on the same planted heavy-hitter frame — one gated row.
+    // Both sides rank on the 6-decimal-rounded weight so the edge
+    // sets are cross-engine exact.
+    Q("q212_weighted_cap_recall_trade", { t =>
+        val s = t.lineitem.sparkSession
+        val base = Urm.fromOrders(t).filter(col("i") < 2000)
+          .select(col("u").cast("long").as("u"),
+                  col("i").cast("long").as("i"))
+        val heavy = s.range(1, 201)
+          .select(lit(99999999L).as("u"), col("id").as("i"))
+        val wts = graft.core.CacheScope.persist(
+          Weighting.tfidf(base.unionByName(heavy).withColumn("v", lit(1))))
+        def edges(cap: Int, flag: String): org.apache.spark.sql.DataFrame =
+          Similarity.topK(
+              Similarity.itemSimilarityWeighted(wts, Similarity.Cosine,
+                                                maxUserDegree = cap)
+                .withColumn("w", round(col("w"), 6)), 10)
+            .select(col("i"), col("j"), lit(1L).as(flag))
+        edges(0, "fu").join(edges(80, "fc"), Seq("i", "j"), "full_outer")
+          .agg(sum(coalesce(col("fu"), lit(0L))).as("n_uncapped_topk"),
+               sum(coalesce(col("fc"), lit(0L))).as("n_capped_topk"),
+               sum(coalesce(col("fu"), lit(0L)) *
+                   coalesce(col("fc"), lit(0L))).as("n_common"),
+               (sum(coalesce(col("fu"), lit(0L)) *
+                    coalesce(col("fc"), lit(0L))).cast("double") /
+                sum(coalesce(col("fu"), lit(0L))))
+                 .as("topk_recall"))
+      },
+      Some {
+        val base = """WITH urm AS (
+          |  SELECT DISTINCT o_custkey AS u, l_partkey AS i
+          |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+          |  WHERE l_partkey < 2000
+          |  UNION ALL
+          |  SELECT 99999999 AS u, r AS i FROM generate_series(1, 200) g(r)
+          |), df AS (SELECT i, COUNT(*) AS df FROM urm GROUP BY 1),
+          |nu AS (SELECT COUNT(DISTINCT u) AS n_users FROM urm),
+          |wts AS (
+          |  SELECT u, urm.i AS i,
+          |    CAST(round(sqrt(1.0) * ln(CAST(n_users AS DOUBLE) / (df + 1)), 9)
+          |         AS DECIMAL(18,9)) AS w
+          |  FROM urm JOIN df ON urm.i = df.i CROSS JOIN nu
+          |)""".stripMargin
+        // one weighted top-10 tower over the named source frame — the
+        // oracle twin of edges(); SQL has no functions, so the tower
+        // is stamped per side from this template
+        def tower(src: String, out: String) = s"""$out AS (
+          |  SELECT i, j FROM (
+          |    SELECT s.i, s.j,
+          |      ROW_NUMBER() OVER (PARTITION BY s.j
+          |        ORDER BY round(s.w, 6) DESC, s.i) AS rank
+          |    FROM (
+          |      SELECT d.i, d.j,
+          |        CAST(d.dot AS DOUBLE)
+          |          / (sqrt(CAST(ni.n AS DOUBLE)) * sqrt(CAST(nj.n AS DOUBLE))
+          |             + 1e-6) AS w
+          |      FROM (
+          |        SELECT a.i AS i, b.i AS j, SUM(a.w * b.w) AS dot
+          |        FROM $src a JOIN $src b ON a.u = b.u AND a.i <> b.i
+          |        GROUP BY 1, 2) d
+          |      JOIN (SELECT i, SUM(w * w) AS n FROM $src GROUP BY 1) ni
+          |        ON d.i = ni.i
+          |      JOIN (SELECT i, SUM(w * w) AS n FROM $src GROUP BY 1) nj
+          |        ON d.j = nj.i) s) r
+          |  WHERE rank <= 10
+          |)""".stripMargin
+        val capped = """capped AS (
+          |  SELECT u, i, w FROM (
+          |    SELECT u, i, w, ROW_NUMBER() OVER (PARTITION BY u
+          |      ORDER BY md5(CAST(u AS VARCHAR) || ',' ||
+          |                   CAST(i AS VARCHAR)), i) AS rk
+          |    FROM wts) z
+          |  WHERE rk <= 80
+          |)""".stripMargin
+        base + ", " + capped + ", " + tower("wts", "un") + ", " +
+          tower("capped", "cp") + """
+          |SELECT
+          |  (SELECT COUNT(*) FROM un) AS n_uncapped_topk,
+          |  (SELECT COUNT(*) FROM cp) AS n_capped_topk,
+          |  (SELECT COUNT(*) FROM un JOIN cp USING (i, j)) AS n_common,
+          |  CAST((SELECT COUNT(*) FROM un JOIN cp USING (i, j)) AS DOUBLE)
+          |    / (SELECT COUNT(*) FROM un) AS topk_recall""".stripMargin
+      }),
+
+    // Cap-SWEEP recall curve (VERDICT r13 next #6): q208's single
+    // measured point widened to cap ∈ {25, 80, 160} ≈ {p50-ish, p99,
+    // >max-base} of the fixture's degree distribution, one gated row
+    // per cap — the cap-selection guidance in capUserDegree's
+    // scaladoc as a measured curve. The uncapped top-10 edge set is
+    // computed once (persisted) and diffed against each capped run.
+    Q("q214_degree_cap_recall_curve", { t =>
+        val s = t.lineitem.sparkSession
+        val base = Urm.fromOrders(t)
+          .select(col("u").cast("long").as("u"),
+                  col("i").cast("long").as("i"))
+        val heavy = s.range(1, 201)
+          .select(lit(99999999L).as("u"), col("id").as("i"))
+        val urm = graft.core.CacheScope.persist(base.unionByName(heavy))
+        val un = graft.core.CacheScope.persist(
+          Similarity.topK(
+              Similarity.itemSimilarity(urm, Similarity.Cosine), 10)
+            .select(col("i"), col("j"), lit(1L).as("fu")))
+        val rows = Seq(25, 80, 160).map { cap =>
+          val cp = Similarity.topK(
+              Similarity.itemSimilarity(urm, Similarity.Cosine,
+                                        maxUserDegree = cap), 10)
+            .select(col("i"), col("j"), lit(1L).as("fc"))
+          un.join(cp, Seq("i", "j"), "full_outer")
+            .agg(sum(coalesce(col("fu"), lit(0L))).as("n_uncapped_topk"),
+                 sum(coalesce(col("fc"), lit(0L))).as("n_capped_topk"),
+                 sum(coalesce(col("fu"), lit(0L)) *
+                     coalesce(col("fc"), lit(0L))).as("n_common"),
+                 (sum(coalesce(col("fu"), lit(0L)) *
+                      coalesce(col("fc"), lit(0L))).cast("double") /
+                  sum(coalesce(col("fu"), lit(0L))))
+                   .as("topk_recall"))
+            .select(lit(cap).as("cap"), col("n_uncapped_topk"),
+                    col("n_capped_topk"), col("n_common"),
+                    col("topk_recall"))
+        }
+        rows.reduce(_ unionByName _)
+      },
+      Some {
+        val head = """WITH urm AS (
+          |  SELECT DISTINCT o_custkey AS u, l_partkey AS i
+          |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+          |  UNION ALL
+          |  SELECT 99999999 AS u, r AS i FROM generate_series(1, 200) g(r)
+          |)""".stripMargin
+        def binTower(src: String, out: String) = s"""$out AS (
+          |  SELECT i, j FROM (
+          |    SELECT s.i, s.j,
+          |      ROW_NUMBER() OVER (PARTITION BY s.j
+          |        ORDER BY s.w DESC, s.i) AS rank
+          |    FROM (
+          |      SELECT d.i, d.j,
+          |        CAST(d.dot AS DOUBLE) / (sqrt(ni.n) * sqrt(nj.n)) AS w
+          |      FROM (
+          |        SELECT a.i AS i, b.i AS j, COUNT(*) AS dot
+          |        FROM $src a JOIN $src b ON a.u = b.u AND a.i <> b.i
+          |        GROUP BY 1, 2) d
+          |      JOIN (SELECT i, COUNT(*) AS n FROM $src GROUP BY 1) ni
+          |        ON d.i = ni.i
+          |      JOIN (SELECT i, COUNT(*) AS n FROM $src GROUP BY 1) nj
+          |        ON d.j = nj.i) s) r
+          |  WHERE rank <= 10
+          |)""".stripMargin
+        def cappedCte(cap: Int) = s"""capped$cap AS (
+          |  SELECT u, i FROM (
+          |    SELECT u, i, ROW_NUMBER() OVER (PARTITION BY u
+          |      ORDER BY md5(CAST(u AS VARCHAR) || ',' ||
+          |                   CAST(i AS VARCHAR)), i) AS rk
+          |    FROM urm) z
+          |  WHERE rk <= $cap
+          |)""".stripMargin
+        val caps = Seq(25, 80, 160)
+        def capRow(cap: Int) = s"""SELECT $cap AS cap,
+          |  (SELECT COUNT(*) FROM un) AS n_uncapped_topk,
+          |  (SELECT COUNT(*) FROM cp$cap) AS n_capped_topk,
+          |  (SELECT COUNT(*) FROM un JOIN cp$cap USING (i, j)) AS n_common,
+          |  CAST((SELECT COUNT(*) FROM un JOIN cp$cap USING (i, j))
+          |       AS DOUBLE)
+          |    / (SELECT COUNT(*) FROM un) AS topk_recall""".stripMargin
+        head + ", " +
+          (caps.map(cappedCte) ++ Seq(binTower("urm", "un")) ++
+           caps.map(c => binTower(s"capped$c", s"cp$c")))
+            .mkString(", ") + "\n" +
+          caps.map(capRow).mkString("\nUNION ALL\n")
+      })
   )
 }

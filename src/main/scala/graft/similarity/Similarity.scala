@@ -215,6 +215,29 @@ object Similarity {
       "dot")
   }
 
+  /** [[pairDotsWeightedFrom]] with the salted two-phase aggregation of
+    * [[pairDotsSalted]]: hot (i, j) reducers spread over `salts`
+    * partial groups before the merge. The partials are EXACT decimals
+    * (scale-18), so the two-phase sum is associative and the result is
+    * bit-identical to the unsalted form — salting a double sum would
+    * reorder an order-dependent accumulation. */
+  private[graft] def pairDotsWeightedSaltedFrom(urm: DataFrame,
+                                                salts: Int): DataFrame = {
+    val a = urm.select(col("u"), col("i").as("i1"), col("w").as("wa"))
+    val b = urm.select(col("u"), col("i").as("i2"), col("w").as("wb"))
+    mirrorPairs(
+      a.join(b, "u")
+        .filter(col("i1") < col("i2"))
+        .withColumn("_salt",
+          pmod(spark_partition_id() + monotonically_increasing_id(),
+               lit(salts)))
+        .groupBy(col("i1").as("i"), col("i2").as("j"), col("_salt"))
+        .agg(sum(col("wa") * col("wb")).as("partial"))
+        .groupBy(col("i"), col("j"))
+        .agg(sum("partial").as("dot")),
+      "dot")
+  }
+
   /** Cosine-family similarity over a WEIGHTED URM (u, i, w) — the
     * shape the reference's feature-weighted KNN runs (IR_feature_
     * weighting.py applied before Compute_Similarity_Python.py:
@@ -229,15 +252,36 @@ object Similarity {
     * accumulated as EXACT decimals (a double product sum is
     * order-dependent — the `scoreBySimilarity` convention), so the
     * whole similarity is bit-reproducible and oracle-checkable; the
-    * 1e-9 quantization is far below any weighting scheme's signal. */
+    * 1e-9 quantization is far below any weighting scheme's signal.
+    *
+    * `maxUserDegree` / `saltWhenHeavy`: the SAME skew levers as
+    * [[itemSimilarity]] — the weighted self-join has the identical
+    * quadratic per-user pair fan-out (the weights change what each
+    * pair row CARRIES, not how many there are), so on power-law
+    * degree the uncapped weighted engine hits the measured records-
+    * exponent-≈2 wall of the binary twin (SURVEY §6.z″). The cap
+    * routes the weighted frame through [[capUserDegree]] BEFORE
+    * quantization, dots AND norms — the capped similarity is the
+    * exact similarity OF THE CAPPED WEIGHTED URM, oracle-checkable
+    * like the binary one (q211). The cap's md5 pick reads only
+    * (u, i); the weight column rides along untouched, so weighting
+    * (computed by the caller on the FULL frame — df/idf statistics
+    * keep corpus semantics) and capping compose cleanly. */
   def itemSimilarityWeighted(urm0: DataFrame, measure: Measure,
-                             shrink: Double = 0.0): DataFrame = {
+                             shrink: Double = 0.0,
+                             saltWhenHeavy: Long = 0L,
+                             maxUserDegree: Int = 0): DataFrame = {
     require(measure match {
       case Cosine | AsymmetricCosine(_) | Euclidean(_, _, _) => true
       case _ => false
     }, s"weighted similarity needs a dot-product measure, got $measure")
-    val urm = quantizeWeights(urm0)
-    val dots = pairDotsWeightedFrom(urm)
+    val urm = quantizeWeights(
+      if (maxUserDegree > 0) capUserDegree(urm0, maxUserDegree)
+      else urm0)
+    val dots =
+      if (saltWhenHeavy > 0 && hasHeavyUsers(urm, saltWhenHeavy))
+        pairDotsWeightedSaltedFrom(urm, salts = 16)
+      else pairDotsWeightedFrom(urm)
     val norms = urm.groupBy(col("i")).agg(sum(col("w") * col("w")).as("n"))
     val ni = norms.select(col("i").as("i"), col("n").as("ni"))
     val nj = norms.select(col("i").as("j"), col("n").as("nj"))

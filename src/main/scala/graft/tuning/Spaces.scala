@@ -226,10 +226,23 @@ object Spaces {
     * mf_bpr's 4-merge-round batch cap) bound what one smoke trial
     * spends; the declared spaces still carry the reference's values
     * (epochs=1500, num_factors≤350) and a production run would lift
-    * them. */
+    * them.
+    *
+    * `maxUserDegree` (0 = off) is the deployment-scale knob, NOT a
+    * searched dimension: it routes every KNN trial's pair engine —
+    * binary, feature-weighted, and the normalize=false raw-dots
+    * branch alike — through [[Similarity.capUserDegree]], bounding
+    * the self-join's per-user quadratic fan-out on power-law logs
+    * (SURVEY §6.z″). The reference's feature_weighting dimension is
+    * how TF-IDF/BM25-weighted URMs reach real data
+    * (run_parameter_search.py:196-204), so without this knob a
+    * production search would ride the uncapped weighted engine —
+    * the one measured-quadratic path left after r13 capped the
+    * binary twin. */
   def recommender(algorithm: String, spark: SparkSession,
                   maxRank: Int = 16, maxEpochs: Int = 2,
-                  impressions: Option[DataFrame] = None)
+                  impressions: Option[DataFrame] = None,
+                  maxUserDegree: Int = 0)
       : (DataFrame, Map[String, PValue], Int) => DataFrame = {
 
     def num(p: Map[String, PValue], k: String): Double =
@@ -297,9 +310,10 @@ object Spaces {
               normalize,
               str(p, "normalize_avg_row") == "true")
             if (weighting == "none")
-              Similarity.itemSimilarity(train, measure, shrink)
+              Similarity.itemSimilarity(train, measure, shrink,
+                maxUserDegree = maxUserDegree)
             else Similarity.itemSimilarityWeighted(weightedUrm, measure,
-                                                   shrink)
+              shrink, maxUserDegree = maxUserDegree)
           case _ =>
             val measure: Similarity.Measure = simType match {
               case "cosine" => Similarity.Cosine
@@ -317,14 +331,20 @@ object Spaces {
               // (Compute_Similarity_Python.py:338-340 `elif
               // self.shrink != 0: weights / shrink`); feature
               // weighting still applies (see weightedUrm note)
+              // the raw-dots branch carries the same quadratic pair
+              // fan-out — route it through the cap too
+              def capped(f: DataFrame): DataFrame =
+                if (maxUserDegree > 0)
+                  Similarity.capUserDegree(f, maxUserDegree)
+                else f
               val dots =
                 if (weighting == "none")
-                  Similarity.pairDots(train)
+                  Similarity.pairDots(capped(train))
                     .select(col("i"), col("j"),
                             col("dot").cast("double").as("w"))
                 else
                   Similarity.pairDotsWeightedFrom(
-                      Similarity.quantizeWeights(weightedUrm))
+                      Similarity.quantizeWeights(capped(weightedUrm)))
                     .select(col("i"), col("j"),
                             col("dot").cast("double").as("w"))
               if (shrink != 0.0)
@@ -332,10 +352,11 @@ object Spaces {
               else dots
             }
             else if (weighting == "none")
-              Similarity.itemSimilarity(train, measure, shrink)
+              Similarity.itemSimilarity(train, measure, shrink,
+                maxUserDegree = maxUserDegree)
             else
               Similarity.itemSimilarityWeighted(weightedUrm, measure,
-                                                shrink)
+                shrink, maxUserDegree = maxUserDegree)
         }
         fromSim(train, Similarity.topK(sim, topK), cutoff)
       }
@@ -463,10 +484,11 @@ object Spaces {
   def evaluator(algorithm: String, spark: SparkSession,
                 train: DataFrame, validation: DataFrame, cutoff: Int,
                 maxRank: Int = 16, maxEpochs: Int = 2,
-                impressions: Option[DataFrame] = None)
+                impressions: Option[DataFrame] = None,
+                maxUserDegree: Int = 0)
       : Map[String, PValue] => Double = {
     val rec = recommender(algorithm, spark, maxRank, maxEpochs,
-                          impressions)
+                          impressions, maxUserDegree)
     p => mapAt(rec(train, p, cutoff), validation, cutoff)
   }
 

@@ -471,6 +471,19 @@ class PlanSpec extends SparkSpec {
     graft.core.CacheScope.global.release()
   }
 
+  test("degree-capped WEIGHTED similarity: same WindowGroupLimit " +
+       "map-side prune, no cartesian") {
+    val urm = graft.etl.Urm.fromOrders(t).select("u", "i")
+    val wts = graft.similarity.Weighting.tfidf(urm.withColumn("v", lit(1)))
+    val sim = graft.similarity.Similarity.itemSimilarityWeighted(
+      wts, graft.similarity.Similarity.Cosine, maxUserDegree = 25)
+    val plan = sim.queryExecution.executedPlan.toString
+    assert(plan.contains("WindowGroupLimit"),
+           s"the weighted cap must plan as a group limit:\n$plan")
+    assert(!plan.contains("CartesianProduct"))
+    graft.core.CacheScope.global.release()
+  }
+
   test("mmrDiversify: lineage cut to an RDD leaf; no cartesian") {
     val cand = (0 until 12).map(i =>
       (i % 3L, i.toLong, 0.5 + (i % 7) * 0.05,

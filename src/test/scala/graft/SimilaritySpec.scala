@@ -185,6 +185,55 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("weighted engine: maxUserDegree routes through capUserDegree, " +
+       "salted dots bit-identical, light profiles pass through") {
+    val rnd = new scala.util.Random(51)
+    // one heavy user (degree 30) over a 40-item universe + light tail;
+    // weights vary per (u, i) so the capped subset actually changes
+    // dots AND norms when it bites
+    val heavy = (0 until 30).map(i => (100L, i.toLong,
+      (rnd.nextInt(900) + 100) / 1000.0))
+    val light = Seq((1L, 0L, 0.5), (1L, 1L, 0.25), (2L, 5L, 0.75),
+                    (2L, 6L, 0.3), (3L, 1L, 0.9), (3L, 5L, 0.6))
+    val urm = (heavy ++ light).toDF("u", "i", "w")
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getLong(0), r.getLong(1), r.getDouble(2))
+    // engine knob == uncapped engine on the pre-capped frame,
+    // bit-identical (numerator and denominators see the same frame)
+    val viaParam = Similarity.itemSimilarityWeighted(
+        urm, Similarity.Cosine, maxUserDegree = 8)
+      .collect().map(key).sortBy(identity)
+    val viaPre = Similarity.itemSimilarityWeighted(
+        Similarity.capUserDegree(urm, 8), Similarity.Cosine)
+      .collect().map(key).sortBy(identity)
+    assert(viaParam.nonEmpty && viaParam.sameElements(viaPre))
+    // the cap must actually bite here (heavy user over-cap)
+    val uncapped = Similarity.itemSimilarityWeighted(
+        urm, Similarity.Cosine)
+      .collect().map(key).sortBy(identity)
+    assert(!uncapped.sameElements(viaParam),
+      "fixture must exercise the cap (heavy profile over-cap)")
+    // an all-light frame passes through bit-identically under the cap
+    val lightUrm = light.toDF("u", "i", "w")
+    val cappedLight = Similarity.itemSimilarityWeighted(
+        lightUrm, Similarity.Cosine, maxUserDegree = 8)
+      .collect().map(key).sortBy(identity)
+    val plainLight = Similarity.itemSimilarityWeighted(
+        lightUrm, Similarity.Cosine)
+      .collect().map(key).sortBy(identity)
+    assert(cappedLight.sameElements(plainLight))
+    // salted weighted dots are EXACT decimals — two-phase sum
+    // bit-identical to the one-phase form, capped or not
+    val salted = Similarity.itemSimilarityWeighted(
+        urm, Similarity.Cosine, saltWhenHeavy = 10L, maxUserDegree = 8)
+      .collect().map(key).sortBy(identity)
+    assert(salted.sameElements(viaParam))
+    val saltedUncapped = Similarity.itemSimilarityWeighted(
+        urm, Similarity.Cosine, saltWhenHeavy = 10L)
+      .collect().map(key).sortBy(identity)
+    assert(saltedUncapped.sameElements(uncapped))
+  }
+
   test("zipfRekeyUsers: power-law degrees, keys in range, " +
        "partition-invariant") {
     import graft.operators.Skew

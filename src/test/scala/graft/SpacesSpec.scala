@@ -219,6 +219,43 @@ class SpacesSpec extends SparkSpec {
     }
   }
 
+  test("maxUserDegree knob reaches every KNN trial path: no-op when " +
+       "no profile is over-cap, bites on a planted heavy user") {
+    val urm = (for { u <- 0 until 30; i <- 0 until 20
+                     if (u * 7 + i * 3) % 4 != 0 } yield (u, i))
+      .toDF("u", "i")
+    // planted heavy user: full catalog profile (degree 20)
+    val heavy = (0 until 20).map(i => (999, i)).toDF("u", "i")
+    val split = Urm.userWiseHoldout(urm.unionByName(heavy), 0.8, seed = 5)
+    val train = split.filter(col("split") === "train").select("u", "i")
+    val valid = split.filter(col("split") === "test").select("u", "i")
+    val space = Spaces.itemKnn("cosine")
+    val p = space.decode(space.keys.map(_ -> 0.9).toMap) // TF-IDF path
+    def recs(cap: Int) =
+      Spaces.recommender("item_knn_cosine", spark,
+          maxUserDegree = cap)(train, p, 5)
+        .collect().map(r => (r.get(0), r.get(1), r.get(2))).toSet
+    // a cap above every profile is a bit-exact no-op
+    assert(recs(1000) == recs(0))
+    // a biting cap changes the similarity (weights differ per pair)
+    // and still yields a full recommendation table
+    val capped = recs(4)
+    assert(capped.nonEmpty)
+    assert(capped != recs(0),
+      "cap 4 must bite on the degree-20 planted profile")
+    // the raw-dots (normalize=false) weighted branch takes the cap too
+    val pRaw = space.decode(Map("topK" -> 0.5, "shrink" -> 0.9,
+      "similarity" -> 0.0, "normalize" -> 0.9,
+      "feature_weighting" -> 0.99).withDefaultValue(0.5))
+    assert(pRaw("normalize") == PStr("false"))
+    def recsRaw(cap: Int) =
+      Spaces.recommender("item_knn_cosine", spark,
+          maxUserDegree = cap)(train, pRaw, 5)
+        .collect().map(r => (r.get(0), r.get(1), r.get(2))).toSet
+    assert(recsRaw(1000) == recsRaw(0))
+    assert(recsRaw(4) != recsRaw(0))
+  }
+
   test("ials log confidence scaling changes the fit; linear matches " +
        "the unscaled default (IALSRecommender.py:111-123)") {
     import graft.recommend.Models
