@@ -1701,6 +1701,199 @@ object DedupQueries {
         |  CAST(CASE WHEN e.dup_of IS NULL AND n.near_dup_of IS NULL
         |    THEN 1 ELSE 0 END AS BIGINT) AS keep
         |FROM exact_out e LEFT JOIN near n USING (doc_id)"""
+        .stripMargin)),
+
+    // STANDING-BUCKET STATE ADVANCE across TWO refreshes (VERDICT r13
+    // next #2 — closes the delta-sized refresh loop): refresh 1 adds
+    // fresh doc A (kept) and B = a paraphrase of standing doc 5
+    // (near-dropped); advanceStandingBuckets folds A's delta buckets
+    // into the standing sketch; refresh 2 removes doc 9, changes doc
+    // 10, and adds D = a paraphrase of A — catchable ONLY if the
+    // advance folded A in (A/D share bands 0 and 2 under the md5
+    // minhash, a fixed property of the constant texts) — plus G = a
+    // paraphrase of ORIGINAL standing doc 21 (the carried half of the
+    // state) and fresh F. The output is refresh 2's report computed
+    // against the ADVANCED frame; the oracle recomputes refresh 2
+    // from scratch, so green ⇔ advanced ≡ recomputed on this fixture
+    // (the spec pins the same identity in-engine plus the cap
+    // algebra). All plantings are fixed copy-0 ids (q110 convention);
+    // B is excluded from snapshot 2 explicitly so the gate's verdict
+    // never depends on refresh 1's probabilistic banding of
+    // sf-varying text.
+    Q("q213_standing_bucket_advance", { t =>
+        val old = t.documents.select(col("doc_id"), col("text"))
+        val toks = split(col("text"), "\\s+")
+        def headToks(drop: Int) = array_join(
+          slice(toks, lit(1), greatest(size(toks) - drop, lit(1))), " ")
+        val aText = "refresh one introduces a genuinely fresh document" +
+          " about warp drives and tachyon fields"
+        val addA = old.filter(col("doc_id") === 0)
+          .select(lit(200001L).as("doc_id"), lit(aText).as("text"))
+        val addB = old.filter(col("doc_id") === 5)
+          .select(lit(200002L).as("doc_id"), headToks(2).as("text"))
+        val new1 = old.unionByName(addA).unionByName(addB)
+        val standing0 = Dedup.lshBuckets(
+          Dedup.minhashSignatures(
+            Dedup.docTokens(old, col("doc_id"), col("text")), 6), 6, 2)
+        val st1 = Dedup.incrementalDedupNearState(old, new1,
+          col("doc_id"), col("text"), jaccardThreshold = 0.8,
+          standingBuckets = Some(standing0))
+        val rep1 = graft.core.CacheScope.persistCut(st1.report)
+        val adv = Dedup.advanceStandingBuckets(standing0, rep1,
+          st1.deltaBuckets)
+        val k1 = graft.core.CacheScope.persistCut(
+          new1.join(rep1.filter(col("keep") === 1).select("doc_id"),
+                    "doc_id"))
+        val survivors2 = k1.filter(col("doc_id") =!= 9 &&
+                                   col("doc_id") =!= 200002L)
+          .withColumn("text",
+            when(col("doc_id") === 10, concat(col("text"), lit(" v2")))
+              .otherwise(col("text")))
+        val addD = k1.filter(col("doc_id") === 200001L)
+          .select(lit(200010L).as("doc_id"), headToks(2).as("text"))
+        val addG = k1.filter(col("doc_id") === 21)
+          .select(lit(200011L).as("doc_id"), headToks(3).as("text"))
+        val addF = k1.filter(col("doc_id") === 0)
+          .select(lit(200012L).as("doc_id"),
+                  lit("second refresh novel text about quasars and pulsars")
+                    .as("text"))
+        val new2 = survivors2.unionByName(addD).unionByName(addG)
+          .unionByName(addF)
+        Dedup.incrementalDedupNearState(k1, new2, col("doc_id"),
+          col("text"), jaccardThreshold = 0.8,
+          standingBuckets = Some(adv)).report
+      },
+      Some("""WITH k1 AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT CAST(200001 AS BIGINT),
+        |    'refresh one introduces a genuinely fresh document about warp drives and tachyon fields'
+        |  FROM documents WHERE doc_id = 0
+        |), newer AS (
+        |  SELECT doc_id,
+        |    CASE WHEN doc_id = 10 THEN text || ' v2' ELSE text END AS text
+        |  FROM k1 WHERE doc_id <> 9
+        |  UNION ALL
+        |  SELECT CAST(200010 AS BIGINT),
+        |    array_to_string(list_slice(string_split_regex(text, '\s+'),
+        |      1, greatest(len(string_split_regex(text, '\s+')) - 2, 1)),
+        |      ' ')
+        |  FROM k1 WHERE doc_id = 200001
+        |  UNION ALL
+        |  SELECT CAST(200011 AS BIGINT),
+        |    array_to_string(list_slice(string_split_regex(text, '\s+'),
+        |      1, greatest(len(string_split_regex(text, '\s+')) - 3, 1)),
+        |      ' ')
+        |  FROM k1 WHERE doc_id = 21
+        |  UNION ALL
+        |  SELECT CAST(200012 AS BIGINT),
+        |    'second refresh novel text about quasars and pulsars'
+        |  FROM k1 WHERE doc_id = 0
+        |), diff AS (
+        |  SELECT COALESCE(o.doc_id, n.doc_id) AS doc_id,
+        |    CASE WHEN o.doc_id IS NULL THEN 'added'
+        |         WHEN n.doc_id IS NULL THEN 'removed'
+        |         WHEN md5(o.text) IS NOT DISTINCT FROM md5(n.text)
+        |           THEN 'unchanged'
+        |         ELSE 'changed' END AS status
+        |  FROM k1 o FULL OUTER JOIN newer n ON o.doc_id = n.doc_id
+        |), d AS (
+        |  SELECT diff.doc_id, status,
+        |    COALESCE(
+        |      md5(regexp_replace(lower(trim(n.text)), '\s+', ' ', 'g')),
+        |      '__graft_null_text__') AS nh
+        |  FROM diff JOIN newer n ON n.doc_id = diff.doc_id
+        |  WHERE status <> 'removed'
+        |), standing AS (
+        |  SELECT nh, MIN(doc_id) AS standing_dup FROM d
+        |  WHERE status = 'unchanged' GROUP BY 1
+        |), deltac AS (
+        |  SELECT nh, MIN(doc_id) AS delta_canon FROM d
+        |  WHERE status <> 'unchanged' GROUP BY 1
+        |), exact_out AS (
+        |  SELECT doc_id, status, CAST(NULL AS BIGINT) AS dup_of
+        |  FROM d WHERE status = 'unchanged'
+        |  UNION ALL
+        |  SELECT d.doc_id, d.status,
+        |    COALESCE(standing_dup,
+        |      CASE WHEN delta_canon < d.doc_id THEN delta_canon END)
+        |  FROM d LEFT JOIN standing USING (nh) JOIN deltac USING (nh)
+        |  WHERE d.status <> 'unchanged'
+        |), deltaids AS (
+        |  SELECT doc_id FROM exact_out
+        |  WHERE status <> 'unchanged' AND dup_of IS NULL
+        |), unchids AS (
+        |  SELECT doc_id FROM exact_out WHERE status = 'unchanged'
+        |), toks AS (
+        |  SELECT DISTINCT n.doc_id, tok
+        |  FROM newer n, UNNEST(string_split_regex(lower(n.text), '\s+'))
+        |    t(tok)
+        |), sigsD AS (
+        |  SELECT doc_id,
+        |    MIN(md5('0:' || tok)) AS mh_0, MIN(md5('1:' || tok)) AS mh_1,
+        |    MIN(md5('2:' || tok)) AS mh_2, MIN(md5('3:' || tok)) AS mh_3,
+        |    MIN(md5('4:' || tok)) AS mh_4, MIN(md5('5:' || tok)) AS mh_5
+        |  FROM toks WHERE doc_id IN (SELECT doc_id FROM deltaids)
+        |  GROUP BY doc_id
+        |), bD AS (
+        |  SELECT * FROM (
+        |    SELECT doc_id, 0 AS band, md5(mh_0 || mh_1) AS bucket
+        |    FROM sigsD
+        |    UNION ALL
+        |    SELECT doc_id, 1, md5(mh_2 || mh_3) FROM sigsD
+        |    UNION ALL
+        |    SELECT doc_id, 2, md5(mh_4 || mh_5) FROM sigsD) z
+        |  QUALIFY COUNT(*) OVER (PARTITION BY band, bucket) <= 1000
+        |), sigsS AS (
+        |  SELECT doc_id,
+        |    MIN(md5('0:' || tok)) AS mh_0, MIN(md5('1:' || tok)) AS mh_1,
+        |    MIN(md5('2:' || tok)) AS mh_2, MIN(md5('3:' || tok)) AS mh_3,
+        |    MIN(md5('4:' || tok)) AS mh_4, MIN(md5('5:' || tok)) AS mh_5
+        |  FROM toks WHERE doc_id IN (SELECT doc_id FROM unchids)
+        |  GROUP BY doc_id
+        |), bS AS (
+        |  SELECT * FROM (
+        |    SELECT doc_id, 0 AS band, md5(mh_0 || mh_1) AS bucket
+        |    FROM sigsS
+        |    UNION ALL
+        |    SELECT doc_id, 1, md5(mh_2 || mh_3) FROM sigsS
+        |    UNION ALL
+        |    SELECT doc_id, 2, md5(mh_4 || mh_5) FROM sigsS) z
+        |  QUALIFY COUNT(*) OVER (PARTITION BY band, bucket) <= 1000
+        |), cand AS (
+        |  SELECT DISTINCT dd.doc_id AS a, s.doc_id AS b
+        |  FROM bD dd JOIN bS s USING (band, bucket)
+        |  UNION
+        |  SELECT DISTINCT dd.doc_id AS a, e.doc_id AS b
+        |  FROM bD dd JOIN bD e USING (band, bucket)
+        |  WHERE e.doc_id < dd.doc_id
+        |), sizes AS (SELECT doc_id, COUNT(*) AS n FROM toks GROUP BY 1
+        |), inter AS (
+        |  SELECT c.a, c.b, COUNT(*) AS i
+        |  FROM cand c
+        |  JOIN toks ta ON ta.doc_id = c.a
+        |  JOIN toks tb ON tb.doc_id = c.b AND tb.tok = ta.tok
+        |  GROUP BY 1, 2
+        |), ver AS (
+        |  SELECT a, b FROM inter
+        |  JOIN sizes sa ON inter.a = sa.doc_id
+        |  JOIN sizes sb ON inter.b = sb.doc_id
+        |  WHERE CAST(i AS DOUBLE) / (sa.n + sb.n - i) >= 0.8
+        |), near AS (
+        |  SELECT doc_id, b AS near_dup_of FROM (
+        |    SELECT v.a AS doc_id, v.b,
+        |      ROW_NUMBER() OVER (PARTITION BY v.a ORDER BY
+        |        CASE WHEN u.doc_id IS NOT NULL THEN 0 ELSE 1 END, v.b)
+        |        AS rn
+        |    FROM ver v LEFT JOIN unchids u ON v.b = u.doc_id) z
+        |  WHERE rn = 1
+        |)
+        |SELECT e.doc_id, e.status, e.dup_of,
+        |  CASE WHEN e.dup_of IS NULL THEN n.near_dup_of END
+        |    AS near_dup_of,
+        |  CAST(CASE WHEN e.dup_of IS NULL AND n.near_dup_of IS NULL
+        |    THEN 1 ELSE 0 END AS BIGINT) AS keep
+        |FROM exact_out e LEFT JOIN near n USING (doc_id)"""
         .stripMargin))
   )
 }

@@ -1384,6 +1384,133 @@ class DedupTextAnnSpec extends SparkSpec {
            "persisted standing buckets must reproduce the in-plan verdicts")
   }
 
+  test("advanceStandingBuckets algebra: stale ids dropped, kept delta " +
+       "folded, delta-touched re-cap, untouched pass-through") {
+    // hand-built frames isolate the state algebra from the refresh
+    val standing = Seq(
+      (1L, 0, "X"), (2L, 0, "X"),   // bucket X: two standing members
+      (3L, 0, "Y"),                 // doc 3 will be CHANGED -> stale
+      (9L, 0, "Z"), (9L, 1, "Z2")   // doc 9 was REMOVED -> stale
+    ).toDF("doc_id", "band", "bucket")
+    val report = Seq(
+      (1L, "unchanged", 1L), (2L, "unchanged", 1L),
+      (3L, "changed", 1L),          // changed + kept: new buckets only
+      (40L, "added", 1L),
+      (41L, "added", 0L)            // near-dupped: buckets must NOT fold
+    ).toDF("doc_id", "status", "keep")
+    val delta = Seq(
+      (3L, 0, "Y2"), (40L, 0, "X"), (41L, 0, "X")
+    ).toDF("doc_id", "band", "bucket")
+    val removed = Seq(Tuple1(9L)).toDF("doc_id")
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getInt(1), r.getString(2)))
+        .toSet
+    val adv3 = rows(Dedup.advanceStandingBuckets(standing, report, delta,
+      Some(removed), maxBucketSize = 3))
+    // X: standing 1,2 + kept delta 40 (41 excluded, keep=0) = 3 <= cap
+    assert(adv3 == Set((1L, 0, "X"), (2L, 0, "X"), (40L, 0, "X"),
+                       (3L, 0, "Y2")),
+      s"cap-3 advance: $adv3")
+    // cap 2: the delta-touched bucket X now exceeds the cap -> whole
+    // bucket dropped; Y2 (size 1) survives
+    val adv2 = rows(Dedup.advanceStandingBuckets(standing, report, delta,
+      Some(removed), maxBucketSize = 2))
+    assert(adv2 == Set((3L, 0, "Y2")), s"cap-2 advance: $adv2")
+    // without removedIds the removed doc's rows linger (documented
+    // stale state, harmless to probes via the unchanged semi-join)
+    val advNoRm = rows(Dedup.advanceStandingBuckets(standing, report,
+      delta, None, maxBucketSize = 3))
+    assert(advNoRm.contains((9L, 0, "Z")) && advNoRm.contains((9L, 1, "Z2")))
+  }
+
+  test("advanceStandingBuckets: advanced == recomputed-from-scratch " +
+       "across a refresh; a SECOND refresh adjudicates a paraphrase " +
+       "of a first-refresh addition against the advanced frame") {
+    val corpus0 = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+      (2L, "one two three four five six seven eight nine ten"),
+      (3L, "red orange yellow green blue indigo violet white black gray"),
+      (4L, "north south east west up down left right front back"),
+      (5L, "spark scala catalyst tungsten shuffle partition broadcast join agg scan"))
+      .toDF("doc_id", "text")
+    def buckets(docs: org.apache.spark.sql.DataFrame) =
+      Dedup.lshBuckets(Dedup.minhashSignatures(
+        Dedup.docTokens(docs, col("doc_id"), col("text")), 6), 6, 2)
+    val standing0 = buckets(corpus0)
+    // refresh 1: remove 5, change 4, add 10 (fresh), 11 (paraphrase of
+    // 1 -> near-drop), 12 (exact copy of 2 -> exact-drop)
+    val new1 = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+      (2L, "one two three four five six seven eight nine ten"),
+      (3L, "red orange yellow green blue indigo violet white black gray"),
+      (4L, "north south east west up down left right front back CHANGED"),
+      (10L, "completely fresh first refresh document with brand new words"),
+      (11L, "alpha beta gamma delta epsilon zeta eta theta iota"),
+      (12L, "one two three four five six seven eight nine ten"))
+      .toDF("doc_id", "text")
+    val st1 = Dedup.incrementalDedupNearState(corpus0, new1,
+      col("doc_id"), col("text"), jaccardThreshold = 0.75,
+      standingBuckets = Some(standing0))
+    val rep1 = st1.report.collect()
+      .map(r => r.getLong(0) -> ((r.getString(1), Option(r.get(2)),
+        Option(r.get(3)), r.getLong(4)))).toMap
+    assert(rep1(10L) == (("added", None, None, 1L)))
+    assert(rep1(11L) == (("added", None, Some(1L), 0L)))
+    assert(rep1(12L) == (("added", Some(2L), None, 0L)))
+    assert(rep1(4L)._1 == "changed" && rep1(4L)._4 == 1L)
+    val removed1 = Dedup.snapshotDiff(corpus0, new1, col("doc_id"),
+        col("text")).filter(col("status") === "removed").select("doc_id")
+    val adv1 = Dedup.advanceStandingBuckets(standing0, st1.report,
+      st1.deltaBuckets, Some(removed1))
+    // kept corpus after refresh 1: 1, 2, 3, 4(changed), 10
+    val k1 = new1.join(st1.report.filter(col("keep") === 1)
+      .select("doc_id"), "doc_id")
+    def key(df: org.apache.spark.sql.DataFrame) =
+      df.select("doc_id", "band", "bucket").collect()
+        .map(r => (r.getLong(0), r.getInt(1), r.getString(2))).toSet
+    assert(key(adv1) == key(buckets(k1)),
+      "advanced frame must equal the from-scratch build of the kept corpus")
+    // refresh 2: paraphrase of the FIRST refresh's addition (10) must
+    // be caught -- only possible if the advance folded 10's buckets in
+    val new2 = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+      (2L, "one two three four five six seven eight nine ten"),
+      (3L, "red orange yellow green blue indigo violet white black gray"),
+      (4L, "north south east west up down left right front back CHANGED"),
+      (10L, "completely fresh first refresh document with brand new words"),
+      (20L, "completely fresh first refresh document with brand new"),
+      (21L, "second refresh genuinely novel text nothing shared anywhere"))
+      .toDF("doc_id", "text")
+    val st2 = Dedup.incrementalDedupNearState(k1, new2,
+      col("doc_id"), col("text"), jaccardThreshold = 0.75,
+      standingBuckets = Some(adv1))
+    val rep2 = st2.report.collect()
+      .map(r => r.getLong(0) -> ((r.getString(1), Option(r.get(2)),
+        Option(r.get(3)), r.getLong(4)))).toMap
+    assert(rep2(20L) == (("added", None, Some(10L), 0L)),
+      s"paraphrase of a refresh-1 addition must hit the advanced frame: $rep2")
+    assert(rep2(21L) == (("added", None, None, 1L)))
+    assert(rep2(10L) == (("unchanged", None, None, 1L)))
+    // conservative gap, pinned: a bucket dropped as over-cap at build
+    // stays dropped after deletions shrink it under the cap
+    val trip = Seq((1L, 0, "B"), (2L, 0, "B"), (3L, 0, "B"))
+      .toDF("doc_id", "band", "bucket")
+    val overCap = trip.withColumn("_bsz",
+        org.apache.spark.sql.functions.count(lit(1)).over(
+          org.apache.spark.sql.expressions.Window
+            .partitionBy("band", "bucket")))
+      .filter(col("_bsz") <= 2).drop("_bsz") // what a cap-2 build kept
+    val rmRep = Seq((1L, "unchanged", 1L), (2L, "unchanged", 1L))
+      .toDF("doc_id", "status", "keep")
+    val emptyDelta = Seq.empty[(Long, Int, String)]
+      .toDF("doc_id", "band", "bucket")
+    val advGap = Dedup.advanceStandingBuckets(overCap, rmRep, emptyDelta,
+      Some(Seq(Tuple1(3L)).toDF("doc_id")), maxBucketSize = 2)
+    assert(advGap.count() == 0L,
+      "over-cap-dropped bucket cannot resurrect from carried state " +
+      "(a from-scratch rebuild would now keep docs 1,2)")
+  }
+
   test("setSimJoin is exact: matches brute-force all-pairs verify") {
     // token sets at a spread of jaccards around tau = 0.6, plus
     // disjoint noise docs — prefix filtering must lose NOTHING
