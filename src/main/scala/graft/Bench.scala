@@ -118,9 +118,15 @@ object Bench {
     // fall under 4 before the first timed query; both the initial and
     // the at-start load are reported so a contaminated run is
     // attributable mechanically.
+    // Each gate gets its OWN bounded deadline (ADVICE r13: a shared
+    // 300s deadline meant a busy start could be fully consumed by the
+    // loadavg/ext-busy waits, degenerating the steal gate — the one
+    // channel the other two are blind to — into a single hot probe).
     val loadInitial = loadavg()
-    val gateDeadline = System.nanoTime() + 300L * 1000 * 1000 * 1000
-    while (loadavg() > 4.0 && System.nanoTime() < gateDeadline)
+    def deadlineIn(sec: Long) =
+      System.nanoTime() + sec * 1000 * 1000 * 1000
+    val loadDeadline = deadlineIn(300)
+    while (loadavg() > 4.0 && System.nanoTime() < loadDeadline)
       Thread.sleep(10000)
     // loadavg alone is a proven-weak instrument on this box (it decays
     // from FINISHED JVMs — the r11 soak read 17-33 with nothing
@@ -135,9 +141,10 @@ object Bench {
     // ext_busy_start records exactly how dirty the recording is).
     val extGate = sys.env.getOrElse("SPARK_GRAFT_BENCH_EXT_BUSY",
                                     "0.05").toDouble
+    val extDeadline = deadlineIn(300)
     var ebProbe = core.BenchUtil.extBusyFrac(1000)
     while (ebProbe >= 0 && ebProbe > extGate &&
-           System.nanoTime() < gateDeadline) {
+           System.nanoTime() < extDeadline) {
       Thread.sleep(5000)
       ebProbe = core.BenchUtil.extBusyFrac(1000)
     }
@@ -151,9 +158,10 @@ object Bench {
     // bench; the artifact must say what the host was doing).
     val stealGate = sys.env.getOrElse("SPARK_GRAFT_BENCH_STEAL",
                                       "0.10").toDouble
+    val stealDeadline = deadlineIn(300)
     var stProbe = core.BenchUtil.stealCoreFrac(2000)
     while (stProbe >= 0 && stProbe > stealGate &&
-           System.nanoTime() < gateDeadline) {
+           System.nanoTime() < stealDeadline) {
       Thread.sleep(5000)
       stProbe = core.BenchUtil.stealCoreFrac(2000)
     }

@@ -78,9 +78,11 @@ object Models {
   def ials(urm: DataFrame, rank: Int, reg: Double, alpha: Double,
            iters: Int, seed: Long,
            confidenceScaling: String = "linear",
-           epsilon: Double = 1.0): (DataFrame, DataFrame) = {
+           epsilon: Double = 1.0,
+           numBlocks: Int = 10): (DataFrame, DataFrame) = {
     require(Set("linear", "log")(confidenceScaling),
       s"confidence_scaling must be linear|log, got $confidenceScaling")
+    require(numBlocks >= 1, s"numBlocks $numBlocks must be >= 1")
     // 64-bit id spaces (the r12 sf3 finding): TRY the raw int path —
     // zero added cost for the overwhelmingly common in-range case
     // (an eager range aggregate per fit taxed the search tiers,
@@ -88,20 +90,21 @@ object Models {
     // overflow densify, refit, re-key. The overflow surfaces in the
     // fit's first job, so the discarded work is one early stage.
     try { ialsRaw(urm, rank, reg, alpha, iters, seed,
-                  confidenceScaling, epsilon) }
+                  confidenceScaling, epsilon, numBlocks) }
     catch {
       case e: Throwable
           if isCastOverflow(e) && idsExceedIntRange(urm, "u", "i") =>
         val (uMap, iMap, urmD, _) = denseRemapUi(urm, None)
         val (uf, itf) = ialsRaw(urmD, rank, reg, alpha, iters, seed,
-                                confidenceScaling, epsilon)
+                                confidenceScaling, epsilon, numBlocks)
         (rekeyTo(uf, "id", uMap), rekeyTo(itf, "id", iMap))
     }
   }
 
   private def ialsRaw(urm: DataFrame, rank: Int, reg: Double,
                       alpha: Double, iters: Int, seed: Long,
-                      confidenceScaling: String, epsilon: Double)
+                      confidenceScaling: String, epsilon: Double,
+                      numBlocks: Int = 10)
       : (DataFrame, DataFrame) = {
     val v = col("v").cast("double")
     val scaled = confidenceScaling match {
@@ -114,10 +117,16 @@ object Models {
     // task-serialization stack on the 25th-ish nested cogroup. Ensure
     // a dir so long fits are safe; leave any caller-set dir alone.
     ensureCheckpointDir(urm.sparkSession)
+    // numBlocks partitions BOTH factor axes: each user block
+    // replicates every item block it references per sweep (and vice
+    // versa), so block count trades per-task solve size against
+    // replication volume — exposed for the SURVEY §6.z′ saturation
+    // sensitivity measurement and production tuning (ALS default 10)
     val als = new ALS()
       .setUserCol("u").setItemCol("i").setRatingCol("v")
       .setImplicitPrefs(true).setRank(rank).setRegParam(reg)
       .setAlpha(alpha).setMaxIter(iters).setSeed(seed)
+      .setNumBlocks(numBlocks)
     val model = als.fit(urm.select(col("u").cast("int").as("u"),
                                    col("i").cast("int").as("i"),
                                    scaled.cast("float").as("v")))

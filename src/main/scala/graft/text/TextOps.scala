@@ -1032,9 +1032,14 @@ object TextOps {
       "model must carry exactly one bias row (bucket = -1) — was it " +
       "filtered out upstream?")
     val nbRows = reserved.filter(_.getLong(0) == -2L)
+    // FORMAT BREAK (r13, deliberate): models persisted by the
+    // pre-nBuckets fitQualityClassifier lack the -2 row and fail this
+    // fail-fast — refitting is the only safe migration, because a
+    // legacy model cannot prove its bucket space matches the caller's
     require(nbRows.length == 1,
       "model must carry exactly one nBuckets row (bucket = -2) — " +
-      "refit with fitQualityClassifier, which stores it")
+      "models from the pre-r13 format lack it; refit with " +
+      "fitQualityClassifier, which stores it")
     val trainedNb = nbRows(0).getDecimal(1).longValueExact()
     require(trainedNb == nBuckets.toLong,
       s"nBuckets $nBuckets does not match the model's training bucket " +

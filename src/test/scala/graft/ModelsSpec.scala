@@ -44,6 +44,24 @@ class ModelsSpec extends SparkSpec {
     assert(itf.count() == 20)
   }
 
+  test("IALS numBlocks partitioning knob: any block count fits the " +
+       "same shape; invalid counts rejected") {
+    // the solve is per-row exact; block count changes only WHERE
+    // partial products are computed (and low-order float sum order),
+    // so every block count must yield complete rank-sized factors
+    for (nb <- Seq(1, 4)) {
+      val (uf, itf) = Models.ials(urm, rank = 3, reg = 0.1, alpha = 1.0,
+                                  iters = 2, seed = 1, numBlocks = nb)
+      assert(uf.count() == 30 && itf.count() == 20, s"numBlocks=$nb")
+      assert(uf.head().getAs[scala.collection.Seq[Float]]("features")
+               .size == 3)
+    }
+    intercept[IllegalArgumentException] {
+      Models.ials(urm, rank = 2, reg = 0.1, alpha = 1.0, iters = 1,
+                  seed = 1, numBlocks = 0)
+    }
+  }
+
   test("IALS deep fits survive (checkpoint-truncated lineage) — " +
        "25 iterations used to overflow the task-serialization stack") {
     val (uf, _) = Models.ials(urm, rank = 2, reg = 0.4, alpha = 1.0,
