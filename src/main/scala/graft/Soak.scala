@@ -617,6 +617,24 @@ object Soak {
             sys.env.getOrElse("SPARK_GRAFT_IALS_BLOCKS", "10").toInt)
         userF.count()
       }),
+      // the same fit with item ids hash-folded into int range UP
+      // FRONT: at sf3 ScaleSynth's copy-offset ids exceed int and
+      // ials pays the in-fit densify tax (denseRemapUi + one
+      // discarded early stage) — this variant isolates it away so the
+      // sf1→sf3 local exponent reads the FIT's own scaling. Collision
+      // odds ~|I|²/2³¹ merge a handful of items — a measurement
+      // instrument, not production semantics (production keeps the
+      // exact densify path)
+      "ials_mlfit_zipf_dense" -> (() => {
+        val z = zipfUrm.select(col("u"),
+            pmod(xxhash64(col("i")), lit(2147483647L)).as("i"))
+          .withColumn("v", lit(1.0))
+        val (userF, _) = graft.recommend.Models.ials(
+          z, rank = 8, reg = 0.1, alpha = 5.0, iters = 3, seed = 7,
+          numBlocks =
+            sys.env.getOrElse("SPARK_GRAFT_IALS_BLOCKS", "10").toInt)
+        userF.count()
+      }),
       // evaluator fan-out on power-law degree: global recommender
       // (position-space remove-seen — each user's blocked set grows
       // with their degree) + hit table + per-user metric windows

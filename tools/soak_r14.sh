@@ -17,7 +17,7 @@ set -e
 OUT=${1:-/root/repo/SOAK_r14.json}
 TIER=weighted_cosine_topk_zipf_capped,mfbpr_epoch_zipf,ials_mlfit_zipf,eval_accuracy_zipf
 run () { # sf-dir reps ops
-  SPARK_GRAFT_SF_DIR=$1 SPARK_GRAFT_CPUS=32 JVM_MEM=40g \
+  env SPARK_GRAFT_SF_DIR=$1 SPARK_GRAFT_CPUS=32 JVM_MEM=40g \
     SPARK_GRAFT_SOAK_REPS=$2 SPARK_GRAFT_SOAK_ONLY=$3 \
     SPARK_GRAFT_SOAK_OUT=$OUT ${NOBC:+SPARK_GRAFT_SOAK_NOBC=$NOBC} \
     /root/repo/tools/run.sh graft.Soak > /dev/null
