@@ -288,6 +288,35 @@ object Soak {
           .agg(sum(col("keep")).as("k"), count(lit(1)).as("n"))
           .select((col("k") + col("n")).cast("long")).head.getLong(0)
       }),
+      // The CLOSED refresh loop (r14): the same fixed-delta refresh
+      // PLUS advanceStandingBuckets producing the next standing frame
+      // (counted to force it). The advance's increment over the probe
+      // op is two map-side joins against broadcastable delta-sized
+      // key sets and a re-cap window over delta-TOUCHED bucket rows
+      // only — the curve must track incremental_neardup_refresh's
+      // corpus-scan floor, nowhere near a rebuild's (dedup_e2e_capped)
+      "standing_advance_refresh" -> (() => {
+        val old = t.documents.select(col("doc_id"), col("text"))
+        val toksC = split(col("text"), "\\s+")
+        val changed = old.filter(col("doc_id") < 50)
+          .withColumn("text", concat(col("text"), lit(" refreshed")))
+        val adds = old.filter(col("doc_id") >= 50 && col("doc_id") < 70)
+          .select((col("doc_id") + 900000000L).as("doc_id"),
+            array_join(slice(toksC, lit(1),
+              greatest(size(toksC) - 3, lit(1))), " ").as("text"))
+        val newer = old.filter(col("doc_id") >= 50)
+          .unionByName(changed).unionByName(adds)
+        val standFrame = spark.read.parquet(standingBucketsPath)
+        val st = Dedup.incrementalDedupNearState(old, newer,
+          col("doc_id"), col("text"), jaccardThreshold = 0.8,
+          standingBuckets = Some(standFrame))
+        val rep = graft.core.CacheScope.persistCut(st.report)
+        val removed = Dedup.snapshotDiff(old, newer, col("doc_id"),
+            col("text")).filter(col("status") === "removed")
+          .select("doc_id")
+        Dedup.advanceStandingBuckets(standFrame, rep, st.deltaBuckets,
+            Some(removed)).count() + rep.count()
+      }),
       // BM25 retrieval with a FIXED 20-query batch — the serving
       // shape (like ADC's bounded-batch contract): per-query cost is
       // the posting lists its terms touch, which grow linearly with
