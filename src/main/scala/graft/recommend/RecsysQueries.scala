@@ -940,10 +940,19 @@ object RecsysQueries {
           Similarity.topK(
               Similarity.itemSimilarity(urm, Similarity.Cosine), 10)
             .select(col("i"), col("j"), lit(1L).as("fu")))
+        // the md5-first degree rank is cap-independent: compute the
+        // window ONCE and derive each cap level as a filter (guide
+        // §2.4 — the three capUserDegree calls re-shuffled the same
+        // frame on the same key); frames are bit-identical to
+        // independent capUserDegree calls, so the oracle tower is
+        // unchanged
+        val ranked = graft.core.CacheScope.persist(
+          Similarity.userDegreeRanked(urm))
         val rows = Seq(25, 80, 160).map { cap =>
           val cp = Similarity.topK(
-              Similarity.itemSimilarity(urm, Similarity.Cosine,
-                                        maxUserDegree = cap), 10)
+              Similarity.itemSimilarity(
+                ranked.filter(col(Similarity.capRankCol) <= cap)
+                  .drop(Similarity.capRankCol), Similarity.Cosine), 10)
             .select(col("i"), col("j"), lit(1L).as("fc"))
           un.join(cp, Seq("i", "j"), "full_outer")
             .agg(sum(coalesce(col("fu"), lit(0L))).as("n_uncapped_topk"),

@@ -174,15 +174,30 @@ object Similarity {
     * over-cap profile. */
   def capUserDegree(urm: DataFrame, maxDegree: Int): DataFrame = {
     require(maxDegree > 0, s"maxDegree $maxDegree must be positive")
-    val rc = "_rk__graft_cap"
-    require(!urm.columns.contains(rc),
-      s"input must not contain reserved column $rc")
+    userDegreeRanked(urm)
+      .filter(col(capRankCol) <= maxDegree)
+      .drop(capRankCol)
+  }
+
+  /** The cap's rank column, exposed for cap SWEEPS ([[userDegreeRanked]]). */
+  private[graft] val capRankCol = "_rk__graft_cap"
+
+  /** The ranking half of [[capUserDegree]]: every interaction tagged
+    * with its md5-first per-user rank, NOT yet filtered. A cap sweep
+    * (q214's recall curve) computes this window ONCE, persists it, and
+    * derives each cap level as a plain filter — the cap frames are
+    * bit-identical to independent [[capUserDegree]] calls (rk ≤ cap of
+    * the same deterministic ordering) at one window shuffle instead of
+    * one per cap level. Single-cap callers keep [[capUserDegree]],
+    * whose filter-over-window form Spark 4 rewrites to a map-side
+    * WindowGroupLimit prune. */
+  private[graft] def userDegreeRanked(urm: DataFrame): DataFrame = {
+    require(!urm.columns.contains(capRankCol),
+      s"input must not contain reserved column $capRankCol")
     val ord = md5(concat_ws(",", col("u").cast("string"),
                             col("i").cast("string")))
     val w = Window.partitionBy("u").orderBy(ord, col("i"))
-    urm.withColumn(rc, row_number().over(w))
-      .filter(col(rc) <= maxDegree)
-      .drop(rc)
+    urm.withColumn(capRankCol, row_number().over(w))
   }
 
   /** Quantize a weighted URM's entries to exact decimal(18,9) — the

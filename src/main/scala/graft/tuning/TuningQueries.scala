@@ -66,8 +66,14 @@ object TuningQueries {
           trial = (tr, p, c) => {
             // per-epoch validation monitor; 6-decimal rounding BEFORE
             // the argmax so the selection compares the same numbers
-            // the oracle does
-            val byEpoch = (1 to 3).map(e =>
+            // the oracle does. The three epoch models are INDEPENDENT
+            // (epoch e = popularity over its own deterministic train
+            // stratum, not an incremental update), so the three
+            // fit+evaluate pipelines run concurrently from driver
+            // threads (guide §2.6 via core.Par) — same numbers, same
+            // argmax, only wall-clock changes
+            val byEpoch = graft.core.Par.run(t.spark.sparkContext,
+                "graft-q168-epochs", 30, (1 to 3).toSeq)(e =>
               e -> round6(Spaces.mapAt(popRecs(tr, e, c), valid, c)))
             val (bestE, bestM) =
               byEpoch.maxBy { case (e, m) => (m, -e) }
@@ -440,17 +446,27 @@ object TuningQueries {
         val valid = graft.core.CacheScope.persist(
           s2.filter(col("split") === "test").select("u", "i"))
         val spaces = Spaces.catalog.toMap
-        val rows = Seq("top_pop", "item_knn_cosine").map { alg =>
-          val res = Lifecycle.searchThenFinalTest(
-            alg, spaces(alg), train, valid, test,
-            Spaces.recommender(alg, t.spark, maxEpochs = 1),
-            nTotal = 2, seed = 47)
-          val mapPerCutoff = res.testMetrics.select("cutoff", "map")
-            .as[(Int, Double)].collect().toMap // three scalar rows
-          val bestStr = res.best.toSeq.sortBy(_._1)
-            .map { case (k, v) => s"$k=${v.render}" }.mkString(",")
-          (alg, bestStr, res.nTrials, res.bestValidationMetric,
-           mapPerCutoff(5), mapPerCutoff(10), mapPerCutoff(20))
+        // the two algorithm lifecycles are independent and each is a
+        // chain of SMALL sequential Spark actions (trial fits, metric
+        // collects) that leaves most of the machine idle — run them
+        // concurrently from driver threads (guide §2.6, the q135
+        // pattern via core.Par): result order and all seeds are fixed,
+        // so the output rows are unchanged; only wall-clock drops
+        val rows = graft.core.Par.run(t.spark.sparkContext,
+            "graft-q142-final-test", 30,
+            Seq("top_pop", "item_knn_cosine")) { alg =>
+          graft.core.CacheScope.scoped {
+            val res = Lifecycle.searchThenFinalTest(
+              alg, spaces(alg), train, valid, test,
+              Spaces.recommender(alg, t.spark, maxEpochs = 1),
+              nTotal = 2, seed = 47)
+            val mapPerCutoff = res.testMetrics.select("cutoff", "map")
+              .as[(Int, Double)].collect().toMap // three scalar rows
+            val bestStr = res.best.toSeq.sortBy(_._1)
+              .map { case (k, v) => s"$k=${v.render}" }.mkString(",")
+            (alg, bestStr, res.nTrials, res.bestValidationMetric,
+             mapPerCutoff(5), mapPerCutoff(10), mapPerCutoff(20))
+          }
         }
         rows.toDF("algorithm", "best_params", "n_trials", "valid_map",
                   "test_map_5", "test_map_10", "test_map_20")

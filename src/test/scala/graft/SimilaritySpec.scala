@@ -183,6 +183,17 @@ class SimilaritySpec extends SparkSpec {
     intercept[IllegalArgumentException] {
       Similarity.capUserDegree(urm, 0)
     }
+    // the sweep form (rank once, filter per cap — q214's shape) is
+    // bit-identical to independent capUserDegree calls at every cap
+    val ranked = Similarity.userDegreeRanked(urm)
+    for (cap <- Seq(2, 8, 40)) {
+      val viaSweep = ranked.filter(col(Similarity.capRankCol) <= cap)
+        .drop(Similarity.capRankCol)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val viaCap = Similarity.capUserDegree(urm, cap)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(viaSweep == viaCap, s"sweep form differs at cap $cap")
+    }
   }
 
   test("weighted engine: maxUserDegree routes through capUserDegree, " +
