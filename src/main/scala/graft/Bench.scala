@@ -24,6 +24,13 @@ object Bench {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.adaptive.enabled", "true")
+      // spark.sql.optimizer.canChangeCachedPlanOutputPartitioning is
+      // deliberately left at its DEFAULT (false): flipping it true was
+      // measured (r14, 3-rep medians) to let AQE coalesce the small
+      // cached URM exchange to ~1 partition and every consumer of the
+      // cache inherited that starved parallelism — q63 5.9 → 11.5 s,
+      // q41 6.3 → 7.6 s — a textbook case of a cache partition-count
+      // tuned for bytes, not for the fan-out compute above it.
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()

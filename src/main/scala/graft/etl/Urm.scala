@@ -25,6 +25,20 @@ object Urm {
     t.lineitem
       .join(t.orders, col("l_orderkey") === col("o_orderkey"))
       .select(col("o_custkey").as("u"), col("l_partkey").as("i"))
+      // Key the dedup exchange by u ALONE: hashpartitioning(u)
+      // satisfies the (u, i) ClusteredDistribution (subset rule), so
+      // the distinct plans with NO second exchange — and the one
+      // unavoidable URM shuffle now also co-partitions every
+      // downstream user-keyed consumer: the similarity engine's
+      // self-join on u and the degree-cap window both REUSE it
+      // instead of re-exchanging the URM (guide §2.4 "two operations
+      // keyed the same way can share one exchange"; measured on q33:
+      // 5 exchanges → 3, the two eliminated ones being the two
+      // URM-sized self-join shuffles). Trade: the dedup loses
+      // map-side partial aggregation, pre-dedup rows cross the wire
+      // (~1% duplicates in this schema) — bought against eliding two
+      // URM-sized exchanges in every pair-engine query.
+      .repartition(col("u"))
       .distinct()
       .withColumn("v", lit(1))
 

@@ -535,7 +535,13 @@ object ModelQueries {
                       (2, 2, 2.0), (2, 3, 1.0), (3, 3, 2.0), (3, 0, 3.0))
           .toDF("u", "i", "v")
         val alpha = 2.0; val lam = 0.4; val eps = 0.5
-        Seq("linear", "log").map { scaling =>
+        // the two scalings are independent 25-iteration ml.ALS fits on
+        // an 8-row fixture — pure per-job scheduling overhead, so they
+        // run concurrently from driver threads (guide §2.6 via
+        // core.Par); each side's booleans are computed from its own
+        // fit, so the output rows are unchanged
+        graft.core.Par.run(t.spark.sparkContext, "graft-q170-scalings",
+                           30, Seq("linear", "log")) { scaling =>
           val (ufMl0, itfMl0) = Models.ials(urm, rank = 2, reg = lam,
             alpha = alpha, iters = 25, seed = 7,
             confidenceScaling = scaling, epsilon = eps)
@@ -895,7 +901,9 @@ object ModelQueries {
                       (2, 1, 2.0), (2, 3, 1.0), (3, 2, 2.0), (3, 3, 2.0))
           .toDF("u", "i", "v")
         val alpha = 1.5; val lam = 0.3; val eps = 0.5
-        Seq("linear", "log").map { scaling =>
+        // concurrent independent fits per scaling — the q170 note
+        graft.core.Par.run(t.spark.sparkContext, "graft-q178-scalings",
+                           30, Seq("linear", "log")) { scaling =>
           val (ufMl0, itfMl0) = Models.ials(urm, rank = 2, reg = lam,
             alpha = alpha, iters = 25, seed = 7,
             confidenceScaling = scaling, epsilon = eps)

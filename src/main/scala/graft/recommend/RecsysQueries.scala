@@ -694,13 +694,20 @@ object RecsysQueries {
         val heavy = s.range(1, 201)
           .select(lit(99999999L).as("u"), col("id").as("i"))
         val urm = graft.core.CacheScope.persist(base.unionByName(heavy))
-        val un = Similarity.topK(
+        val un = graft.core.CacheScope.persist(Similarity.topK(
             Similarity.itemSimilarity(urm, Similarity.Cosine), 10)
-          .select(col("i"), col("j"), lit(1L).as("fu"))
-        val cp = Similarity.topK(
+          .select(col("i"), col("j"), lit(1L).as("fu")))
+        val cp = graft.core.CacheScope.persist(Similarity.topK(
             Similarity.itemSimilarity(urm, Similarity.Cosine,
                                       maxUserDegree = 80), 10)
-          .select(col("i"), col("j"), lit(1L).as("fc"))
+          .select(col("i"), col("j"), lit(1L).as("fc")))
+        // the two engines are independent chains over the shared URM:
+        // force the URM cache once, then materialize both edge sets
+        // CONCURRENTLY (guide §2.6 via core.Par) — persist+force
+        // changes when each exact aggregation runs, never its value
+        urm.count()
+        graft.core.Par.run(t.spark.sparkContext, "graft-q208-sides",
+                           30, Seq(un, cp))(_.count())
         un.join(cp, Seq("i", "j"), "full_outer")
           .agg(sum(coalesce(col("fu"), lit(0L))).as("n_uncapped_topk"),
                sum(coalesce(col("fc"), lit(0L))).as("n_capped_topk"),
@@ -851,12 +858,19 @@ object RecsysQueries {
         val wts = graft.core.CacheScope.persist(
           Weighting.tfidf(base.unionByName(heavy).withColumn("v", lit(1))))
         def edges(cap: Int, flag: String): org.apache.spark.sql.DataFrame =
-          Similarity.topK(
+          graft.core.CacheScope.persist(Similarity.topK(
               Similarity.itemSimilarityWeighted(wts, Similarity.Cosine,
                                                 maxUserDegree = cap)
                 .withColumn("w", round(col("w"), 6)), 10)
-            .select(col("i"), col("j"), lit(1L).as(flag))
-        edges(0, "fu").join(edges(80, "fc"), Seq("i", "j"), "full_outer")
+            .select(col("i"), col("j"), lit(1L).as(flag)))
+        val eu = edges(0, "fu"); val ec = edges(80, "fc")
+        // force the shared weighted URM once, then the two engine
+        // sides concurrently (the q208 note: timing only, values are
+        // exact-decimal aggregations either way)
+        wts.count()
+        graft.core.Par.run(t.spark.sparkContext, "graft-q212-sides",
+                           30, Seq(eu, ec))(_.count())
+        eu.join(ec, Seq("i", "j"), "full_outer")
           .agg(sum(coalesce(col("fu"), lit(0L))).as("n_uncapped_topk"),
                sum(coalesce(col("fc"), lit(0L))).as("n_capped_topk"),
                sum(coalesce(col("fu"), lit(0L)) *
@@ -948,7 +962,7 @@ object RecsysQueries {
         // unchanged
         val ranked = graft.core.CacheScope.persist(
           Similarity.userDegreeRanked(urm))
-        val rows = Seq(25, 80, 160).map { cap =>
+        def capRow(cap: Int): org.apache.spark.sql.DataFrame = {
           val cp = Similarity.topK(
               Similarity.itemSimilarity(
                 ranked.filter(col(Similarity.capRankCol) <= cap)
@@ -967,7 +981,22 @@ object RecsysQueries {
                     col("n_capped_topk"), col("n_common"),
                     col("topk_recall"))
         }
-        rows.reduce(_ unionByName _)
+        // force the SHARED caches once (uncapped edge set + rank
+        // frame), then compute the three cap rows CONCURRENTLY from
+        // driver threads (guide §2.6 via core.Par): each row is one
+        // independent capped-engine chain over the already-cached
+        // inputs — each an exact integer/decimal aggregation, so the
+        // collected rows are bit-identical to the lazy union form.
+        // Forcing first also keeps the concurrent branches from racing
+        // to materialize the same cache (duplicate compute, not
+        // wrong results).
+        un.count(); ranked.count()
+        val tmpl = capRow(25)
+        val rows = graft.core.Par.run(t.spark.sparkContext,
+            "graft-q214-caps", 30, Seq(25, 80, 160))(cap =>
+          capRow(cap).head())
+        t.spark.createDataFrame(
+          java.util.Arrays.asList(rows: _*), tmpl.schema)
       },
       Some {
         val head = """WITH urm AS (

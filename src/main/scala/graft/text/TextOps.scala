@@ -677,10 +677,20 @@ object TextOps {
                  queries: DataFrame, queryId: Column, queryText: Column,
                  k: Int, k1: Double = 1.2, b: Double = 0.75)
       : DataFrame = {
-    val dtoks = graft.core.CacheScope.persist(
-      docs.select(docId.as("doc_id"), explode(tokens(text)).as("tok")))
-    val tf = dtoks.groupBy("doc_id", "tok").agg(count(lit(1)).as("tf"))
-    val dlen = dtoks.groupBy("doc_id").agg(count(lit(1)).as("len"))
+    // ONE pass over the corpus token stream: tf aggregates it, and
+    // dlen/df/stats all derive from tf (len = Σ_tok tf exactly — the
+    // same integer as counting dtoks rows per doc), so the token
+    // stream is scanned once instead of twice and the persisted frame
+    // is the SMALLER tf table (its three consumers: df, dlen, and the
+    // query-term join). Measured r14: the separate dlen pass plus the
+    // dtoks cache materialization were ~2-3 s of every searchBm25
+    // call at sf0.1; at corpus scale this is one fewer full pass over
+    // the corpus-sized token stream (guide §1.2 "don't compute things
+    // you throw away" / §2.3 aggregate early).
+    val tf = graft.core.CacheScope.persist(
+      docs.select(docId.as("doc_id"), explode(tokens(text)).as("tok"))
+        .groupBy("doc_id", "tok").agg(count(lit(1)).as("tf")))
+    val dlen = tf.groupBy("doc_id").agg(sum("tf").as("len"))
     val stats = dlen.agg(count(lit(1)).as("nd"), sum("len").as("ntok"))
       .select(col("nd"),
               (col("ntok").cast("double") / col("nd")).as("avg_len"))
