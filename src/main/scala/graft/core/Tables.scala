@@ -42,7 +42,11 @@ final case class Tables(spark: SparkSession, dir: String) {
   // scan for A/B runs.
   private val spreadMode =
     sys.env.getOrElse("SPARK_GRAFT_SCAN_SPREAD", "auto")
-  private val spreadTables = Set("documents", "embeddings", "events")
+  // events is deliberately NOT spread: every events consumer is a
+  // small keyed aggregation (sessionize/windows), where the extra
+  // exchange measured as a net loss (q28 0.37 → 1.11 s, q138 1.08 →
+  // 1.50 s at steal ≤ 0.2) with no heavy winner to pay for it.
+  private val spreadTables = Set("documents", "embeddings")
 
   private def t(name: String): DataFrame = {
     val path = new java.io.File(s"$dir/$name.parquet")
