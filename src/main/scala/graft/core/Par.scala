@@ -48,7 +48,12 @@ object Par {
     try Await.result(Future.sequence(futures),
                      Duration(timeoutMinutes, MINUTES))
     catch {
-      case e: java.util.concurrent.TimeoutException =>
+      // ANY failure cancels the group (ADVICE r14): when one item's
+      // body throws, Await.result rethrows immediately while sibling
+      // in-flight Spark jobs keep running on daemon threads — without
+      // the cancel they burn executors under whatever runs next and
+      // pollute subsequent bench timings
+      case e: Throwable =>
         sc.cancelJobGroup(group)
         pool.shutdownNow()
         throw e

@@ -53,10 +53,12 @@ final case class Tables(spark: SparkSession, dir: String) {
     val df = spark.read.parquet(path.getPath)
     if (spreadMode == "off" || !spreadTables.contains(name)) df
     else {
+      // null-guard (ADVICE r14): listFiles returns null on IO error /
+      // concurrent removal; fall back to the unspread df then
       val files =
         if (path.isDirectory)
-          path.listFiles.filter(f =>
-            f.isFile && f.getName.endsWith(".parquet"))
+          Option(path.listFiles).getOrElse(Array.empty[java.io.File])
+            .filter(f => f.isFile && f.getName.endsWith(".parquet"))
         else Array(path)
       val bytes = files.map(_.length).sum
       val parts = math.min(cores.toLong, bytes / (64L << 10)).toInt

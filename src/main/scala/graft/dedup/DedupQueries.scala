@@ -1732,6 +1732,14 @@ object DedupQueries {
         val addB = old.filter(col("doc_id") === 5)
           .select(lit(200002L).as("doc_id"), headToks(2).as("text"))
         val new1 = old.unionByName(addA).unionByName(addB)
+        // NOT persisted — measured negative result (r15): the standing
+        // sketch subtree is referenced three times (refresh 1's probe +
+        // the advance's touched/untouched split), but those references
+        // run as INDEPENDENT PARALLEL STAGES of the one report job, so
+        // the recomputes are nearly free on idle cores, while
+        // persist() serialized them behind one cache materialization
+        // and regressed the query 10.2 → 13.7 s (3-rep medians, steal
+        // ≤ 0.4 both sides; plans/r15/evidence/q213_ab.json)
         val standing0 = Dedup.lshBuckets(
           Dedup.minhashSignatures(
             Dedup.docTokens(old, col("doc_id"), col("text")), 6), 6, 2)

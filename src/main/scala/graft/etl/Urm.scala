@@ -38,6 +38,14 @@ object Urm {
       // map-side partial aggregation, pre-dedup rows cross the wire
       // (~1% duplicates in this schema) — bought against eliding two
       // URM-sized exchanges in every pair-engine query.
+      // SKEW ASSUMPTION (ADVICE r14): keying by u alone routes a
+      // user's entire PRE-dedup interaction set to one reducer, and
+      // AQE cannot split a single key for aggregates — fine on this
+      // schema's bounded per-user order counts, but on a power-law
+      // log where one user holds millions of raw rows, dedup by
+      // hash(u, i) first (restoring map-side combine) and accept the
+      // extra pair-engine exchange, or cap/salt upstream the way the
+      // similarity tier's capUserDegree does.
       .repartition(col("u"))
       .distinct()
       .withColumn("v", lit(1))

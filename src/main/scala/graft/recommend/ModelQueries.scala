@@ -542,9 +542,17 @@ object ModelQueries {
         // fit, so the output rows are unchanged
         graft.core.Par.run(t.spark.sparkContext, "graft-q170-scalings",
                            30, Seq("linear", "log")) { scaling =>
+          // numBlocks = 1 (r15, guide §1.2 per-task work): the fixture
+          // is 8 rows, so ALS's default 10x10 block partitioning is
+          // pure scheduling overhead (100 cogroup blocks per sweep x
+          // 25 iters x 2 scalings). The gate's booleans are
+          // init-independent BY DESIGN (the one-step identity reads
+          // ml's OWN final item factors; margins 1e-5 vs ~0.07), so
+          // the block-seeded init change cannot flip them — oracle
+          // hash stays green (driver-verified).
           val (ufMl0, itfMl0) = Models.ials(urm, rank = 2, reg = lam,
             alpha = alpha, iters = 25, seed = 7,
-            confidenceScaling = scaling, epsilon = eps)
+            confidenceScaling = scaling, epsilon = eps, numBlocks = 1)
           def toArr(df: org.apache.spark.sql.DataFrame) =
             df.select(col("id"), col("features"))
               .as[(Int, Array[Float])].collect()
@@ -904,9 +912,11 @@ object ModelQueries {
         // concurrent independent fits per scaling — the q170 note
         graft.core.Par.run(t.spark.sparkContext, "graft-q178-scalings",
                            30, Seq("linear", "log")) { scaling =>
+          // numBlocks = 1 — the q170 note: 8-row fixture, block
+          // partitioning is pure overhead; booleans init-independent
           val (ufMl0, itfMl0) = Models.ials(urm, rank = 2, reg = lam,
             alpha = alpha, iters = 25, seed = 7,
-            confidenceScaling = scaling, epsilon = eps)
+            confidenceScaling = scaling, epsilon = eps, numBlocks = 1)
           def toArr(df: org.apache.spark.sql.DataFrame) =
             df.select(col("id"), col("features"))
               .as[(Int, Array[Float])].collect()

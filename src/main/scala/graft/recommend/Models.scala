@@ -228,6 +228,10 @@ object Models {
     * durable dir (HDFS/object store); without one ml.ALS skips its
     * checkpointInterval, which is Spark's own documented default. */
   private[graft] def ensureCheckpointDir(spark: SparkSession): Unit =
+    // synchronized (ADVICE r14): concurrent fits (q170/q178 run two
+    // ials fits from driver threads) raced the check-then-act and
+    // could swap the dir mid-fit; one lock per process is plenty
+    synchronized {
     if (spark.sparkContext.isLocal &&
         spark.sparkContext.getCheckpointDir.isEmpty) {
       val dir = java.nio.file.Files.createTempDirectory("graft-ckpt")
@@ -245,7 +249,7 @@ object Models {
         rm(dir.toFile)
       }))
       spark.sparkContext.setCheckpointDir(dir.toString)
-    }
+    } }
 
   /** The reference's EXACT IALS row update, distributed
     * (IALSRecommender.py:165-186 `_run_epoch` user half +

@@ -855,30 +855,68 @@ object RecsysQueries {
                   col("i").cast("long").as("i"))
         val heavy = s.range(1, 201)
           .select(lit(99999999L).as("u"), col("id").as("i"))
-        val wts = graft.core.CacheScope.persist(
+        // ONE weighted pair aggregation + ONE ranking window for both
+        // engine sides (r15, guide §2.4 via pairDotsMultiCap weighted):
+        // quantize once (cap and quantization commute — the cap's md5
+        // pick reads only (u, i), quantization is per-row), rank the
+        // degree window once, and the capped side's dots/norms are
+        // conditional EXACT-decimal sums over the same pair stream —
+        // bit-identical to the independent capped engine
+        // (SimilaritySpec pins it). Both sides stack into one
+        // (cap, i, j, w) frame via a narrow explode, one window over
+        // (cap, j) ranks them (row_number within a (cap, j) group is
+        // the per-cap window's row_number verbatim), and one flag
+        // aggregation replaces the full-outer join. The r14 form ran
+        // the TF-IDF subtree + pair self-join + window once PER side.
+        // Measured (3-rep medians): 6.9 -> 6.1 s at steal <= 0.1.
+        // NOTE: this sharing pays off here because q212's item bound
+        // (i < 2000) keeps the pair frame small; on the UNBOUNDED
+        // fixtures (q208/q214) the same restructure measured flat to
+        // negative (see OPTIMIZATION_r15.md) and was not applied.
+        val q = Similarity.quantizeWeights(
           Weighting.tfidf(base.unionByName(heavy).withColumn("v", lit(1))))
-        def edges(cap: Int, flag: String): org.apache.spark.sql.DataFrame =
-          graft.core.CacheScope.persist(Similarity.topK(
-              Similarity.itemSimilarityWeighted(wts, Similarity.Cosine,
-                                                maxUserDegree = cap)
-                .withColumn("w", round(col("w"), 6)), 10)
-            .select(col("i"), col("j"), lit(1L).as(flag)))
-        val eu = edges(0, "fu"); val ec = edges(80, "fc")
-        // force the shared weighted URM once, then the two engine
-        // sides concurrently (the q208 note: timing only, values are
-        // exact-decimal aggregations either way)
-        wts.count()
-        graft.core.Par.run(t.spark.sparkContext, "graft-q212-sides",
-                           30, Seq(eu, ec))(_.count())
-        eu.join(ec, Seq("i", "j"), "full_outer")
-          .agg(sum(coalesce(col("fu"), lit(0L))).as("n_uncapped_topk"),
-               sum(coalesce(col("fc"), lit(0L))).as("n_capped_topk"),
-               sum(coalesce(col("fu"), lit(0L)) *
-                   coalesce(col("fc"), lit(0L))).as("n_common"),
-               (sum(coalesce(col("fu"), lit(0L)) *
-                    coalesce(col("fc"), lit(0L))).cast("double") /
-                sum(coalesce(col("fu"), lit(0L))))
-                 .as("topk_recall"))
+        val ranked = graft.core.CacheScope.persist(
+          Similarity.userDegreeRanked(q))
+        val pd = Similarity.pairDotsMultiCap(ranked, Seq(80),
+                                             weighted = true)
+        val normsM = Similarity.itemNormsMultiCap(ranked, Seq(80),
+                                                  weighted = true)
+        val ni = normsM.select(col("i"), col("n").as("ni_n"),
+                               col("n_80").as("ni_n_80"))
+        val nj = normsM.select(col("i").as("j"), col("n").as("nj_n"),
+                               col("n_80").as("nj_n_80"))
+        val joined = pd.join(broadcast(ni), "i").join(broadcast(nj), "j")
+        // weighted presence is dot IS NOT NULL (a present pair can sum
+        // to exactly 0 under zero/negative TF-IDF weights); the rank
+        // weight is the 6-decimal-rounded cosine, exactly the r14
+        // form's round-then-topK
+        def wLevel(cap: Int) = {
+          val (d, n) = if (cap == 0) ("dot", "n")
+                       else (s"dot_$cap", s"n_$cap")
+          when(col(d).isNotNull,
+               round(col(d).cast("double") /
+                     (sqrt(col(s"ni_$n")) * sqrt(col(s"nj_$n")) +
+                      lit(0.0) + lit(1e-6)), 6))
+        }
+        val stacked = joined.select(explode(array(Seq(0, 80).map(c =>
+            struct(lit(c).as("cap"), col("i"), col("j"),
+                   wLevel(c).as("w"))): _*)).as("_e"))
+          .select(col("_e.cap").as("cap"), col("_e.i").as("i"),
+                  col("_e.j").as("j"), col("_e.w").as("w"))
+          .filter(col("w").isNotNull)
+        val wnd = org.apache.spark.sql.expressions.Window
+          .partitionBy("cap", "j").orderBy(desc("w"), asc("i"))
+        val edges = stacked
+          .withColumn("rank", row_number().over(wnd))
+          .filter(col("rank") <= 10)
+        edges.groupBy("i", "j")
+          .agg(max(when(col("cap") === 0, 1L).otherwise(0L)).as("fu"),
+               max(when(col("cap") === 80, 1L).otherwise(0L)).as("fc"))
+          .agg(sum(col("fu")).as("n_uncapped_topk"),
+               sum(col("fc")).as("n_capped_topk"),
+               sum(col("fu") * col("fc")).as("n_common"),
+               (sum(col("fu") * col("fc")).cast("double") /
+                sum(col("fu"))).as("topk_recall"))
       },
       Some {
         val base = """WITH urm AS (

@@ -200,6 +200,85 @@ object Similarity {
     urm.withColumn(capRankCol, row_number().over(w))
   }
 
+  /** MULTI-CAP pair dot-products over a [[userDegreeRanked]] frame —
+    * ONE upper-triangle self-join/aggregation for every cap level of a
+    * cap sweep (guide §2.4: the sweep's k capped chains re-ran the
+    * same quadratic pair fan-out k+1 times; one cap-c pair exists iff
+    * BOTH interactions rank ≤ c, so every cap's dot is a conditional
+    * count over the SAME uncapped pair stream, keyed by
+    * m = max(rank_a, rank_b)). Output: mirrored (i, j, dot,
+    * dot_<cap>…) where `dot` is the uncapped count and each `dot_c` is
+    * bit-identical to `pairDots(capUserDegree(urm, c))`'s count (same
+    * integer — a count over the identical pair subset). Pair PRESENCE
+    * in the cap-c engine: binary consumers filter `dot_c > 0` (a
+    * present pair always counts ≥ 1); weighted consumers filter
+    * `dot_c IS NOT NULL` (the conditional sum is NULL iff no
+    * qualifying co-occurrence exists, while a present pair can
+    * legitimately sum to 0 under zero/negative TF-IDF weights).
+    * SimilaritySpec pins the bit-equality against independent
+    * [[capUserDegree]] chains.
+    *
+    * `weighted`: when the ranked frame carries a decimal `w` column,
+    * dots are Σ wₐ·w_b instead of counts — the conditional sum adds
+    * the identical decimal terms the capped chain's sum adds (exact,
+    * associative), so it too is bit-identical. */
+  private[graft] def pairDotsMultiCap(ranked: DataFrame, caps: Seq[Int],
+                                      weighted: Boolean = false)
+      : DataFrame = {
+    val rk = col(capRankCol)
+    val a =
+      if (weighted)
+        ranked.select(col("u"), col("i").as("i1"), rk.as("r1"),
+                      col("w").as("wa"))
+      else ranked.select(col("u"), col("i").as("i1"), rk.as("r1"))
+    val b =
+      if (weighted)
+        ranked.select(col("u"), col("i").as("i2"), rk.as("r2"),
+                      col("w").as("wb"))
+      else ranked.select(col("u"), col("i").as("i2"), rk.as("r2"))
+    val m = greatest(col("r1"), col("r2"))
+    val full =
+      if (weighted) sum(col("wa") * col("wb")).as("dot")
+      else count(lit(1)).as("dot")
+    val perCap = caps.map { c =>
+      if (weighted)
+        sum(when(m <= c, col("wa") * col("wb"))).as(s"dot_$c")
+      else count(when(m <= c, 1)).as(s"dot_$c")
+    }
+    val upper = a.join(b, "u")
+      .filter(col("i1") < col("i2"))
+      .groupBy(col("i1").as("i"), col("i2").as("j"))
+      .agg(full, perCap: _*)
+    // multi-column mirror (the [[mirrorPairs]] device, n value cols)
+    val vs = "dot" +: caps.map(c => s"dot_$c")
+    upper.select(explode(array(
+        struct((col("i") +: col("j") +: vs.map(col)): _*),
+        struct((col("j").as("i") +: col("i").as("j") +:
+                vs.map(col)): _*))).as("_p"))
+      .select((col("_p.i").as("i") +: col("_p.j").as("j") +:
+               vs.map(v => col(s"_p.$v").as(v))): _*)
+  }
+
+  /** Per-item norms at every cap level of a sweep, one aggregation:
+    * (i, n, n_<cap>…) with `n_c` bit-identical to
+    * `itemNorms(capUserDegree(urm, c))` (conditional count / exact
+    * decimal sum over the identical row subset). An item whose every
+    * interaction ranks above c gets n_c = 0 — it cannot appear in any
+    * cap-c pair either, so the join result downstream is unaffected. */
+  private[graft] def itemNormsMultiCap(ranked: DataFrame, caps: Seq[Int],
+                                       weighted: Boolean = false)
+      : DataFrame = {
+    val rk = col(capRankCol)
+    val full =
+      if (weighted) sum(col("w") * col("w")).as("n")
+      else count(lit(1)).as("n")
+    val perCap = caps.map { c =>
+      if (weighted) sum(when(rk <= c, col("w") * col("w"))).as(s"n_$c")
+      else count(when(rk <= c, 1)).as(s"n_$c")
+    }
+    ranked.groupBy(col("i")).agg(full, perCap: _*)
+  }
+
   /** Quantize a weighted URM's entries to exact decimal(18,9) — the
     * determinism device shared by every weighted-engine path: input
     * weights round to 9 decimals (far below any weighting scheme's

@@ -238,11 +238,20 @@ object Spaces {
     * (run_parameter_search.py:196-204), so without this knob a
     * production search would ride the uncapped weighted engine —
     * the one measured-quadratic path left after r13 capped the
-    * binary twin. */
+    * binary twin.
+    *
+    * `ialsNumBlocks` (default = ml.ALS's 10) sizes the ALS block
+    * partitioning for the ials trials: a smoke-scale slice (hundreds
+    * of users) pays 10×10 cogroup blocks per sweep as pure scheduling
+    * overhead, so smoke callers pass 1; production searches keep the
+    * default or size it to the cluster (guide §1.2 per-task work —
+    * the knob changes the fit's task layout and its block-seeded
+    * init, not the objective). */
   def recommender(algorithm: String, spark: SparkSession,
                   maxRank: Int = 16, maxEpochs: Int = 2,
                   impressions: Option[DataFrame] = None,
-                  maxUserDegree: Int = 0)
+                  maxUserDegree: Int = 0,
+                  ialsNumBlocks: Int = 10)
       : (DataFrame, Map[String, PValue], Int) => DataFrame = {
 
     def num(p: Map[String, PValue], k: String): Double =
@@ -395,7 +404,7 @@ object Spaces {
           rank, reg = num(p, "reg"), alpha = num(p, "alpha"),
           iters = maxEpochs, seed = 7,
           confidenceScaling = str(p, "confidence_scaling"),
-          epsilon = num(p, "epsilon"))
+          epsilon = num(p, "epsilon"), numBlocks = ialsNumBlocks)
         // IALS predicts USER_factors·ITEM_factorsᵀ
         // (BaseMatrixFactorizationRecommender) — score the searched
         // objective with the model's own rule, not a KNN fold-in
@@ -485,10 +494,11 @@ object Spaces {
                 train: DataFrame, validation: DataFrame, cutoff: Int,
                 maxRank: Int = 16, maxEpochs: Int = 2,
                 impressions: Option[DataFrame] = None,
-                maxUserDegree: Int = 0)
+                maxUserDegree: Int = 0,
+                ialsNumBlocks: Int = 10)
       : Map[String, PValue] => Double = {
     val rec = recommender(algorithm, spark, maxRank, maxEpochs,
-                          impressions, maxUserDegree)
+                          impressions, maxUserDegree, ialsNumBlocks)
     p => mapAt(rec(train, p, cutoff), validation, cutoff)
   }
 

@@ -196,6 +196,91 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("pairDotsMultiCap/itemNormsMultiCap: every cap level bit-" +
+       "identical to the independent capped engine, binary + weighted") {
+    val rnd = new scala.util.Random(77)
+    // one heavy user (degree 30), light tail, varied weights so the
+    // cap changes dots AND norms when it bites
+    val heavy = (0 until 30).map(i => (100L, i.toLong,
+      (rnd.nextInt(900) + 100) / 1000.0))
+    val light = Seq((1L, 0L, 0.5), (1L, 1L, 0.25), (2L, 5L, 0.75),
+                    (2L, 6L, 0.3), (3L, 1L, 0.9), (3L, 5L, 0.6),
+                    (4L, 0L, 0.2), (4L, 5L, 0.8), (4L, 6L, 0.4))
+    val urmW = (heavy ++ light).toDF("u", "i", "w")
+    val urm = urmW.select("u", "i")
+    val caps = Seq(2, 8, 40)
+    // ---- binary: dots and norms per level == independent chain ----
+    val ranked = Similarity.userDegreeRanked(urm)
+    val pd = Similarity.pairDotsMultiCap(ranked, caps)
+    val norms = Similarity.itemNormsMultiCap(ranked, caps)
+    def dotKey(r: org.apache.spark.sql.Row) =
+      (r.getLong(0), r.getLong(1), r.getLong(2))
+    for (cap <- caps) {
+      val viaMulti = pd.filter(col(s"dot_$cap") > 0)
+        .select(col("i"), col("j"), col(s"dot_$cap"))
+        .collect().map(dotKey).sortBy(identity)
+      val viaCap = Similarity
+        .pairDots(Similarity.capUserDegree(urm, cap))
+        .select(col("i"), col("j"), col("dot"))
+        .collect().map(dotKey).sortBy(identity)
+      assert(viaMulti.nonEmpty && viaMulti.sameElements(viaCap),
+             s"binary multi-cap dots differ at cap $cap")
+      val nMulti = norms.filter(col(s"n_$cap") > 0)
+        .select(col("i"), col(s"n_$cap"))
+        .collect().map(r => (r.getLong(0), r.getLong(1)))
+        .sortBy(identity)
+      val nCap = Similarity
+        .itemNorms(Similarity.capUserDegree(urm, cap))
+        .collect().map(r => (r.getLong(0), r.getLong(1)))
+        .sortBy(identity)
+      assert(nMulti.sameElements(nCap),
+             s"binary multi-cap norms differ at cap $cap")
+    }
+    // uncapped columns reproduce the plain engine
+    val dotsFull = pd.select(col("i"), col("j"), col("dot"))
+      .collect().map(dotKey).sortBy(identity)
+    val dotsPlain = Similarity.pairDots(urm)
+      .select(col("i"), col("j"), col("dot"))
+      .collect().map(dotKey).sortBy(identity)
+    assert(dotsFull.sameElements(dotsPlain))
+    // ---- weighted: conditional decimal sums == independent chain ----
+    val q = Similarity.quantizeWeights(urmW)
+    val rankedW = Similarity.userDegreeRanked(q)
+    val pdW = Similarity.pairDotsMultiCap(rankedW, caps, weighted = true)
+    val normsW = Similarity.itemNormsMultiCap(rankedW, caps,
+                                              weighted = true)
+    def wKey(r: org.apache.spark.sql.Row) =
+      (r.getLong(0), r.getLong(1), r.getDecimal(2))
+    for (cap <- caps) {
+      val viaMulti = pdW.filter(col(s"dot_$cap").isNotNull)
+        .select(col("i"), col("j"), col(s"dot_$cap"))
+        .collect().map(wKey).sortBy(r => (r._1, r._2))
+      val viaCap = Similarity.pairDotsWeightedFrom(
+          Similarity.quantizeWeights(Similarity.capUserDegree(urmW, cap)))
+        .select(col("i"), col("j"), col("dot"))
+        .collect().map(wKey).sortBy(r => (r._1, r._2))
+      assert(viaMulti.nonEmpty &&
+             viaMulti.map(_._1).sameElements(viaCap.map(_._1)) &&
+             viaMulti.map(_._2).sameElements(viaCap.map(_._2)) &&
+             viaMulti.zip(viaCap).forall { case (a, b) =>
+               a._3.compareTo(b._3) == 0 },
+             s"weighted multi-cap dots differ at cap $cap")
+      val nMulti = normsW.filter(col(s"n_$cap").isNotNull)
+        .select(col("i"), col(s"n_$cap"))
+        .collect().map(r => (r.getLong(0), r.getDecimal(1)))
+        .sortBy(_._1)
+      val nCap = Similarity.quantizeWeights(
+          Similarity.capUserDegree(urmW, cap))
+        .groupBy(col("i")).agg(sum(col("w") * col("w")).as("n"))
+        .collect().map(r => (r.getLong(0), r.getDecimal(1)))
+        .sortBy(_._1)
+      assert(nMulti.map(_._1).sameElements(nCap.map(_._1)) &&
+             nMulti.zip(nCap).forall { case (a, b) =>
+               a._2.compareTo(b._2) == 0 },
+             s"weighted multi-cap norms differ at cap $cap")
+    }
+  }
+
   test("weighted engine: maxUserDegree routes through capUserDegree, " +
        "salted dots bit-identical, light profiles pass through") {
     val rnd = new scala.util.Random(51)
